@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Central registry of every operator the engine exposes, with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Coverage maps 1:1 onto SURVEY.md §2's operator inventory (scans,
+  * projection, filters with REAL comparison operators — the reference
+  * parses `= != < > >= <=` but executes everything as `=`, see
+  * /root/reference/sqlengine.py:257-258 — joins incl. USING-style
+  * join-column dedup per sqlengine.py:374-444, whole-column aggregates
+  * per sqlengine.py:548-678, DISTINCT per sqlengine.py:662-678), and then
+  * extends it with the relational surface a real engine needs (GROUP BY,
+  * ORDER BY/LIMIT, windows, set ops, scalar functions, date handling),
+  * which the reference lacks entirely (SURVEY.md §2.5-2.8).
+  *
+  * Numeric-determinism policy: any aggregate over a double column is
+  * computed in exact DECIMAL(18,2) arithmetic and only cast back to
+  * DOUBLE at the end. Decimal sums are order-independent, so Spark (any
+  * partitioning) and DuckDB (single-threaded) produce bit-identical
+  * doubles — a hard requirement for the driver's hash compare.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      /** headline queries included in Bench */
+      bench: Boolean = false)
+
+  /** Lazy parquet scan of one testdata table (column-pruning +
+    * filter-pushdown capable; see TESTDATA.md for schemas). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  /** Order-independent exact sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------------
+  // Scans & projection (SURVEY §2.1, §2.2)
+  // ---------------------------------------------------------------------
+  private val scans = Vector(
+    Q("q_scan_star",
+      (s, d) => t(s, d, "region").select("*"),
+      Some("SELECT * FROM region")),
+    Q("q_projection",
+      (s, d) => t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"),
+      bench = true),
+  )
+
+  // ---------------------------------------------------------------------
+  // Filters — real comparison operators, AND/OR/IN, col-to-col (§2.2)
+  // ---------------------------------------------------------------------
+  private val filters = Vector(
+    Q("q_filter_eq",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice"),
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'")),
+    Q("q_filter_neq",
+      (s, d) => t(s, d, "lineitem").filter(col("l_returnflag") =!= "N")
+        .select("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag <> 'N'")),
+    Q("q_filter_lt",
+      (s, d) => t(s, d, "lineitem").filter(col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5")),
+    Q("q_filter_gt",
+      (s, d) => t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45")),
+    Q("q_filter_range",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 10 && col("l_quantity") <= 15)
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 15"),
+      bench = true),
+    Q("q_filter_or",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" || col("l_quantity") > 49)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'R' OR l_quantity > 49")),
+    Q("q_filter_in",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority"),
+      Some("SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")),
+    Q("q_filter_colcol",
+      (s, d) => t(s, d, "lineitem").filter(col("l_tax") > col("l_discount"))
+        .select("l_orderkey", "l_linenumber", "l_tax", "l_discount"),
+      Some("SELECT l_orderkey, l_linenumber, l_tax, l_discount FROM lineitem WHERE l_tax > l_discount")),
+  )
+
+  // ---------------------------------------------------------------------
+  // Joins (§2.3) — inner/USING-dedup/cross/semi/anti/outer/multi-way.
+  // Small dimension sides are broadcast explicitly: at 100 TB the fact
+  // side never shuffles for these joins.
+  // ---------------------------------------------------------------------
+  private val joins = Vector(
+    Q("q_join_inner",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name"),
+      Some("SELECT c_custkey, c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey")),
+    // USING-style join: the join column appears ONCE in the output — the
+    // Spark-idiomatic equivalent of the reference's join-column dedup
+    // ("JOINING COLUMN SHOULD BE PRINTED ONLY ONCE", sqlengine.py:374-444).
+    Q("q_join_using",
+      (s, d) => t(s, d, "orders").withColumnRenamed("o_custkey", "custkey")
+        .join(t(s, d, "customer").withColumnRenamed("c_custkey", "custkey"), Seq("custkey"))
+        .select("custkey", "o_orderkey", "c_name"),
+      Some("SELECT o_custkey AS custkey, o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey")),
+    Q("q_cross_join",
+      (s, d) => t(s, d, "region").select("r_name")
+        .crossJoin(t(s, d, "nation").select("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+    // Reference behavior: single-table filter + multi-table FROM =
+    // filtered rows × the other table (sqlengine.py:338-342,364-365).
+    Q("q_filter_cross",
+      (s, d) => t(s, d, "region").filter(col("r_regionkey") === 0).select("r_name")
+        .crossJoin(t(s, d, "nation").select("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation WHERE r_regionkey = 0")),
+    Q("q_semi_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")),
+    // Anti-join against a filtered right side (non-empty at every SF:
+    // every custkey has *some* order, so the unfiltered variant is
+    // degenerate on this data).
+    Q("q_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')")),
+    Q("q_left_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey")),
+      Some("SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey")),
+    // 3-way fact-to-dim join + group: the canonical star-schema pattern.
+    Q("q_join_multi",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name""".stripMargin.replace("\n", " ")),
+      bench = true),
+  )
+
+  // ---------------------------------------------------------------------
+  // Aggregates (§2.4) — whole-column (reference-style, no GROUP BY) plus
+  // the GROUP BY / HAVING / rollup family the reference lacks.
+  // COUNT is deliberately supported (reference parses but drops it,
+  // sqlengine.py:547-678 — documented divergence SURVEY §2.12).
+  // ---------------------------------------------------------------------
+  private val aggregates = Vector(
+    Q("q_agg_max",
+      (s, d) => t(s, d, "lineitem").agg(max("l_quantity").as("max_qty")),
+      Some("SELECT MAX(l_quantity) AS max_qty FROM lineitem")),
+    Q("q_agg_min",
+      (s, d) => t(s, d, "lineitem").agg(min("l_quantity").as("min_qty")),
+      Some("SELECT MIN(l_quantity) AS min_qty FROM lineitem")),
+    Q("q_agg_sum",
+      (s, d) => t(s, d, "lineitem").agg(dsum(col("l_extendedprice")).as("sum_price")),
+      Some(s"SELECT ${DSUM.format("l_extendedprice")} AS sum_price FROM lineitem")),
+    Q("q_agg_avg",
+      (s, d) => t(s, d, "lineitem")
+        .agg((dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty")),
+      Some(s"SELECT ${DSUM.format("l_quantity")} / COUNT(l_quantity) AS avg_qty FROM lineitem")),
+    Q("q_agg_count",
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("n_rows")),
+      Some("SELECT COUNT(*) AS n_rows FROM lineitem")),
+    // Filtered aggregate — works here; crashes (AVG) or emits sys.maxint
+    // (empty MIN) in the reference (sqlengine.py:647, :590; SURVEY §2.12).
+    Q("q_agg_where",
+      (s, d) => t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .agg(max("o_totalprice").as("max_price"),
+             (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price")),
+      Some(s"SELECT MAX(o_totalprice) AS max_price, ${DSUM.format("o_totalprice")} / COUNT(*) AS avg_price FROM orders WHERE o_orderstatus = 'F'")),
+    Q("q_count_distinct",
+      (s, d) => t(s, d, "lineitem").agg(countDistinct(col("l_partkey")).as("n_parts")),
+      Some("SELECT COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem")),
+    Q("q_distinct",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+    // TPC-H Q1 shape: the headline pricing-summary aggregate.
+    Q("q1_agg",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")),
+      bench = true),
+    Q("q_groupby_having",
+      (s, d) => t(s, d, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 50),
+      Some("SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50")),
+    Q("q_rollup",
+      (s, d) => t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")),
+  )
+
+  // ---------------------------------------------------------------------
+  // Sorts / limits, windows, set ops, scalar + date functions — absent in
+  // the reference (SURVEY §2.5-2.8), first-class here.
+  // ---------------------------------------------------------------------
+  private val analytic = Vector(
+    // Deterministic top-k: strict tiebreaker on the key column.
+    Q("q_sort_limit",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice").limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+      bench = true),
+    Q("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, d, "customer").withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn").cast(LongType))
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+             |SELECT c_nationkey, c_custkey, c_acctbal,
+             |ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+             |FROM customer) WHERE rn <= 3""".stripMargin.replace("\n", " ")),
+      bench = true),
+    Q("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+          .select("o_custkey", "o_orderkey", "running_spend")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS DOUBLE) AS running_spend
+             |FROM orders""".stripMargin.replace("\n", " ")),
+      ),
+    Q("q_union_all",
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
+        .unionAll(t(s, d, "supplier").select(col("s_suppkey").as("key"))),
+      Some("SELECT c_custkey AS key FROM customer UNION ALL SELECT s_suppkey AS key FROM supplier")),
+    Q("q_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier")),
+    Q("q_except",
+      (s, d) => t(s, d, "orders").filter(col("o_totalprice") > 250000)
+        .select(col("o_custkey").as("ck"))
+        .except(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("ck"))),
+      Some("SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 250000 EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'P'")),
+    Q("q_case_expr",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket")),
+      Some("SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket FROM orders")),
+    Q("q_string_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment")).as("tagged")),
+      Some("SELECT c_custkey, UPPER(c_name) AS uname, LENGTH(c_name) AS name_len, SUBSTRING(c_mktsegment, 1, 3) AS seg3, c_name || '_' || c_mktsegment AS tagged FROM customer")),
+    Q("q_date_funcs",
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+                 month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo, COUNT(*) AS n, ${DSUM.format("o_totalprice")} AS sum_price FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)")),
+  )
+
+  /** Relational core: everything above. Extensions (dedup / similarity /
+    * text / events) live in their operator objects and are appended in
+    * [[SparkEntry]]. */
+  val relational: Vector[Q] = scans ++ filters ++ joins ++ aggregates ++ analytic
+}
