@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import Queries.{Q, t}
+
+/** LLM-data-pipeline extension queries over the `documents`,
+  * `embeddings`, and `events` testdata tables — deduplication,
+  * similarity search, text analysis, and event-stream analytics (batch
+  * analogs; the Structured Streaming variants live in
+  * graft.streaming and are exercised by the test suite).
+  *
+  * Oracles: engine-internal hash functions (xxhash64, minhash, simhash)
+  * are not reproducible in DuckDB, so those queries are registered
+  * without oracle SQL → the driver records a rows-only check; their
+  * *semantics* are instead pinned by ScalaTest specs against
+  * hand-computable fixtures. Everything arithmetic (token stats,
+  * quality, sessionization, windowed aggregates) carries a full oracle.
+  */
+object PipelineQueries {
+
+  private val D4 = DecimalType(18, 4)
+
+  /** The events table ships TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects; read the physical int64 as nanos
+    * (legacy conf) and derive `ts_s` = epoch seconds. All event queries
+    * work in integer seconds, which also sidesteps engine-specific
+    * timestamp-timezone rendering in the oracle compare. */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts_s", expr("ts DIV 1000000000"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Text analysis over documents
+  // ---------------------------------------------------------------------
+  private val text = Vector(
+    Q("doc_token_stats",
+      (s, d) => TextAnalysis.withTokenStats(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "distinct_ratio"),
+      Some("""SELECT doc_id,
+             |len(string_split(text, ' ')) AS n_tokens,
+             |length(text) AS n_chars,
+             |CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio
+             |FROM documents""".stripMargin.replace("\n", " ")),
+      bench = true),
+    Q("doc_quality",
+      (s, d) => TextAnalysis.withTokenStats(t(s, d, "documents"))
+        .withColumn("quality", TextAnalysis.qualityScore)
+        .select("doc_id", "quality"),
+      Some("""SELECT doc_id,
+             |least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.4
+             | + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+             | + least(1.0, (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' '))) / 5.0) * 0.3 AS quality
+             |FROM documents""".stripMargin.replace("\n", " "))),
+    // Engine-internal heuristics/hashes — rows-only checks; semantics
+    // pinned in TextAnalysisSpec.
+    Q("doc_lang_id",
+      (s, d) => TextAnalysis.withLangId(t(s, d, "documents"))
+        .select("doc_id", "lang", "lang_pred"),
+      None),
+    Q("doc_fingerprint",
+      (s, d) => TextAnalysis.withFingerprints(t(s, d, "documents"))
+        .select(col("doc_id"), col("doc_fp"), size(col("fingerprints")).cast(LongType).as("n_fp")),
+      None),
+  )
+
+  // ---------------------------------------------------------------------
+  // Deduplication over documents
+  // ---------------------------------------------------------------------
+  private val dedup = Vector(
+    Q("dedup_exact",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "n_copies"),
+      Some("SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text")),
+    Q("dedup_exact_rows",
+      (s, d) => Dedup.exactRows(t(s, d, "documents"), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM (
+             |SELECT doc_id, lang, source,
+             |ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+             |FROM documents) WHERE rn = 1""".stripMargin.replace("\n", " "))),
+    Q("dedup_minhash",
+      (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.7).orderBy("a", "b"),
+      None, bench = true),
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3).orderBy("a", "b"),
+      None),
+    Q("dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.5).orderBy("a", "b"),
+      None),
+  )
+
+  // ---------------------------------------------------------------------
+  // Similarity search over embeddings
+  // ---------------------------------------------------------------------
+  private def probes(df: DataFrame): DataFrame = df.filter(col("vec_id") < 10)
+
+  private val similarity = Vector(
+    Q("emb_label_stats",
+      (s, d) => t(s, d, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label")),
+    Q("ann_brute_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e, probes(e), "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      None, bench = true),
+    Q("ann_lsh_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.lshTopK(e, probes(e), "vec_id", "embedding", k = 10, planes = 6)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      None),
+    Q("emb_cosine_pairs",
+      (s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, planes = 4).orderBy("a", "b"),
+      None),
+  )
+
+  // ---------------------------------------------------------------------
+  // Event analytics (batch analogs of the streaming pipelines)
+  // ---------------------------------------------------------------------
+  private val eventQueries = Vector(
+    // Tumbling 5-minute window: bucket emitted as epoch seconds (BIGINT)
+    // to dodge timestamp-timezone representation skew between engines.
+    Q("ev_window_tumbling",
+      (s, d) => events(s, d)
+        .groupBy((col("ts_s") - pmod(col("ts_s"), lit(300L))).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D4)).cast(DoubleType).as("sum_value")),
+      Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket, event_type,
+             |COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
+      bench = true),
+    // Sessionization with a 30-minute inactivity gap — the classic
+    // stateful-stream op, expressed relationally (lag + running sum).
+    Q("ev_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s").asc, col("event_id").asc)
+        val e = events(s, d)
+          .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        e.groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+      },
+      Some("""SELECT user_id, session_idx, COUNT(*) AS n_events,
+             |MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+             |FROM (
+             |  SELECT user_id, ts, event_id,
+             |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
+             |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " ")),
+      bench = true),
+    Q("ev_top_users",
+      (s, d) => events(s, d).groupBy("user_id")
+        .agg(sum(col("value").cast(D4)).cast(DoubleType).as("total_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("total_value").desc, col("user_id").asc).limit(20),
+      Some("""SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value, COUNT(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 20""".stripMargin.replace("\n", " "))),
+    Q("ev_type_share",
+      (s, d) => {
+        val e = events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+        e.withColumn("share", col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy()))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+             |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "))),
+  )
+
+  val all: Vector[Q] = text ++ dedup ++ similarity ++ eventQueries
+}

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
 
   /** Every registered query, in declaration order. */
-  def all: Vector[Queries.Q] = Queries.relational
+  def all: Vector[Queries.Q] = Queries.relational ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.VectorOps
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and character-n-gram Jaccard. (Embedding-cosine
+  * near-dup lives in [[Similarity.cosinePairs]].)
+  *
+  * Scale design (the point — see builder brief):
+  *  - every pipeline is shuffle-minimal: one `groupBy` per signature
+  *    build (map-side partial aggregation does the heavy lifting), one
+  *    shuffle for the bucket self-join;
+  *  - candidate generation is always *bucketed* (LSH bands / hamming
+  *    chunks / shared-gram inverted index), never an O(n²) cross join;
+  *  - hot buckets (stop-grams, degenerate bands) are capped with a
+  *    document-frequency filter so one pathological key cannot blow up
+  *    a 100 TB run; AQE handles residual skew.
+  *
+  * The reference engine has nothing comparable (integer-only SELECT
+  * subset, /root/reference/sqlengine.py); this is extension surface,
+  * exercised against the driver's `documents` table.
+  */
+object Dedup {
+
+  /** Exact dedup, representative form: one output row per distinct key
+    * with the minimal id as the keeper + the group size. Single hash
+    * shuffle; at 100 TB this is the cheapest possible exact pass. */
+  def exactGroups(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup, row-preserving form: keeps the full first row (by
+    * `idCol`) of every duplicate group. One shuffle (window). */
+  def exactRows(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // =====================================================================
+  // MinHash + LSH
+  // =====================================================================
+
+  /** MinHash/LSH tuning. numHashes = bands * rowsPerBand. Defaults catch
+    * jaccard ≳ 0.5 with high probability ((1/16)^(1/4) ≈ 0.5 threshold
+    * for 16 bands × 4 rows). */
+  final case class MinHashParams(
+      shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, rowsPerBand: Int = 4) {
+    require(bands * rowsPerBand == numHashes, "bands*rowsPerBand must equal numHashes")
+  }
+
+  /** Distinct word-`n`-gram shingles of a text column (whole text as a
+    * single shingle when shorter than `n` tokens). Pure projection. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** (id, signature array<long>) per document. Implementation: explode
+    * shingles once, take k independent mins in ONE aggregation — the k
+    * hash families are `xxhash64(seed_i, shingle)`. Partial (map-side)
+    * min means the shuffle carries k longs per doc, not the shingles. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(wordShingles(col(textCol), p.shingleSize)).as("__shingle"))
+    val mins = (0 until p.numHashes)
+      .map(i => min(xxhash64(lit(i), col("__shingle"))).as(s"__h$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until p.numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. The band key
+    * is (bandIdx, hash of that signature slice); the self-join shuffles
+    * on the band key, so only same-bucket docs ever meet. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val bandKeys = array((0 until p.bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(col("signature"), j * p.rowsPerBand + 1, p.rowsPerBand),
+            _.cast("string")))).as("key"))
+    }: _*)
+    val buckets = sigs.select(col(idCol), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = buckets.select(col("band"), col("key"), col(idCol).as("a"))
+    val b = buckets.select(col("band"), col("key"), col(idCol).as("b"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Estimated jaccard = fraction of agreeing minhash components. */
+  def estimatedJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _).cast(DoubleType) / numHashes
+
+  /** Full near-duplicate pipeline: shingle → sign → LSH candidates →
+    * exact-jaccard verification on the true shingle sets. Returns
+    * (a, b, est_jaccard, jaccard) for pairs with jaccard ≥ threshold. */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, p: MinHashParams = MinHashParams()): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, p)
+    val cands = lshCandidates(sigs, idCol, p)
+    val withEst = cands
+      .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("signature").as("sig_b")), "b")
+      .select(col("a"), col("b"),
+        estimatedJaccard(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
+    val sh = df.select(col(idCol), wordShingles(col(textCol), p.shingleSize).as("sh"))
+    withEst
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "est_jaccard", "jaccard")
+  }
+
+  // =====================================================================
+  // SimHash
+  // =====================================================================
+
+  /** 64-bit SimHash per document (Charikar '02 — public algorithm):
+    * explode tokens, hash each, and take the sign of the per-bit vote
+    * sum. The 64 votes are 64 partial-aggregating `sum` columns — one
+    * shuffle carrying 64 longs per doc. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__th"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("__th"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$b")
+    }
+    val bitCols = (0 until 64).map { b =>
+      when(col(s"__v$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bitCols.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-pairs by hamming distance ≤ maxHamming over the 64-bit
+    * simhash. Bucketing: split the hash into `chunks` equal pieces —
+    * any pair within distance d < chunks must agree on ≥1 chunk
+    * (pigeonhole), so the self-join on (chunkIdx, chunkValue) is exact,
+    * never O(n²). Requires maxHamming < chunks (default 4 chunks → d≤3). */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val chunkKeys = array((0 until chunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("simhash"), c * width).bitwiseAND(mask).as("cv"))
+    }: _*)
+    val buckets = sigs.select(col(idCol), col("simhash"), explode(chunkKeys).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val a = buckets.select(col("ci"), col("cv"), col(idCol).as("a"), col("simhash").as("sh_a"))
+    val b = buckets.select(col("ci"), col("cv"), col(idCol).as("b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("ci", "cv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  // =====================================================================
+  // Character n-gram Jaccard
+  // =====================================================================
+
+  /** Distinct character n-grams of a text column. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Exact n-gram-Jaccard pairs ≥ threshold via a shared-gram inverted
+    * index: explode grams, drop grams appearing in more than `maxDf`
+    * docs (stop-gram cap — the skew guard), self-join on the gram, count
+    * shared grams per pair, then jaccard from the true set sizes.
+    *
+    * Correctness note: dropping a stop-gram can only *miss* pairs whose
+    * every shared gram is a stop-gram — acceptable for near-dup mining;
+    * raise maxDf for exactness on small corpora. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val grams = df.select(col(idCol), explode(charNgrams(col(textCol), n)).as("g"))
+    val kept = grams.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val sizes = df.select(col(idCol), size(charNgrams(col(textCol), n)).as("sz"))
+    val shared = kept.select(col("g"), col(idCol).as("a"))
+      .join(kept.select(col("g"), col(idCol).as("b")), "g")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    shared
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

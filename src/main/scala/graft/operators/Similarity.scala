@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) probe
+  *    set against the corpus; the corpus is scanned once, map-only, no
+  *    shuffle except the final per-probe top-k. Right answer whenever
+  *    the probe set fits in a broadcast (the common "query batch"
+  *    shape, even at 100 TB corpus scale).
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH buckets both
+  *    sides, so candidate generation is a bucket-equi-join (shuffle on
+  *    the bucket key) instead of a cross product. Recall is tunable via
+  *    `planes` (fewer bits → bigger buckets → higher recall/cost).
+  *
+  * Hyperplanes are generated driver-side from a fixed seed and shipped
+  * as literals — deterministic, no fitting step, no collect.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-Gaussian hyperplanes (seeded JVM RNG — the
+    * java.util.Random algorithm is specified, so results are stable
+    * across JVMs). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Exact cosine top-k of `corpus` for every row of `probes`.
+    * Output: (probe_id, neighbor_id, cosine, rank). Excludes self-pairs. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus rows sharing
+    * the probe's hyperplane-sign bucket; exact cosine re-ranks within
+    * the bucket. With b planes the corpus shards into ~2^b buckets —
+    * choose b ≈ log2(corpus/expected-bucket-size) at scale. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = randomPlanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), ps))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("bucket", hyperplaneBucket(col("pv"), ps))
+    val scored = c.join(p, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold, LSH-bucketed — the
+    * embedding-space near-duplicate detector. Pairs split across
+    * buckets are missed with probability (1 - (1-θ/π)^planes) per the
+    * random-hyperplane collision bound; keep `planes` small for recall. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 6, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = randomPlanes(planes, dim, seed)
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), ps))
+    val a = v.select(col("bucket"), col(idCol).as("a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col(idCol).as("b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine").distinct()
+  }
+}

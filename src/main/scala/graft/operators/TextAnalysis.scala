@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language identification, and
+  * document fingerprinting (winnowing over rolling hashes).
+  *
+  * All operators are pure column expressions over `functions._` — fully
+  * codegen'd, no UDFs, no shuffles beyond what the caller's aggregation
+  * needs — so a 100 TB `documents` scan stays a single map-only stage
+  * with filter/projection pushdown intact.
+  *
+  * The reference engine is integer-only and has no string functions at
+  * all (/root/reference/sqlengine.py:43 — `columnRval` admits numbers
+  * only; SURVEY.md §2.8); this module is extension surface.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. The testdata `documents.text` is single-space
+    * separated; `sep` is a regex so callers can widen to `\\s+`. */
+  def tokens(text: Column, sep: String = " "): Column =
+    filter(split(text, sep), w => length(w) > 0)
+
+  // --- language-ID stopword profiles (tiny, public-knowledge lists) ---
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that",
+      "for", "on", "with", "as", "at", "by", "an", "be", "this", "from",
+      "or", "are", "was", "not", "but", "have"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "den", "mit", "von", "auf", "für", "im", "dem", "sich", "des",
+      "ich", "sie", "es", "auch", "als", "an", "aus"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "un", "une", "et", "est",
+      "en", "que", "qui", "dans", "pour", "pas", "sur", "avec", "au",
+      "il", "elle", "ne", "ce", "se", "du", "par"),
+    "es" -> Seq("el", "la", "los", "las", "de", "un", "una", "y", "es",
+      "en", "que", "se", "no", "por", "con", "para", "su", "al", "lo",
+      "como", "más", "pero", "sus", "le", "ya"),
+  )
+
+  private def litArray(ws: Seq[String]): Column = array(ws.map(lit): _*)
+
+  /** Count of tokens found in `words` (with multiplicity). */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => array_contains(litArray(words), w))).cast(LongType)
+
+  /** Adds n_tokens / n_chars / avg_token_len / distinct_ratio /
+    * stopword_ratio columns derived from `textCol`. One projection, no
+    * shuffle. */
+  def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("n_chars", length(col(textCol)).cast(LongType))
+      .withColumn("avg_token_len",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
+          .cast(DoubleType) / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast(DoubleType) / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        hitCount(toks, StopwordProfiles("en")).cast(DoubleType) / col("n_tokens"))
+  }
+
+  /** Heuristic quality score in [0,1]: length signal, lexical diversity,
+    * and an in-range average token length. Deliberately simple,
+    * deterministic arithmetic (same ops give identical doubles in any
+    * engine). Expects the [[withTokenStats]] columns. */
+  def qualityScore: Column =
+    least(lit(1.0), col("n_tokens").cast(DoubleType) / 50.0) * 0.4 +
+      col("distinct_ratio") * 0.3 +
+      least(lit(1.0), col("avg_token_len") / 5.0) * 0.3
+
+  /** N-gram-free language ID: stopword hit-rate per profile, argmax with
+    * a fixed tie-break order (profile list order, then "und" =
+    * undetermined when nothing hits). */
+  def withLangId(df: DataFrame, textCol: String = "text",
+      out: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+      struct(hitCount(toks, ws).as("hits"), lit(l).as("lang"))
+    }
+    // array_max on struct compares fields in order → max hits, and on a
+    // tie the lexicographically-greatest lang; stable and deterministic.
+    val best = array_max(array(scored: _*))
+    df.withColumn(out,
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")))
+  }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * public algorithm): rolling window minima over character k-gram
+    * hashes. Adds `fingerprints` (array<long>, the selected hashes) and
+    * `doc_fp` (a single stable digest). */
+  def withFingerprints(df: DataFrame, textCol: String = "text",
+      k: Int = 8, window: Int = 4): DataFrame = {
+    val text = col(textCol)
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(k))))
+    val winMins = transform(
+      sequence(lit(1), greatest(size(grams) - (window - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(window))))
+    df.withColumn("fingerprints", array_distinct(winMins))
+      .withColumn("doc_fp",
+        xxhash64(concat_ws(",", transform(array_sort(col("fingerprints")),
+          _.cast("string")))))
+  }
+}

@@ -46,7 +46,21 @@ for name, sql in sorted(oracle.items()):
         print(f"OK   {name} ({len(gs)} rows)")
     except Exception as e:
         fails.append((name, f"error: {e}"))
+# rows-only check for queries without an oracle (mirrors the driver's
+# weaker gate): the dump must exist and SHOULD be non-empty.
+import os
+for d in sorted(os.listdir(outdir)):
+    if d in oracle or not os.path.isdir(f"{outdir}/{d}"):
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{outdir}/{d}/*.parquet'").fetchone()[0]
+        print(f"{'OK  ' if n > 0 else 'WARN'} {d} (rows-only, {n} rows)")
+        if n == 0:
+            fails.append((d, "rows-only query returned 0 rows"))
+    except Exception as e:
+        fails.append((d, f"rows-only read error: {e}"))
+
 for name, why in fails:
     print(f"FAIL {name}: {why}")
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+print(f"\n{len(oracle) - len([f for f in fails if f[0] in oracle])}/{len(oracle)} oracle queries match")
 sys.exit(1 if fails else 0)
