@@ -194,5 +194,33 @@ object PipelineQueries {
              |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "))),
   )
 
-  val all: Vector[Q] = text ++ dedup ++ similarity ++ eventQueries
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing (decode is a deterministic stub — see
+  // operators.Multimodal; the byte-count column is oracle-checked, the
+  // stub features are rows-only + spec-pinned)
+  // ---------------------------------------------------------------------
+  private def withPayload(df: DataFrame): DataFrame =
+    df.withColumn("payload", col("text").cast("binary"))
+
+  private val multimodal = Vector(
+    Q("mm_decode_meta",
+      (s, d) => operators.Multimodal
+        .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
+        .select(col("id"), col("n_bytes")),
+      Some("SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents")),
+    Q("mm_features",
+      (s, d) => operators.Multimodal
+        .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
+        .select("id", "width", "height", "features"),
+      None),
+    Q("mm_frame_sample",
+      (s, d) => operators.Multimodal
+        .sampleFrames(withPayload(t(s, d, "documents")), "doc_id", "payload", stride = 128)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), max("frame_off").as("last_off")),
+      Some("""SELECT doc_id, (octet_length(encode(text)) - 1) // 128 + 1 AS n_frames,
+             |CAST(((octet_length(encode(text)) - 1) // 128) * 128 AS BIGINT) AS last_off
+             |FROM documents""".stripMargin.replace("\n", " "))),
+  )
+
+  val all: Vector[Q] = text ++ dedup ++ similarity ++ eventQueries ++ multimodal
 }

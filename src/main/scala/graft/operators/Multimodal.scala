@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with a typed metadata struct, and run
+  * decode / feature-extraction partition-wise in batches (the Scala
+  * equivalent of PySpark's `mapInPandas` batch shape).
+  *
+  * The actual byte→pixels/samples decode is a clearly-marked
+  * DETERMINISTIC STUB (no codec libraries in this container, and none
+  * may be added — zero egress); everything around it is real and
+  * load-bearing at scale:
+  *  - schema: `media struct<payload: binary, meta: struct<...>>`;
+  *  - execution: `queryExecution.toRdd.mapPartitions` over batches of
+  *    `batchSize` rows, so a real decoder could amortize codec init per
+  *    batch exactly like an Arrow batch UDF;
+  *  - output is a fresh DataFrame with an explicit StructType —
+  *    downstream pruning/filters behave normally.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every payload. */
+  val MetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate_hz", IntegerType)))
+
+  /** Wrap a binary column into the canonical media struct with
+    * container-level metadata sniffed from the payload head (real
+    * pattern; fake magic numbers). */
+  def asMedia(df: DataFrame, binCol: String, out: String = "media"): DataFrame = {
+    val b = col(binCol)
+    val fmt = when(substring(b, 1, 3) === lit("IMG".getBytes), "img")
+      .when(substring(b, 1, 3) === lit("AUD".getBytes), "aud")
+      .otherwise("bin")
+    df.withColumn(out, struct(
+      b.as("payload"),
+      struct(fmt.as("format"), lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("n_frames"), lit(0).as("sample_rate_hz")).as("meta")))
+  }
+
+  /** ===== STUB ===== deterministic fake decode: derives pseudo
+    * dimensions and an 8-dim feature vector from the bytes. A real
+    * deployment replaces ONLY this function with a codec call; the
+    * batching/schema contract around it is unchanged. */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    var h = 1125899906842597L // deterministic FNV-ish rolling hash
+    payload.foreach(b => h = h * 31 + (b & 0xff))
+    val width = 16 + math.floorMod(h, 1024).toInt
+    val height = 16 + math.floorMod(h >> 10, 1024).toInt
+    val feat = Array.tabulate(8)(i =>
+      math.floorMod(h >> (i * 7), 1000).toFloat / 1000f)
+    (width, height, feat)
+  }
+
+  private val outType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Batched partition-wise decode of `binCol`, keyed by `idCol`.
+    * Output: (id, n_bytes, width, height, features[8]). */
+  def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real decoder would init its codec once per batch here
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h, feat) = stubDecode(payload)
+          Row(id, payload.length.toLong, w, h, feat.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outType)
+  }
+
+  /** Frame sampling stub: every `stride`-th fake frame offset of a
+    * video payload — demonstrates the explode-to-frames shape
+    * (id, frame_idx, frame_off) a real pipeline uses. Pure column expr. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 1024): DataFrame =
+    df.select(col(idCol),
+        posexplode(sequence(lit(0),
+          floor((length(col(binCol)) - 1) / stride).cast(IntegerType)))
+          .as(Seq("frame_idx", "frame_pos")))
+      .select(col(idCol), col("frame_idx").cast(LongType),
+        (col("frame_pos") * stride).cast(LongType).as("frame_off"))
+}

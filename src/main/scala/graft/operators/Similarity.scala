@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,18 +48,40 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** All hamming-≤1 variants of a sign-bucket string — multi-probe LSH
+    * (Lv et al., VLDB'07): probing the adjacent buckets recovers most
+    * of the recall lost to a near-boundary hyperplane, for (planes+1)×
+    * candidate cost on the (small) probe side only. */
+  private def probeBuckets(bucket: Column, planes: Int): Column = {
+    val flips = (0 until planes).map { i =>
+      val bit = bucket.substr(i + 1, 1)
+      concat(bucket.substr(lit(1), lit(i)),
+        when(bit === "1", lit("0")).otherwise(lit("1")),
+        bucket.substr(lit(i + 2), lit(planes - i - 1)))
+    }
+    array(bucket +: flips: _*)
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus rows sharing
-    * the probe's hyperplane-sign bucket; exact cosine re-ranks within
-    * the bucket. With b planes the corpus shards into ~2^b buckets —
-    * choose b ≈ log2(corpus/expected-bucket-size) at scale. */
+    * (one of) the probe's hyperplane-sign buckets; exact cosine re-ranks
+    * within the candidates. With b planes the corpus shards into ~2^b
+    * buckets — choose b ≈ log2(corpus/expected-bucket-size) at scale.
+    * Multi-probe (hamming-1 bucket expansion, probe side only) is on by
+    * default: the corpus is still hashed ONCE into ONE bucket each, so
+    * corpus-side cost is unchanged at 100 TB. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
     val ps = randomPlanes(planes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), ps))
-    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-      .withColumn("bucket", hyperplaneBucket(col("pv"), ps))
+    val p0 = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("bucket0", hyperplaneBucket(col("pv"), ps))
+    val p =
+      if (multiProbe)
+        p0.select(col("probe_id"), col("pv"),
+          explode(probeBuckets(col("bucket0"), planes)).as("bucket"))
+      else p0.withColumnRenamed("bucket0", "bucket")
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))

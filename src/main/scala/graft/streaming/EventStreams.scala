@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the `events` table shape
+  * (event_id, ts, user_id, event_type, value). The reference engine is
+  * batch-only (SURVEY.md §2.9); these are the streaming extension.
+  *
+  * The batch analogs (same arithmetic, DuckDB-oracled) live in
+  * [[graft.PipelineQueries]]; these operators are exercised by
+  * EventStreamsSpec, which drives the events parquet through a real
+  * streaming query (`processAllAvailable`) and compares against the
+  * batch result.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 min is dropped, state evicted); sessionization
+  * state is one small struct per active user, keyed — i.e. hash
+  * partitioned — by user_id, so a 1000-executor cluster shards state
+  * linearly.
+  */
+object EventStreams {
+
+  final case class Event(user_id: Long, ts_s: Long, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** The events source as a stream. The table ships TIMESTAMP(NANOS)
+    * parquet → read nanos as long (same conf as the batch path) and
+    * derive a proper timestamp column for watermarking. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory; glob-filter down to the table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 5-minute per-type counts/sums with a 10-minute watermark:
+    * the streaming analog of the `ev_window_tumbling` batch query. */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Incremental sessionization (30-min inactivity gap) via
+    * flatMapGroupsWithState: emits every session CLOSED within the
+    * batch; the still-open tail session rides in GroupState and merges
+    * with the next batch. State: one (start, end, n) per active user. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toVector.sortBy(_.ts_s)
+          var cur = state.getOption
+          val closed = Vector.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_s - s.end <= gapSeconds =>
+                cur = Some(s.copy(end = e.ts_s, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(user, s.start, s.end, s.n)
+                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

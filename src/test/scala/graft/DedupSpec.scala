@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Semantics pins for the dedup operators whose driver check is
+  * rows-only (hashes aren't reproducible in the DuckDB oracle):
+  * hand-computable fixtures with known jaccard / hamming structure. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  // one word changed → high but sub-1.0 word-3-gram jaccard
+  private val near = "the quick brown fox leaps over the lazy dog again and again"
+  private val far = "completely different content about spark catalyst optimizer internals"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, base), (2L, near), (3L, far)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts copies") {
+    val got = Dedup.exactGroups(docs, Seq("text"), "doc_id")
+      .orderBy("doc_id").select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("exactRows keeps exactly the first row of each group") {
+    val got = Dedup.exactRows(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 2L, 3L))
+  }
+
+  /** naive word-3-gram jaccard for the fixture */
+  private def jac(a: String, b: String): Double = {
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("minhashNearDuplicates finds identical and near pairs with exact jaccard") {
+    val got = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("a", "b")
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    val expectJ = jac(base, near)
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got(0)._3 == 1.0) // identical docs
+    assert(math.abs(got(1)._3 - expectJ) < 1e-12)
+    assert(math.abs(got(2)._3 - expectJ) < 1e-12)
+  }
+
+  test("minhash signature: identical docs agree on every component") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").select("signature").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(3))
+    assert(Dedup.MinHashParams().numHashes == sigs(0).size)
+  }
+
+  test("simhashNearPairs: identical docs at hamming 0; far docs absent") {
+    val got = Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(got.contains((0L, 1L, 0)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs computes exact char-5-gram jaccard") {
+    def cg(t: String) = t.sliding(5).toSet
+    val expect = cg(base).intersect(cg(near)).size.toDouble / cg(base).union(cg(near)).size
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3)
+      .orderBy("a", "b").select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got(0)._3 == 1.0)
+    assert(math.abs(got(1)._3 - expect) < 1e-12)
+  }
+
+  test("LSH candidates never include a pair twice and never self-pair") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(cands.distinct == cands)
+    assert(cands.forall(p => p._1 < p._2))
+  }
+}

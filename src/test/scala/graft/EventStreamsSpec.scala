@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Drives the streaming pipelines end-to-end on the real events parquet
+  * (file source → streaming query → memory sink, processAllAvailable)
+  * and checks them against the equivalent batch computation. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_s", expr("ts DIV 1000000000"))
+  }
+
+  test("windowed type counts: streaming result equals batch groupBy") {
+    val q = EventStreams.windowedTypeCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("win_out")
+      .select("bucket", "event_type", "n")
+      .as[(Long, String, Long)].collect().toSet
+    val want = batchEvents
+      .groupBy((col("ts_s") - pmod(col("ts_s"), lit(300L))).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("incremental sessionize: emits exactly the closed sessions of the batch") {
+    implicit val s = spark
+    val stream = EventStreams.readEvents(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"), col("value"))
+      .as[Event]
+    val q = EventStreams.sessionize(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sess_out").as[Session].collect()
+      .map(x => (x.user_id, x.session_start, x.session_end, x.n_events)).toSet
+
+    // batch expectation: gap-split per user, DROP each user's last
+    // (still-open) session — it remains in state, not yet emitted
+    val byUser = batchEvents.select("user_id", "ts_s")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val want = byUser.flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+        if (acc.nonEmpty && t - acc.last.last <= 1800) acc.init :+ (acc.last :+ t)
+        else acc :+ Vector(t)
+      }
+      sessions.dropRight(1).map(sess => (u, sess.head, sess.last, sess.size.toLong))
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

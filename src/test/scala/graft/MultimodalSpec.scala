@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** The decode math is a stub; these tests pin the REAL parts — schema,
+  * determinism, batching, and the frame-explode shape. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "IMG" + "x" * 100), (2L, "AUD" + "y" * 50), (3L, "plain bytes")
+  ).toDF("id", "text").withColumn("payload", col("text").cast("binary"))
+
+  test("asMedia sniffs container format into the typed meta struct") {
+    val got = Multimodal.asMedia(docs, "payload")
+      .select(col("id"), col("media.meta.format"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "img", 2L -> "aud", 3L -> "bin"))
+  }
+
+  test("decodeFeatures: deterministic, exact byte counts, 8-dim features") {
+    val a = Multimodal.decodeFeatures(docs, "id", "payload").collect()
+    val b = Multimodal.decodeFeatures(docs, "id", "payload").collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    val byId = a.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 103L) // "IMG" + 100 bytes
+    assert(byId(3L).getLong(1) == "plain bytes".length.toLong)
+    assert(byId(2L).getSeq[Float](4).size == 8)
+  }
+
+  test("decodeFeatures honors small batch sizes (mapInPandas-style batching)") {
+    val many = (1L to 50L).map(i => (i, s"payload-$i")).toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val out = Multimodal.decodeFeatures(many, "id", "payload", batchSize = 4)
+    assert(out.count() == 50)
+    assert(out.select("id").as[Long].collect().sorted.sameElements(1L to 50L))
+  }
+
+  test("sampleFrames explodes stride-spaced offsets") {
+    val got = Multimodal.sampleFrames(docs.filter($"id" === 1L), "id", "payload", stride = 32)
+      .select("frame_idx", "frame_off").as[(Long, Long)].collect().sorted.toSeq
+    // payload is 103 bytes → frames at 0, 32, 64, 96
+    assert(got == Seq((0L, 0L), (1L, 32L), (2L, 64L), (3L, 96L)))
+  }
+}

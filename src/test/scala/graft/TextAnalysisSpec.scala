@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Pins for the text operators whose driver check is rows-only. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withTokenStats computes exact counts and ratios") {
+    val df = Seq((1L, "aa bb aa cccc")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTokenStats(df)
+      .select("n_tokens", "n_chars", "avg_token_len", "distinct_ratio")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((4L, 13L, 10.0 / 4, 3.0 / 4)))
+  }
+
+  test("language ID picks the profile with the most stopword hits") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist nicht in dem haus und die katze"),
+      (3L, "le chat est dans la maison avec le chien"),
+      (4L, "el perro es un animal y la casa es grande"),
+      (5L, "zzz qqq xxx www"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("fingerprints: deterministic, equal for equal text, disjoint for unrelated") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated words about query optimizers"),
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.withFingerprints(df).select("doc_id", "doc_fp")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("fingerprints: shared prefix/suffix yields overlapping fingerprint sets") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy dog and hides in the barn"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sets = TextAnalysis.withFingerprints(df).select("doc_id", "fingerprints")
+      .as[(Long, Seq[Long])].collect().toMap
+    val overlap = sets(1L).toSet.intersect(sets(2L).toSet)
+    assert(overlap.nonEmpty, "winnowing should select shared-region hashes")
+  }
+
+  test("qualityScore stays in [0,1] and orders junk below prose") {
+    val df = Seq(
+      (1L, "a a a a a"), // repetitive junk
+      (2L, "the curious engineer measured seventeen distinct latency profiles today"),
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.withTokenStats(df).withColumn("q", TextAnalysis.qualityScore)
+      .select("doc_id", "q").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(2L) > q(1L))
+  }
+}
