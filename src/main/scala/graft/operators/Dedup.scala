@@ -69,9 +69,17 @@ object Dedup {
     * hash families are `xxhash64(seed_i, shingle)`. Partial (map-side)
     * min means the shuffle carries k longs per doc, not the shingles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(wordShingles(col(textCol), p.shingleSize)).as("__shingle"))
+      p: MinHashParams = MinHashParams()): DataFrame =
+    signaturesFromShingleSets(
+      df.select(col(idCol), wordShingles(col(textCol), p.shingleSize).as("__sh")),
+      idCol, p)
+
+  /** Signatures from a precomputed (id, __sh: array<string>) frame —
+    * lets a pipeline compute shingles ONCE and reuse the set for both
+    * signing and exact-jaccard verification. */
+  private def signaturesFromShingleSets(sh: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
+    val exploded = sh.select(col(idCol), explode(col("__sh")).as("__shingle"))
     val mins = (0 until p.numHashes)
       .map(i => min(xxhash64(lit(i), col("__shingle"))).as(s"__h$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -105,20 +113,33 @@ object Dedup {
 
   /** Full near-duplicate pipeline: shingle → sign → LSH candidates →
     * exact-jaccard verification on the true shingle sets. Returns
-    * (a, b, est_jaccard, jaccard) for pairs with jaccard ≥ threshold. */
+    * (a, b, est_jaccard, jaccard) for pairs with jaccard ≥ threshold.
+    *
+    * The derived frames (shingle sets, signatures) are persisted: each
+    * is consumed 2-3× (candidate generation + both sides of the
+    * verification joins), and at 100 TB re-deriving them means
+    * re-scanning the raw text corpus — signatures are ~512 B/doc and
+    * shingle sets ~the tokenized text, both orders of magnitude smaller
+    * than the input, so MEMORY_AND_DISK is safe and the scan happens
+    * exactly once. Set `persist=false` if the caller manages caching. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, p: MinHashParams = MinHashParams()): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, p)
+      threshold: Double, p: MinHashParams = MinHashParams(),
+      persist: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def maybePersist(d: DataFrame): DataFrame =
+      if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+    val sh = maybePersist(df.select(col(idCol),
+      wordShingles(col(textCol), p.shingleSize).as("__sh")))
+    val sigs = maybePersist(signaturesFromShingleSets(sh, idCol, p))
     val cands = lshCandidates(sigs, idCol, p)
     val withEst = cands
       .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")), "a")
       .join(sigs.select(col(idCol).as("b"), col("signature").as("sig_b")), "b")
       .select(col("a"), col("b"),
         estimatedJaccard(col("sig_a"), col("sig_b"), p.numHashes).as("est_jaccard"))
-    val sh = df.select(col(idCol), wordShingles(col(textCol), p.shingleSize).as("sh"))
     withEst
-      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
-      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .join(sh.select(col(idCol).as("a"), col("__sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("__sh").as("sh_b")), "b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
