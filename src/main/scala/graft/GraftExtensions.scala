@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ArrayDotProduct
+
+/** Session extensions registering graft's native expressions for SQL
+  * use — activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`:
+  *
+  * {{{
+  *   spark.sql("SELECT graft_dot(embedding, embedding) FROM embeddings")
+  * }}}
+  *
+  * DataFrame-API callers don't need this — [[graft.functions.VectorOps]]
+  * builds the expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", info("graft_dot", classOf[ArrayDotProduct]),
+      args => ArrayDotProduct(args.head, args(1))))
+
+  /** Late registration into an already-built session (e.g. one handed
+    * to us by a host process that didn't set spark.sql.extensions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, i, b) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name, i, b)
+    }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TemporalJoins, TextAnalysis}
 import Queries.{Q, t}
 
 /** LLM-data-pipeline extension queries over the `documents`,
@@ -183,6 +183,50 @@ object PipelineQueries {
         .orderBy(col("total_value").desc, col("user_id").asc).limit(20),
       Some("""SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value, COUNT(*) AS n_events
              |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 20""".stripMargin.replace("\n", " "))),
+    // As-of join (union+window, one shuffle — see TemporalJoins): each
+    // purchase gets the user's latest click at-or-before it. Oracle is
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    // the same semantics. Timestamps compared at microseconds (ts DIV
+    // 1000): DuckDB truncates the parquet NANOS type to μs on read.
+    Q("ev_asof_click",
+      (s, d) => {
+        val e = events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("purchase_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("click_ts"),
+            col("event_id").as("click_id"))
+        TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+            "purchase_ts", "click_ts", Seq("click_id", "click_ts"))
+          .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+            col("asof_click_id").as("click_id"),
+            col("asof_click_ts").as("click_ts"))
+      },
+      Some("""SELECT l.event_id AS purchase_id, l.user_id, epoch_us(l.ts) AS purchase_ts,
+             |r.event_id AS click_id, epoch_us(r.ts) AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+             |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.replace("\n", " "))),
+    // Bounded range join (slot-bucketed equi-join, constant replication
+    // — see TemporalJoins): events of the same user in the 5 minutes
+    // strictly before each event.
+    Q("ev_range_prior5m",
+      (s, d) => {
+        val e = events(s, d).select("event_id", "user_id", "ts_s")
+        val pairs = TemporalJoins.boundedRangeJoin(
+          e, e.select("user_id", "ts_s"), Seq("user_id"),
+          "ts_s", "ts_s", lo = -300, hi = 0)
+        e.select("event_id")
+          .join(pairs.groupBy("event_id").agg(count(lit(1)).as("n_prior_5m")),
+            Seq("event_id"), "left")
+          .na.fill(0, Seq("n_prior_5m"))
+      },
+      Some("""SELECT a.event_id, COUNT(b.ts) AS n_prior_5m
+             |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+             |AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT) - 300
+             |AND CAST(floor(epoch(b.ts)) AS BIGINT) < CAST(floor(epoch(a.ts)) AS BIGINT)
+             |GROUP BY a.event_id""".stripMargin.replace("\n", " "))),
     Q("ev_type_share",
       (s, d) => {
         val e = events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))

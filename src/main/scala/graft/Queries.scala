@@ -310,8 +310,85 @@ object Queries {
       Some(s"SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo, COUNT(*) AS n, ${DSUM.format("o_totalprice")} AS sum_price FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)")),
   )
 
+  // ---------------------------------------------------------------------
+  // Subqueries, statistics, pivot, sketches — further beyond-reference
+  // surface. Statistical moments are computed from exact DECIMAL sums
+  // and only combined in DOUBLE at the end (same formula in the oracle),
+  // so results are bit-identical regardless of partitioning.
+  // ---------------------------------------------------------------------
+  private val advanced = Vector(
+    Q("q_scalar_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgP = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("__avg"))
+        o.crossJoin(broadcast(avgP)).filter(col("o_totalprice") > col("__avg"))
+          .select("o_orderkey", "o_totalprice")
+      },
+      Some(s"SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT ${DSUM.format("o_totalprice")} / COUNT(*) FROM orders)")),
+    Q("q_in_subquery",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer").filter(col("c_acctbal") < 0),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey"),
+      Some("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)")),
+    Q("q_stats_moments",
+      (s, d) => {
+        val sums = t(s, d, "lineitem").agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(DoubleType).as("sx2"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sy"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast(DoubleType).as("sy2"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast(DoubleType).as("sxy"))
+        sums.select(
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sx2") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("sy2") - col("sy") * col("sy") / col("n")))).as("corr_qty_price"))
+      },
+      Some("""SELECT sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty,
+             |(sxy - sx * sy / n) / (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n)) AS corr_qty_price
+             |FROM (SELECT COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |FROM lineitem)""".stripMargin.replace("\n", " "))),
+    Q("q_pivot",
+      (s, d) => t(s, d, "lineitem").groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r"),
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS qty_a,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS qty_n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_r
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin.replace("\n", " "))),
+    // HLL sketch — engine-specific, so no cross-engine oracle; the exact
+    // count rides along and the <2% relative-error bound is spec-pinned.
+    Q("q_approx_distinct",
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+    Q("q_median",
+      (s, d) => t(s, d, "lineitem")
+        .agg(expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D))")(0).as("p25_price"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.75D))")(1).as("p75_price")),
+      Some("""SELECT quantile_cont(l_quantity, 0.5) AS median_qty,
+             |quantile_cont(l_extendedprice, 0.25) AS p25_price,
+             |quantile_cont(l_extendedprice, 0.75) AS p75_price
+             |FROM lineitem""".stripMargin.replace("\n", " "))),
+  )
+
   /** Relational core: everything above. Extensions (dedup / similarity /
     * text / events) live in their operator objects and are appended in
     * [[SparkEntry]]. */
-  val relational: Vector[Q] = scans ++ filters ++ joins ++ aggregates ++ analytic
+  val relational: Vector[Q] =
+    scans ++ filters ++ joins ++ aggregates ++ analytic ++ advanced
 }

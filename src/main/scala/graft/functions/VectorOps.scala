@@ -21,19 +21,31 @@ object VectorOps {
     * engine-comparable). */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Elementwise dot product. Left-to-right accumulation — the
-    * evaluation order is fixed per row, so results are bit-stable
-    * across partitionings. */
+  /** Elementwise dot product via higher-order functions. Left-to-right
+    * accumulation — the evaluation order is fixed per row, so results
+    * are bit-stable across partitionings. Kept as the reference
+    * implementation; the hot path uses [[dotNative]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  def normSq(a: Column): Column = dot(a, a)
+  /** Dot product as a native codegen'd Catalyst expression
+    * ([[ArrayDotProduct]]) — same left-to-right fold (bit-identical to
+    * [[dot]]) compiled to a primitive loop with no intermediate array.
+    * No function registration needed. */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ArrayDotProduct(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
+  }
+
+  def normSq(a: Column): Column = dotNative(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity of two double-array columns. */
+  /** Cosine similarity of two double-array columns (native dot). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dotNative(a, b) / (norm(a) * norm(b))
 
   /** L2-normalize, so downstream cosine reduces to a plain dot. */
   def normalize(v: Column): Column = {
@@ -48,7 +60,7 @@ object VectorOps {
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.map { p =>
       val plane = array(p.map(lit): _*)
-      when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
+      when(dotNative(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }

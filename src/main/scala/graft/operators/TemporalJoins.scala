@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's DataFrame API lacks as primitives:
+  * as-of join and bounded range join. The reference engine has neither
+  * (its only join is an equality nested loop,
+  * /root/reference/sqlengine.py:483-487); these are extension surface
+  * for event/time-series pipelines.
+  *
+  * Scale design — both operators are ONE hash shuffle on the key
+  * columns, never a cross product:
+  *  - [[asofJoin]] uses the union+window formulation: tag both sides,
+  *    union (a free concat — no shuffle), then a single
+  *    partitionBy(key).orderBy(ts) window carries the latest right-side
+  *    row forward into each left row. Cost is one shuffle + one sort —
+  *    the same as the sort-merge join Spark would need anyway, with no
+  *    candidate blowup on skewed keys.
+  *  - [[boundedRangeJoin]] buckets time into `ceil((hi-lo))`-wide slots
+  *    and replicates each LEFT row into the (at most 2) slots its
+  *    window can touch; the join is then an equi-join on (key, slot)
+  *    with an exact range filter behind it. Replication factor is
+  *    constant (≤ 1 + ceil(window/bucket)), independent of data size —
+  *    at 100 TB the shuffle is ~2× the left side, not |L|×|R|.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, attach the single right row with
+    * the same key and the greatest `rightTs <= leftTs` (left-join
+    * semantics: left rows with no prior right row keep nulls).
+    *
+    * `payload` columns are taken from the right side. Ties
+    * (rightTs == leftTs) match, mirroring ANSI `ASOF JOIN ... ON
+    * l.ts >= r.ts` (DuckDB dialect).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // Tagged union: right rows sort BEFORE left rows at equal ts so a
+    // right row at exactly leftTs is visible to the left row (>= tie).
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .select(Seq(col("__ts"), col("__side")) ++
+        keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__r_$p")): _*)
+    val r = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .select(Seq(col("__ts"), col("__side")) ++
+        keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__r_$p")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"__c_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__c_$p").as(s"asof_$p")): _*)
+  }
+
+  /** Bounded range join: all pairs (l, r) with equal keys and
+    * `r.ts ∈ [l.ts + lo, l.ts + hi)` (offsets may be negative — e.g.
+    * lo = -300, hi = 0 is "right events in the 5 minutes before l").
+    * Inner semantics; aggregate on the caller side for left-join-like
+    * counts (see usage in PipelineQueries).
+    *
+    * Implementation: slot width = hi - lo; each left row lands in the
+    * ≤2 slots its window overlaps, the right side in exactly one; then
+    * equi-join on (key..., slot) + the exact range predicate. */
+  def boundedRangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, lo: Long, hi: Long): DataFrame = {
+    require(hi > lo, "hi must exceed lo")
+    val width = hi - lo
+    // exact long floor-division (floor(x/w) = (x - pmod(x,w)) / w) — a
+    // double `floor` would lose precision above 2^53 (nanos timestamps)
+    def slot(ts: Column): Column = (ts - pmod(ts, lit(width))) / width
+    val lSlots = left
+      .withColumn("__slot", explode(array_distinct(array(
+        slot(col(leftTs) + lo), slot(col(leftTs) + hi - 1)))))
+    val rSlots = right.select(
+      keyCols.map(col) :+ col(rightTs).as("__rts") :+
+        slot(col(rightTs)).as("__slot"): _*)
+    lSlots.join(rSlots, keyCols :+ "__slot")
+      .filter(col("__rts") >= col(leftTs) + lo && col("__rts") < col(leftTs) + hi)
+      .drop("__slot")
+  }
+}

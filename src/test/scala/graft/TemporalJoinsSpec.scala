@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+/** Hand-computable fixtures pinning as-of and bounded-range join
+  * semantics (tie handling, no-match nulls, window boundaries). */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: latest right row at-or-before each left row, per key") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 150L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 90L, "a"), (1L, 100L, "b"), (1L, 199L, "c"),
+      (2L, 151L, "d")).toDF("k", "rts", "tag")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("tag"))
+      .select("name", "asof_tag").as[(String, Option[String])].collect().toMap
+    assert(out("p1").contains("b")) // tie at ts=100 matches (>= semantics)
+    assert(out("p2").contains("c")) // latest of {90,100,199}
+    assert(out("p3").isEmpty)       // right row at 151 is AFTER 150 → null
+  }
+
+  test("asofJoin: left rows with no right rows for the key keep nulls") {
+    val left = Seq((9L, 10L, "lonely")).toDF("k", "ts", "name")
+    val right = Seq((1L, 5L, "x")).toDF("k", "rts", "tag")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("tag"))
+    assert(out.count() === 1)
+    assert(out.filter(col("asof_tag").isNull).count() === 1)
+  }
+
+  test("boundedRangeJoin: exact [lo, hi) window, key-scoped, slot edges") {
+    val left = Seq((1L, 1000L, "e1"), (1L, 2000L, "e2")).toDF("k", "ts", "name")
+    // window [-300, 0) before each left ts
+    val right = Seq(
+      (1L, 700L),  // = e1.ts - 300 → included (closed lo)
+      (1L, 999L),  // just before e1 → included
+      (1L, 1000L), // equal → excluded (open hi)
+      (1L, 1999L), // before e2 → included
+      (2L, 998L)   // wrong key → excluded
+    ).toDF("k", "rts")
+    val pairs = TemporalJoins.boundedRangeJoin(left, right, Seq("k"),
+      "ts", "rts", lo = -300, hi = 0)
+    val byName = pairs.groupBy("name").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(byName === Map("e1" -> 2L, "e2" -> 1L))
+  }
+
+  test("boundedRangeJoin: windows spanning a slot boundary are not dropped") {
+    // slot width = hi-lo = 100; left ts=250 window [150,250) crosses the
+    // 100-wide slot boundary at 200 — both slots must be probed
+    val left = Seq((1L, 250L, "e")).toDF("k", "ts", "name")
+    val right = Seq((1L, 155L), (1L, 249L)).toDF("k", "rts")
+    val pairs = TemporalJoins.boundedRangeJoin(left, right, Seq("k"),
+      "ts", "rts", lo = -100, hi = 0)
+    assert(pairs.count() === 2)
+  }
+
+  test("asofJoin query shape matches an independent sort-based model") {
+    // randomized cross-check: 3 keys × interleaved timestamps
+    val rnd = new scala.util.Random(7)
+    // unique right-side timestamps: the operator (like ANSI ASOF JOIN)
+    // picks arbitrarily among right rows tied on (key, ts)
+    val rts = rnd.shuffle((0 until 1000).toVector).take(80)
+    val lrows = Seq.tabulate(60)(i => (rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rrows = rts.zipWithIndex.map { case (t, i) => (rnd.nextInt(3).toLong, t.toLong, 1000L + i) }
+    val left = lrows.toDF("k", "ts", "lid")
+    val right = rrows.toDF("k", "rts", "rid")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    lrows.foreach { case (k, ts, lid) =>
+      val want = rrows.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(lid) === want, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+}
