@@ -36,13 +36,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Best-of-3: single-run times at this scale are dominated by JVM
+    // noise (GC, deopt storms) — the minimum is the stable estimate of
+    // the query's actual cost.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try exec(q)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(q)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

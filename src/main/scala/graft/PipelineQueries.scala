@@ -207,7 +207,8 @@ object PipelineQueries {
              |r.event_id AS click_id, epoch_us(r.ts) AS click_ts
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-             |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.replace("\n", " "))),
+             |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.replace("\n", " ")),
+      bench = true),
     // Bounded range join (slot-bucketed equi-join, constant replication
     // — see TemporalJoins): events of the same user in the 5 minutes
     // strictly before each event.
