@@ -49,6 +49,39 @@ object EventStreams {
       .select(col("window.start").cast("long").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: keep the first event per `keyCols`, with
+    * state bounded by the watermark — Spark evicts a key's state once
+    * the watermark passes its event time, so unbounded streams run in
+    * bounded memory (the batch analog, Dedup.exactRows, has no state to
+    * bound). Keys recurring farther apart than `watermarkDelay` + window
+    * are treated as new — the standard streaming-dedup contract. */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicates(keyCols :+ "event_time")
+
+  /** Stream-stream inner join: purchases enriched with the same user's
+    * clicks in the preceding 10 minutes. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can evict
+    * buffered rows — state stays proportional to the window, not the
+    * stream. The batch analog is TemporalJoins.boundedRangeJoin. */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "20 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 10 MINUTES") &&
+        col("click_time") < col("purchase_time"))
+      .select("purchase_id", "user_id", "purchase_time", "click_id", "click_time")
+  }
+
   /** Incremental sessionization (30-min inactivity gap) via
     * flatMapGroupsWithState: emits every session CLOSED within the
     * batch; the still-open tail session rides in GroupState and merges

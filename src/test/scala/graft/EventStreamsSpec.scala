@@ -36,6 +36,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup: duplicate (user_id, event_time) rows collapse to one") {
+    // duplicate the stream by unioning it with itself: every event
+    // appears twice; watermarked dropDuplicates must emit each once
+    val src = EventStreams.readEvents(spark, dir)
+    val doubled = src.unionAll(src)
+    val q = EventStreams.dedupEvents(doubled, Seq("user_id"))
+      .select("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dedup_out").as[Long].collect().sorted
+    val want = batchEvents.select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stream-stream join: equals the batch bounded range join") {
+    val q = EventStreams.purchasesWithRecentClicks(EventStreams.readEvents(spark, dir))
+      .select("purchase_id", "click_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+
+    val e = batchEvents.withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("cts"), col("event_id").as("click_id"))
+    val want = graft.operators.TemporalJoins.boundedRangeJoin(
+      purchases, clicks.select(col("user_id"), col("cts")), Seq("user_id"),
+      "ts_us", "cts", lo = -600L * 1000000, hi = 0)
+      .join(clicks.withColumnRenamed("cts", "__rts"), Seq("user_id", "__rts"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("incremental sessionize: emits exactly the closed sessions of the batch") {
     implicit val s = spark
     val stream = EventStreams.readEvents(spark, dir)
