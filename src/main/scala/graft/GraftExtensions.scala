@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, TopKAggregate}
 
 /** Session extensions registering graft's native expressions for SQL
   * use — activate with
@@ -31,7 +31,15 @@ object GraftExtensions {
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", info("graft_dot", classOf[ArrayDotProduct]),
-      args => ArrayDotProduct(args.head, args(1))))
+      args => ArrayDotProduct(args.head, args(1))),
+    // graft_top_k(score, tiebreak, payload, k) — k must be an int literal
+    ("graft_top_k", info("graft_top_k", classOf[TopKAggregate]),
+      args => TopKAggregate(args.head, args(1), args(2),
+        args(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_top_k: k must be an integer literal, got $other")
+        })))
 
   /** Late registration into an already-built session (e.g. one handed
     * to us by a host process that didn't set spark.sql.extensions). */

@@ -109,10 +109,13 @@ object PipelineQueries {
       (s, d) => t(s, d, "embeddings").groupBy("label")
         .agg(count(lit(1)).as("n")),
       Some("SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label")),
+    // Exact ANN via the native top-k aggregate (map-side bounded heaps;
+    // see TopKAggregate) — the window formulation is kept as
+    // Similarity.bruteForceTopK and spec-pinned equal.
     Q("ann_brute_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.bruteForceTopK(e, probes(e), "vec_id", "embedding", k = 10)
+        Similarity.bruteForceTopKAgg(e, probes(e), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast(LongType))
       },
       None, bench = true),

@@ -48,6 +48,27 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[bruteForceTopK]] with the per-probe top-k computed by the native
+    * [[graft.functions.TopKAggregate]] instead of a window: the map-side
+    * partial aggregation reduces every partition to ≤ k candidates per
+    * probe BEFORE the shuffle, so the exchange carries k·partitions rows
+    * per probe instead of the whole scored corpus — the scale path for
+    * exact ANN. Results are identical (same score-desc, id-asc order). */
+  def bruteForceTopKAgg(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .groupBy(col("probe_id"))
+      .agg(topK(col("cosine"), col("neighbor_id"), col("neighbor_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
+        col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
   /** All hamming-≤1 variants of a sign-bucket string — multi-probe LSH
     * (Lv et al., VLDB'07): probing the adjacent buckets recovers most
     * of the recall lost to a near-boundary hyperplane, for (planes+1)×
