@@ -37,6 +37,10 @@ object MiniSql {
 
   sealed trait Pred
   final case class Cmp(lhs: Operand, op: String, rhs: Operand) extends Pred
+  /** `col [NOT] IN (v1, v2, …)` — the reference grammar admits IN but
+    * its executor rejects it (sqlengine.py:48-50,251-253, SURVEY §2.2);
+    * here it executes. */
+  final case class InPred(lhs: Operand, values: Seq[Operand], negated: Boolean) extends Pred
   final case class AndPred(l: Pred, r: Pred) extends Pred
   final case class OrPred(l: Pred, r: Pred) extends Pred
 
@@ -174,13 +178,24 @@ object MiniSql {
       if (atSym("(")) { next(); val p = orExpr(); eatSym(")"); p }
       else {
         val l = operand()
-        val op = next() match {
-          case Sym(s @ ("=" | "==" | "!=" | "<>" | "<" | ">" | "<=" | ">=")) =>
-            s match { case "==" => "="; case "<>" => "!="; case o => o }
-          case Ident(w) if wordOps.contains(w) => wordOps(w)
-          case t => fail(s"expected comparison operator, found $t")
+        if (at("in") || at("not")) {
+          val negated = at("not")
+          if (negated) { next(); if (!at("in")) fail("expected 'in' after 'not'") }
+          next(); eatSym("(")
+          val vs = Vector.newBuilder[Operand]
+          vs += operand()
+          while (atSym(",")) { next(); vs += operand() }
+          eatSym(")")
+          InPred(l, vs.result(), negated)
+        } else {
+          val op = next() match {
+            case Sym(s @ ("=" | "==" | "!=" | "<>" | "<" | ">" | "<=" | ">=")) =>
+              s match { case "==" => "="; case "<>" => "!="; case o => o }
+            case Ident(w) if wordOps.contains(w) => wordOps(w)
+            case t => fail(s"expected comparison operator, found $t")
+          }
+          Cmp(l, op, operand())
         }
-        Cmp(l, op, operand())
       }
 
     private def operand(): Operand = next() match {

@@ -86,6 +86,14 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
     def predCol(p: Pred): Column = p match {
       case AndPred(l, r) => predCol(l) && predCol(r)
       case OrPred(l, r) => predCol(l) || predCol(r)
+      case InPred(l, vs, negated) =>
+        val in = operandCol(l).isin(vs.map {
+          case NumLit(v) => v: Any
+          case StrLit(v) => v: Any
+          case ColOperand(_) => throw MiniSqlError(
+            "IN list must hold literals, not columns")
+        }: _*)
+        if (negated) !in else in
       case Cmp(l, op, r) =>
         val (lc, rc) = (operandCol(l), operandCol(r))
         op match {

@@ -169,6 +169,14 @@ class MiniSqlSpec extends SparkSpec {
     assert(rows(engine.execute("select A, D from table1, table2 where A = 775")) == expect)
   }
 
+  test("probes: IN / NOT IN lists execute (≠ref: parse-only, exec rejects)") {
+    val a = colVals("table1", "A")
+    assert(rows(engine.execute("select A from table1 where A in (922, 775, 5)")).flatten ==
+      a.filter(Set(922L, 775L, 5L)))
+    assert(rows(engine.execute("select A from table1 where A not in (922, 775)")).flatten ==
+      a.filterNot(Set(922L, 775L)))
+  }
+
   test("parser: comments, case-insensitivity, qualified projection") {
     assert(rows(engine.execute("SELECT table1.A FROM Table1 -- trailing comment")).flatten ==
       colVals("table1", "A"))
