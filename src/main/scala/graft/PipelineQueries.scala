@@ -58,6 +58,10 @@ object PipelineQueries {
              | + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.3
              | + least(1.0, (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' '))) / 5.0) * 0.3 AS quality
              |FROM documents""".stripMargin.replace("\n", " "))),
+    Q("doc_bpeish_tokens",
+      (s, d) => TextAnalysis.withBpeTokenCount(t(s, d, "documents"))
+        .select("doc_id", "n_bpeish"),
+      Some(s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS n_bpeish FROM documents""")),
     // Engine-internal heuristics/hashes — rows-only checks; semantics
     // pinned in TextAnalysisSpec.
     Q("doc_lang_id",

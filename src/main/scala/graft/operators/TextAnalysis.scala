@@ -62,6 +62,21 @@ object TextAnalysis {
         hitCount(toks, StopwordProfiles("en")).cast(DoubleType) / col("n_tokens"))
   }
 
+  /** BPE-style pre-tokenization pattern: letter runs, single digits,
+    * and single non-alphanumeric marks — the shape GPT-2-family
+    * tokenizers split on before byte-pair merging. Written in the
+    * common subset of Java regex and RE2 so the DuckDB oracle matches
+    * byte for byte. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Subword-ish token count: the number of BPE pre-tokens. A cheap,
+    * deterministic proxy for "how many tokens will the model see" —
+    * the usual budget column in a training-data pipeline. */
+  def withBpeTokenCount(df: DataFrame, textCol: String = "text",
+      out: String = "n_bpeish"): DataFrame =
+    df.withColumn(out,
+      size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0))).cast(LongType))
+
   /** Heuristic quality score in [0,1]: length signal, lexical diversity,
     * and an in-range average token length. Deliberately simple,
     * deterministic arithmetic (same ops give identical doubles in any

@@ -51,6 +51,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap.nonEmpty, "winnowing should select shared-region hashes")
   }
 
+  test("BPE-ish token count: letter runs + single digits + single marks") {
+    val df = Seq((1L, "hello world42, it's 2024!")).toDF("doc_id", "text")
+    // hello|world|4|2|,|it|'|s|2|0|2|4|! = 13
+    val n = TextAnalysis.withBpeTokenCount(df).select("n_bpeish").as[Long].head()
+    assert(n === 13L)
+  }
+
   test("qualityScore stays in [0,1] and orders junk below prose") {
     val df = Seq(
       (1L, "a a a a a"), // repetitive junk
