@@ -130,6 +130,13 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       None),
+    Q("ann_ivf_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e, probes(e), "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      None),
     Q("emb_cosine_pairs",
       (s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, planes = 4).orderBy("a", "b"),

@@ -112,6 +112,94 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  // =====================================================================
+  // IVF (inverted-file) ANN
+  // =====================================================================
+
+  /** Deterministic Lloyd's k-means over a driver-side training sample —
+    * the IVF "train" step (Faiss-style: centroids are fitted on a small
+    * sample, never the full corpus; at 100 TB you sample ~1M vectors).
+    * Seeded start (evenly spaced sample points), fixed iteration count:
+    * same input → same centroids on any cluster. */
+  def fitCentroids(sample: Array[Array[Double]], nlist: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty && sample.length >= nlist,
+      s"need ≥ $nlist training vectors")
+    val dim = sample.head.length
+    var centroids = Array.tabulate(nlist)(i => sample(i * sample.length / nlist).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Squared-distance columns to each centroid:
+    * ‖v‖² − 2·v·c + ‖c‖² — one native dot per centroid. */
+  private def centroidDists(v: Column, centroids: Array[Array[Double]]): Column = {
+    val vNormSq = normSq(v)
+    array(centroids.map { c =>
+      val cLit = array(c.map(lit): _*)
+      val cNormSq = c.map(x => x * x).sum
+      vNormSq - lit(2.0) * dotNative(v, cLit) + lit(cNormSq)
+    }: _*)
+  }
+
+  /** IVF-bucketed approximate top-k: the corpus is assigned ONCE to its
+    * nearest of `nlist` centroid cells (the inverted file); each probe
+    * searches its `nProbe` nearest cells. Candidate generation is an
+    * equi-join on the cell id — shuffle ∝ corpus + probe×nProbe, never
+    * O(n²). Exact cosine re-ranks candidates through the native top-k
+    * aggregate. Recall/cost tune via nlist (cell size ≈ N/nlist) and
+    * nProbe, independent of corpus scale. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      trainSample: Int = 4096): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    require(nProbe <= nlist)
+    val train = corpus.select(asDouble(col(vecCol))).limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = fitCentroids(train, nlist)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("__d", centroidDists(col("cv"), centroids))
+      // 1-based argmin → the cell this vector files under
+      .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .drop("__d")
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("__d", centroidDists(col("pv"), centroids))
+      .withColumn("__ranked",
+        slice(array_sort(zip_with(col("__d"),
+          sequence(lit(1), lit(nlist)),
+          (d, i) => struct(d.as("d"), i.as("cell")))), 1, nProbe))
+      .select(col("probe_id"), col("pv"),
+        explode(col("__ranked.cell")).as("cell"))
+    c.join(p, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .groupBy(col("probe_id"))
+      .agg(topK(col("cosine"), col("neighbor_id"), col("neighbor_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
+        col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold, LSH-bucketed — the
     * embedding-space near-duplicate detector. Pairs split across
     * buckets are missed with probability (1 - (1-θ/π)^planes) per the

@@ -44,6 +44,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((0L, 1L)))
   }
 
+  test("fitCentroids: deterministic, partitions the sample sensibly") {
+    val sample = Array.tabulate(100)(i =>
+      Array(if (i % 2 == 0) 10.0 else -10.0, i.toDouble / 100))
+    val c1 = Similarity.fitCentroids(sample, nlist = 2)
+    val c2 = Similarity.fitCentroids(sample, nlist = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq) // deterministic
+    // the two clear clusters (x=±10) are separated
+    assert(c1.map(_.head).sorted.toSeq.zip(Seq(-10.0, 10.0))
+      .forall { case (got, want) => math.abs(got - want) < 1.0 })
+  }
+
+  test("ivfTopK: full probe (nProbe = nlist) equals brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact) // searching every cell IS exact search
+  }
+
+  test("IVF recall on the real embeddings table vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+      k = 5, nlist = 8, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall $recall unexpectedly low")
+  }
+
   test("LSH recall on the real embeddings table vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.filter($"vec_id" < 5)
