@@ -44,7 +44,11 @@ object MiniSql {
   final case class AndPred(l: Pred, r: Pred) extends Pred
   final case class OrPred(l: Pred, r: Pred) extends Pred
 
-  final case class SelectStmt(projs: Seq[Proj], tables: Seq[String], where: Option[Pred])
+  /** ORDER BY item: column + direction. */
+  final case class OrderItem(ref: ColRef, asc: Boolean)
+
+  final case class SelectStmt(projs: Seq[Proj], tables: Seq[String],
+      where: Option[Pred], orderBy: Seq[OrderItem] = Nil, limit: Option[Long] = None)
 
   /** Error class mirroring the reference's user-facing message taxonomy
     * (SURVEY.md §2.11). */
@@ -115,8 +119,31 @@ object MiniSql {
       expectIdent("from")
       val tables = tableList()
       val where = if (at("where")) { next(); Some(orExpr()) } else None
+      // ORDER BY / LIMIT: extension surface — the reference grammar has
+      // neither (SURVEY §2.6)
+      val order = if (at("order")) {
+        next(); expectIdent("by")
+        val items = Vector.newBuilder[OrderItem]
+        def one(): Unit = {
+          val c = colRef()
+          val asc =
+            if (at("desc")) { next(); false }
+            else { if (at("asc")) next(); true }
+          items += OrderItem(c, asc)
+        }
+        one()
+        while (atSym(",")) { next(); one() }
+        items.result()
+      } else Vector.empty
+      val limit = if (at("limit")) {
+        next()
+        next() match {
+          case Num(n) if n >= 0 => Some(n)
+          case t => fail(s"expected row count after 'limit', found $t")
+        }
+      } else None
       if (pos != toks.length) fail(s"unexpected trailing tokens")
-      SelectStmt(projs, tables, where)
+      SelectStmt(projs, tables, where, order, limit)
     }
 
     private def projList(): Seq[Proj] = {

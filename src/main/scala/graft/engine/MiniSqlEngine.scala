@@ -39,7 +39,11 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
   private def phys(t: String, c: String) = s"${t}__$c"
   private def physRow(t: String) = s"${t}__$RowId"
 
-  def execute(query: String): DataFrame = run(parse(query))
+  def execute(query: String): DataFrame = {
+    val stmt = parse(query)
+    val base = run(stmt)
+    stmt.limit.fold(base)(n => base.limit(n.toInt))
+  }
 
   private def run(stmt: SelectStmt): DataFrame = {
     // -- FROM: validate + cross-join everything (Catalyst re-plans) ----
@@ -124,6 +128,9 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
     val aggs = stmt.projs.collect { case a: AggCol => a }
     val dists = stmt.projs.collect { case d: DistinctCol => d }
 
+    if (stmt.orderBy.nonEmpty && (aggs.nonEmpty || dists.nonEmpty))
+      throw MiniSqlError("ORDER BY applies to plain projections only")
+
     if (aggs.nonEmpty) {
       if (aggs.size != stmt.projs.size)
         throw MiniSqlError(
@@ -160,8 +167,15 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
         case PlainCol(ref) => Seq(resolve(ref))
         case _ => Nil
       }
+      // explicit ORDER BY (extension) wins; file order breaks ties —
+      // otherwise reference file-order / left-major product order
+      val sortCols = stmt.orderBy.map { oi =>
+        val tc = resolve(oi.ref)
+        val c = col(phys(tc._1, tc._2))
+        if (oi.asc) c.asc else c.desc
+      } ++ rowOrder.map(_.asc)
       filtered
-        .orderBy(rowOrder: _*) // reference file-order / left-major product order
+        .orderBy(sortCols: _*)
         .select(targets.map(tc => col(phys(tc._1, tc._2)).as(display(tc))): _*)
     }
   }

@@ -177,6 +177,19 @@ class MiniSqlSpec extends SparkSpec {
       a.filterNot(Set(922L, 775L)))
   }
 
+  test("extension: ORDER BY / LIMIT (absent in the reference grammar)") {
+    val a = colVals("table1", "A")
+    assert(rows(engine.execute("select A from table1 order by A desc")).flatten ==
+      a.sorted.reverse)
+    assert(rows(engine.execute("select A from table1 order by A limit 3")).flatten ==
+      a.sorted.take(3))
+    assert(rows(engine.execute("select A from table1 limit 2")).flatten ==
+      a.take(2)) // bare LIMIT keeps file order
+    assert(intercept[MiniSqlError] {
+      engine.execute("select max(A) from table1 order by A")
+    }.message.contains("plain projections"))
+  }
+
   test("parser: comments, case-insensitivity, qualified projection") {
     assert(rows(engine.execute("SELECT table1.A FROM Table1 -- trailing comment")).flatten ==
       colVals("table1", "A"))
