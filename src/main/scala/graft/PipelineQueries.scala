@@ -69,7 +69,11 @@ object PipelineQueries {
         .select("doc_id", "lang", "lang_pred"),
       None),
     Q("doc_fingerprint",
-      (s, d) => TextAnalysis.withFingerprints(t(s, d, "documents"))
+      // the documents file is a single split locally; spread the
+      // CPU-heavy winnowing projection over all cores (a real corpus
+      // has natural splits and would skip this)
+      (s, d) => TextAnalysis.withFingerprints(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism))
         .select(col("doc_id"), col("doc_fp"), size(col("fingerprints")).cast(LongType).as("n_fp")),
       None),
   )

@@ -112,12 +112,21 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => xxhash64(text.substr(i, lit(k))))
+    // The gram array MUST be materialized as its own column before the
+    // sliding-window pass: referencing the `grams` expression inside the
+    // window lambda would re-evaluate the entire O(L) hash array at
+    // every window position — O(L²) per document (observed: minutes vs
+    // sub-second on 300-char docs; HOFs evaluate interpreted).
+    // CollapseProject keeps the split because `__grams` is non-cheap and
+    // referenced twice below.
     val winMins = transform(
-      sequence(lit(1), greatest(size(grams) - (window - 1), lit(1))),
-      j => array_min(slice(grams, j, lit(window))))
-    df.withColumn("fingerprints", array_distinct(winMins))
+      sequence(lit(1), greatest(size(col("__grams")) - (window - 1), lit(1))),
+      j => array_min(slice(col("__grams"), j, lit(window))))
+    df.withColumn("__grams", grams)
+      .withColumn("fingerprints", array_distinct(winMins))
       .withColumn("doc_fp",
         xxhash64(concat_ws(",", transform(array_sort(col("fingerprints")),
           _.cast("string")))))
+      .drop("__grams")
   }
 }
