@@ -56,13 +56,22 @@ object Dedup {
   }
 
   /** Distinct word-`n`-gram shingles of a text column (whole text as a
-    * single shingle when shorter than `n` tokens). Pure projection. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+    * single shingle when shorter than `n` tokens). Pure projection.
+    *
+    * NOTE for pipeline use: pass an already-materialized token-array
+    * COLUMN (see [[shinglesFromTokens]]) — handing the raw text here
+    * re-evaluates the tokenizer at every shingle position inside the
+    * interpreted HOF lambda (the O(L²) trap documented in
+    * TextAnalysis.withFingerprints). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /** Shingles from a token-array column (evaluated once per row when
+    * `toks` is a plain column reference). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
 
   /** (id, signature array<long>) per document. Implementation: explode
     * shingles once, take k independent mins in ONE aggregation — the k
@@ -70,9 +79,15 @@ object Dedup {
     * min means the shuffle carries k longs per doc, not the shingles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
-    signaturesFromShingleSets(
-      df.select(col(idCol), wordShingles(col(textCol), p.shingleSize).as("__sh")),
-      idCol, p)
+    signaturesFromShingleSets(shingleSets(df, idCol, textCol, p), idCol, p)
+
+  /** (id, __sh: array<string>) — tokens materialized in their own
+    * projection so the shingle lambda reads a column, not a recomputed
+    * tokenizer call. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesFromTokens(col("__toks"), p.shingleSize).as("__sh"))
 
   /** Signatures from a precomputed (id, __sh: array<string>) frame —
     * lets a pipeline compute shingles ONCE and reuse the set for both
@@ -128,8 +143,7 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     def maybePersist(d: DataFrame): DataFrame =
       if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
-    val sh = maybePersist(df.select(col(idCol),
-      wordShingles(col(textCol), p.shingleSize).as("__sh")))
+    val sh = maybePersist(shingleSets(df, idCol, textCol, p))
     val sigs = maybePersist(signaturesFromShingleSets(sh, idCol, p))
     val cands = lshCandidates(sigs, idCol, p)
     val withEst = cands
