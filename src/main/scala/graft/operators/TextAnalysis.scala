@@ -47,11 +47,13 @@ object TextAnalysis {
     size(filter(toks, w => array_contains(litArray(words), w))).cast(LongType)
 
   /** Adds n_tokens / n_chars / avg_token_len / distinct_ratio /
-    * stopword_ratio columns derived from `textCol`. One projection, no
-    * shuffle. */
+    * stopword_ratio columns derived from `textCol`. Map-only, no
+    * shuffle; the token array is materialized once (`__toks`) so the
+    * five derived columns don't each re-run the tokenizer. */
   def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("n_tokens", size(toks).cast(LongType))
+    val toks = col("__toks")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(toks).cast(LongType))
       .withColumn("n_chars", length(col(textCol)).cast(LongType))
       .withColumn("avg_token_len",
         aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
@@ -60,6 +62,7 @@ object TextAnalysis {
         size(array_distinct(toks)).cast(DoubleType) / col("n_tokens"))
       .withColumn("stopword_ratio",
         hitCount(toks, StopwordProfiles("en")).cast(DoubleType) / col("n_tokens"))
+      .drop("__toks")
   }
 
   /** BPE-style pre-tokenization pattern: letter runs, single digits,
@@ -91,15 +94,17 @@ object TextAnalysis {
     * undetermined when nothing hits). */
   def withLangId(df: DataFrame, textCol: String = "text",
       out: String = "lang_pred"): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__toks")
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
       struct(hitCount(toks, ws).as("hits"), lit(l).as("lang"))
     }
     // array_max on struct compares fields in order → max hits, and on a
     // tie the lexicographically-greatest lang; stable and deterministic.
     val best = array_max(array(scored: _*))
-    df.withColumn(out,
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(out,
+        when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")))
+      .drop("__toks")
   }
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
