@@ -276,6 +276,12 @@ object PipelineQueries {
         .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
         .select("id", "width", "height", "features"),
       None),
+    Q("mm_resize",
+      (s, d) => operators.Multimodal
+        .resizeTo(withPayload(t(s, d, "documents")), "doc_id", "payload",
+          maxW = 64, maxH = 64)
+        .select("id", "width", "height"),
+      None),
     Q("mm_frame_sample",
       (s, d) => operators.Multimodal
         .sampleFrames(withPayload(t(s, d, "documents")), "doc_id", "payload", stride = 128)

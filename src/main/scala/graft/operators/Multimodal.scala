@@ -86,6 +86,36 @@ object Multimodal {
     spark.createDataFrame(rdd, outType)
   }
 
+  private val resizeType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** ===== STUB decode inside ===== batched resize-to-target: decodes
+    * (stub), scales the pseudo dimensions to fit `(maxW, maxH)`
+    * preserving aspect ratio, and rescales the feature vector — the
+    * standard normalize-before-training step. The batching/schema
+    * contract is the real, load-bearing part; a production build swaps
+    * only the decode+resample kernel. */
+  def resizeTo(df: DataFrame, idCol: String, binCol: String,
+      maxW: Int = 256, maxH: Int = 256, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // real impl: init codec + resampler once per batch here
+        batch.iterator.map { r =>
+          val (w, h, feat) = stubDecode(r.getAs[Array[Byte]](1))
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          Row(r.getLong(0), nw, nh, feat.map(f => (f * scale).toFloat).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizeType)
+  }
+
   /** Frame sampling stub: every `stride`-th fake frame offset of a
     * video payload — demonstrates the explode-to-frames shape
     * (id, frame_idx, frame_off) a real pipeline uses. Pure column expr. */

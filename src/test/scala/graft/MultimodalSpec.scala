@@ -38,6 +38,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.sameElements(1L to 50L))
   }
 
+  test("resizeTo clamps to the target box preserving aspect ratio") {
+    val out = Multimodal.resizeTo(docs, "id", "payload", maxW = 32, maxH = 32)
+      .select("id", "width", "height").as[(Long, Int, Int)].collect()
+    assert(out.length == 3)
+    out.foreach { case (_, w, h) =>
+      assert(w <= 32 && h <= 32 && w >= 1 && h >= 1)
+    }
+    // each dimension is dim*scale within 1px of truncation
+    val orig = Multimodal.decodeFeatures(docs, "id", "payload")
+      .select("id", "width", "height").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val byId = out.map(r => r._1 -> (r._2, r._3)).toMap
+    orig.foreach { case (id, (w, h)) =>
+      val s = math.min(1.0, math.min(32.0 / w, 32.0 / h))
+      val (nw, nh) = byId(id)
+      assert(math.abs(nw - w * s) <= 1 && math.abs(nh - h * s) <= 1,
+        s"id=$id ${w}x$h scale $s -> ${nw}x$nh")
+    }
+  }
+
   test("sampleFrames explodes stride-spaced offsets") {
     val got = Multimodal.sampleFrames(docs.filter($"id" === 1L), "id", "payload", stride = 32)
       .select("frame_idx", "frame_off").as[(Long, Long)].collect().sorted.toSeq
