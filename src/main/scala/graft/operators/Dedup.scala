@@ -187,27 +187,57 @@ object Dedup {
   /** Near-pairs by hamming distance ≤ maxHamming over the 64-bit
     * simhash. Bucketing: split the hash into `chunks` equal pieces —
     * any pair within distance d < chunks must agree on ≥1 chunk
-    * (pigeonhole), so the self-join on (chunkIdx, chunkValue) is exact,
-    * never O(n²). Requires maxHamming < chunks (default 4 chunks → d≤3). */
+    * (pigeonhole), so the join on (chunkIdx, chunkValue) is exact,
+    * never O(n²). Requires maxHamming < chunks (default 4 chunks → d≤3).
+    *
+    * Scale shape: the chunk join runs over DISTINCT simhash values, not
+    * documents — a template corpus where thousands of docs share one
+    * hash contributes ONE row to candidate generation; doc pairs are
+    * expanded afterwards by joining members back in, so that work is
+    * proportional to the OUTPUT (which is inherently pairwise), never
+    * to cluster-size². Chunk-collision candidates scale D²/2^16 in the
+    * number of distinct hashes D, not corpus size. */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4, persist: Boolean = true): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val sigs = simhashSignatures(df, idCol, textCol)
+    // consumed 3× (both member sides + distinct hashes): persist so the
+    // corpus scan + 64-column vote aggregation happens once (16 B/doc)
+    val sigs0 = simhashSignatures(df, idCol, textCol)
+    val sigs =
+      if (persist) sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
+
+    // pairs inside an identical-hash cluster: hamming 0, no bucketing
+    val m1 = sigs.select(col("simhash").as("h"), col(idCol).as("a"))
+    val m2 = sigs.select(col("simhash").as("h"), col(idCol).as("b"))
+    val eqPairs = m1.join(m2, "h").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+
+    // distinct-hash candidates via the pigeonhole chunk join
+    val reps = sigs.select("simhash").distinct()
     val chunkKeys = array((0 until chunks).map { c =>
       struct(lit(c).as("ci"),
         shiftright(col("simhash"), c * width).bitwiseAND(mask).as("cv"))
     }: _*)
-    val buckets = sigs.select(col(idCol), col("simhash"), explode(chunkKeys).as("ck"))
-      .select(col(idCol), col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
-    val a = buckets.select(col("ci"), col("cv"), col(idCol).as("a"), col("simhash").as("sh_a"))
-    val b = buckets.select(col("ci"), col("cv"), col(idCol).as("b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("ci", "cv")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val buckets = reps.select(col("simhash"), explode(chunkKeys).as("ck"))
+      .select(col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val ha = buckets.select(col("ci"), col("cv"), col("simhash").as("h_a"))
+    val hb = buckets.select(col("ci"), col("cv"), col("simhash").as("h_b"))
+    val hashPairs = ha.join(hb, Seq("ci", "cv")).filter(col("h_a") < col("h_b"))
+      .select("h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+
+    // expand qualifying hash pairs to their member documents
+    val crossPairs = hashPairs
+      .join(m1.withColumnRenamed("h", "h_a"), "h_a")
+      .join(m2.withColumnRenamed("h", "h_b"), "h_b")
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("hamming"))
+
+    eqPairs.unionByName(crossPairs)
   }
 
   // =====================================================================

@@ -76,6 +76,28 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - expect) < 1e-12)
   }
 
+  test("simhashNearPairs equals the quadratic model (template-heavy corpus)") {
+    val templates = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow",
+      "how vexingly quick daft zebras jump")
+    val rnd = new scala.util.Random(5)
+    val docs2 = Seq.tabulate(60)(i =>
+      (i.toLong, templates(rnd.nextInt(4)) +
+        (if (rnd.nextBoolean()) " " + templates(rnd.nextInt(4)).split(" ")(0) else "")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs2, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearPairs(docs2, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
   test("LSH candidates never include a pair twice and never self-pair") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
     val cands = Dedup.lshCandidates(sigs, "doc_id")
