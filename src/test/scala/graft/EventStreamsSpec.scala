@@ -73,6 +73,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("checkpoint recovery: restart resumes aggregation state exactly") {
+    // split events into 4 files; feed 2, stop, add 2, restart from the
+    // SAME checkpoint — the recovered state must make the final result
+    // equal the batch answer over all 4
+    val src = java.nio.file.Files.createTempDirectory("ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_st").toString
+    val all = batchEvents.withColumn("part", pmod(col("event_id"), lit(4)))
+    def addFile(p: Int): Unit =
+      all.filter(col("part") === p).drop("part")
+        .coalesce(1).write.mode("append").parquet(src)
+    addFile(0); addFile(1)
+
+    val schema = spark.read.parquet(src).schema
+    def startQuery() = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("event_time", timestamp_micros(expr("(ts_s * 1000000)")))
+      EventStreams.windowedTypeCounts(events)
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("ckpt_out").start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val partial = spark.table("ckpt_out").count()
+
+    addFile(2); addFile(3)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.table("ckpt_out")
+      .select("bucket", "event_type", "n").as[(Long, String, Long)].collect().toSet
+    val want = batchEvents
+      .groupBy((col("ts_s") - pmod(col("ts_s"), lit(300L))).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n")).as[(Long, String, Long)].collect().toSet
+    assert(got == want, "state recovered from checkpoint must complete to the batch answer")
+    assert(partial > 0 && partial <= want.size)
+  }
+
   test("incremental sessionize: emits exactly the closed sessions of the batch") {
     implicit val s = spark
     val stream = EventStreams.readEvents(spark, dir)
