@@ -25,6 +25,89 @@ object PipelineQueries {
 
   private val D4 = DecimalType(18, 4)
 
+  // ---------------------------------------------------------------------
+  // DuckDB oracle builders for the vector/LSH queries. All vector
+  // arithmetic is a sequential left-to-right double fold in BOTH engines
+  // (graft's ArrayDotProduct loop ≡ DuckDB's list_dot_product), so the
+  // oracles compare bit-identical doubles — verified, not assumed.
+  // ---------------------------------------------------------------------
+
+  /** DuckDB expression reproducing one [[graft.operators.Similarity.lcgPlanes]]
+    * weight vector at flat base index `idx0`: exact integer LCG + one
+    * power-of-two division — bit-identical to the Scala side. */
+  private def lcgVecSql(idx0: Long, dim: Int): String =
+    s"list_transform(generate_series(0, ${dim - 1}), j -> " +
+      s"((1103515245::BIGINT * ($idx0 + j) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+
+  /** Cosine in the exact formula/order VectorOps.cosine uses. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val CosBands = 8
+  private val CosPlanes = 8
+  private val CosDim = 64
+  private val CosMaxBucket = 10000L
+
+  /** Full independent re-implementation of the banded-LSH cosine-pairs
+    * pipeline in DuckDB SQL: same LCG hyperplanes, same band keys, same
+    * bucket cap, same exact-cosine verification. */
+  private def cosinePairsOracle: String = {
+    val keys = (0 until CosBands).map { r =>
+      val bits = (0 until CosPlanes).map { p =>
+        val w = lcgVecSql((r.toLong * CosPlanes + p) * CosDim, CosDim)
+        s"CASE WHEN list_dot_product(v, $w) >= 0 THEN '1' ELSE '0' END"
+      }
+      s"concat(${bits.mkString(", ")})"
+    }
+    val bandIdx = (0 until CosBands).mkString(", ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ks AS (SELECT vec_id, [${keys.mkString(", ")}] AS keys FROM v),
+       |bkt AS (SELECT vec_id, unnest([$bandIdx]) AS band, unnest(keys) AS key FROM ks),
+       |kept AS (SELECT band, key FROM bkt GROUP BY band, key HAVING count(*) <= $CosMaxBucket),
+       |bk AS (SELECT bkt.vec_id, bkt.band, bkt.key FROM bkt SEMI JOIN kept USING (band, key)),
+       |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb FROM bk x JOIN bk y USING (band, key) WHERE x.vec_id < y.vec_id)
+       |SELECT ida AS a, idb AS b, ${cosSql("va.v", "vb.v")} AS cosine
+       |FROM cand JOIN v va ON va.vec_id = ida JOIN v vb ON vb.vec_id = idb
+       |WHERE cosine >= 0.4""".stripMargin.replace("\n", " ")
+  }
+
+  private def annBruteOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 10),
+       |scored AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosSql("pv", "c.v")} AS cosine
+       |FROM v c CROSS JOIN p WHERE c.vec_id <> probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+
+  /** Stopword-argmax language ID re-expressed over DuckDB's list
+    * functions; the argmax tie-break (max hits, then lexicographically
+    * greatest lang) rides on struct comparison in both engines. */
+  private def langIdOracle: String = {
+    val scored = operators.TextAnalysis.StopwordProfiles.toSeq.sortBy(_._1).map {
+      case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"struct_pack(hits := CAST(len(list_filter(toks, w -> list_contains($lst, w))) AS BIGINT), lang := '$l')"
+    }
+    s"""WITH tk AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
+       |h AS (SELECT doc_id, lang, list_aggregate([${scored.mkString(", ")}], 'max') AS best FROM tk)
+       |SELECT doc_id, lang, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM h""".stripMargin.replace("\n", " ")
+  }
+
+  /** Character-5-gram Jaccard pairs with the same maxDf=200 stop-gram
+    * cap — pure set arithmetic, fully ANSI-expressible. */
+  private def ngramOracle: String = {
+    val grams = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> text[i:i+4]))"
+    s"""WITH gr AS (SELECT doc_id, unnest($grams) AS g FROM documents),
+       |stop AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 200),
+       |kept AS (SELECT gr.doc_id, gr.g FROM gr ANTI JOIN stop USING (g)),
+       |sz AS (SELECT doc_id, len($grams) AS sz FROM documents),
+       |shared AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS common FROM kept x JOIN kept y USING (g) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT ida AS a, idb AS b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+       |FROM shared JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+       |WHERE jaccard >= 0.5""".stripMargin.replace("\n", " ")
+  }
+
   /** The events table ships TIMESTAMP(NANOS) parquet, which Spark's
     * vectorized reader rejects; read the physical int64 as nanos
     * (legacy conf) and derive `ts_s` = epoch seconds. All event queries
@@ -62,12 +145,12 @@ object PipelineQueries {
       (s, d) => TextAnalysis.withBpeTokenCount(t(s, d, "documents"))
         .select("doc_id", "n_bpeish"),
       Some(s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS n_bpeish FROM documents""")),
-    // Engine-internal heuristics/hashes — rows-only checks; semantics
-    // pinned in TextAnalysisSpec.
     Q("doc_lang_id",
       (s, d) => TextAnalysis.withLangId(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_pred"),
-      None),
+      Some(langIdOracle)),
+    // Engine-internal hashes (xxhash64) — rows-only check; semantics
+    // pinned in TextAnalysisSpec.
     Q("doc_fingerprint",
       // the documents file is a single split locally; spread the
       // CPU-heavy winnowing projection over all cores (a real corpus
@@ -104,7 +187,7 @@ object PipelineQueries {
     Q("dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
-      None),
+      Some(ngramOracle)),
   )
 
   // ---------------------------------------------------------------------
@@ -126,7 +209,7 @@ object PipelineQueries {
         Similarity.bruteForceTopKAgg(e, probes(e), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast(LongType))
       },
-      None, bench = true),
+      Some(annBruteOracle), bench = true),
     Q("ann_lsh_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -141,10 +224,17 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       None),
+    // Banded LSH with LCG hyperplanes: the plane generation is exact
+    // integer arithmetic both engines can reproduce, so bucket
+    // assignment AND the exact-cosine verification are independently
+    // re-computed by DuckDB — a full cross-engine check of the LSH
+    // pipeline, not just of the final cosine math.
     Q("emb_cosine_pairs",
       (s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, planes = 4).orderBy("a", "b"),
-      None),
+        threshold = 0.4, bands = CosBands, planesPerBand = CosPlanes,
+        dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
+        planeGen = Similarity.lcgPlanes).orderBy("a", "b"),
+      Some(cosinePairsOracle)),
   )
 
   // ---------------------------------------------------------------------
@@ -271,10 +361,17 @@ object PipelineQueries {
         .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
         .select(col("id"), col("n_bytes")),
       Some("SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents")),
+    // The raw `features array<float>` column is kept in the API
+    // (decodeFeatures); the REGISTERED projection quantizes it to a
+    // driver-sortable scalar (stub features are exact multiples of
+    // 1/1000, so ×1000 + round is lossless).
     Q("mm_features",
       (s, d) => operators.Multimodal
         .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
-        .select("id", "width", "height", "features"),
+        .select(col("id"), col("width"), col("height"),
+          concat_ws(",", transform(col("features"),
+            f => round(f.cast(DoubleType) * 1000).cast(LongType).cast("string")))
+            .as("features_q")),
       None),
     Q("mm_resize",
       (s, d) => operators.Multimodal

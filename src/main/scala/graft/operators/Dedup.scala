@@ -267,8 +267,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5, maxDf: Int = 200): DataFrame = {
     val grams = df.select(col(idCol), explode(charNgrams(col(textCol), n)).as("g"))
-    val kept = grams.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("__df") <= maxDf).drop("__df")
+    // Document frequency via groupBy (map-side partial counts), NOT a
+    // partitionBy(g) window: a window would shuffle every occurrence of
+    // a stop-gram (" the " at corpus scale: billions of rows) to one
+    // reducer before the cap could drop anything. The stop-gram set
+    // itself is tiny (≤ total_grams / maxDf distinct values can exceed
+    // the cap, and in practice it's the few hundred most common grams),
+    // so the anti-join broadcasts under AQE and the gram stream never
+    // skews.
+    val stopGrams = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("g")
+    val kept = grams.join(stopGrams, Seq("g"), "left_anti")
     val sizes = df.select(col(idCol), size(charNgrams(col(textCol), n)).as("sz"))
     val shared = kept.select(col("g"), col(idCol).as("a"))
       .join(kept.select(col("g"), col(idCol).as("b")), "g")

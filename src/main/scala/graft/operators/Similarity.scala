@@ -33,6 +33,21 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Deterministic uniform([-0.5, 0.5)) hyperplanes from a plain LCG
+    * (glibc constants) over the flat index `seed + plane*dim + j`.
+    * Statistically a bit weaker than [[randomPlanes]]' gaussians but
+    * reproducible with pure integer arithmetic + one exact
+    * power-of-two division in ANY engine — which makes LSH bucket
+    * assignment itself cross-checkable against an independent SQL
+    * engine (see the emb_cosine_pairs oracle in PipelineQueries). */
+  def lcgPlanes(numPlanes: Int, dim: Int, seed: Long = 0L): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes) { p =>
+      Seq.tabulate(dim) { j =>
+        val i = seed + p.toLong * dim + j
+        ((1103515245L * i + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+      }
+    }
+
   /** Exact cosine top-k of `corpus` for every row of `probes`.
     * Output: (probe_id, neighbor_id, cosine, rank). Excludes self-pairs. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
@@ -173,7 +188,14 @@ object Similarity {
       trainSample: Int = 4096): DataFrame = {
     import graft.functions.TopKAggregate.topK
     require(nProbe <= nlist)
-    val train = corpus.select(asDouble(col(vecCol))).limit(trainSample)
+    // Deterministic UNIFORM sample: order by a content hash of the id
+    // and take the first trainSample — TakeOrderedAndProject keeps only
+    // trainSample rows per partition before the driver merge, so this
+    // scales like limit() but samples the whole corpus instead of a
+    // file-prefix (a limit() sample is biased toward whatever happens
+    // to sort first on disk — e.g. one source's documents).
+    val train = corpus.select(asDouble(col(vecCol)), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroids(train, nlist)
 
@@ -200,21 +222,50 @@ object Similarity {
         col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
-  /** All pairs (a < b) with cosine ≥ threshold, LSH-bucketed — the
-    * embedding-space near-duplicate detector. Pairs split across
-    * buckets are missed with probability (1 - (1-θ/π)^planes) per the
-    * random-hyperplane collision bound; keep `planes` small for recall. */
+  /** All pairs (a < b) with cosine ≥ threshold, banded-LSH candidate
+    * generation — the embedding-space near-duplicate detector.
+    *
+    * Scale shape (same banding trick as [[Dedup.lshCandidates]]): a
+    * single LSH table forces an impossible trade — few planes for
+    * recall means buckets of ~N/2^planes rows whose self-join is
+    * quadratic in N. Instead: `bands` INDEPENDENT tables of
+    * `planesPerBand` hyperplanes each. Recall per qualifying pair is
+    * 1 − (1 − p^b)^r with p = 1 − θ/π, recovered by the union across
+    * bands while each band's buckets stay small (~N/2^b rows). At
+    * growing corpus scale, hold bucket size constant by raising
+    * `planesPerBand` ≈ log2(N / targetBucketRows) and adding bands to
+    * keep recall; `maxBucket` is the hard skew guard — a degenerate
+    * bucket (e.g. all-zero template vectors) is dropped instead of
+    * self-joined quadratically.
+    *
+    * Candidate (a, b) id-pairs are deduped across bands BEFORE vectors
+    * are joined back for exact-cosine verification, so each surviving
+    * pair pays for one cosine regardless of how many bands it collides
+    * in, and the bucket join shuffles ids only, never vectors. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val ps = randomPlanes(planes, dim, seed)
+      threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
+      dim: Int = 64, seed: Long = 42L, maxBucket: Long = 10000L,
+      planeGen: (Int, Int, Long) => Seq[Seq[Double]] = randomPlanes): DataFrame = {
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", hyperplaneBucket(col("v"), ps))
-    val a = v.select(col("bucket"), col(idCol).as("a"), col("v").as("va"))
-    val b = v.select(col("bucket"), col(idCol).as("b"), col("v").as("vb"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val bandKeys = array((0 until bands).map { r =>
+      val ps = planeGen(planesPerBand, dim, seed + r.toLong * planesPerBand * dim)
+      struct(lit(r).as("band"), hyperplaneBucket(col("v"), ps).as("key"))
+    }: _*)
+    val buckets = v.select(col(idCol), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keptBuckets = buckets.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "key")
+    val kept = buckets.join(keptBuckets, Seq("band", "key"), "left_semi")
+    val cands = kept.select(col("band"), col("key"), col(idCol).as("a"))
+      .join(kept.select(col("band"), col("key"), col(idCol).as("b")), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cands
+      .join(v.select(col(idCol).as("a"), col("v").as("va")), "a")
+      .join(v.select(col(idCol).as("b"), col("v").as("vb")), "b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select("a", "b", "cosine").distinct()
+      .select("a", "b", "cosine")
   }
 }

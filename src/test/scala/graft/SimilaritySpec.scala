@@ -37,11 +37,67 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosinePairs returns each qualifying pair exactly once") {
     val got = Similarity.cosinePairs(vecs, "vec_id", "embedding",
-      threshold = 0.9, planes = 2, dim = 4)
+      threshold = 0.9, bands = 2, planesPerBand = 2, dim = 4)
       .select("a", "b").as[(Long, Long)].collect().toSeq
     assert(got.distinct == got)
     assert(got.forall(p => p._1 < p._2))
     assert(got.contains((0L, 1L)))
+  }
+
+  test("cosinePairs bucket cap drops degenerate buckets instead of self-joining them") {
+    // 50 identical vectors → every band hashes them into ONE bucket of
+    // 50 rows; with maxBucket = 10 the cap must drop that bucket, so no
+    // pairs survive — the skew guard that keeps a template-heavy corpus
+    // from going quadratic.
+    val clones = (0L until 50L).map(i => (i, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cosinePairs(clones, "vec_id", "embedding",
+      threshold = 0.9, bands = 4, planesPerBand = 2, dim = 4, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.cosinePairs(clones, "vec_id", "embedding",
+      threshold = 0.9, bands = 4, planesPerBand = 2, dim = 4, maxBucket = 10000)
+    assert(uncapped.count() == 50L * 49 / 2) // identical vectors: all pairs
+  }
+
+  test("cosinePairs with lcgPlanes finds planted near-duplicates on the real corpus") {
+    // The synthetic corpus is uniform-random (max pair cosine ≈ 0.48),
+    // so plant the near-duplicates: noisy clones of 25 real vectors at
+    // cosine ≈ 0.95+ — close pairs that can still split across buckets
+    // on near-boundary hyperplanes, which is what banding must recover.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rng = new scala.util.Random(7)
+    val clones = emb.filter($"vec_id" < 25)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        (id + 100000L, v.map(x => x + 0.03f * rng.nextGaussian().toFloat))
+      }.toSeq.toDF("vec_id", "embedding")
+    val all = emb.select("vec_id", "embedding").unionByName(clones)
+    val got = Similarity.cosinePairs(all, "vec_id", "embedding",
+      threshold = 0.9, bands = 8, planesPerBand = 8, dim = 64, seed = 0L,
+      planeGen = Similarity.lcgPlanes)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // exact truth via brute force over the augmented corpus
+    val want = {
+      import graft.functions.VectorOps
+      val v = all.select($"vec_id", VectorOps.asDouble($"embedding").as("v"))
+      v.select($"vec_id".as("a"), $"v".as("va"))
+        .crossJoin(v.select($"vec_id".as("b"), $"v".as("vb")))
+        .filter($"a" < $"b")
+        .filter(VectorOps.cosine($"va", $"vb") >= 0.9)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    }
+    assert(want.size >= 20, s"expected ≥20 planted cos≥0.9 pairs, got ${want.size}")
+    val recall = got.intersect(want).size.toDouble / want.size
+    // 8 bands × 8 planes at cos ≥ 0.9 (p ≈ 0.857/plane): expected ≈ 0.93
+    assert(recall > 0.7, s"banded-LSH recall $recall unexpectedly low (${got.size} got, ${want.size} true)")
+    assert(got.subsetOf(want), "cosinePairs emitted a pair below the threshold")
+  }
+
+  test("lcgPlanes is deterministic and matches its integer formula") {
+    val p1 = Similarity.lcgPlanes(2, 4, seed = 0L)
+    val p2 = Similarity.lcgPlanes(2, 4, seed = 0L)
+    assert(p1 == p2)
+    val w10 = ((1103515245L * 4L + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    assert(p1(1)(0) == w10) // plane 1, dim 0 → flat index 1*4+0
   }
 
   test("fitCentroids: deterministic, partitions the sample sensibly") {
