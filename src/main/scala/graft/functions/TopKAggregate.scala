@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 import java.io.{ByteArrayOutputStream, DataOutputStream}
@@ -23,7 +23,11 @@ import scala.collection.mutable
   * at 100 TB corpus scale.
   *
   * Ordering: score DESC, then `tiebreak` ASC (deterministic results on
-  * score ties). Rows with a null score or tiebreak are skipped.
+  * score ties). The tiebreak may be ANY orderable type (long ids,
+  * string doc ids, timestamps — whatever the corpus keys on); ordering
+  * comes from Catalyst's interpreted ordering for its data type, the
+  * same ordering ORDER BY would use. Rows with a null score or
+  * tiebreak are skipped.
   *
   * Output: `array<struct<score: double, payload: <payload type>>>`
   * sorted best-first; `posexplode` it for (rank, value) rows.
@@ -35,24 +39,35 @@ case class TopKAggregate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long, Any)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any, Any)]] {
 
   require(k > 0, "k must be positive")
 
-  private type Entry = (Double, Long, Any)
+  /** Resolution-time guard (constructor-time would crash on unresolved
+    * children): any orderable tiebreak type is accepted; anything else
+    * (maps, …) is a clean analysis error instead of silent row drops. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(tiebreak.dataType, prettyName)
+
+  private type Entry = (Double, Any, Any)
+
+  @transient private lazy val tieOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(tiebreak.dataType)
 
   /** Heap dequeues the WORST entry (lowest score; tie → larger
     * tiebreak), so replacing the head keeps the best k. */
-  private val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) => {
+  @transient private lazy val worstFirst: Ordering[Entry] = (a: Entry, b: Entry) => {
     val c = java.lang.Double.compare(b._1, a._1) // lower score ranks first
-    if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger tiebreak first
+    if (c != 0) c else tieOrd.compare(a._2, b._2) // larger tiebreak first
   }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[Entry] =
     mutable.PriorityQueue.empty[Entry](worstFirst)
 
-  private def better(s: Double, t: Long, w: Entry): Boolean =
-    s > w._1 || (s == w._1 && t < w._2)
+  private def better(s: Double, t: Any, w: Entry): Boolean = {
+    val c = java.lang.Double.compare(s, w._1)
+    c > 0 || (c == 0 && tieOrd.compare(t, w._2) < 0)
+  }
 
   override def update(buf: mutable.PriorityQueue[Entry], input: InternalRow)
       : mutable.PriorityQueue[Entry] = {
@@ -60,8 +75,10 @@ case class TopKAggregate(
     val tv = tiebreak.eval(input)
     if (sv != null && tv != null) {
       val s = sv.asInstanceOf[Double]
-      val t = tv.asInstanceOf[Long]
-      if (buf.size < k || better(s, t, buf.head)) {
+      if (buf.size < k || better(s, tv, buf.head)) {
+        // copy: non-primitive eval results (UTF8String, arrays) reuse
+        // buffers that the next input row overwrites
+        val t = InternalRow.copyValue(tv)
         val p = InternalRow.copyValue(payload.eval(input))
         if (buf.size >= k) buf.dequeue()
         buf.enqueue((s, t, p))
@@ -82,13 +99,16 @@ case class TopKAggregate(
   }
 
   override def eval(buf: mutable.PriorityQueue[Entry]): Any = {
-    val sorted = buf.toArray.sortBy(e => (-e._1, e._2))
+    val sorted = buf.toArray.sortWith { (x, y) =>
+      val c = java.lang.Double.compare(x._1, y._1)
+      c > 0 || (c == 0 && tieOrd.compare(x._2, y._2) < 0)
+    }
     new GenericArrayData(sorted.map(e =>
       new GenericInternalRow(Array[Any](e._1, e._3)): Any))
   }
 
   @transient private lazy val rowProjection =
-    UnsafeProjection.create(Array[DataType](DoubleType, LongType, payload.dataType))
+    UnsafeProjection.create(Array[DataType](DoubleType, tiebreak.dataType, payload.dataType))
 
   override def serialize(buf: mutable.PriorityQueue[Entry]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -114,7 +134,8 @@ case class TopKAggregate(
       val arr = new Array[Byte](len)
       in.readFully(arr)
       row.pointTo(arr, len)
-      buf.enqueue((row.getDouble(0), row.getLong(1),
+      buf.enqueue((row.getDouble(0),
+        InternalRow.copyValue(row.get(1, tiebreak.dataType)),
         InternalRow.copyValue(row.get(2, payload.dataType))))
       i += 1
     }
@@ -143,10 +164,11 @@ object TopKAggregate {
   import org.apache.spark.sql.{Column, GraftBridge}
 
   /** Column builder: exact top-k of (`score` DESC, `tiebreak` ASC)
-    * carrying `payload`; no function registration needed. */
+    * carrying `payload`; no function registration needed. The tiebreak
+    * keeps its own type — any orderable column works. */
   def topK(score: Column, tiebreak: Column, payload: Column, k: Int): Column =
     GraftBridge.column(TopKAggregate(
       GraftBridge.expression(score.cast("double")),
-      GraftBridge.expression(tiebreak.cast("long")),
+      GraftBridge.expression(tiebreak),
       GraftBridge.expression(payload), k).toAggregateExpression())
 }

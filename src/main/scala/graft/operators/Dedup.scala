@@ -136,7 +136,15 @@ object Dedup {
     * re-scanning the raw text corpus — signatures are ~512 B/doc and
     * shingle sets ~the tokenized text, both orders of magnitude smaller
     * than the input, so MEMORY_AND_DISK is safe and the scan happens
-    * exactly once. Set `persist=false` if the caller manages caching. */
+    * exactly once.
+    *
+    * Cache ownership: the returned frame is lazy, so this function has
+    * no safe point to unpersist — the cached blocks live until the
+    * session ends or the caller releases them. A pipeline invoking this
+    * repeatedly should either run its terminal action and then
+    * `spark.catalog.clearCache()` (or `unpersist` the blocks via the
+    * storage API), or pass `persist = false` and manage caching of its
+    * own, wider plan. Same contract for [[simhashNearPairs]]. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, p: MinHashParams = MinHashParams(),
       persist: Boolean = true): DataFrame = {

@@ -45,11 +45,21 @@ object Skew {
 
   /** Two-phase salted sum/count aggregation: exact `groupBy(keys)
     * .agg(sum, count)` with the first shuffle spread over
-    * (keys, salt). `valueCol` is summed; the row count rides along. */
+    * (keys, salt). `valueCol` is summed; the row count rides along.
+    *
+    * The salt mixes a per-row component (partition-position id) into
+    * the content hash: a hot key whose non-key values are all equal —
+    * a very common skew shape (value = 0 defaults) — must still spread
+    * across salts, and a pure content hash would send it to one.
+    * Correctness never depends on the salt value (the second phase
+    * re-aggregates on the bare keys), so the id's partition-layout
+    * dependence is harmless. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn("__salt", saltCol(df, salts, Seq(valueCol)))
+    val nonKey = df.columns.toSeq.filterNot(keys.contains).map(col)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(nonKey :+ monotonically_increasing_id(): _*), lit(salts)).cast("int"))
     salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
       .groupBy(keys.map(col): _*)

@@ -38,27 +38,35 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload rides in ONE struct per right row (null on left rows)
+    // and `last(ignoreNulls)` carries the whole struct forward — the
+    // matched right row is taken ATOMICALLY. Carrying each payload
+    // column independently would be wrong for nullable payloads: a null
+    // field in the true latest right row must survive as null, not be
+    // papered over by an older row's non-null value (and different
+    // columns must never come from different rows).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(right.schema.fieldIndex(p))))
     // Tagged union: right rows sort BEFORE left rows at equal ts so a
     // right row at exactly leftTs is visible to the left row (>= tie).
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
       .select(Seq(col("__ts"), col("__side")) ++
         keyCols.map(col) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__r_$p")): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(payloadType).as("__r"): _*)
     val r = right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
       .select(Seq(col("__ts"), col("__side")) ++
         keyCols.map(col) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__r_$p")): _*)
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(p => col(p).as(p)): _*).as("__r"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__c_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__c_$p").as(s"asof_$p")): _*)
+        payload.map(p => col(s"__c.$p").as(s"asof_$p")): _*)
   }
 
   /** Bounded range join: all pairs (l, r) with equal keys and

@@ -49,17 +49,31 @@ object EventStreams {
       .select(col("window.start").cast("long").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming exact dedup: keep the first event per `keyCols`, with
-    * state bounded by the watermark — Spark evicts a key's state once
-    * the watermark passes its event time, so unbounded streams run in
-    * bounded memory (the batch analog, Dedup.exactRows, has no state to
-    * bound). Keys recurring farther apart than `watermarkDelay` + window
-    * are treated as new — the standard streaming-dedup contract. */
+  /** Streaming exact-duplicate removal: collapses rows with identical
+    * (`keyCols`, event_time) — the "same record delivered twice"
+    * at-least-once-transport case. A key recurring at a DIFFERENT
+    * timestamp is kept (it is a new event, not a redelivery); use
+    * [[dedupEventsByKey]] for key-only first-wins semantics. State is
+    * bounded by the watermark: Spark evicts an entry once the watermark
+    * passes its event time. */
   def dedupEvents(events: DataFrame, keyCols: Seq[String],
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicates(keyCols :+ "event_time")
+
+  /** Streaming key-only dedup: the FIRST event per `keyCols` wins and
+    * later events with the same key are dropped for as long as the
+    * key's state lives. `dropDuplicatesWithinWatermark` bounds that
+    * state by the watermark delay (entries evict `watermarkDelay` after
+    * their event time), so an unbounded stream runs in bounded memory —
+    * the guarantee is exactly-once WITHIN the delay window, the
+    * standard contract when upstream retries are time-bounded. */
+  def dedupEventsByKey(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-stream inner join: purchases enriched with the same user's
     * clicks in the preceding 10 minutes. Both sides carry watermarks and
@@ -83,31 +97,59 @@ object EventStreams {
   }
 
   /** Incremental sessionization (30-min inactivity gap) via
-    * flatMapGroupsWithState: emits every session CLOSED within the
-    * batch; the still-open tail session rides in GroupState and merges
-    * with the next batch. State: one (start, end, n) per active user. */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
-      implicit spark: SparkSession): Dataset[Session] = {
+    * flatMapGroupsWithState with EVENT-TIME TIMEOUT: emits every
+    * session closed within a batch, and — crucially for a real stream —
+    * emits an idle user's tail session once the watermark passes its
+    * gap expiry, removing the user's state. Without the timeout
+    * (NoTimeout), a churned user's last session would never be emitted
+    * and their state never evicted — unbounded state growth over weeks.
+    * State: one (start, end, n) per ACTIVE-within-gap user, hash
+    * partitioned by user_id.
+    *
+    * The watermark (required for event-time timeouts) is derived from
+    * `ts_s` inside; `watermarkDelay` is the allowed event lateness. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    events.toDF()
+      .withColumn("__event_time", timestamp_seconds(col("ts_s")))
+      .withWatermark("__event_time", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toVector.sortBy(_.ts_s)
-          var cur = state.getOption
-          val closed = Vector.newBuilder[Session]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_s - s.end <= gapSeconds =>
-                cur = Some(s.copy(end = e.ts_s, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(user, s.start, s.end, s.n)
-                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
-              case None =>
-                cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+          if (state.hasTimedOut) {
+            // gap expired with no further events: close the tail session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.end, s.n))
+          } else {
+            val sorted = it.toVector.sortBy(_.ts_s)
+            var cur = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_s - s.end <= gapSeconds =>
+                  cur = Some(s.copy(end = e.ts_s, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, s.start, s.end, s.n)
+                  cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_s, e.ts_s, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes end + gap (clamped above
+              // the current watermark — Spark rejects a timeout set in
+              // the past when events arrive later than their gap)
+              state.setTimeoutTimestamp(math.max(
+                (s.end + gapSeconds) * 1000L + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

@@ -112,8 +112,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(partial > 0 && partial <= want.size)
   }
 
-  test("incremental sessionize: emits exactly the closed sessions of the batch") {
-    implicit val s = spark
+  test("incremental sessionize: emits closed sessions plus watermark-expired tails") {
     val stream = EventStreams.readEvents(spark, dir)
       .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"), col("value"))
       .as[Event]
@@ -125,19 +124,67 @@ class EventStreamsSpec extends SparkSpec {
     val got = spark.table("sess_out").as[Session].collect()
       .map(x => (x.user_id, x.session_start, x.session_end, x.n_events)).toSet
 
-    // batch expectation: gap-split per user, DROP each user's last
-    // (still-open) session — it remains in state, not yet emitted
-    val byUser = batchEvents.select("user_id", "ts_s")
-      .as[(Long, Long)].collect().groupBy(_._1)
-    val want = byUser.flatMap { case (u, rows) =>
-      val ts = rows.map(_._2).sorted
+    // batch expectation: gap-split per user → every CLOSED session, plus
+    // each user's tail session IF the final watermark (max ts − 10 min
+    // delay) passed its gap expiry (end + 1800) — those time out and
+    // are emitted; tails still within gap stay in state, unemitted.
+    val rows = batchEvents.select("user_id", "ts_s").as[(Long, Long)].collect()
+    val wmS = rows.map(_._2).max - 600
+    val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val ts = rs.map(_._2).sorted
       val sessions = ts.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
         if (acc.nonEmpty && t - acc.last.last <= 1800) acc.init :+ (acc.last :+ t)
         else acc :+ Vector(t)
       }
-      sessions.dropRight(1).map(sess => (u, sess.head, sess.last, sess.size.toLong))
+      val closed = sessions.dropRight(1)
+      val expiredTail = sessions.takeRight(1).filter(sess => sess.last + 1800 < wmS)
+      (closed ++ expiredTail).map(sess => (u, sess.head, sess.last, sess.size.toLong))
     }.toSet
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("sessionize emits an idle user's tail session via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_s", "value").as[Event]
+    val q = EventStreams.sessionize(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("idle_out").start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (1L, 1100L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_out").count() == 0, "session still open — nothing to emit")
+      // user 2's much-later events advance the watermark past user 1's
+      // gap expiry (1100 + 1800 = 2900 < 10000 - 600); user 1 sends
+      // NOTHING further — the timeout alone must close their session
+      mem.addData((2L, 10000L, 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, 10001L, 1.0)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val got = spark.table("idle_out").as[Session].collect().toSet
+      assert(got.contains(Session(1L, 1000L, 1100L, 2L)),
+        s"idle tail session not emitted; got $got")
+    } finally q.stop()
+  }
+
+  test("dedupEventsByKey: first event per key wins within the watermark window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = EventStreams.dedupEventsByKey(events, Seq("user_id"))
+      .select("user_id").writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("keydedup_out").start()
+    try {
+      mem.addData((1L, 1000L), (1L, 1200L), (2L, 1000L))
+      q.processAllAvailable()
+      assert(spark.table("keydedup_out").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      mem.addData((1L, 1300L)) // same key, within watermark → dropped
+      q.processAllAvailable()
+      assert(spark.table("keydedup_out").count() == 2)
+    } finally q.stop()
   }
 }

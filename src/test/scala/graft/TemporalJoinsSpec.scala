@@ -20,6 +20,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out("p3").isEmpty)       // right row at 151 is AFTER 150 → null
   }
 
+  test("asofJoin: the matched right row is taken atomically — null payload fields survive") {
+    // regression: payload columns used to be carried independently with
+    // last(ignoreNulls) each, so the true latest row's NULL field was
+    // papered over by an older row's value and different fields could
+    // come from different right rows
+    val left = Seq((1L, 100L, "p1")).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 50L, Some("old-note"), Some(5L)),
+      (1L, 90L, None: Option[String], Some(9L)) // the true latest: note IS null
+    ).toDF("k", "rts", "note", "click")
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("note", "click"))
+      .select("asof_note", "asof_click")
+      .as[(Option[String], Option[Long])].head()
+    assert(out == (None, Some(9L)), s"expected the ts=90 row atomically, got $out")
+  }
+
   test("asofJoin: left rows with no right rows for the key keep nulls") {
     val left = Seq((9L, 10L, "lonely")).toDF("k", "ts", "name")
     val right = Seq((1L, 5L, "x")).toDF("k", "rts", "tag")

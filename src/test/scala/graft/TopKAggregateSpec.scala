@@ -39,6 +39,18 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got === 1)
   }
 
+  test("string tiebreak/payload: any orderable id type works (no silent drops)") {
+    // regression: the builder used to cast the tiebreak to long — for a
+    // string doc id the cast yields null and every row was skipped
+    val docs = Seq((1L, 0.9, "doc-b"), (1L, 0.9, "doc-a"), (1L, 0.5, "doc-c"))
+      .toDF("g", "s", "doc")
+    val got = docs.groupBy("g")
+      .agg(topK(col("s"), col("doc"), col("doc"), 2).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.payload")).as[String].collect().toList
+    assert(got == List("doc-a", "doc-b")) // score ties → lexicographic id order
+  }
+
   test("bruteForceTopKAgg equals the window-based bruteForceTopK") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = e.filter(col("vec_id") < 5)
