@@ -31,9 +31,16 @@ object Bench {
     def exec(q: Queries.Q): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    headline.foreach { q =>            // warmup pass (untimed)
-      try exec(q)
-      catch { case _: Throwable => () }
+    // Two untimed warmup passes: round-1 data showed a single pass
+    // still leaves first-timed-run JIT/GC noise worth ~2× on sub-second
+    // queries (driver's one-shot run measured 8.7 s vs a 4.4 s stable
+    // estimate); the second pass lets codegen'd classes and the page
+    // cache settle before anything is timed.
+    (1 to 2).foreach { _ =>
+      headline.foreach { q =>
+        try exec(q)
+        catch { case _: Throwable => () }
+      }
     }
 
     // Best-of-3: single-run times at this scale are dominated by JVM

@@ -12,8 +12,27 @@ import graft.sources.CsvCatalog
   *  - REPL:      runMain graft.MiniSqlCli <dataDir>      (SqlEngine> …)
   */
 object MiniSqlCli {
+
+  /** Reference REPL behavior (sqlengine.py:76-87): an invalid data path
+    * RE-PROMPTS instead of killing the session; blank input falls back
+    * to the current directory. The reader is injected so the loop is
+    * testable without a TTY; exhausted input (EOF) aborts cleanly. */
+  @annotation.tailrec
+  def resolveDataDir(path: String, readLine: () => String): String =
+    if (CsvCatalog.isLoadable(path)) path
+    else {
+      println(s"[ERROR] Invalid path: no metadata.txt found...  $path")
+      print("Please enter new path (or leave blank for current path): ")
+      Console.flush()
+      readLine() match {
+        case null => throw new IllegalArgumentException(
+          s"No loadable data directory (last tried: $path)")
+        case next =>
+          resolveDataDir(if (next.trim.isEmpty) "." else next.trim, readLine)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
-    val dataDir = args.headOption.getOrElse(".")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("minisql")
@@ -21,7 +40,17 @@ object MiniSqlCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val engine = new MiniSqlEngine(CsvCatalog.load(spark, dataDir))
+    val dataDir = resolveDataDir(args.headOption.getOrElse("."),
+      () => scala.io.StdIn.readLine())
+    val tables = CsvCatalog.load(spark, dataDir)
+    // reference prints a per-cell warning on malformed integers
+    // (sqlengine.py:146-147); report the distributed analog: a count
+    // per affected table
+    CsvCatalog.malformedCellCounts(tables).foreach { case (name, n) =>
+      if (n > 0) println(
+        s"[ERROR] $name: $n cell(s) not integral — cannot read, storing NULL")
+    }
+    val engine = new MiniSqlEngine(tables)
 
     def runOne(q: String): Unit =
       try AsciiTable.show(engine.execute(q))

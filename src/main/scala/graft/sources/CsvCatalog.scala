@@ -53,6 +53,28 @@ object CsvCatalog {
     defs.result()
   }
 
+  /** True when `dir` holds a loadable catalog (a `metadata.txt`) —
+    * the CLI's re-prompt check (reference: sqlengine.py:76-87). */
+  def isLoadable(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "metadata.txt"))
+
+  /** Count of malformed (non-integer → SQL null) cells per table — the
+    * Spark analog of the reference's per-cell load warning
+    * (sqlengine.py:146-147, problem_statement.pdf p.2 item 7a). The
+    * reference prints one line per bad cell while eagerly loading; a
+    * distributed lazy scan reports an aggregate count per table instead
+    * (a driver println per cell would force a serialized eager load).
+    * One map-only job per table, fixture-scale inputs. */
+  def malformedCellCounts(tables: Map[String, DataFrame]): Map[String, Long] =
+    tables.map { case (name, df) =>
+      val dataCols = df.columns.toSeq.filterNot(_ == RowId)
+      val counts = df.select(dataCols.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+        .collect().headOption
+      name -> counts.map(r =>
+        (0 until r.length).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum)
+        .getOrElse(0L)
+    }
+
   /** Load every table of a reference-style data directory. Returns
     * tableName (lowercase) → DataFrame[cols: long..., __row_id: long]. */
   def load(spark: SparkSession, dir: String): Map[String, DataFrame] = {

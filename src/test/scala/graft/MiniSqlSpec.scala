@@ -194,4 +194,30 @@ class MiniSqlSpec extends SparkSpec {
     assert(rows(engine.execute("SELECT table1.A FROM Table1 -- trailing comment")).flatten ==
       colVals("table1", "A"))
   }
+
+  test("CLI: bad data path re-prompts instead of dying (ref sqlengine.py:76-87)") {
+    val inputs = Iterator("/nope/still/bad", fixtureDir)
+    assert(MiniSqlCli.resolveDataDir("/definitely/missing", () => inputs.next()) == fixtureDir)
+    // blank input falls back to "." (no metadata.txt there → loops on)
+    val inputs2 = Iterator("", fixtureDir)
+    assert(MiniSqlCli.resolveDataDir("/missing", () => inputs2.next()) == fixtureDir)
+    // EOF aborts cleanly instead of spinning forever
+    intercept[IllegalArgumentException] {
+      MiniSqlCli.resolveDataDir("/missing", () => null)
+    }
+    // a valid path never prompts
+    assert(MiniSqlCli.resolveDataDir(fixtureDir,
+      () => fail("prompted despite valid path")) == fixtureDir)
+  }
+
+  test("CLI: malformed cells are counted per table (ref per-cell warning, sqlengine.py:146-147)") {
+    val dir = Files.createTempDirectory("badcsv")
+    Files.writeString(dir.resolve("metadata.txt"),
+      "<begin_table>\nbad\nA\nB\n<end_table>\n<begin_table>\ngood\nX\n<end_table>\n")
+    Files.writeString(dir.resolve("bad.csv"), "1,2\n3,oops\n\"5\",\"6\"\n")
+    Files.writeString(dir.resolve("good.csv"), "7\n8\n")
+    val counts = CsvCatalog.malformedCellCounts(CsvCatalog.load(spark, dir.toString))
+    assert(counts("bad") == 1L)  // the one non-integer cell → NULL, warned
+    assert(counts("good") == 0L) // clean table stays silent
+  }
 }
