@@ -273,20 +273,31 @@ object Dedup {
     * 1000 → 200 cut the sf0.1 run 23.6 s → seconds with identical
     * output on the corpus (common-English 5-grams dominate above it). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, threshold: Double = 0.5, maxDf: Int = 200): DataFrame = {
-    val grams = df.select(col(idCol), explode(charNgrams(col(textCol), n)).as("g"))
+      n: Int = 5, threshold: Double = 0.5, maxDf: Int = 200,
+      persist: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def maybePersist(d: DataFrame): DataFrame =
+      if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+    // Gram arrays are materialized ONCE (an interpreted HOF transform —
+    // the most expensive projection here) and persisted: sizes, the df
+    // count, and both sides of the self-join all read the same frame
+    // instead of re-tokenizing the corpus up to 4×. Cache ownership as
+    // documented on minhashNearDuplicates.
+    val gsets = maybePersist(
+      df.select(col(idCol), charNgrams(col(textCol), n).as("__g")))
+    val grams = gsets.select(col(idCol), explode(col("__g")).as("g"))
+    val sizes = gsets.select(col(idCol), size(col("__g")).as("sz"))
     // Document frequency via groupBy (map-side partial counts), NOT a
     // partitionBy(g) window: a window would shuffle every occurrence of
     // a stop-gram (" the " at corpus scale: billions of rows) to one
     // reducer before the cap could drop anything. The stop-gram set
-    // itself is tiny (≤ total_grams / maxDf distinct values can exceed
-    // the cap, and in practice it's the few hundred most common grams),
+    // itself is tiny (in practice the few hundred most common grams),
     // so the anti-join broadcasts under AQE and the gram stream never
     // skews.
     val stopGrams = grams.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("g")
-    val kept = grams.join(stopGrams, Seq("g"), "left_anti")
-    val sizes = df.select(col(idCol), size(charNgrams(col(textCol), n)).as("sz"))
+    // persisted: consumed by both sides of the self-join
+    val kept = maybePersist(grams.join(stopGrams, Seq("g"), "left_anti"))
     val shared = kept.select(col("g"), col(idCol).as("a"))
       .join(kept.select(col("g"), col(idCol).as("b")), "g")
       .filter(col("a") < col("b"))

@@ -238,34 +238,46 @@ object Similarity {
     * bucket (e.g. all-zero template vectors) is dropped instead of
     * self-joined quadratically.
     *
-    * Candidate (a, b) id-pairs are deduped across bands BEFORE vectors
-    * are joined back for exact-cosine verification, so each surviving
-    * pair pays for one cosine regardless of how many bands it collides
-    * in, and the bucket join shuffles ids only, never vectors. */
+    * Vectors ride INTO the bucket join (bands× the corpus in shuffle —
+    * linear) so the exact cosine is computed and thresholded inline,
+    * map-side, and only SURVIVING pairs reach the final distinct.
+    * The alternative — dedup candidate id-pairs first, join vectors
+    * back — shuffles the candidate set itself, which is quadratic in
+    * bucket size and dwarfs the linear vector shuffle precisely when
+    * buckets are busiest. Duplicate (a,b) from multi-band collisions
+    * produce bit-identical cosines (same fold), so the post-filter
+    * distinct collapses them exactly. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, planesPerBand: Int = 8,
       dim: Int = 64, seed: Long = 42L, maxBucket: Long = 10000L,
-      planeGen: (Int, Int, Long) => Seq[Seq[Double]] = randomPlanes): DataFrame = {
+      planeGen: (Int, Int, Long) => Seq[Seq[Double]] = randomPlanes,
+      persist: Boolean = true): DataFrame = {
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val bandKeys = array((0 until bands).map { r =>
       val ps = planeGen(planesPerBand, dim, seed + r.toLong * planesPerBand * dim)
       struct(lit(r).as("band"), hyperplaneBucket(col("v"), ps).as("key"))
     }: _*)
-    val buckets = v.select(col(idCol), explode(bandKeys).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Persisted: the bucketed frame feeds the bucket-size count and
+    // BOTH self-join sides; without the cache the bands×planes
+    // hyperplane dots and the (interpreted-HOF) double cast re-run up
+    // to 4× over the corpus. ~bands× the vector data in cache — cheap
+    // next to re-scanning. Cache ownership as documented on
+    // Dedup.minhashNearDuplicates.
+    val buckets0 = v.select(col(idCol), col("v"), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets =
+      if (persist) buckets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else buckets0
     val keptBuckets = buckets.groupBy("band", "key")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select("band", "key")
     val kept = buckets.join(keptBuckets, Seq("band", "key"), "left_semi")
-    val cands = kept.select(col("band"), col("key"), col(idCol).as("a"))
-      .join(kept.select(col("band"), col("key"), col(idCol).as("b")), Seq("band", "key"))
+    kept.select(col("band"), col("key"), col(idCol).as("a"), col("v").as("va"))
+      .join(kept.select(col("band"), col("key"), col(idCol).as("b"), col("v").as("vb")),
+        Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    cands
-      .join(v.select(col(idCol).as("a"), col("v").as("va")), "a")
-      .join(v.select(col(idCol).as("b"), col("v").as("vb")), "b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select("a", "b", "cosine")
+      .select("a", "b", "cosine").distinct()
   }
 }
