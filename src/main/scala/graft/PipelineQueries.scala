@@ -71,6 +71,35 @@ object PipelineQueries {
        |WHERE cosine >= 0.4""".stripMargin.replace("\n", " ")
   }
 
+  private val LshPlanes = 6
+  private val LshSeed = 100000L
+
+  /** Full multi-probe LSH top-k re-implemented in DuckDB: same LCG
+    * hyperplanes, same sign buckets, same hamming-1 probe expansion,
+    * same exact-cosine re-rank. */
+  private def annLshOracle: String = {
+    def signs(v: String): String = {
+      val bits = (0 until LshPlanes).map { p =>
+        val w = lcgVecSql(LshSeed + p.toLong * CosDim, CosDim)
+        s"CASE WHEN list_dot_product($v, $w) >= 0 THEN '1' ELSE '0' END"
+      }
+      s"concat(${bits.mkString(", ")})"
+    }
+    // b0 plus the 6 hamming-1 bit flips (multi-probe, probe side only)
+    val flips = (0 until LshPlanes).map { i =>
+      s"concat(substr(b0, 1, $i), CASE WHEN substr(b0, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, substr(b0, ${i + 2}, ${LshPlanes - i - 1}))"
+    }
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id, v, ${signs("v")} AS bucket FROM v),
+       |p0 AS (SELECT vec_id AS probe_id, v AS pv, ${signs("v")} AS b0 FROM v WHERE vec_id < 10),
+       |pb AS (SELECT probe_id, pv, unnest([b0, ${flips.mkString(", ")}]) AS bucket FROM p0),
+       |scored AS (SELECT probe_id, neighbor_id, ${cosSql("pv", "c.v")} AS cosine
+       |FROM c JOIN pb USING (bucket) WHERE neighbor_id <> probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+  }
+
   private def annBruteOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 10),
@@ -93,6 +122,25 @@ object PipelineQueries {
        |h AS (SELECT doc_id, lang, list_aggregate([${scored.mkString(", ")}], 'max') AS best FROM tk)
        |SELECT doc_id, lang, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM h""".stripMargin.replace("\n", " ")
   }
+
+  /** The quality-score formula as DuckDB SQL (same arithmetic order as
+    * TextAnalysis.qualityScore — doubles come out bit-identical). */
+  private val QualitySql =
+    """least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.4
+      | + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.3
+      | + least(1.0, (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' '))) / 5.0) * 0.3""".stripMargin.replace("\n", " ")
+
+  private def mixTopkOracle: String =
+    s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents)
+       |SELECT lang, doc_id, quality, rank FROM (
+       |SELECT lang, doc_id, quality, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rank FROM q)
+       |WHERE rank <= 5""".stripMargin.replace("\n", " ")
+
+  private def tokenBudgetOracle: String =
+    s"""WITH q AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, $QualitySql AS quality FROM documents)
+       |SELECT doc_id, lang, n_tokens FROM (
+       |SELECT doc_id, lang, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken FROM q)
+       |WHERE taken < 2000""".stripMargin.replace("\n", " ")
 
   /** Character-5-gram Jaccard pairs with the same maxDf=200 stop-gram
     * cap — pure set arithmetic, fully ANSI-expressible. */
@@ -191,6 +239,30 @@ object PipelineQueries {
   )
 
   // ---------------------------------------------------------------------
+  // Data mixing over scored documents
+  // ---------------------------------------------------------------------
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withTokenStats(t(s, d, "documents"))
+      .withColumn("quality", TextAnalysis.qualityScore)
+
+  private val mixing = Vector(
+    // per-language quality cap (the "at most N docs per cell" rule) —
+    // native top-k aggregate: map-side heaps, shuffle ≤ k/(group,part)
+    Q("doc_mix_topk",
+      (s, d) => operators.Mixing.topKPerGroup(
+        scoredDocs(s, d).select("doc_id", "lang", "quality"),
+        Seq("lang"), "quality", "doc_id", k = 5),
+      Some(mixTopkOracle)),
+    // fill each language's token budget best-quality-first
+    Q("doc_token_budget",
+      (s, d) => operators.Mixing.tokenBudgetPerGroup(
+        scoredDocs(s, d).select("doc_id", "lang", "n_tokens", "quality"),
+        Seq("lang"), "n_tokens", "quality", "doc_id", budget = 2000L)
+        .select("doc_id", "lang", "n_tokens"),
+      Some(tokenBudgetOracle)),
+  )
+
+  // ---------------------------------------------------------------------
   // Similarity search over embeddings
   // ---------------------------------------------------------------------
   private def probes(df: DataFrame): DataFrame = df.filter(col("vec_id") < 10)
@@ -213,10 +285,11 @@ object PipelineQueries {
     Q("ann_lsh_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.lshTopK(e, probes(e), "vec_id", "embedding", k = 10, planes = 6)
+        Similarity.lshTopK(e, probes(e), "vec_id", "embedding", k = 10,
+          planes = LshPlanes, seed = LshSeed, planeGen = Similarity.lcgPlanes)
           .withColumn("rank", col("rank").cast(LongType))
       },
-      None),
+      Some(annLshOracle)),
     Q("ann_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -388,5 +461,5 @@ object PipelineQueries {
              |FROM documents""".stripMargin.replace("\n", " "))),
   )
 
-  val all: Vector[Q] = text ++ dedup ++ similarity ++ eventQueries ++ multimodal
+  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ multimodal
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixture operators for assembling a training corpus from scored
+  * documents: per-group caps and token-budget sampling — the step
+  * between "scored/deduped documents" and "the mixture the model
+  * actually trains on". The reference engine has nothing comparable
+  * (integer-only SELECT subset, /root/reference/sqlengine.py); this is
+  * extension surface over the `documents` table.
+  *
+  * Scale design:
+  *  - [[topKPerGroup]] rides on the native [[graft.functions.TopKAggregate]]:
+  *    map-side bounded heaps mean the shuffle carries ≤ k rows per
+  *    (group, partition) — a 100 TB corpus with a "5M docs per source"
+  *    cap never ships more than the cap per partition.
+  *  - [[tokenBudgetPerGroup]] is a single ranked window per group
+  *    (one shuffle). Groups are mixture cells (language × source):
+  *    thousands of them, so partitions stay balanced; for a degenerate
+  *    single giant cell, pre-cap with [[topKPerGroup]] (budget/minTokens
+  *    rows bound the winners) before the ranked scan.
+  */
+object Mixing {
+
+  /** Keep the `k` best rows of every group by `scoreCol` DESC (ties →
+    * `idCol` ASC — deterministic). Output: groupCols + id + score +
+    * rank (1-based). The id tiebreak works for ANY orderable id type
+    * (string doc ids included). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topK(col(scoreCol), col(idCol), col(idCol), k).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__e.payload").as(idCol),
+        col("__e.score").as(scoreCol),
+        (col("__pos") + 1).cast("long").as("rank")): _*)
+  }
+
+  /** Token-budget sampling: per group, take rows in `scoreCol` DESC
+    * (ties → `idCol` ASC) order while the tokens taken BEFORE a row
+    * stay under `budget` — i.e. the first row to cross the budget is
+    * still included (standard fill-the-budget semantics: every group
+    * with any data reaches its budget). Exact long arithmetic, fully
+    * deterministic. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCols: Seq[String],
+      tokenCol: String, scoreCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__taken", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("__taken") < budget)
+      .drop("__taken")
+  }
+}

@@ -107,8 +107,9 @@ object Similarity {
     * corpus-side cost is unchanged at 100 TB. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8, dim: Int = 64,
-      seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
-    val ps = randomPlanes(planes, dim, seed)
+      seed: Long = 42L, multiProbe: Boolean = true,
+      planeGen: (Int, Int, Long) => Seq[Seq[Double]] = randomPlanes): DataFrame = {
+    val ps = planeGen(planes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), ps))
     val p0 = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))

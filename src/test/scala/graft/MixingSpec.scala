@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mixing
+
+/** Pins for the data-mixture operators: per-group top-k caps and
+  * token-budget sampling (order, ties, budget-crossing row). */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    // (id, group, score, tokens)
+    (1L, "en", 0.9, 100L),
+    (2L, "en", 0.8, 150L),
+    (3L, "en", 0.8, 50L),  // score tie with 2 → id order decides
+    (4L, "en", 0.1, 999L),
+    (5L, "de", 0.7, 300L),
+    (6L, "de", 0.6, 300L),
+  ).toDF("doc_id", "lang", "quality", "n_tokens")
+
+  test("topKPerGroup keeps the k best per group, score DESC then id ASC") {
+    val got = Mixing.topKPerGroup(docs, Seq("lang"), "quality", "doc_id", k = 3)
+      .select("lang", "doc_id", "rank").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", 1L, 1L), ("en", 2L, 2L), ("en", 3L, 3L), // 0.8-tie: id 2 before 3
+      ("de", 5L, 1L), ("de", 6L, 2L)))                // smaller group: all rows
+  }
+
+  test("topKPerGroup works with string ids (generic tiebreak)") {
+    val sdocs = docs.withColumn("doc_id", concat(lit("d-"), col("doc_id")))
+    val got = Mixing.topKPerGroup(sdocs, Seq("lang"), "quality", "doc_id", k = 1)
+      .select("lang", "doc_id").as[(String, String)].collect().toSet
+    assert(got == Set(("en", "d-1"), ("de", "d-5")))
+  }
+
+  test("tokenBudgetPerGroup fills best-first and includes the budget-crossing row") {
+    val got = Mixing.tokenBudgetPerGroup(docs, Seq("lang"), "n_tokens",
+      "quality", "doc_id", budget = 200L)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // en: id1 (taken=0) + id2 (taken=100) + id3 (taken=250 ≥ 200 → stop)
+    // de: id5 (taken=0) + id6 crosses at taken=300 ≥ 200 → excluded
+    assert(got == Set(("en", 1L), ("en", 2L), ("de", 5L)))
+  }
+
+  test("tokenBudgetPerGroup: a group's first row always enters, even if over budget") {
+    val got = Mixing.tokenBudgetPerGroup(docs, Seq("lang"), "n_tokens",
+      "quality", "doc_id", budget = 1L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("en" -> 1L, "de" -> 1L))
+  }
+}
