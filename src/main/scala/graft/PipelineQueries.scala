@@ -142,6 +142,25 @@ object PipelineQueries {
        |SELECT doc_id, lang, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken FROM q)
        |WHERE taken < 2000""".stripMargin.replace("\n", " ")
 
+  private def packOracle: String =
+    s"""WITH q AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM q)
+       |SELECT doc_id, source, cum // 512 AS pack_id, cum % 512 AS pack_offset FROM c""".stripMargin.replace("\n", " ")
+
+  /** Deterministically injected PII + the same ordered regex fold in
+    * DuckDB ('g' = replace all, matching Spark's regexp_replace). */
+  private def piiScrubOracle: String = {
+    val dirty = "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com id:' || CAST(doc_id * 7919 AS VARCHAR)"
+    val clean = operators.TextAnalysis.PiiPatterns.foldLeft("dirty") {
+      case (c, (p, r)) => s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+    val email = operators.TextAnalysis.PiiPatterns.head._1
+    s"""WITH d AS (SELECT doc_id, $dirty AS dirty FROM documents)
+       |SELECT doc_id, $clean AS clean,
+       |CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_emails
+       |FROM d""".stripMargin.replace("\n", " ")
+  }
+
   /** Character-5-gram Jaccard pairs with the same maxDf=200 stop-gram
     * cap — pure set arithmetic, fully ANSI-expressible. */
   private def ngramOracle: String = {
@@ -260,6 +279,28 @@ object PipelineQueries {
         Seq("lang"), "n_tokens", "quality", "doc_id", budget = 2000L)
         .select("doc_id", "lang", "n_tokens"),
       Some(tokenBudgetOracle)),
+    // concat-and-chunk packing into 512-token training sequences
+    Q("doc_pack",
+      (s, d) => operators.Mixing.packSequences(
+        scoredDocs(s, d).select("doc_id", "source", "n_tokens"),
+        Seq("source"), "n_tokens", "doc_id", seqLen = 512L)
+        .select("doc_id", "source", "pack_id", "pack_offset"),
+      Some(packOracle)),
+    // PII scrubbing: inject deterministic PII-shaped strings (the
+    // synthetic corpus has none), then redact — both engines apply the
+    // same ordered regex fold, so this cross-checks the scrub itself
+    Q("doc_pii_scrub",
+      (s, d) => {
+        val dirty = concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"), lit("@example.com id:"),
+          (col("doc_id") * 7919).cast("string"))
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.scrubPii(dirty).as("clean"),
+          size(regexp_extract_all(dirty,
+            lit(TextAnalysis.PiiPatterns.head._1), lit(0)))
+            .cast(LongType).as("n_emails"))
+      },
+      Some(piiScrubOracle)),
   )
 
   // ---------------------------------------------------------------------

@@ -56,4 +56,25 @@ object Mixing {
       .filter(col("__taken") < budget)
       .drop("__taken")
   }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * layout: within each group, documents are laid end to end in
+    * `idCol` order and the token stream is cut into fixed `seqLen`
+    * windows. Adds `pack_id` (which training sequence this document
+    * STARTS in) and `pack_offset` (its first token's position there);
+    * long documents straddle pack boundaries by construction, exactly
+    * like the real layout. One ranked window per group (groups are
+    * mixture cells — thousands, balanced); exact long arithmetic. */
+  def packSequences(df: DataFrame, groupCols: Seq[String], tokenCol: String,
+      idCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("pack_id", (col("__cum") - pmod(col("__cum"), lit(seqLen))) / seqLen)
+      .withColumn("pack_id", col("pack_id").cast("long"))
+      .withColumn("pack_offset", pmod(col("__cum"), lit(seqLen)))
+      .drop("__cum")
+  }
 }

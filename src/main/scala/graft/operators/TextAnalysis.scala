@@ -107,6 +107,27 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  // --- PII scrubbing -------------------------------------------------
+
+  /** Default redaction patterns, ordered (emails before bare digit
+    * runs so an address is one `<EMAIL>`, not fragments). Written in
+    * the common Java-regex/RE2 subset so an independent engine applies
+    * them identically (the DuckDB oracle does). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "[0-9]{4,}" -> "<NUM>")
+
+  /** Redact every `patterns` match in `text` (ordered fold of
+    * `regexp_replace`, each replacing ALL occurrences). Pure map-only
+    * projection — at 100 TB this is a single codegen'd scan stage, the
+    * cheapest possible shape for corpus-wide scrubbing. */
+  def scrubPii(text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, lit(p), lit(r))
+    }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * public algorithm): rolling window minima over character k-gram
     * hashes. Adds `fingerprints` (array<long>, the selected hashes) and

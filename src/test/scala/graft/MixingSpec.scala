@@ -48,4 +48,18 @@ class MixingSpec extends SparkSpec {
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(got == Map("en" -> 1L, "de" -> 1L))
   }
+
+  test("packSequences: concat-and-chunk layout, straddling documents included") {
+    val got = Mixing.packSequences(docs, Seq("lang"), "n_tokens", "doc_id", seqLen = 200L)
+      .select("lang", "doc_id", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // en stream (doc order 1,2,3,4; tokens 100,150,50,999): cumulative
+    // starts 0,100,250,300 → packs 0,0,1,1 at offsets 0,100,50,100.
+    // doc 2 straddles the 200 boundary (starts at 100, 150 tokens) —
+    // it still belongs to the pack holding its first token.
+    assert(got == Set(
+      ("en", 1L, 0L, 0L), ("en", 2L, 0L, 100L),
+      ("en", 3L, 1L, 50L), ("en", 4L, 1L, 100L),
+      ("de", 5L, 0L, 0L), ("de", 6L, 1L, 100L)))
+  }
 }

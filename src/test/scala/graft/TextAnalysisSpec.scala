@@ -68,4 +68,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(2L) > q(1L))
   }
+
+  test("scrubPii redacts emails, urls, and digit runs — in that order") {
+    val df = Seq(
+      (1L, "mail jane.doe+x@corp.example.org now"),
+      (2L, "see https://a.example.com/p?q=1 and http://b.io"),
+      (3L, "card 12345678 pin 123 ok"), // short runs (<4) survive
+      (4L, "reach bob@site.net or 99999"),
+      (5L, "nothing to hide here"),
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.scrubPii($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "see <URL> and <URL>")
+    assert(got(3L) == "card <NUM> pin 123 ok")
+    assert(got(4L) == "reach <EMAIL> or <NUM>") // email wins over its digits
+    assert(got(5L) == "nothing to hide here")
+  }
 }
