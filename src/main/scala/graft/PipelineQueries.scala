@@ -463,9 +463,41 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing (decode is a deterministic stub — see
-  // operators.Multimodal; the byte-count column is oracle-checked, the
-  // stub features are rows-only + spec-pinned)
+  // operators.Multimodal). The stub's 64-bit rolling hash is exact
+  // integer arithmetic, so DuckDB re-computes it with HUGEINT mod-2^64
+  // folds (the corpus is pure ASCII → ascii(char) == payload byte):
+  // even the STUB path is cross-engine verified, and a real codec swap
+  // only has to re-oracle the kernel, not the plumbing.
   // ---------------------------------------------------------------------
+
+  /** DuckDB: the stub's FNV-ish rolling hash h = h*31 + byte (mod 2^64)
+    * over the payload bytes, as unsigned HUGEINT. */
+  private val StubHashSql =
+    """list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |list_transform(generate_series(1, length(text)), i -> ascii(text[i:i])::HUGEINT)),
+      |(h, b) -> (h * 31 + b) % 18446744073709551616)""".stripMargin.replace("\n", " ")
+
+  /** Java-semantics arithmetic right shift + floorMod(·, 1000) on the
+    * SIGNED 64-bit view of the hash (DuckDB `//` truncates toward zero;
+    * Java `>>` floors — the CASE reconciles them for negatives). */
+  private def stubFeatureSql(shift: String): String =
+    s"""((((CASE WHEN hsg >= 0 THEN hsg // (1::HUGEINT << $shift)
+       |ELSE (hsg - ((1::HUGEINT << $shift) - 1)) // (1::HUGEINT << $shift) END) % 1000) + 1000) % 1000)""".stripMargin.replace("\n", " ")
+
+  private def mmFeaturesOracle: String =
+    s"""WITH h0 AS (SELECT doc_id, $StubHashSql AS hu FROM documents),
+       |hs AS (SELECT doc_id, hu, CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS hsg FROM h0)
+       |SELECT doc_id AS id, CAST(16 + hu % 1024 AS INTEGER) AS width, CAST(16 + (hu // 1024) % 1024 AS INTEGER) AS height,
+       |array_to_string(list_transform([0,1,2,3,4,5,6,7], i -> CAST(${stubFeatureSql("(i*7)")} AS VARCHAR)), ',') AS features_q
+       |FROM hs""".stripMargin.replace("\n", " ")
+
+  private def mmResizeOracle: String =
+    s"""WITH h0 AS (SELECT doc_id, $StubHashSql AS hu FROM documents),
+       |wh AS (SELECT doc_id, CAST(16 + hu % 1024 AS INTEGER) AS w, CAST(16 + (hu // 1024) % 1024 AS INTEGER) AS h FROM h0),
+       |sc AS (SELECT doc_id, w, h, least(1.0, least(64.0 / w, 64.0 / h)) AS scale FROM wh)
+       |SELECT doc_id AS id, CAST(greatest(1, CAST(trunc(w * scale) AS INTEGER)) AS INTEGER) AS width,
+       |CAST(greatest(1, CAST(trunc(h * scale) AS INTEGER)) AS INTEGER) AS height FROM sc""".stripMargin.replace("\n", " ")
+
   private def withPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", col("text").cast("binary"))
 
@@ -486,13 +518,13 @@ object PipelineQueries {
           concat_ws(",", transform(col("features"),
             f => round(f.cast(DoubleType) * 1000).cast(LongType).cast("string")))
             .as("features_q")),
-      None),
+      Some(mmFeaturesOracle)),
     Q("mm_resize",
       (s, d) => operators.Multimodal
         .resizeTo(withPayload(t(s, d, "documents")), "doc_id", "payload",
           maxW = 64, maxH = 64)
         .select("id", "width", "height"),
-      None),
+      Some(mmResizeOracle)),
     Q("mm_frame_sample",
       (s, d) => operators.Multimodal
         .sampleFrames(withPayload(t(s, d, "documents")), "doc_id", "payload", stride = 128)
