@@ -79,6 +79,60 @@ class PropertySpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("packSequences invariants: offsets in range, packs dense, cum-consistent") {
+    import graft.operators.Mixing
+    val docsGen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 600L)))
+    check("pack", Prop.forAll(docsGen, Gen.chooseNum(64L, 512L)) { (toks, seqLen) =>
+      val rows = toks.zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }
+      val got = Mixing.packSequences(rows.toDF("doc_id", "grp", "n_tokens"),
+        Seq("grp"), "n_tokens", "doc_id", seqLen)
+        .select("doc_id", "pack_id", "pack_offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      // model: running token offset in doc order
+      val cums = rows.map(_._3).scanLeft(0L)(_ + _)
+      got.zip(cums).forall { case ((_, pid, off), cum) =>
+        pid == cum / seqLen && off == cum % seqLen && off >= 0 && off < seqLen
+      }
+    }, cases = 10)
+  }
+
+  test("tokenBudgetPerGroup: monotone in budget, always ⊆ input, per-group prefix") {
+    import graft.operators.Mixing
+    val docsGen = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 300L), Gen.chooseNum(0, 3))))
+    check("budget", Prop.forAll(docsGen, Gen.chooseNum(50L, 500L)) { (docs, b) =>
+      val rows = docs.zipWithIndex.map { case ((t, g), i) =>
+        (i.toLong, s"g$g", t, (i % 7).toDouble) }
+      val df = rows.toDF("doc_id", "grp", "n_tokens", "score")
+      def ids(budget: Long): Set[Long] =
+        Mixing.tokenBudgetPerGroup(df, Seq("grp"), "n_tokens", "score",
+          "doc_id", budget).select("doc_id").as[Long].collect().toSet
+      val small = ids(b); val big = ids(b * 2)
+      // model: per group, walk score DESC / id ASC, keep while taken < b
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (-r._4, r._1))
+        val cums = ordered.map(_._3).scanLeft(0L)(_ + _)
+        ordered.zip(cums).collect { case (r, taken) if taken < b => r._1 }
+      }.toSet
+      small == want && small.subsetOf(big)
+    }, cases = 10)
+  }
+
+  test("scrubPii is idempotent (replacement tokens never re-match)") {
+    import graft.operators.TextAnalysis
+    val textGen = Gen.listOf(Gen.oneOf(
+      "hello", "a@b.co", "12345", "https://x.io/p", "x", "9@9.9x", "...",
+      "bob@site.example.net", "123", "+1-202-555-0144")).map(_.mkString(" "))
+    check("scrub", Prop.forAll(textGen) { t =>
+      val df = Seq(Tuple1(t)).toDF("text")
+      val once = df.select(TextAnalysis.scrubPii(col("text"))).as[String].head()
+      val twice = Seq(Tuple1(once)).toDF("text")
+        .select(TextAnalysis.scrubPii(col("text"))).as[String].head()
+      once == twice
+    }, cases = 15)
+  }
+
   test("asofJoin equals the scan model (unique right timestamps)") {
     val rightGen = Gen.chooseNum(0, 30).flatMap(n =>
       Gen.pick(n, 0 until 200).map(_.toList))
