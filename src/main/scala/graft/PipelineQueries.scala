@@ -142,6 +142,197 @@ object PipelineQueries {
        |SELECT doc_id, lang, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken FROM q)
        |WHERE taken < 2000""".stripMargin.replace("\n", " ")
 
+  // ---------------------------------------------------------------------
+  // xxHash64 re-implemented in DuckDB SQL (HUGEINT mod-2^64 arithmetic)
+  // so even the hash-based pipelines get independent oracles. Public
+  // algorithm (Collet's xxHash, seed 42 = Spark's xxhash64). Only the
+  // ≤8-byte single-chunk path is generated — winnowing grams are
+  // exactly k=8 ASCII chars (and every corpus doc is ≥ 44 chars).
+  // ---------------------------------------------------------------------
+  private object Xxh64Sql {
+    val M64 = "18446744073709551616"
+    // (a*b) mod 2^64 without int128 overflow: 32-bit split multiply
+    def mulmod(a: String, b: String): String =
+      s"((($a % 4294967296) * ($b % 4294967296) + " +
+        s"((($a % 4294967296) * ($b // 4294967296) + ($a // 4294967296) * ($b % 4294967296)) % 4294967296) * 4294967296) % $M64)"
+    def rotl(x: String, r: Int): String =
+      s"((($x) * ${java.math.BigInteger.ONE.shiftLeft(r)} + ($x) // ${java.math.BigInteger.ONE.shiftLeft(64 - r)}) % $M64)"
+    // 64-bit xor via the signed BIGINT view
+    def xor64(a: String, b: String): String = {
+      def sgn(v: String) = s"(CASE WHEN ($v) >= 9223372036854775808 THEN ($v) - $M64 ELSE ($v) END)::BIGINT"
+      s"(CASE WHEN xor(${sgn(a)}, ${sgn(b)}) < 0 THEN xor(${sgn(a)}, ${sgn(b)})::HUGEINT + $M64 ELSE xor(${sgn(a)}, ${sgn(b)})::HUGEINT END)"
+    }
+    val P1 = "11400714785074694791"; val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161"; val P4 = "9650029242287828579"
+    val P5 = "2870177450012600261"
+    /** acc0 = (42 + PRIME64_5 + len) mod 2^64 for len = 8. */
+    val Acc0Len8 = "2870177450012600311"
+    /** 42 + PRIME64_5 (add the length per row). */
+    val SeedPlusP5 = "2870177450012600303"
+
+    private def pow2(k: Int) = java.math.BigInteger.ONE.shiftLeft(k).toString
+
+    /** CTE block hashing a ≤8-char ASCII `tok` column (input CTE
+      * `<p>src`(doc_id, tok)) through the xxh64 short path — one
+      * optional 8-byte chunk, one optional 4-byte chunk, ≤3 tail
+      * bytes, avalanche — ending in `<p>h`(doc_id, hu). Each round is
+      * its own staged column, so generated SQL stays linear-size. */
+    def tokenHashStages(p: String): String = {
+      def ch(k: Int) = (0 until k).map(j =>
+        s"ascii(tok[${j + 1}:${j + 1}])::HUGEINT * ${pow2(8 * j)}").mkString(" + ")
+      val sb = new StringBuilder
+      sb ++= s"${p}0 AS (SELECT doc_id, tok, length(tok) AS n, ($SeedPlusP5 + length(tok)) % $M64 AS acc0 FROM ${p}src),\n"
+      sb ++= s"${p}c8 AS (SELECT *, CASE WHEN n = 8 THEN ${ch(8)} ELSE 0 END AS c8 FROM ${p}0),\n"
+      sb ++= s"${p}k8 AS (SELECT *, ${mulmod(rotl(mulmod("c8", P2), 31), P1)} AS k8 FROM ${p}c8),\n"
+      sb ++= s"${p}x8 AS (SELECT *, ${xor64("acc0", "k8")} AS x8 FROM ${p}k8),\n"
+      sb ++= s"${p}a1 AS (SELECT *, CASE WHEN n = 8 THEN (${mulmod(rotl("x8", 27), P1)} + $P4) % $M64 ELSE acc0 END AS a1 FROM ${p}x8),\n"
+      sb ++= s"${p}c4 AS (SELECT *, CASE WHEN n >= 4 AND n < 8 THEN ${ch(4)} ELSE 0 END AS c4 FROM ${p}a1),\n"
+      sb ++= s"${p}x4 AS (SELECT *, ${xor64("a1", s"((c4 * $P1) % $M64)")} AS x4 FROM ${p}c4),\n"
+      sb ++= s"${p}a2 AS (SELECT *, CASE WHEN n >= 4 AND n < 8 THEN (${mulmod(rotl("x4", 23), P2)} + $P3) % $M64 ELSE a1 END AS a2 FROM ${p}x4),\n"
+      var prev = "a2"
+      for (i <- 1 to 3) {
+        val guard = s"(CASE WHEN n < 4 THEN n >= $i ELSE n < 8 AND n - 4 >= $i END)"
+        val pos = s"(CASE WHEN n < 4 THEN $i ELSE ${4 + i} END)"
+        val from = if (i == 1) s"${p}a2" else s"${p}a${i + 1}"
+        sb ++= s"${p}p$i AS (SELECT *, CASE WHEN $guard THEN ascii(tok[$pos:$pos])::HUGEINT ELSE 0 END AS bt$i FROM $from),\n"
+        sb ++= s"${p}xb$i AS (SELECT *, ${xor64(prev, s"((bt$i * $P5) % $M64)")} AS xb$i FROM ${p}p$i),\n"
+        sb ++= s"${p}a${i + 2} AS (SELECT *, CASE WHEN $guard THEN ${mulmod(rotl(s"xb$i", 11), P1)} ELSE $prev END AS a${i + 2} FROM ${p}xb$i),\n"
+        prev = s"a${i + 2}"
+      }
+      sb ++= s"${p}v1 AS (SELECT *, ${xor64("a5", s"(a5 // ${1L << 33})")} AS v1 FROM ${p}a5),\n"
+      sb ++= s"${p}v2 AS (SELECT *, ${mulmod("v1", P2)} AS v2 FROM ${p}v1),\n"
+      sb ++= s"${p}v3 AS (SELECT *, ${xor64("v2", s"(v2 // ${1L << 29})")} AS v3 FROM ${p}v2),\n"
+      sb ++= s"${p}v4 AS (SELECT *, ${mulmod("v3", P3)} AS v4 FROM ${p}v3),\n"
+      sb ++= s"${p}h AS (SELECT doc_id, ${xor64("v4", s"(v4 // ${1L << 32})")} AS hu FROM ${p}v4)"
+      sb.toString
+    }
+
+    /** General ≤31-byte short path, seed-parameterized: input CTE
+      * `<p>src`(doc_id, sh, fi, seed) — `seed` an unsigned-HUGEINT
+      * column — ends in `<p>h`(doc_id, fi, hs) with the SIGNED hash.
+      * Up to three 8-byte rounds, one 4-byte round, three tail bytes:
+      * the offsets are the xxh64 spec's (tail starts at n − n%4). */
+    def seededShortHashStages(p: String): String = {
+      def ch(off: String, k: Int) = (0 until k).map(j =>
+        s"ascii(sh[($off + ${j + 1}):($off + ${j + 1})])::HUGEINT * ${pow2(8 * j)}").mkString(" + ")
+      val sb = new StringBuilder
+      sb ++= s"${p}0 AS (SELECT doc_id, sh, fi, length(sh) AS n, (seed + $P5 + length(sh)) % $M64 AS a0 FROM ${p}src),\n"
+      var prev = "a0"
+      for (c <- 1 to 3) {
+        val guard = s"n >= ${8 * c}"
+        sb ++= s"${p}c$c AS (SELECT *, CASE WHEN $guard THEN ${ch((8 * (c - 1)).toString, 8)} ELSE 0 END AS ch$c FROM ${p}${if (c == 1) "0" else s"r${c - 1}"}),\n"
+        sb ++= s"${p}k$c AS (SELECT *, ${mulmod(rotl(mulmod(s"ch$c", P2), 31), P1)} AS k$c FROM ${p}c$c),\n"
+        sb ++= s"${p}x$c AS (SELECT *, ${xor64(prev, s"k$c")} AS x$c FROM ${p}k$c),\n"
+        sb ++= s"${p}r$c AS (SELECT *, CASE WHEN $guard THEN (${mulmod(rotl(s"x$c", 27), P1)} + $P4) % $M64 ELSE $prev END AS r$c FROM ${p}x$c),\n"
+        prev = s"r$c"
+      }
+      sb ++= s"${p}c4 AS (SELECT *, CASE WHEN n % 8 >= 4 THEN ${ch("(n - n % 8)", 4)} ELSE 0 END AS ch4 FROM ${p}r3),\n"
+      sb ++= s"${p}x4 AS (SELECT *, ${xor64("r3", s"((ch4 * $P1) % $M64)")} AS x4 FROM ${p}c4),\n"
+      sb ++= s"${p}r4 AS (SELECT *, CASE WHEN n % 8 >= 4 THEN (${mulmod(rotl("x4", 23), P2)} + $P3) % $M64 ELSE r3 END AS r4 FROM ${p}x4),\n"
+      prev = "r4"
+      for (i <- 1 to 3) {
+        val guard = s"n % 4 >= $i"
+        val pos = s"(n - n % 4 + $i)"
+        sb ++= s"${p}b$i AS (SELECT *, CASE WHEN $guard THEN ascii(sh[$pos:$pos])::HUGEINT ELSE 0 END AS bt$i FROM ${p}${if (i == 1) "r4" else s"t${i - 1}"}),\n"
+        sb ++= s"${p}y$i AS (SELECT *, ${xor64(prev, s"((bt$i * $P5) % $M64)")} AS y$i FROM ${p}b$i),\n"
+        sb ++= s"${p}t$i AS (SELECT *, CASE WHEN $guard THEN ${mulmod(rotl(s"y$i", 11), P1)} ELSE $prev END AS t$i FROM ${p}y$i),\n"
+        prev = s"t$i"
+      }
+      sb ++= s"${p}w1 AS (SELECT *, ${xor64("t3", s"(t3 // ${1L << 33})")} AS w1 FROM ${p}t3),\n"
+      sb ++= s"${p}w2 AS (SELECT *, ${mulmod("w1", P2)} AS w2 FROM ${p}w1),\n"
+      sb ++= s"${p}w3 AS (SELECT *, ${xor64("w2", s"(w2 // ${1L << 29})")} AS w3 FROM ${p}w2),\n"
+      sb ++= s"${p}w4 AS (SELECT *, ${mulmod("w3", P3)} AS w4 FROM ${p}w3),\n"
+      sb ++= s"${p}w5 AS (SELECT *, ${xor64("w4", s"(w4 // ${1L << 32})")} AS hu FROM ${p}w4),\n"
+      sb ++= s"${p}h AS (SELECT doc_id, fi, (CASE WHEN hu >= 9223372036854775808 THEN hu - $M64 ELSE hu END)::BIGINT AS hs FROM ${p}w5)"
+      sb.toString
+    }
+  }
+
+  /** MinHash+LSH near-duplicates fully re-derived in DuckDB: word-3-gram
+    * shingles, 64 chained-seed xxh64 families (seed_i = xxh64(long i) —
+    * precomputed constants, same chaining Spark's multi-arg xxhash64
+    * uses), per-family minima, 16×4 banding by exact slice equality
+    * (Spark bands by slice HASH — identical output short of a 2⁻⁶⁴
+    * collision), and exact shingle-set jaccard verification. Shingles
+    * here are ≤26 ASCII bytes (≤8-char corpus tokens), inside the
+    * generator's ≤31-byte path. */
+  private def minhashOracle: String = {
+    import Xxh64Sql._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seeds = (0 until 64).map { i =>
+      // family column is an INT literal → Spark's 4-byte hashInt path
+      val s = XXH64.hashInt(i, 42L)
+      java.math.BigInteger.valueOf(s).add(
+        if (s < 0) java.math.BigInteger.ONE.shiftLeft(64) else java.math.BigInteger.ZERO)
+    }
+    val famList = (0 until 64).mkString("[", ", ", "]")
+    val seedList = seeds.map(_.toString + "::HUGEINT").mkString("[", ", ", "]")
+    val shingles =
+      """list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+        |i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin.replace("\n", " ")
+    s"""WITH mtk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
+       |msh AS (SELECT doc_id, unnest($shingles) AS sh FROM mtk),
+       |mfam AS (SELECT unnest($famList) AS fi, unnest($seedList) AS seed),
+       |mhsrc AS (SELECT m.doc_id, m.sh, f.fi, f.seed FROM msh m CROSS JOIN mfam f),
+       |${seededShortHashStages("mh")},
+       |msig AS (SELECT doc_id, fi, min(hs) AS m FROM mhh GROUP BY doc_id, fi),
+       |mband AS (SELECT doc_id, fi // 4 AS band, list(m ORDER BY fi) AS s4 FROM msig GROUP BY doc_id, fi // 4),
+       |mcand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM mband x JOIN mband y ON x.band = y.band AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
+       |mfull AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM msig GROUP BY doc_id),
+       |msets AS (SELECT doc_id, list(sh) AS shs FROM msh GROUP BY doc_id),
+       |mres AS (SELECT ida, idb,
+       |CAST(list_sum(list_transform(generate_series(1, 64), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard,
+       |CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE) / len(list_distinct(list_concat(pa.shs, pb.shs))) AS jaccard
+       |FROM mcand JOIN mfull sa ON sa.doc_id = ida JOIN mfull sb ON sb.doc_id = idb
+       |JOIN msets pa ON pa.doc_id = ida JOIN msets pb ON pb.doc_id = idb)
+       |SELECT ida AS a, idb AS b, est_jaccard, jaccard FROM mres WHERE jaccard >= 0.7""".stripMargin.replace("\n", " ")
+  }
+
+  /** SimHash near-pairs fully re-derived in DuckDB: per-token xxh64
+    * (short path — corpus tokens are ≤8 ASCII chars), 64 bit-votes,
+    * sign assembly, then a quadratic hamming check (the oracle can
+    * afford O(n²) at sf0.01; the Spark operator's pigeonhole buckets
+    * are the scale path, same output). */
+  private def simhashOracle: String = {
+    import Xxh64Sql._
+    s"""WITH shsrc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS tok FROM documents),
+       |${tokenHashStages("sh")},
+       |shb AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b, hu FROM shh),
+       |shv AS (SELECT doc_id, b, SUM(CASE WHEN (hu // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v FROM shb GROUP BY doc_id, b),
+       |shg AS (SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS HUGEINT) AS su FROM shv GROUP BY doc_id),
+       |shs AS (SELECT doc_id, (CASE WHEN su >= 9223372036854775808 THEN su - $M64 ELSE su END)::BIGINT AS h FROM shg)
+       |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+       |FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.h, y.h)) <= 3""".stripMargin.replace("\n", " ")
+  }
+
+  /** Winnowing fingerprints (k=8, window=4) fully re-derived in DuckDB:
+    * per-gram xxh64, sliding window minima, distinct, then
+    * order-independent digests (count / min / max / xor) that match the
+    * Spark projection exactly. */
+  private def fingerprintOracle: String = {
+    import Xxh64Sql._
+    val chunk = (0 until 8).map(j =>
+      s"ascii(g[${j + 1}:${j + 1}])::HUGEINT * ${java.math.BigInteger.ONE.shiftLeft(8 * j)}").mkString(" + ")
+    s"""WITH fg0 AS (SELECT doc_id, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i, text FROM documents),
+       |fg1 AS (SELECT doc_id, i, substring(text, i, 8) AS g FROM fg0),
+       |fc AS (SELECT doc_id, i, ($chunk) AS ch FROM fg1),
+       |fs1 AS (SELECT doc_id, i, ${mulmod(rotl(mulmod("ch", P2), 31), P1)} AS k FROM fc),
+       |fs2 AS (SELECT doc_id, i, ${xor64(Acc0Len8, "k")} AS a1 FROM fs1),
+       |fs3 AS (SELECT doc_id, i, (${mulmod(rotl("a1", 27), P1)} + $P4) % $M64 AS a3 FROM fs2),
+       |fv1 AS (SELECT doc_id, i, ${xor64("a3", s"(a3 // ${1L << 33})")} AS b1 FROM fs3),
+       |fv2 AS (SELECT doc_id, i, ${mulmod("b1", P2)} AS b2 FROM fv1),
+       |fv3 AS (SELECT doc_id, i, ${xor64("b2", s"(b2 // ${1L << 29})")} AS b3 FROM fv2),
+       |fv4 AS (SELECT doc_id, i, ${mulmod("b3", P3)} AS b4 FROM fv3),
+       |fv5 AS (SELECT doc_id, i, ${xor64("b4", s"(b4 // ${1L << 32})")} AS hu FROM fv4),
+       |fh AS (SELECT doc_id, i, (CASE WHEN hu >= 9223372036854775808 THEN hu - $M64 ELSE hu END)::BIGINT AS hs FROM fv5),
+       |fw AS (SELECT doc_id, i, min(hs) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+       |count(*) OVER (PARTITION BY doc_id) AS cnt FROM fh),
+       |fd AS (SELECT DISTINCT doc_id, wm FROM fw WHERE i <= greatest(cnt - 3, 1))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(wm) AS fp_min, max(wm) AS fp_max, bit_xor(wm) AS fp_xor
+       |FROM fd GROUP BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   private def packOracle: String =
     s"""WITH q AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
        |c AS (SELECT doc_id, source, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM q)
@@ -221,11 +412,18 @@ object PipelineQueries {
     Q("doc_fingerprint",
       // the documents file is a single split locally; spread the
       // CPU-heavy winnowing projection over all cores (a real corpus
-      // has natural splits and would skip this)
+      // has natural splits and would skip this). Registered output:
+      // order-independent digests of the fingerprint SET, so the DuckDB
+      // re-derivation (xxh64 in SQL) can hash-match; the doc_fp digest
+      // stays in the withFingerprints API (spec-pinned).
       (s, d) => TextAnalysis.withFingerprints(
           t(s, d, "documents").repartition(s.sparkContext.defaultParallelism))
-        .select(col("doc_id"), col("doc_fp"), size(col("fingerprints")).cast(LongType).as("n_fp")),
-      None),
+        .select(col("doc_id"),
+          size(col("fingerprints")).cast(LongType).as("n_fp"),
+          array_min(col("fingerprints")).as("fp_min"),
+          array_max(col("fingerprints")).as("fp_max"),
+          expr("aggregate(fingerprints, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor")),
+      Some(fingerprintOracle)),
   )
 
   // ---------------------------------------------------------------------
@@ -246,11 +444,11 @@ object PipelineQueries {
     Q("dedup_minhash",
       (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.7).orderBy("a", "b"),
-      None, bench = true),
+      Some(minhashOracle), bench = true),
     Q("dedup_simhash",
       (s, d) => Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3).orderBy("a", "b"),
-      None),
+      Some(simhashOracle)),
     Q("dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
