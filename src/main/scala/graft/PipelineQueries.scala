@@ -207,35 +207,43 @@ object PipelineQueries {
       sb.toString
     }
 
-    /** General ≤31-byte short path, seed-parameterized: input CTE
-      * `<p>src`(doc_id, sh, fi, seed) — `seed` an unsigned-HUGEINT
-      * column — ends in `<p>h`(doc_id, fi, hs) with the SIGNED hash.
-      * Up to three 8-byte rounds, one 4-byte round, three tail bytes:
-      * the offsets are the xxh64 spec's (tail starts at n − n%4). */
+    /** General ≤31-byte short path, seed-parameterized, in two phases:
+      * everything fi-INDEPENDENT — chunk words and their fully-mixed
+      * round values k_c, m4, mb_i (the xxh64 round functions don't see
+      * the seed) — is computed ONCE per distinct input string (input
+      * CTE `<p>dist`(sh)), and only the cheap accumulator chain runs on
+      * the ×families cross join (`<p>fam`(fi, seed)). Ends in
+      * `<p>h`(sh, fi, hs) with the SIGNED hash. Offsets per the xxh64
+      * spec (8-byte stripes, 4-byte word, tail starts at n − n%4). */
     def seededShortHashStages(p: String): String = {
       def ch(off: String, k: Int) = (0 until k).map(j =>
         s"ascii(sh[($off + ${j + 1}):($off + ${j + 1})])::HUGEINT * ${pow2(8 * j)}").mkString(" + ")
       val sb = new StringBuilder
-      sb ++= s"${p}0 AS (SELECT doc_id, sh, fi, length(sh) AS n, (seed + $P5 + length(sh)) % $M64 AS a0 FROM ${p}src),\n"
+      // ---- phase 1: per distinct string ----
+      sb ++= s"${p}n0 AS (SELECT sh, length(sh) AS n FROM ${p}dist),\n"
+      for (c <- 1 to 3) {
+        sb ++= s"${p}c$c AS (SELECT *, CASE WHEN n >= ${8 * c} THEN ${ch((8 * (c - 1)).toString, 8)} ELSE 0 END AS ch$c FROM ${p}${if (c == 1) "n0" else s"k${c - 1}"}),\n"
+        sb ++= s"${p}k$c AS (SELECT *, ${mulmod(rotl(mulmod(s"ch$c", P2), 31), P1)} AS k$c FROM ${p}c$c),\n"
+      }
+      sb ++= s"${p}m4 AS (SELECT *, ((CASE WHEN n % 8 >= 4 THEN ${ch("(n - n % 8)", 4)} ELSE 0 END) * $P1) % $M64 AS m4 FROM ${p}k3),\n"
+      for (i <- 1 to 3) {
+        val pos = s"(n - n % 4 + $i)"
+        sb ++= s"${p}mb$i AS (SELECT *, ((CASE WHEN n % 4 >= $i THEN ascii(sh[$pos:$pos])::HUGEINT ELSE 0 END) * $P5) % $M64 AS mb$i FROM ${p}${if (i == 1) "m4" else s"mb${i - 1}"}),\n"
+      }
+      // ---- phase 2: accumulator chain per (string, family) ----
+      sb ++= s"${p}q0 AS (SELECT d.*, f.fi, (f.seed + $P5 + d.n) % $M64 AS a0 FROM ${p}mb3 d CROSS JOIN ${p}fam f),\n"
       var prev = "a0"
       for (c <- 1 to 3) {
-        val guard = s"n >= ${8 * c}"
-        sb ++= s"${p}c$c AS (SELECT *, CASE WHEN $guard THEN ${ch((8 * (c - 1)).toString, 8)} ELSE 0 END AS ch$c FROM ${p}${if (c == 1) "0" else s"r${c - 1}"}),\n"
-        sb ++= s"${p}k$c AS (SELECT *, ${mulmod(rotl(mulmod(s"ch$c", P2), 31), P1)} AS k$c FROM ${p}c$c),\n"
-        sb ++= s"${p}x$c AS (SELECT *, ${xor64(prev, s"k$c")} AS x$c FROM ${p}k$c),\n"
-        sb ++= s"${p}r$c AS (SELECT *, CASE WHEN $guard THEN (${mulmod(rotl(s"x$c", 27), P1)} + $P4) % $M64 ELSE $prev END AS r$c FROM ${p}x$c),\n"
+        sb ++= s"${p}x$c AS (SELECT *, ${xor64(prev, s"k$c")} AS x$c FROM ${p}${if (c == 1) "q0" else s"r${c - 1}"}),\n"
+        sb ++= s"${p}r$c AS (SELECT *, CASE WHEN n >= ${8 * c} THEN (${mulmod(rotl(s"x$c", 27), P1)} + $P4) % $M64 ELSE $prev END AS r$c FROM ${p}x$c),\n"
         prev = s"r$c"
       }
-      sb ++= s"${p}c4 AS (SELECT *, CASE WHEN n % 8 >= 4 THEN ${ch("(n - n % 8)", 4)} ELSE 0 END AS ch4 FROM ${p}r3),\n"
-      sb ++= s"${p}x4 AS (SELECT *, ${xor64("r3", s"((ch4 * $P1) % $M64)")} AS x4 FROM ${p}c4),\n"
+      sb ++= s"${p}x4 AS (SELECT *, ${xor64("r3", "m4")} AS x4 FROM ${p}r3),\n"
       sb ++= s"${p}r4 AS (SELECT *, CASE WHEN n % 8 >= 4 THEN (${mulmod(rotl("x4", 23), P2)} + $P3) % $M64 ELSE r3 END AS r4 FROM ${p}x4),\n"
       prev = "r4"
       for (i <- 1 to 3) {
-        val guard = s"n % 4 >= $i"
-        val pos = s"(n - n % 4 + $i)"
-        sb ++= s"${p}b$i AS (SELECT *, CASE WHEN $guard THEN ascii(sh[$pos:$pos])::HUGEINT ELSE 0 END AS bt$i FROM ${p}${if (i == 1) "r4" else s"t${i - 1}"}),\n"
-        sb ++= s"${p}y$i AS (SELECT *, ${xor64(prev, s"((bt$i * $P5) % $M64)")} AS y$i FROM ${p}b$i),\n"
-        sb ++= s"${p}t$i AS (SELECT *, CASE WHEN $guard THEN ${mulmod(rotl(s"y$i", 11), P1)} ELSE $prev END AS t$i FROM ${p}y$i),\n"
+        sb ++= s"${p}y$i AS (SELECT *, ${xor64(prev, s"mb$i")} AS y$i FROM ${p}${if (i == 1) "r4" else s"t${i - 1}"}),\n"
+        sb ++= s"${p}t$i AS (SELECT *, CASE WHEN n % 4 >= $i THEN ${mulmod(rotl(s"y$i", 11), P1)} ELSE $prev END AS t$i FROM ${p}y$i),\n"
         prev = s"t$i"
       }
       sb ++= s"${p}w1 AS (SELECT *, ${xor64("t3", s"(t3 // ${1L << 33})")} AS w1 FROM ${p}t3),\n"
@@ -243,7 +251,7 @@ object PipelineQueries {
       sb ++= s"${p}w3 AS (SELECT *, ${xor64("w2", s"(w2 // ${1L << 29})")} AS w3 FROM ${p}w2),\n"
       sb ++= s"${p}w4 AS (SELECT *, ${mulmod("w3", P3)} AS w4 FROM ${p}w3),\n"
       sb ++= s"${p}w5 AS (SELECT *, ${xor64("w4", s"(w4 // ${1L << 32})")} AS hu FROM ${p}w4),\n"
-      sb ++= s"${p}h AS (SELECT doc_id, fi, (CASE WHEN hu >= 9223372036854775808 THEN hu - $M64 ELSE hu END)::BIGINT AS hs FROM ${p}w5)"
+      sb ++= s"${p}h AS (SELECT sh, fi, (CASE WHEN hu >= 9223372036854775808 THEN hu - $M64 ELSE hu END)::BIGINT AS hs FROM ${p}w5)"
       sb.toString
     }
   }
@@ -272,10 +280,10 @@ object PipelineQueries {
         |i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin.replace("\n", " ")
     s"""WITH mtk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
        |msh AS (SELECT doc_id, unnest($shingles) AS sh FROM mtk),
-       |mfam AS (SELECT unnest($famList) AS fi, unnest($seedList) AS seed),
-       |mhsrc AS (SELECT m.doc_id, m.sh, f.fi, f.seed FROM msh m CROSS JOIN mfam f),
+       |mhdist AS (SELECT DISTINCT sh FROM msh),
+       |mhfam AS (SELECT unnest($famList) AS fi, unnest($seedList) AS seed),
        |${seededShortHashStages("mh")},
-       |msig AS (SELECT doc_id, fi, min(hs) AS m FROM mhh GROUP BY doc_id, fi),
+       |msig AS (SELECT m.doc_id, h.fi, min(h.hs) AS m FROM msh m JOIN mhh h ON h.sh = m.sh GROUP BY m.doc_id, h.fi),
        |mband AS (SELECT doc_id, fi // 4 AS band, list(m ORDER BY fi) AS s4 FROM msig GROUP BY doc_id, fi // 4),
        |mcand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM mband x JOIN mband y ON x.band = y.band AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
        |mfull AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM msig GROUP BY doc_id),
