@@ -100,6 +100,56 @@ object PipelineQueries {
        |WHERE rank <= 10""".stripMargin.replace("\n", " ")
   }
 
+  /** The entire IVF pipeline re-derived in DuckDB — including Lloyd's
+    * k-means itself: the hash-ordered training sample (xxh64 of the
+    * BIGINT id — the 8-byte chunk of a long IS its unsigned value), 10
+    * unrolled assign/average iterations with every float accumulation
+    * an ORDERED list_sum (bit-identical to the Scala trainer's
+    * sequential loops — verified, not assumed), then cell assignment
+    * with the same ‖v‖²−2v·c+‖c‖² expression order, nProbe=4 probe
+    * cells, and exact-cosine re-rank. MATERIALIZED on the per-iteration
+    * CTEs — each references its predecessor twice, and without it the
+    * inlined 10-level chain re-evaluates exponentially. */
+  private def ivfOracle: String = {
+    import Xxh64Sql._
+    val dist64 = "list_sum(list_transform(generate_series(1, 64), j -> (s.v[j] - c.clist[j]) * (s.v[j] - c.clist[j])))"
+    val iters = new StringBuilder
+    var prev = "ivc0"
+    for (t <- 1 to 10) {
+      iters ++= s"""iva$t AS MATERIALIZED (SELECT pos, v, cell FROM (
+        |SELECT s.pos, s.v, c.cell, row_number() OVER (PARTITION BY s.pos ORDER BY $dist64 ASC, c.cell ASC) AS rn
+        |FROM ivsamp s CROSS JOIN $prev c) WHERE rn = 1),
+        |ivn$t AS (SELECT cell, count(*) AS cnt FROM iva$t GROUP BY cell),
+        |ive$t AS (SELECT a.cell, d.j, list_sum(list(a.v[d.j] ORDER BY a.pos)) AS sm FROM iva$t a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) d GROUP BY a.cell, d.j),
+        |ivm$t AS (SELECT e.cell, list(e.sm / n.cnt ORDER BY e.j) AS ml FROM ive$t e JOIN ivn$t n ON n.cell = e.cell GROUP BY e.cell),
+        |ivc$t AS MATERIALIZED (SELECT p.cell, COALESCE(m.ml, p.clist) AS clist FROM $prev p LEFT JOIN ivm$t m ON m.cell = p.cell),
+        |""".stripMargin
+      prev = s"ivc$t"
+    }
+    val hfinal = xor64("b4", s"(b4 // ${1L << 32})")
+    s"""WITH ivv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ivk AS (SELECT vec_id, v, ${mulmod(rotl(mulmod("(vec_id::HUGEINT)", P2), 31), P1)} AS k FROM ivv),
+       |ivx AS (SELECT vec_id, v, (${mulmod(rotl(xor64(Acc0Len8, "k"), 27), P1)} + $P4) % $M64 AS a3 FROM ivk),
+       |ivy AS (SELECT vec_id, v, ${mulmod(xor64("a3", s"(a3 // ${1L << 33})"), P2)} AS b2 FROM ivx),
+       |ivz AS (SELECT vec_id, v, ${mulmod(xor64("b2", s"(b2 // ${1L << 29})"), P3)} AS b4 FROM ivy),
+       |ivh AS (SELECT vec_id, v, (CASE WHEN $hfinal >= 9223372036854775808 THEN $hfinal - $M64 ELSE $hfinal END)::BIGINT AS hs FROM ivz),
+       |ivs0 AS (SELECT vec_id, v, row_number() OVER (ORDER BY hs ASC, vec_id ASC) AS pos FROM ivh),
+       |ivsamp AS MATERIALIZED (SELECT * FROM ivs0 WHERE pos <= 4096),
+       |ivc0 AS MATERIALIZED (SELECT c.cell, s.v AS clist FROM (SELECT unnest(generate_series(0, 15)) AS cell) c
+       |JOIN ivsamp s ON s.pos = (c.cell * (SELECT count(*) FROM ivsamp)) // 16 + 1),
+       |${iters}ivcn AS MATERIALIZED (SELECT cell, clist, list_sum(list_transform(clist, x -> x * x)) AS cnorm FROM ivc10),
+       |ivvn AS (SELECT vec_id, v, list_dot_product(v, v) AS vn FROM ivv),
+       |ivd AS MATERIALIZED (SELECT t.vec_id, t.v, c.cell, (t.vn - 2.0 * list_dot_product(t.v, c.clist)) + c.cnorm AS d
+       |FROM ivvn t CROSS JOIN ivcn c),
+       |ivcell AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd) WHERE rn = 1),
+       |ivpc AS (SELECT vec_id AS probe_id, v AS pv, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd WHERE vec_id < 10) WHERE rn <= 4),
+       |ivscored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, ${cosSql("p.pv", "c.v")} AS cosine
+       |FROM ivcell c JOIN ivpc p ON p.cell = c.cell WHERE c.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ivscored)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+  }
+
   private def annBruteOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 10),
@@ -543,7 +593,7 @@ object PipelineQueries {
         Similarity.ivfTopK(e, probes(e), "vec_id", "embedding", k = 10)
           .withColumn("rank", col("rank").cast(LongType))
       },
-      None),
+      Some(ivfOracle)),
     // Banded LSH with LCG hyperplanes: the plane generation is exact
     // integer arithmetic both engines can reproduce, so bucket
     // assignment AND the exact-cosine verification are independently
