@@ -18,6 +18,7 @@ object AllTime {
     // SPARK_GRAFT_REPEAT > 1 reports each query's best-of-N (steady
     // state) — single runs at this scale carry 2-8× JVM noise.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    require(repeat > 0, s"SPARK_GRAFT_REPEAT must be positive, got $repeat")
     SparkEntry.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       try {
         val times = (1 to repeat).map { _ =>

@@ -47,6 +47,7 @@ object Bench {
     // noise (GC, deopt storms) — the minimum is the stable estimate of
     // the query's actual cost.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters > 0, s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters")
     val results = headline.map { q =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -14,9 +14,12 @@ import graft.sources.CsvCatalog
 object MiniSqlCli {
 
   /** Reference REPL behavior (sqlengine.py:76-87): an invalid data path
-    * RE-PROMPTS instead of killing the session; blank input falls back
-    * to the current directory. The reader is injected so the loop is
-    * testable without a TTY; exhausted input (EOF) aborts cleanly. */
+    * RE-PROMPTS instead of killing the session. Blank input falls back
+    * to the JVM working directory — the closest analog of the
+    * reference's fallback to the script's own directory (a library jar
+    * has no source directory to resolve). The reader is injected so the
+    * loop is testable without a TTY; exhausted input (EOF) aborts
+    * cleanly. */
   @annotation.tailrec
   def resolveDataDir(path: String, readLine: () => String): String =
     if (CsvCatalog.isLoadable(path)) path

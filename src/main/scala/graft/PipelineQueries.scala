@@ -173,12 +173,17 @@ object PipelineQueries {
        |SELECT doc_id, lang, CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred FROM h""".stripMargin.replace("\n", " ")
   }
 
+  /** Tokenizer as DuckDB SQL — filters empty strings exactly like
+    * TextAnalysis.tokens, so the oracles hold even if the corpus ever
+    * gains leading/double spaces. */
+  private val ToksSql = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+
   /** The quality-score formula as DuckDB SQL (same arithmetic order as
     * TextAnalysis.qualityScore — doubles come out bit-identical). */
   private val QualitySql =
-    """least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.4
-      | + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.3
-      | + least(1.0, (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' '))) / 5.0) * 0.3""".stripMargin.replace("\n", " ")
+    s"""least(1.0, CAST(len($ToksSql) AS DOUBLE) / 50.0) * 0.4
+      | + CAST(len(list_distinct($ToksSql)) AS DOUBLE) / len($ToksSql) * 0.3
+      | + least(1.0, (CAST(list_sum(list_transform($ToksSql, w -> length(w))) AS DOUBLE) / len($ToksSql)) / 5.0) * 0.3""".stripMargin.replace("\n", " ")
 
   private def mixTopkOracle: String =
     s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents)
@@ -187,7 +192,7 @@ object PipelineQueries {
        |WHERE rank <= 5""".stripMargin.replace("\n", " ")
 
   private def tokenBudgetOracle: String =
-    s"""WITH q AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, $QualitySql AS quality FROM documents)
+    s"""WITH q AS (SELECT doc_id, lang, CAST(len($ToksSql) AS BIGINT) AS n_tokens, $QualitySql AS quality FROM documents)
        |SELECT doc_id, lang, n_tokens FROM (
        |SELECT doc_id, lang, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken FROM q)
        |WHERE taken < 2000""".stripMargin.replace("\n", " ")
@@ -392,7 +397,7 @@ object PipelineQueries {
   }
 
   private def packOracle: String =
-    s"""WITH q AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+    s"""WITH q AS (SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_tokens FROM documents),
        |c AS (SELECT doc_id, source, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM q)
        |SELECT doc_id, source, cum // 512 AS pack_id, cum % 512 AS pack_offset FROM c""".stripMargin.replace("\n", " ")
 
@@ -441,22 +446,18 @@ object PipelineQueries {
     Q("doc_token_stats",
       (s, d) => TextAnalysis.withTokenStats(t(s, d, "documents"))
         .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "distinct_ratio"),
-      Some("""SELECT doc_id,
-             |len(string_split(text, ' ')) AS n_tokens,
+      Some(s"""SELECT doc_id,
+             |len($ToksSql) AS n_tokens,
              |length(text) AS n_chars,
-             |CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-             |CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio
+             |CAST(list_sum(list_transform($ToksSql, w -> length(w))) AS DOUBLE) / len($ToksSql) AS avg_token_len,
+             |CAST(len(list_distinct($ToksSql)) AS DOUBLE) / len($ToksSql) AS distinct_ratio
              |FROM documents""".stripMargin.replace("\n", " ")),
       bench = true),
     Q("doc_quality",
       (s, d) => TextAnalysis.withTokenStats(t(s, d, "documents"))
         .withColumn("quality", TextAnalysis.qualityScore)
         .select("doc_id", "quality"),
-      Some("""SELECT doc_id,
-             |least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.4
-             | + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) * 0.3
-             | + least(1.0, (CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) / len(string_split(text, ' '))) / 5.0) * 0.3 AS quality
-             |FROM documents""".stripMargin.replace("\n", " "))),
+      Some(s"SELECT doc_id, $QualitySql AS quality FROM documents")),
     Q("doc_bpeish_tokens",
       (s, d) => TextAnalysis.withBpeTokenCount(t(s, d, "documents"))
         .select("doc_id", "n_bpeish"),

@@ -148,11 +148,8 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, p: MinHashParams = MinHashParams(),
       persist: Boolean = true): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    def maybePersist(d: DataFrame): DataFrame =
-      if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
-    val sh = maybePersist(shingleSets(df, idCol, textCol, p))
-    val sigs = maybePersist(signaturesFromShingleSets(sh, idCol, p))
+    val sh = Caching.maybePersist(shingleSets(df, idCol, textCol, p), persist)
+    val sigs = Caching.maybePersist(signaturesFromShingleSets(sh, idCol, p), persist)
     val cands = lshCandidates(sigs, idCol, p)
     val withEst = cands
       .join(sigs.select(col(idCol).as("a"), col("signature").as("sig_a")), "a")
@@ -212,10 +209,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // consumed 3× (both member sides + distinct hashes): persist so the
     // corpus scan + 64-column vote aggregation happens once (16 B/doc)
-    val sigs0 = simhashSignatures(df, idCol, textCol)
-    val sigs =
-      if (persist) sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sigs0
+    val sigs = Caching.maybePersist(simhashSignatures(df, idCol, textCol), persist)
 
     // pairs inside an identical-hash cluster: hamming 0, no bucketing
     val m1 = sigs.select(col("simhash").as("h"), col(idCol).as("a"))
@@ -275,16 +269,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5, maxDf: Int = 200,
       persist: Boolean = true): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    def maybePersist(d: DataFrame): DataFrame =
-      if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
     // Gram arrays are materialized ONCE (an interpreted HOF transform —
     // the most expensive projection here) and persisted: sizes, the df
     // count, and both sides of the self-join all read the same frame
     // instead of re-tokenizing the corpus up to 4×. Cache ownership as
     // documented on minhashNearDuplicates.
-    val gsets = maybePersist(
-      df.select(col(idCol), charNgrams(col(textCol), n).as("__g")))
+    val gsets = Caching.maybePersist(
+      df.select(col(idCol), charNgrams(col(textCol), n).as("__g")), persist)
     val grams = gsets.select(col(idCol), explode(col("__g")).as("g"))
     val sizes = gsets.select(col(idCol), size(col("__g")).as("sz"))
     // Document frequency via groupBy (map-side partial counts), NOT a
@@ -297,7 +288,7 @@ object Dedup {
     val stopGrams = grams.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("g")
     // persisted: consumed by both sides of the self-join
-    val kept = maybePersist(grams.join(stopGrams, Seq("g"), "left_anti"))
+    val kept = Caching.maybePersist(grams.join(stopGrams, Seq("g"), "left_anti"), persist)
     val shared = kept.select(col("g"), col(idCol).as("a"))
       .join(kept.select(col("g"), col(idCol).as("b")), "g")
       .filter(col("a") < col("b"))

@@ -47,6 +47,10 @@ object Layout {
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // empty frame or an all-null cluster column: nothing to cluster on
+    // — return the frame unchanged (same spirit as the constant-column
+    // case in normalize) instead of NPEing on a null stat
+    if (stats.isNullAt(0) || stats.isNullAt(2)) return df
     val z = zValue(
       normalize(col(colA), stats.getDouble(0), stats.getDouble(1), bits),
       normalize(col(colB), stats.getDouble(2), stats.getDouble(3), bits), bits)

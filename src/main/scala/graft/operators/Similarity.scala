@@ -266,9 +266,7 @@ object Similarity {
     // Dedup.minhashNearDuplicates.
     val buckets0 = v.select(col(idCol), col("v"), explode(bandKeys).as("bk"))
       .select(col(idCol), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val buckets =
-      if (persist) buckets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else buckets0
+    val buckets = Caching.maybePersist(buckets0, persist)
     val keptBuckets = buckets.groupBy("band", "key")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select("band", "key")

@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, salts): content hash of the given
-    * columns (falls back to all columns) — stable across retries, no
-    * RNG state. */
-  private def saltCol(df: DataFrame, salts: Int, from: Seq[String]): Column = {
-    val basis = if (from.nonEmpty) from else df.columns.toSeq
-    pmod(xxhash64(basis.map(col): _*), lit(salts)).cast("int")
-  }
+  /** Per-row salt in [0, salts): hash of the partition-position id —
+    * spreads EVERY key across salts, including the very common skew
+    * shape where a hot key's other columns are all identical (a
+    * content hash would send those to one salt). No data columns are
+    * hashed, so unhashable types (maps) never break it, and no row
+    * pays for hashing wide payloads. Correctness never depends on the
+    * salt value in either operator below (the join replicates the
+    * right side to every salt; the aggregate re-groups on the bare
+    * keys), so the id's partition-layout dependence is harmless. */
+  private def rowSalt(salts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int")
 
   /** Inner equi-join on `keys` with the left side salted `salts` ways
     * and the right side replicated. Result equals
@@ -37,29 +41,18 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int = 8): DataFrame = {
     require(salts > 0)
-    val l = left.withColumn("__salt",
-      saltCol(left, salts, left.columns.toSeq.filterNot(keys.contains)))
+    val l = left.withColumn("__salt", rowSalt(salts))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
   /** Two-phase salted sum/count aggregation: exact `groupBy(keys)
     * .agg(sum, count)` with the first shuffle spread over
-    * (keys, salt). `valueCol` is summed; the row count rides along.
-    *
-    * The salt mixes a per-row component (partition-position id) into
-    * the content hash: a hot key whose non-key values are all equal —
-    * a very common skew shape (value = 0 defaults) — must still spread
-    * across salts, and a pure content hash would send it to one.
-    * Correctness never depends on the salt value (the second phase
-    * re-aggregates on the bare keys), so the id's partition-layout
-    * dependence is harmless. */
+    * (keys, salt). `valueCol` is summed; the row count rides along. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0)
-    val nonKey = df.columns.toSeq.filterNot(keys.contains).map(col)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(nonKey :+ monotonically_increasing_id(): _*), lit(salts)).cast("int"))
+    val salted = df.withColumn("__salt", rowSalt(salts))
     salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
       .groupBy(keys.map(col): _*)

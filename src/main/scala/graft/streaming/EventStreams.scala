@@ -131,7 +131,10 @@ object EventStreams {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.ts_s - s.end <= gapSeconds =>
-                  cur = Some(s.copy(end = e.ts_s, n = s.n + 1))
+                  // max: a late-but-within-watermark event from an
+                  // EARLIER batch must not move the session end (and
+                  // with it the timeout) backward
+                  cur = Some(s.copy(end = math.max(s.end, e.ts_s), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.end, s.n)
                   cur = Some(SessionState(e.ts_s, e.ts_s, 1))

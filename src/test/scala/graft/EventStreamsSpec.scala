@@ -169,6 +169,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late in-gap event must not move the session end backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_s", "value").as[Event]
+    val q = EventStreams.sessionize(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (1L, 2000L, 1.0))
+      q.processAllAvailable()
+      // a LATE event inside the session (watermark still lags) — the
+      // session end must stay 2000, not regress to 1500 (which would
+      // both mis-split later events and fire the timeout too early)
+      mem.addData((1L, 1500L, 1.0))
+      q.processAllAvailable()
+      // push the watermark far past 2000 + gap so the tail times out
+      mem.addData((2L, 100000L, 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, 100001L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("late_out").as[Session].collect().toSet
+      assert(got.contains(Session(1L, 1000L, 2000L, 3L)),
+        s"expected session end 2000 with 3 events; got $got")
+    } finally q.stop()
+  }
+
   test("dedupEventsByKey: first event per key wins within the watermark window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
