@@ -415,6 +415,25 @@ object PipelineQueries {
        |FROM d""".stripMargin.replace("\n", " ")
   }
 
+  /** Decontamination oracle: the corpus/benchmark split (bench =
+    * doc_id % 50 == 0), cross-table shared-gram counts with the corpus
+    * stop-gram cap, exact jaccard — all ANSI set arithmetic. */
+  private def contaminationOracle: String = {
+    val grams = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> text[i:i+4]))"
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+       |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0),
+       |cgr AS (SELECT doc_id, unnest($grams) AS g FROM corp),
+       |bgr AS (SELECT bench_id, unnest($grams) AS g FROM bench),
+       |stop AS (SELECT g FROM cgr GROUP BY g HAVING count(*) > 200),
+       |kept AS (SELECT cgr.doc_id, cgr.g FROM cgr ANTI JOIN stop USING (g)),
+       |shared AS (SELECT k.doc_id, b.bench_id, count(*) AS common FROM kept k JOIN bgr b USING (g) GROUP BY 1, 2),
+       |csz AS (SELECT doc_id, len($grams) AS sz_c FROM corp),
+       |bsz AS (SELECT bench_id, len($grams) AS sz_b FROM bench)
+       |SELECT shared.doc_id, shared.bench_id, CAST(common AS DOUBLE) / (sz_c + sz_b - common) AS jaccard
+       |FROM shared JOIN csz ON csz.doc_id = shared.doc_id JOIN bsz ON bsz.bench_id = shared.bench_id
+       |WHERE CAST(common AS DOUBLE) / (sz_c + sz_b - common) >= 0.3""".stripMargin.replace("\n", " ")
+  }
+
   /** Character-5-gram Jaccard pairs with the same maxDf=200 stop-gram
     * cap — pure set arithmetic, fully ANSI-expressible. */
   private def ngramOracle: String = {
@@ -512,6 +531,18 @@ object PipelineQueries {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
       Some(ngramOracle)),
+    // train/test decontamination: every 50th document plays the held-out
+    // benchmark; the rest is the training corpus being screened
+    Q("dedup_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.ngramContamination(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5, threshold = 0.3)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(contaminationOracle)),
   )
 
   // ---------------------------------------------------------------------

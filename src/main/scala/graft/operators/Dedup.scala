@@ -301,4 +301,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** Decontamination: corpus documents overlapping ANY benchmark
+    * document by char-n-gram jaccard ≥ threshold — the train/test
+    * contamination check every pretraining pipeline runs before
+    * training. Output: (doc_id, bench_id, jaccard).
+    *
+    * Scale shape: the benchmark is test-set sized (thousands of docs),
+    * so its exploded gram index is broadcast-sized and the join never
+    * shuffles the corpus text; the corpus side is one gram explode with
+    * the same corpus-df stop-gram cap as [[ngramJaccardPairs]] (a gram
+    * in >maxDf corpus docs carries no contamination signal but would
+    * fan every benchmark hit out across the corpus). Same cap caveat:
+    * a pair whose EVERY shared gram is a stop-gram is missed — raise
+    * maxDf for exactness on small corpora. */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, threshold: Double = 0.5,
+      maxDf: Int = 200, persist: Boolean = true): DataFrame = {
+    val cg = Caching.maybePersist(
+      corpus.select(col(idCol), charNgrams(col(textCol), n).as("__g")), persist)
+    val bg = benchmark.select(col(idCol).as("bench_id"),
+      charNgrams(col(textCol), n).as("__g"))
+    val corpusGrams = cg.select(col(idCol), explode(col("__g")).as("g"))
+    val benchGrams = bg.select(col("bench_id"), explode(col("__g")).as("g"))
+    val stopGrams = corpusGrams.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("g")
+    val kept = corpusGrams.join(stopGrams, Seq("g"), "left_anti")
+    val shared = kept.join(benchGrams, "g")
+      .groupBy(idCol, "bench_id").agg(count(lit(1)).as("common"))
+    shared
+      .join(cg.select(col(idCol), size(col("__g")).as("sz_c")), idCol)
+      .join(bg.select(col("bench_id"), size(col("__g")).as("sz_b")), "bench_id")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_c") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(idCol, "bench_id", "jaccard")
+  }
 }

@@ -76,6 +76,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - expect) < 1e-12)
   }
 
+  test("ngramContamination flags corpus docs overlapping the benchmark, cross-table only") {
+    // corpus: 0 (= base), 3 (far); benchmark: 1 (= base), 2 (near)
+    val corpus = docs.filter($"doc_id".isin(0L, 3L))
+    val bench = docs.filter($"doc_id".isin(1L, 2L))
+    val got = Dedup.ngramContamination(corpus, bench, "doc_id", "text",
+      n = 5, threshold = 0.3)
+      .orderBy("doc_id", "bench_id")
+      .select("doc_id", "bench_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 0 hits both benchmark docs (identical → 1.0, near → high);
+    // doc 3 (far) hits nothing; corpus-internal pairs never appear
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L), (0L, 2L)))
+    assert(got(0)._3 == 1.0)
+    def cg(t: String) = t.sliding(5).toSet
+    val expect = cg(base).intersect(cg(near)).size.toDouble / cg(base).union(cg(near)).size
+    assert(math.abs(got(1)._3 - expect) < 1e-12)
+  }
+
   test("simhashNearPairs equals the quadratic model (template-heavy corpus)") {
     val templates = Seq(
       "the quick brown fox jumps over the lazy dog",
