@@ -26,6 +26,8 @@ object EventStreams {
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, session_start: Long,
       session_end: Long, n_events: Long)
+  final case class Trend(window_start: Long, event_type: String,
+      n: Long, rank: Int)
 
   /** The events source as a stream. The table ships TIMESTAMP(NANOS)
     * parquet → read nanos as long (same conf as the batch path) and
@@ -94,6 +96,50 @@ object EventStreams {
         col("click_time") >= col("purchase_time") - expr("INTERVAL 10 MINUTES") &&
         col("click_time") < col("purchase_time"))
       .select("purchase_id", "user_id", "purchase_time", "click_id", "click_time")
+  }
+
+  /** Per-window trending top-k: the k most frequent event types of
+    * every tumbling window, emitted ONCE, when the watermark passes the
+    * window's end — the finalize-on-watermark pattern streaming sort/
+    * limit restrictions otherwise forbid (Append mode cannot rank an
+    * ever-growing window). State per open window is one small
+    * type→count map keyed — hash partitioned — by window start, and the
+    * event-time timeout both finalizes and evicts it, so state is
+    * bounded by (windows in flight × distinct types), independent of
+    * stream length. Ranking is deterministic: count DESC, type ASC. */
+  def trendingTopK(events: DataFrame, k: Int, windowSeconds: Long = 300,
+      watermarkDelay: String = "10 minutes"): Dataset[Trend] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      // the watermarked column must SURVIVE into the stateful operator
+      // (selecting it away fails analysis for event-time timeouts)
+      .select(col("event_time"), col("event_time").cast("long").as("ts_s"),
+        col("event_type"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .groupByKey { case (_, ts, _) => ts - java.lang.Math.floorMod(ts, windowSeconds) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, it: Iterator[(java.sql.Timestamp, Long, String)],
+            state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.iterator
+              .map { case ((t, n), i) => Trend(wstart, t, n, i + 1) }
+          } else {
+            val merged = it.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              case (m, (_, _, t)) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+            }
+            state.update(merged)
+            // finalize when the watermark passes the window end
+            state.setTimeoutTimestamp(math.max(
+              (wstart + windowSeconds) * 1000L + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 
   /** Incremental sessionization (30-min inactivity gap) via

@@ -196,6 +196,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingTopK finalizes each window's top types exactly once, on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.Trend
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("ts_s", "event_type")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = EventStreams.trendingTopK(events, k = 2, windowSeconds = 300)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("trend_out").start()
+    try {
+      // window [0, 300): a×3, b×2, c×1 — split across two batches
+      mem.addData((10L, "a"), (20L, "b"), (30L, "a"))
+      q.processAllAvailable()
+      mem.addData((40L, "b"), (50L, "a"), (60L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() == 0, "window still open")
+      // events far ahead advance the watermark past 300 → finalize
+      mem.addData((10000L, "z"))
+      q.processAllAvailable()
+      mem.addData((10001L, "z"))
+      q.processAllAvailable()
+      val got = spark.table("trend_out").as[Trend].collect().toSet
+      assert(got == Set(Trend(0L, "a", 3L, 1), Trend(0L, "b", 2L, 2)),
+        s"expected exactly the k=2 top types of window 0, got $got")
+    } finally q.stop()
+  }
+
   test("dedupEventsByKey: first event per key wins within the watermark window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
