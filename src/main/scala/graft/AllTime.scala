@@ -26,7 +26,8 @@ object AllTime {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"ALLTIME ${q.name}%-24s ${times.min}%8.2f s")
+        val tag = if (repeat > 1) s" (best of $repeat)" else ""
+        println(f"ALLTIME ${q.name}%-24s ${times.min}%8.2f s$tag")
       } catch { case e: Throwable =>
         println(f"ALLTIME ${q.name}%-24s FAILED ${e.getMessage}")
       }

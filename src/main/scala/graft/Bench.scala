@@ -36,16 +36,23 @@ object Bench {
     // queries (driver's one-shot run measured 8.7 s vs a 4.4 s stable
     // estimate); the second pass lets codegen'd classes and the page
     // cache settle before anything is timed.
+    val w0 = System.nanoTime()
     (1 to 2).foreach { _ =>
       headline.foreach { q =>
         try exec(q)
         catch { case _: Throwable => () }
       }
     }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
 
     // Best-of-3: single-run times at this scale are dominated by JVM
     // noise (GC, deopt storms) — the minimum is the stable estimate of
-    // the query's actual cost.
+    // the query's actual cost. The JSON carries EVERY iteration time
+    // (plus the warmup wall time) so the artifact is self-attributing:
+    // a regression claim must show a shifted minimum, not one slow
+    // iteration — round-2's official 15.4 s (vs 4.4 s reproduced on an
+    // idle box) was machine contention, and the old min-only JSON
+    // could not prove that by itself.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters > 0, s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters")
     val results = headline.map { q =>
@@ -57,12 +64,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      q.name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val iterArrays = results
+      .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,12 +29,16 @@ object Layout {
 
   /** Min-max scale a numeric column to [0, 2^bits), given the global
     * min/max (from a cheap stats pass). Degenerate (constant) columns
-    * map to 0. */
+    * map to 0. NULL values also map to 0 — they cluster at the origin
+    * corner (the coalesce sits INSIDE the `least`, which would
+    * otherwise skip the null and silently send nulls to the TOP
+    * bucket). */
   def normalize(c: Column, min: Double, max: Double, bits: Int = 16): Column = {
     val span = max - min
     if (span <= 0) lit(0L)
     else least(lit((1L << bits) - 1),
-      floor((c.cast("double") - min) / span * (1L << bits)).cast("long"))
+      coalesce(floor((c.cast("double") - min) / span * (1L << bits)).cast("long"),
+        lit(0L)))
   }
 
   /** Re-layout `df` so files cluster in BOTH `colA` and `colB`:

@@ -71,9 +71,13 @@ object Mixing {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // integral DIV, not `/`: Spark's `/` is double division, exact only
+    // below 2^53 — a per-group cumulative token count can cross that on
+    // a large corpus with coarse groups (same rule as the range-join
+    // slot math in TemporalJoins.boundedRangeJoin). __cum >= 0, so
+    // truncating DIV == floor here.
     df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("pack_id", (col("__cum") - pmod(col("__cum"), lit(seqLen))) / seqLen)
-      .withColumn("pack_id", col("pack_id").cast("long"))
+      .withColumn("pack_id", expr(s"__cum DIV ${seqLen}L"))
       .withColumn("pack_offset", pmod(col("__cum"), lit(seqLen)))
       .drop("__cum")
   }

@@ -22,6 +22,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Seconds in a watermark-delay interval string, via the same parser
+    * `withWatermark` uses; month-bearing intervals have no fixed second
+    * length and are rejected. */
+  private def parseDelaySeconds(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0, s"month-bearing watermark delay not supported: $delay")
+    iv.days * 86400L + iv.microseconds / 1000000L
+  }
+
   final case class Event(user_id: Long, ts_s: Long, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, session_start: Long,
@@ -153,9 +163,19 @@ object EventStreams {
     * partitioned by user_id.
     *
     * The watermark (required for event-time timeouts) is derived from
-    * `ts_s` inside; `watermarkDelay` is the allowed event lateness. */
+    * `ts_s` inside; `watermarkDelay` is the allowed event lateness and
+    * MUST be <= gapSeconds (enforced): an admitted event then always
+    * lies within `gapSeconds` of the live session's [start, end] (the
+    * watermark trails the max event time by at most the gap), so the
+    * merge test against `end` below is sound for events on BOTH sides
+    * of the interval. A longer delay would admit an event more than a
+    * gap before the session start and silently merge what should be
+    * two sessions. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    require(parseDelaySeconds(watermarkDelay) <= gapSeconds,
+      s"watermarkDelay ($watermarkDelay) must be <= gapSeconds ($gapSeconds): " +
+        "a later-than-gap event would merge sessions that the gap rule splits")
     val spark = events.sparkSession
     import spark.implicits._
     events.toDF()
@@ -179,8 +199,12 @@ object EventStreams {
                 case Some(s) if e.ts_s - s.end <= gapSeconds =>
                   // max: a late-but-within-watermark event from an
                   // EARLIER batch must not move the session end (and
-                  // with it the timeout) backward
-                  cur = Some(s.copy(end = math.max(s.end, e.ts_s), n = s.n + 1))
+                  // with it the timeout) backward; min: the symmetric
+                  // case — a late event BEFORE the recorded start must
+                  // widen the session, not be silently counted inside
+                  // an interval that excludes it
+                  cur = Some(s.copy(start = math.min(s.start, e.ts_s),
+                    end = math.max(s.end, e.ts_s), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.end, s.n)
                   cur = Some(SessionState(e.ts_s, e.ts_s, 1))

@@ -196,6 +196,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a late in-gap event BEFORE the session start widens it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_s", "value").as[Event]
+    val q = EventStreams.sessionize(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("latestart_out").start()
+    try {
+      mem.addData((1L, 2000L, 1.0), (1L, 2500L, 1.0))
+      q.processAllAvailable()
+      // a late cross-batch event 50 s BEFORE the recorded start — above
+      // the watermark (2500 - 600 = 1900) so it is admitted: the
+      // session must widen to [1950, 2500], not report a start that
+      // excludes a counted event
+      mem.addData((1L, 1950L, 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, 100000L, 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, 100001L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("latestart_out").as[Session].collect().toSet
+      assert(got.contains(Session(1L, 1950L, 2500L, 3L)),
+        s"expected session [1950, 2500] with 3 events; got $got")
+    } finally q.stop()
+  }
+
+  test("sessionize rejects a watermark delay longer than the session gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("user_id", "ts_s", "value").as[Event]
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.sessionize(events, gapSeconds = 1800, watermarkDelay = "1 hour")
+    }
+    assert(e.getMessage.contains("watermarkDelay"))
+  }
+
   test("trendingTopK finalizes each window's top types exactly once, on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStreams.Trend

@@ -61,6 +61,15 @@ class LayoutSpec extends SparkSpec {
     assert(avgU < avgU1, "z-order must cluster user_id better than a ts-only sort")
   }
 
+  test("normalize maps NULL keys to the origin bucket, not the top corner") {
+    val got = Seq(Some(0.0), Some(50.0), Some(100.0), None)
+      .toDF("v")
+      .select(Layout.normalize($"v", 0.0, 100.0, bits = 4)).as[Long].collect().toSeq
+    // 0→0, 50→8, 100→clamped to 15; NULL→0 (least() alone would skip
+    // the null and return the 15 clamp — the silent top-corner bug)
+    assert(got == Seq(0L, 8L, 15L, 0L))
+  }
+
   test("zorder is content-preserving") {
     val dir = java.nio.file.Files.createTempDirectory("zcontent").toString
     Layout.zorder(events, "user_id", "ts_s", numFiles = 8)

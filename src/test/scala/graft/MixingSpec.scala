@@ -62,4 +62,20 @@ class MixingSpec extends SparkSpec {
       ("en", 3L, 1L, 50L), ("en", 4L, 1L, 100L),
       ("de", 5L, 0L, 0L), ("de", 6L, 1L, 100L)))
   }
+
+  test("packSequences: pack_id stays exact past 2^53 cumulative tokens") {
+    // doc 2 starts at cumulative 2^54 + 2 — NOT representable as a
+    // double (doubles at 2^54 are multiples of 4; it rounds to 2^54,
+    // whose half is 2^53, one off). Integral DIV must return 2^53 + 1.
+    val big = Seq(
+      (1L, "g", (1L << 54) + 2L),
+      (2L, "g", 1L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val got = Mixing.packSequences(big, Seq("lang"), "n_tokens", "doc_id", seqLen = 2L)
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map { case (id, p, o) => id -> (p, o) }.toMap
+    assert(got(1L) == (0L, 0L))
+    assert(got(2L) == ((1L << 53) + 1L, 0L),
+      s"pack_id must be computed in exact long arithmetic; got ${got(2L)}")
+  }
 }
