@@ -750,6 +750,75 @@ object PipelineQueries {
   )
 
   // ---------------------------------------------------------------------
+  // Skew mitigation + data layout. Both salted operators are
+  // output-invariant partitioning changes, so the oracle is the PLAIN
+  // query — a hash-match proves cross-engine that salting does not
+  // alter results. The z-order audit re-derives the normalize + Morton
+  // interleave + ntile split in DuckDB integer/double arithmetic.
+  // ---------------------------------------------------------------------
+
+  /** DuckDB Morton interleave of two `bits`-bit BIGINTs — the same bit
+    * arithmetic as [[graft.operators.Layout.zValue]], unrolled. */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
+  /** DuckDB min-max scale to [0, 2^bits) in the exact double-op order
+    * of [[graft.operators.Layout.normalize]] (null → origin bucket). */
+  private def normSql(c: String, mn: String, mx: String, bits: Int): String =
+    s"least(${(1L << bits) - 1}, coalesce(CAST(floor((CAST($c AS DOUBLE) - $mn) / ($mx - $mn) * ${1L << bits}.0) AS BIGINT), 0))"
+
+  private def zorderOracle: String = {
+    val bits = 16
+    s"""WITH ev AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+       |st AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS amin, CAST(MAX(user_id) AS DOUBLE) AS amax,
+       |CAST(MIN(ts_s) AS DOUBLE) AS bmin, CAST(MAX(ts_s) AS DOUBLE) AS bmax FROM ev),
+       |nz AS (SELECT event_id, user_id, ts_s,
+       |${normSql("user_id", "amin", "amax", bits)} AS za,
+       |${normSql("ts_s", "bmin", "bmax", bits)} AS zb FROM ev, st),
+       |zf AS (SELECT user_id, ts_s,
+       |ntile(16) OVER (ORDER BY (${mortonSql("za", "zb", bits)}), event_id) AS file_id FROM nz)
+       |SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n,
+       |MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id,
+       |MIN(ts_s) AS min_ts_s, MAX(ts_s) AS max_ts_s
+       |FROM zf GROUP BY file_id""".stripMargin.replace("\n", " ")
+  }
+
+  private val skewLayout = Vector(
+    // two-phase salted aggregate over the 5 hot event_type keys (each
+    // holds ~20% of the table — exactly the hot-key shape); DECIMAL
+    // sums keep both phases order-independent for the hash compare
+    Q("q_salted_agg",
+      (s, d) => operators.Skew.saltedAggregate(
+        events(s, d).withColumn("value", col("value").cast(D4)),
+        Seq("event_type"), "value", salts = 8)
+        .select(col("event_type"),
+          col("sum_value").cast(DoubleType).as("sum_value"), col("n")),
+      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             |COUNT(*) AS n FROM events GROUP BY event_type""".stripMargin.replace("\n", " "))),
+    // salted fact×dim join on the same hot keys: the left side scatters
+    // 8 ways, the dim replicates 8× — result must equal the plain join
+    Q("q_salted_join",
+      (s, d) => {
+        val e = events(s, d)
+        val dim = e.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+        operators.Skew.saltedJoin(
+          e.select("event_id", "event_type"), dim, Seq("event_type"), salts = 8)
+      },
+      Some("""SELECT e.event_id, e.event_type, d.n_type FROM events e
+             |JOIN (SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY event_type) d
+             |USING (event_type)""".stripMargin.replace("\n", " "))),
+    // per-file (min,max) boxes of a 2-D z-ordered layout — the exact
+    // statistics parquet skipping feeds on (see Layout.zorderAudit)
+    Q("layout_zorder",
+      (s, d) => operators.Layout.zorderAudit(
+        events(s, d).select("event_id", "user_id", "ts_s"),
+        "user_id", "ts_s", "event_id", numFiles = 16),
+      Some(zorderOracle)),
+  )
+
+  // ---------------------------------------------------------------------
   // Multimodal plumbing (decode is a deterministic stub — see
   // operators.Multimodal). The stub's 64-bit rolling hash is exact
   // integer arithmetic, so DuckDB re-computes it with HUGEINT mod-2^64
@@ -822,5 +891,5 @@ object PipelineQueries {
              |FROM documents""".stripMargin.replace("\n", " "))),
   )
 
-  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ multimodal
+  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ multimodal
 }

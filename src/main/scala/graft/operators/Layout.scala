@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional file clustering via
@@ -62,5 +63,35 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
+
+  /** Deterministic audit of the z-order layout: the same normalize +
+    * Morton interleave as [[zorder]], but with the range split made
+    * EXACT — `ntile(numFiles)` over (z, id) instead of Spark's
+    * sample-based RangePartitioner — and the output reduced to the
+    * per-file (min, max) box of both cluster columns plus the row
+    * count. This is what a cross-engine oracle can re-derive bit for
+    * bit (the sampled partitioner boundaries cannot be), and the boxes
+    * are exactly the statistics parquet skipping feeds on.
+    *
+    * The global-ordered window is the audit path's one concession: it
+    * funnels through a single task, fine for a layout-quality check
+    * (numFiles × 6 output rows), deliberately NOT the production write
+    * path — [[zorder]] keeps the parallel range partitioner. */
+  def zorderAudit(df: DataFrame, colA: String, colB: String, idCol: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    val stats = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val z = zValue(
+      normalize(col(colA), stats.getDouble(0), stats.getDouble(1), bits),
+      normalize(col(colB), stats.getDouble(2), stats.getDouble(3), bits), bits)
+    df.withColumn("__z", z)
+      .withColumn("file_id",
+        ntile(numFiles).over(Window.orderBy(col("__z"), col(idCol))).cast("long"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min(col(colA)).as(s"min_$colA"), max(col(colA)).as(s"max_$colA"),
+        min(col(colB)).as(s"min_$colB"), max(col(colB)).as(s"max_$colB"))
   }
 }

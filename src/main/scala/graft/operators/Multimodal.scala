@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,11 +14,15 @@ import org.apache.spark.sql.types._
   * may be added — zero egress); everything around it is real and
   * load-bearing at scale:
   *  - schema: `media struct<payload: binary, meta: struct<...>>`;
-  *  - execution: `queryExecution.toRdd.mapPartitions` over batches of
+  *  - execution: typed `Dataset.mapPartitions` over batches of
   *    `batchSize` rows, so a real decoder could amortize codec init per
-  *    batch exactly like an Arrow batch UDF;
-  *  - output is a fresh DataFrame with an explicit StructType —
-  *    downstream pruning/filters behave normally.
+  *    batch exactly like an Arrow batch UDF. The typed path stays in
+  *    Tungsten end to end (DeserializeToObject → MapPartitions →
+  *    SerializeFromObject in one plan) — no external-Row round trip
+  *    and no `createDataFrame` re-analysis, which matters when the
+  *    decode stage dominates a real multimodal run;
+  *  - output schema comes from the case-class encoder — downstream
+  *    pruning/filters behave normally.
   */
 object Multimodal {
 
@@ -59,38 +62,32 @@ object Multimodal {
     (width, height, feat)
   }
 
-  private val outType = StructType(Seq(
-    StructField("id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+  /** Decoded record shape (the encoder IS the output schema). */
+  final case class Decoded(id: Long, n_bytes: Long, width: Int, height: Int,
+      features: Array[Float])
 
   /** Batched partition-wise decode of `binCol`, keyed by `idCol`.
     * Output: (id, n_bytes, width, height, features[8]). */
   def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
-    val input = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
-    val rdd = input.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // a real decoder would init its codec once per batch here
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          val (w, h, feat) = stubDecode(payload)
-          Row(id, payload.length.toLong, w, h, feat.toSeq)
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real decoder would init its codec once per batch here
+          batch.iterator.map { case (id, payload) =>
+            val (w, h, feat) = stubDecode(payload)
+            Decoded(id, payload.length.toLong, w, h, feat)
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, outType)
+      }.toDF()
   }
 
-  private val resizeType = StructType(Seq(
-    StructField("id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+  /** Resized record shape. */
+  final case class Resized(id: Long, width: Int, height: Int,
+      features: Array[Float])
 
   /** ===== STUB decode inside ===== batched resize-to-target: decodes
     * (stub), scales the pseudo dimensions to fit `(maxW, maxH)`
@@ -101,19 +98,20 @@ object Multimodal {
   def resizeTo(df: DataFrame, idCol: String, binCol: String,
       maxW: Int = 256, maxH: Int = 256, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
-    val input = df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
-    val rdd = input.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // real impl: init codec + resampler once per batch here
-        batch.iterator.map { r =>
-          val (w, h, feat) = stubDecode(r.getAs[Array[Byte]](1))
-          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          Row(r.getLong(0), nw, nh, feat.map(f => (f * scale).toFloat).toSeq)
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // real impl: init codec + resampler once per batch here
+          batch.iterator.map { case (id, payload) =>
+            val (w, h, feat) = stubDecode(payload)
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            Resized(id, nw, nh, feat.map(f => (f * scale).toFloat))
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, resizeType)
+      }.toDF()
   }
 
   /** Frame sampling stub: every `stride`-th fake frame offset of a
