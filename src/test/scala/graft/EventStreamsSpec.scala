@@ -262,6 +262,96 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: kill-and-restart recovers hand-rolled session state from the checkpoint") {
+    // the session-state map is exactly where recovery bugs live: the
+    // stop falls BETWEEN a session's merge (run 1) and its close
+    // (run 2) — if state were lost, u1's [1000,1500,3] could never be
+    // emitted and u2's open session would vanish. Sink is parquet: the
+    // memory sink refuses Append-mode checkpoint recovery.
+    val src = java.nio.file.Files.createTempDirectory("sessrec_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sessrec_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("sessrec_out").toString
+    def addFile(rows: (Long, Long)*): Unit =
+      rows.map { case (u, t) => (u, t, 1.0) }
+        .toDF("user_id", "ts_s", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    // u2's 3000 closes u2's first session but keeps the watermark
+    // (3000 - 600 = 2400) below u1's gap expiry (1500 + 1800), so u1's
+    // merged session is still OPEN STATE at the stop
+    addFile((1L, 1000L), (1L, 1100L), (2L, 1000L))
+    addFile((1L, 1500L), (2L, 3000L))
+
+    val schema = spark.read.parquet(src).schema
+    val outSchema = org.apache.spark.sql.Encoders.product[Session].schema
+    def readOut() = spark.read.schema(outSchema).parquet(out).as[Session].collect().toSet
+    def startQuery() = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src).as[Event]
+      EventStreams.sessionize(events)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = readOut()
+    assert(run1 == Set(Session(2L, 1000L, 1000L, 1L)),
+      s"run 1 should close exactly u2's first session; got $run1")
+
+    // run 2: u1's 4000 closes the RECOVERED [1000,1500,3]; the far
+    // events then advance the watermark past both tails' gap expiry
+    addFile((1L, 4000L))
+    addFile((3L, 100000L))
+    addFile((3L, 100001L))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(readOut() == Set(
+      Session(1L, 1000L, 1500L, 3L), // merged in run 1, closed in run 2
+      Session(2L, 1000L, 1000L, 1L),
+      Session(1L, 4000L, 4000L, 1L), // tails, via event-time timeout
+      Session(2L, 3000L, 3000L, 1L)),
+      s"recovered run must complete to the no-restart answer; got ${readOut()}")
+  }
+
+  test("trendingTopK: kill-and-restart recovers per-window count state from the checkpoint") {
+    import graft.streaming.EventStreams.Trend
+    val src = java.nio.file.Files.createTempDirectory("trendrec_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("trendrec_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("trendrec_out").toString
+    def addFile(rows: (Long, String)*): Unit =
+      rows.toDF("ts_s", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    addFile((10L, "a"), (20L, "a"), (30L, "b"))
+    addFile((40L, "b"), (50L, "a"), (60L, "c")) // window 0 so far: a3 b2 c1
+
+    val schema = spark.read.parquet(src).schema
+    val outSchema = org.apache.spark.sql.Encoders.product[Trend].schema
+    def readOut() = spark.read.schema(outSchema).parquet(out).as[Trend].collect().toSet
+    def startQuery() = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("event_time", timestamp_seconds(col("ts_s")))
+      EventStreams.trendingTopK(events, k = 2, windowSeconds = 300)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(readOut().isEmpty, "window 0 still open at the stop")
+
+    // run 2 merges new counts into the RECOVERED map (c overtakes a
+    // only if the pre-restart c=1 survived), then finalizes on watermark
+    addFile((70L, "c"), (80L, "c"), (90L, "c"))
+    addFile((10000L, "z"))
+    addFile((10001L, "z"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readOut() == Set(Trend(0L, "c", 4L, 1), Trend(0L, "a", 3L, 2)),
+      s"expected window 0 finalized once from recovered counts; got ${readOut()}")
+  }
+
   test("dedupEventsByKey: first event per key wins within the watermark window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
