@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.operators.{Dedup, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import Queries.{Q, t}
 
 /** LLM-data-pipeline extension queries over the `documents`,
@@ -262,6 +262,27 @@ object PipelineQueries {
       sb.toString
     }
 
+    /** CTE block hashing a BIGINT column through xxh64 — Spark's
+      * `xxhash64(longCol)` takes the dedicated 8-byte path (seed 42,
+      * one full chunk whose little-endian byte value IS the unsigned
+      * 64-bit value of the long): acc = (42+P5+8) ^ round(v), one
+      * rotl27 mix, avalanche. Input CTE `<p>src`(doc_id, v) with v the
+      * UNSIGNED value as HUGEINT; ends in `<p>h`(doc_id, hs) with the
+      * SIGNED hash. */
+    def longHashStages(p: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"${p}k1 AS (SELECT doc_id, ${mulmod(rotl(mulmod("v", P2), 31), P1)} AS k1 FROM ${p}src),\n"
+      sb ++= s"${p}x1 AS (SELECT doc_id, ${xor64(Acc0Len8, "k1")} AS x1 FROM ${p}k1),\n"
+      sb ++= s"${p}a1 AS (SELECT doc_id, (${mulmod(rotl("x1", 27), P1)} + $P4) % $M64 AS a1 FROM ${p}x1),\n"
+      sb ++= s"${p}f1 AS (SELECT doc_id, ${xor64("a1", s"(a1 // ${1L << 33})")} AS f1 FROM ${p}a1),\n"
+      sb ++= s"${p}f2 AS (SELECT doc_id, ${mulmod("f1", P2)} AS f2 FROM ${p}f1),\n"
+      sb ++= s"${p}f3 AS (SELECT doc_id, ${xor64("f2", s"(f2 // ${1L << 29})")} AS f3 FROM ${p}f2),\n"
+      sb ++= s"${p}f4 AS (SELECT doc_id, ${mulmod("f3", P3)} AS f4 FROM ${p}f3),\n"
+      sb ++= s"${p}f5 AS (SELECT doc_id, ${xor64("f4", s"(f4 // ${1L << 32})")} AS hu FROM ${p}f4),\n"
+      sb ++= s"${p}h AS (SELECT doc_id, (CASE WHEN hu >= 9223372036854775808 THEN hu - $M64 ELSE hu END)::BIGINT AS hs FROM ${p}f5)"
+      sb.toString
+    }
+
     /** General ≤31-byte short path, seed-parameterized, in two phases:
       * everything fi-INDEPENDENT — chunk words and their fully-mixed
       * round values k_c, m4, mb_i (the xxh64 round functions don't see
@@ -356,18 +377,38 @@ object PipelineQueries {
     * sign assembly, then a quadratic hamming check (the oracle can
     * afford O(n²) at sf0.01; the Spark operator's pigeonhole buckets
     * are the scale path, same output). */
-  private def simhashOracle: String = {
+  /** CTE chain ending in `shpairs`(a, b, hamming) — shared by the
+    * simhash-pairs oracle and the cluster-resolution oracle. */
+  private def simhashPairCtes: String = {
     import Xxh64Sql._
-    s"""WITH shsrc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS tok FROM documents),
+    s"""shsrc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS tok FROM documents),
        |${tokenHashStages("sh")},
        |shb AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b, hu FROM shh),
        |shv AS (SELECT doc_id, b, SUM(CASE WHEN (hu // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v FROM shb GROUP BY doc_id, b),
        |shg AS (SELECT doc_id, CAST(SUM(CASE WHEN v >= 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS HUGEINT) AS su FROM shv GROUP BY doc_id),
-       |shs AS (SELECT doc_id, (CASE WHEN su >= 9223372036854775808 THEN su - $M64 ELSE su END)::BIGINT AS h FROM shg)
-       |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+       |shs AS (SELECT doc_id, (CASE WHEN su >= 9223372036854775808 THEN su - $M64 ELSE su END)::BIGINT AS h FROM shg),
+       |shpairs AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
        |FROM shs x JOIN shs y ON x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.h, y.h)) <= 3""".stripMargin.replace("\n", " ")
+       |WHERE bit_count(xor(x.h, y.h)) <= 3)""".stripMargin.replace("\n", " ")
   }
+
+  private def simhashOracle: String =
+    s"WITH $simhashPairCtes SELECT a, b, hamming FROM shpairs"
+
+  /** Cluster resolution re-derived independently: the same simhash
+    * pairs, then min-reachable-id per vertex via a RECURSIVE CTE (the
+    * transitive closure the Spark side computes by label propagation —
+    * totally different mechanics, same fixpoint). */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |cedge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
+       |reach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u, p.r FROM cedge e JOIN reach p ON p.u = e.v
+       |)
+       |SELECT u AS doc_id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
+       |FROM reach GROUP BY u""".stripMargin.replace("\n", " ")
 
   /** Winnowing fingerprints (k=8, window=4) fully re-derived in DuckDB:
     * per-gram xxh64, sliding window minima, distinct, then
@@ -458,6 +499,50 @@ object PipelineQueries {
     t(s, d, "events").withColumn("ts_s", expr("ts DIV 1000000000"))
   }
 
+  /** Gopher-style repetition stats re-derived in DuckDB: same
+    * tokenizer, ALL word 2-grams (duplicates kept), count per (doc,
+    * gram), then the distinct/total and modal/total ratios. Identical
+    * IEEE double ops on identical longs in both engines. */
+  private def repetitionOracle: String =
+    s"""WITH rtk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |rg AS (SELECT doc_id, unnest(CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) END) AS g FROM rtk),
+       |rc AS (SELECT doc_id, g, COUNT(*) AS c FROM rg GROUP BY doc_id, g)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       |1 - COUNT(*)::DOUBLE / SUM(c)::DOUBLE AS dup_ngram_frac,
+       |MAX(c)::DOUBLE / SUM(c)::DOUBLE AS top_ngram_frac
+       |FROM rc GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Shared CTE for the sampling oracles: every document's sample
+    * bucket = pmod(xxh64(doc_id), denom), the hash re-derived through
+    * [[Xxh64Sql.longHashStages]] (Spark's 8-byte hashLong path).
+    * DuckDB's % truncates toward zero exactly like Java's, so the
+    * ((h % m) + m) % m pmod is bit-identical. */
+  private def sampleBucketCtes: String = {
+    val m = Sampling.DefaultDenom
+    s"""smsrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${Xxh64Sql.M64} ELSE doc_id::HUGEINT END) AS v FROM documents),
+       |${Xxh64Sql.longHashStages("sm")},
+       |smb AS (SELECT d.doc_id, d.lang, ((h.hs % $m) + $m) % $m AS bucket FROM documents d JOIN smh h USING (doc_id))""".stripMargin.replace("\n", " ")
+  }
+
+  private def stratSampleOracle(rates: Map[String, Double], defaultRate: Double): String = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (l, r) =>
+      s"WHEN lang = '$l' THEN ${Sampling.threshold(r)}"
+    }.mkString(" ")
+    s"""WITH $sampleBucketCtes
+       |SELECT doc_id, lang FROM smb
+       |WHERE bucket < CASE $cases ELSE ${Sampling.threshold(defaultRate)} END""".stripMargin.replace("\n", " ")
+  }
+
+  private def splitAssignOracle(fracs: Seq[(String, Double)]): String = {
+    val bounds = Sampling.splitBounds(fracs)
+    val cases = bounds.init.map { case (name, upper) =>
+      s"WHEN bucket < $upper THEN '$name'"
+    }.mkString(" ")
+    s"""WITH $sampleBucketCtes
+       |SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split FROM smb""".stripMargin.replace("\n", " ")
+  }
+
   // ---------------------------------------------------------------------
   // Text analysis over documents
   // ---------------------------------------------------------------------
@@ -485,6 +570,21 @@ object PipelineQueries {
       (s, d) => TextAnalysis.withLangId(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_pred"),
       Some(langIdOracle)),
+    Q("doc_repetition",
+      (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text"),
+      Some(repetitionOracle)),
+    // deterministic hash-gated sampling: stratified per-language rates,
+    // and the disjoint train/val/test split assignment
+    Q("doc_sample_strat",
+      (s, d) => Sampling.stratifiedHashSample(t(s, d, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+        .select("doc_id", "lang"),
+      Some(stratSampleOracle(Map("en" -> 0.5, "zh" -> 0.1), 0.25))),
+    Q("doc_split_assign",
+      (s, d) => Sampling.assignSplits(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split"),
+      Some(splitAssignOracle(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))),
     // Engine-internal hashes (xxhash64) — rows-only check; semantics
     // pinned in TextAnalysisSpec.
     Q("doc_fingerprint",
@@ -527,6 +627,17 @@ object PipelineQueries {
       (s, d) => Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3).orderBy("a", "b"),
       Some(simhashOracle)),
+    // cluster resolution: same simhash pairs → connected components →
+    // one keeper per component (label propagation vs the oracle's
+    // recursive transitive closure)
+    Q("dedup_clusters",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.connectedComponents(docs, "doc_id",
+          Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3))
+          .orderBy("doc_id")
+      },
+      Some(clustersOracle)),
     Q("dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),

@@ -337,4 +337,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(idCol, "bench_id", "jaccard")
   }
+
+  // =====================================================================
+  // Cluster resolution (connected components)
+  // =====================================================================
+
+  /** Resolve pairwise near-duplicate matches into CLUSTERS — the last
+    * stage of every real dedup pipeline: the pair lists emitted by
+    * [[minhashNearDuplicates]] / [[simhashNearPairs]] /
+    * [[ngramJaccardPairs]] are edges of a similarity graph, and "keep
+    * one copy" means "keep one document per connected component", not
+    * per pair (A~B and B~C must collapse A,B,C together even when A~C
+    * was never emitted). Returns (idCol, cluster_id, keep) for EVERY
+    * document: cluster_id = the minimum document id in the component,
+    * keep = this document is the component's representative. Documents
+    * in no pair are their own singleton cluster.
+    *
+    * Algorithm: distributed min-label propagation. Each vertex starts
+    * labeled with its own id; every round each vertex takes the min of
+    * its label and its neighbors' labels; fixpoint when no label
+    * changes. Per round: one shuffle join (edge × label) + one
+    * map-side-partial min aggregation, O(E) — no collect, no
+    * driver-side graph. Rounds needed = graph diameter, and near-dup
+    * similarity graphs are piles of dense near-cliques (diameter 2-4),
+    * so 3-5 rounds is typical; `maxIter` bounds the adversarial chain
+    * case. For a graph with genuinely long chains switch to the
+    * large-star/small-star algorithm (Kiveris et al., SoCC'14 — public)
+    * which converges in O(log²) rounds; for near-dup workloads its
+    * extra per-round cost buys nothing.
+    *
+    * Each round's labels are localCheckpoint'ed: iterative self-joins
+    * otherwise double the lineage every round, and the convergence
+    * count would re-execute the whole prefix. */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
+      .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("__u"), col(idCol).as("__lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over each vertex's neighborhood labels
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("__u", "__v"), "__v")
+        .groupBy("__u").agg(min(col("__lbl")).as("__nbr"))
+      val next = labels.join(nbrMin, Seq("__u"), "left")
+        .select(col("__u"),
+          least(col("__lbl"), coalesce(col("__nbr"), col("__lbl"))).as("__lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("__lbl", "__old"), "__u")
+        .filter(col("__lbl") =!= col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("__u").as(idCol), col("__lbl").as("cluster_id"),
+      (col("__u") === col("__lbl")).as("keep"))
+  }
 }

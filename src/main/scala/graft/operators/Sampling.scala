@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-gated sampling — the reproducibility primitive a
+  * training-data pipeline needs where `df.sample()` cannot be trusted:
+  * Spark's sampler is seeded per-partition, so the SAME row flips
+  * in/out of the sample whenever the partition layout changes (a new
+  * file split, a repartition, AQE coalescing). Here membership is a
+  * pure function of the row's stable id — `xxhash64(id) mod denom`
+  * lands in a fixed bucket, and a row is kept iff its bucket falls
+  * under the rate threshold. Properties that matter at 100 TB:
+  *
+  *  - *map-only*: a codegen'd filter on the scan, no shuffle, pushes
+  *    nothing but the id column through the hash;
+  *  - *stable under re-runs and re-layouts*: the sample is identical
+  *    across cluster sizes, file splits, and engine versions (xxhash64
+  *    is a fixed public algorithm);
+  *  - *nested*: a 1% sample is a strict subset of the 10% sample taken
+  *    with the same denominator — shrink/grow experiments stay
+  *    comparable;
+  *  - *disjoint splits for free*: train/val/test are non-overlapping
+  *    bucket RANGES of the same hash, so no row can leak across splits
+  *    even when the splits are computed by different jobs.
+  *
+  * The reference engine has no sampling at all (integer-only SELECT
+  * subset, /root/reference/sqlengine.py); this is extension surface.
+  */
+object Sampling {
+
+  /** Bucket resolution: rates are exact multiples of 1e-6. */
+  val DefaultDenom: Long = 1000000L
+
+  /** The row's stable sample bucket in [0, denom). */
+  def hashBucket(id: Column, denom: Long = DefaultDenom): Column =
+    pmod(xxhash64(id), lit(denom))
+
+  /** `rate` → the largest bucket strictly below the keep line. Computed
+    * in ONE place so the Spark filter and any external re-derivation
+    * (the DuckDB oracle) agree bit-for-bit on the rounding of
+    * `rate * denom`. */
+  def threshold(rate: Double, denom: Long = DefaultDenom): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    (rate * denom).toLong
+  }
+
+  /** Uniform deterministic sample: keep iff bucket(id) < rate·denom. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      denom: Long = DefaultDenom): DataFrame =
+    df.filter(hashBucket(col(idCol), denom) < threshold(rate, denom))
+
+  /** Stratified deterministic sample: a per-stratum keep rate (e.g.
+    * keep 50% of English, 20% of everything else). One codegen'd
+    * CASE over the strata column — still map-only, no shuffle; the
+    * rebalancing a `sampleBy` would do at the partition level happens
+    * here per ROW, so it is exact and layout-independent. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      denom: Long = DefaultDenom): DataFrame = {
+    val thr = rates.foldLeft(lit(threshold(defaultRate, denom))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(threshold(rate, denom))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), denom) < thr)
+  }
+
+  /** Cumulative split boundaries for [[assignSplits]] — exposed so an
+    * external re-derivation uses the identical rounded longs. The last
+    * split absorbs the remainder (fractions need not sum to exactly 1
+    * in floating point). */
+  def splitBounds(fracs: Seq[(String, Double)],
+      denom: Long = DefaultDenom): Seq[(String, Long)] = {
+    require(fracs.nonEmpty, "at least one split")
+    val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    fracs.map(_._1).zip(cum.map(c => threshold(math.min(c, 1.0), denom)))
+  }
+
+  /** Disjoint train/val/test(/...) assignment from the same hash:
+    * split i owns the bucket range [bound(i-1), bound(i)); the final
+    * split's upper bound is forced to `denom` so every row is
+    * assigned. Adds a `split` string column; map-only. */
+  def assignSplits(df: DataFrame, idCol: String,
+      fracs: Seq[(String, Double)], denom: Long = DefaultDenom): DataFrame = {
+    val bounds = splitBounds(fracs, denom)
+    val bucket = hashBucket(col(idCol), denom)
+    // fold from the last (catch-all) split backwards
+    val assigned = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, upper), acc) => when(bucket < upper, name).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+}

@@ -155,4 +155,41 @@ object TextAnalysis {
           _.cast("string")))))
       .drop("__grams")
   }
+
+  /** ALL word n-grams of a token-array column, duplicates preserved —
+    * the counting companion to `Dedup.shinglesFromTokens` (which
+    * distincts for set-jaccard). Whole text as one gram when shorter
+    * than `n` tokens. */
+  def ngramsAll(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Gopher-style repetition signals (Rae et al. '21 §A1.1, public
+    * paper): documents dominated by a few repeated n-grams are
+    * boilerplate/spam, and the filter rule is a threshold on
+    *  - `dup_ngram_frac`  — fraction of n-gram OCCURRENCES that are
+    *    repeats of an earlier occurrence (1 − distinct/total), and
+    *  - `top_ngram_frac`  — share of occurrences taken by the single
+    *    most frequent n-gram.
+    *
+    * Shape at 100 TB: one explode + two hash aggregations, BOTH with
+    * map-side partial aggregation — the shuffle after the explode
+    * carries one row per DISTINCT (doc, gram), not per occurrence, and
+    * the second aggregation carries one row per doc. No windows, no
+    * sorts. Returns (idCol, n_ngrams, dup_ngram_frac, top_ngram_frac). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
+    grams
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_ngrams"),
+        (lit(1.0) - count(lit(1)).cast(DoubleType) /
+          sum(col("__c")).cast(DoubleType)).as("dup_ngram_frac"),
+        (max(col("__c")).cast(DoubleType) /
+          sum(col("__c")).cast(DoubleType)).as("top_ngram_frac"))
+  }
 }

@@ -123,4 +123,34 @@ class DedupSpec extends SparkSpec {
     assert(cands.distinct == cands)
     assert(cands.forall(p => p._1 < p._2))
   }
+
+  test("connectedComponents merges transitively and keeps singletons") {
+    // components: {0} {1,2,3} (via 1-2, 2-3: 1~3 never emitted) {4} {5,6}
+    val vertices = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vertices, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, true), (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    // a 9-vertex path: min label must walk the whole chain
+    val vertices = (10L to 18L).toDF("doc_id")
+    val pairs = (10L until 18L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vertices, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.forall(_._2 == 10L))
+    assert(got.count(_._3) == 1)
+  }
+
+  test("connectedComponents on real near-dup pairs keeps one doc per clique") {
+    val cc = Dedup.connectedComponents(docs, "doc_id",
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5))
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    // 0,1,2 collapse (0-1 identical, 0-2/1-2 near); 3 is its own cluster
+    assert(cc == Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 3L, true)))
+  }
 }

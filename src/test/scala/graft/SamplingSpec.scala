@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Pins the properties that make hash-gated sampling the right
+  * primitive at 100 TB: layout-independence (same sample under any
+  * partitioning), nesting (smaller rates are subsets of larger), exact
+  * stratification, and disjoint-exhaustive splits. The hash itself is
+  * cross-engine verified by the driver's DuckDB oracle
+  * (doc_sample_strat / doc_split_assign re-derive xxh64 in SQL). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("sample is a pure function of the id: invariant under re-layout") {
+    val a = Sampling.hashSample(ids, "id", 0.3).as[Long].collect().sorted.toSeq
+    val b = Sampling.hashSample(ids.repartition(17, col("id") % 7), "id", 0.3)
+      .as[Long].collect().sorted.toSeq
+    val c = Sampling.hashSample(ids.coalesce(1), "id", 0.3)
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && a == c)
+    // rate is approximately honored (hash uniformity, not exactness)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("samples nest: rate r1 < r2 gives a strict subset") {
+    val small = Sampling.hashSample(ids, "id", 0.05).as[Long].collect().toSet
+    val big = Sampling.hashSample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    assert(Sampling.hashSample(ids, "id", 0.0).isEmpty)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 2000L)
+  }
+
+  test("stratified sample applies each stratum's own rate") {
+    val strat = ids.withColumn("grp",
+      when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val got = Sampling.stratifiedHashSample(strat, "id", "grp",
+      Map("even" -> 0.8), defaultRate = 0.1)
+    val byGrp = got.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byGrp("even") / 1000.0 - 0.8) < 0.08)
+    assert(math.abs(byGrp("odd") / 1000.0 - 0.1) < 0.08)
+    // per-row membership equals the plain sample at that stratum's rate
+    val evens = Sampling.hashSample(strat.filter(col("grp") === "even"), "id", 0.8)
+      .as[(Long, String)].collect().toSet
+    assert(got.filter(col("grp") === "even")
+      .as[(Long, String)].collect().toSet == evens)
+  }
+
+  test("splits are disjoint, exhaustive, and consistent with sampling") {
+    val split = Sampling.assignSplits(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.count() == 2000L)
+    val byName = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName.values.sum == 2000L)
+    assert(math.abs(byName("train") / 2000.0 - 0.8) < 0.05)
+    // the train split IS the 80% hash sample — shrink/grow comparable
+    val train = split.filter(col("split") === "train").select("id")
+      .as[Long].collect().toSet
+    assert(train == Sampling.hashSample(ids, "id", 0.8).as[Long].collect().toSet)
+  }
+
+  test("splitBounds: last split absorbs the floating-point remainder") {
+    val b = Sampling.splitBounds(Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4))
+    assert(b.map(_._1) == Seq("a", "b", "c"))
+    assert(b.last._2 == Sampling.DefaultDenom)
+    assert(b.map(_._2) == b.map(_._2).sorted)
+  }
+}

@@ -85,4 +85,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "reach <EMAIL> or <NUM>") // email wins over its digits
     assert(got(5L) == "nothing to hide here")
   }
+
+  test("repetitionStats: hand-computed dup/top fractions") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // 2-grams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "x y z"),        // xy yz → no repeats, modal share 1/2
+      (3L, "hello"),        // single token → one whole-text gram
+      (4L, "w w w w"),      // ww ×3 → fully repetitive
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 1.0 - 2.0 / 5.0, 3.0 / 5.0)))
+    assert(got(2L) == ((2L, 0.0, 0.5)))
+    assert(got(3L) == ((1L, 0.0, 1.0)))
+    assert(got(4L) == ((3L, 1.0 - 1.0 / 3.0, 1.0)))
+  }
 }
