@@ -51,6 +51,22 @@ object EventStreams {
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Stream-static enrichment join — the lookup every event pipeline
+    * does before anything else: attach dimension attributes (user
+    * segment, device class, geo) to each event. Stateless: a
+    * stream-static join keeps NO streaming state and needs no
+    * watermark; the static side is re-evaluated every microbatch, so a
+    * dimension read from parquet picks up newly arrived files between
+    * batches (slowly-changing dimension for free). The dimension is
+    * broadcast — at 100 TB/day of events, shuffling the stream to
+    * co-locate with a dimension that fits in memory would be the
+    * single worst plan choice available; broadcast keeps the stream
+    * map-only. Default `left_outer` so an event with no dimension row
+    * survives with nulls (inner would silently drop it). */
+  def enrichEvents(events: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left_outer"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Tumbling 5-minute per-type counts/sums with a 10-minute watermark:
     * the streaming analog of the `ev_window_tumbling` batch query. */
   def windowedTypeCounts(events: DataFrame): DataFrame =

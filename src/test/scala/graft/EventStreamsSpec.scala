@@ -51,6 +51,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream-static enrichment join: equals batch join, dim broadcast") {
+    // dimension: a segment per user id — deliberately missing some
+    // users (sf0.001 has user_ids 0-14; left_outer must keep events of
+    // users >= 10 with a null segment)
+    val dim = spark.range(0, 10).select(col("id").as("user_id"),
+      concat(lit("seg"), pmod(col("id"), lit(3))).as("segment"))
+    val enriched = EventStreams.enrichEvents(
+      EventStreams.readEvents(spark, dir), dim, "user_id")
+    // the broadcast hint must survive analysis — at scale this join
+    // must never shuffle the stream side
+    assert(enriched.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val q = enriched.select("event_id", "user_id", "segment")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("enrich_out")
+      .as[(Long, Long, Option[String])].collect().toSet
+    val want = batchEvents.join(dim, Seq("user_id"), "left_outer")
+      .select("event_id", "user_id", "segment")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._3.isEmpty)) // uncovered users really occur
+  }
+
   test("stream-stream join: equals the batch bounded range join") {
     val q = EventStreams.purchasesWithRecentClicks(EventStreams.readEvents(spark, dir))
       .select("purchase_id", "click_id")
