@@ -340,7 +340,10 @@ object PipelineQueries {
     * collision), and exact shingle-set jaccard verification. Shingles
     * here are ≤26 ASCII bytes (≤8-char corpus tokens), inside the
     * generator's ≤31-byte path. */
-  private def minhashOracle: String = {
+  /** Shared CTE chain for the minhash oracles: tokenize, shingle,
+    * xxh64-family signatures, band slices — ends with `mband`(doc_id,
+    * band, s4) and, via `msig`, feeds `mfull`/`msets` in the callers. */
+  private def minhashSigCtes: String = {
     import Xxh64Sql._
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val seeds = (0 until 64).map { i =>
@@ -354,13 +357,17 @@ object PipelineQueries {
     val shingles =
       """list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
         |i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin.replace("\n", " ")
-    s"""WITH mtk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
+    s"""mtk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
        |msh AS (SELECT doc_id, unnest($shingles) AS sh FROM mtk),
        |mhdist AS (SELECT DISTINCT sh FROM msh),
        |mhfam AS (SELECT unnest($famList) AS fi, unnest($seedList) AS seed),
        |${seededShortHashStages("mh")},
        |msig AS (SELECT m.doc_id, h.fi, min(h.hs) AS m FROM msh m JOIN mhh h ON h.sh = m.sh GROUP BY m.doc_id, h.fi),
-       |mband AS (SELECT doc_id, fi // 4 AS band, list(m ORDER BY fi) AS s4 FROM msig GROUP BY doc_id, fi // 4),
+       |mband AS (SELECT doc_id, fi // 4 AS band, list(m ORDER BY fi) AS s4 FROM msig GROUP BY doc_id, fi // 4)""".stripMargin.replace("\n", " ")
+  }
+
+  private def minhashOracle: String = {
+    s"""WITH $minhashSigCtes,
        |mcand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM mband x JOIN mband y ON x.band = y.band AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
        |mfull AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM msig GROUP BY doc_id),
        |msets AS (SELECT doc_id, list(sh) AS shs FROM msh GROUP BY doc_id),
@@ -370,6 +377,22 @@ object PipelineQueries {
        |FROM mcand JOIN mfull sa ON sa.doc_id = ida JOIN mfull sb ON sb.doc_id = idb
        |JOIN msets pa ON pa.doc_id = ida JOIN msets pb ON pb.doc_id = idb)
        |SELECT ida AS a, idb AS b, est_jaccard, jaccard FROM mres WHERE jaccard >= 0.7""".stripMargin.replace("\n", " ")
+  }
+
+  /** Incremental screen re-derived: batch docs (doc_id % 3 = 0) band-
+    * matched against the index subset (doc_id % 3 != 0), verified by
+    * the signature ESTIMATE only — exactly the operator's contract
+    * (the index keeps no shingle sets). */
+  private def incrementalOracle: String = {
+    s"""WITH $minhashSigCtes,
+       |icand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS index_id
+       |FROM mband x JOIN mband y ON x.band = y.band AND x.s4 = y.s4
+       |WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 != 0),
+       |mfull AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM msig GROUP BY doc_id),
+       |ires AS (SELECT c.doc_id, c.index_id,
+       |CAST(list_sum(list_transform(generate_series(1, 64), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+       |FROM icand c JOIN mfull sa ON sa.doc_id = c.doc_id JOIN mfull sb ON sb.doc_id = c.index_id)
+       |SELECT doc_id, index_id, est_jaccard FROM ires WHERE est_jaccard >= 0.5""".stripMargin.replace("\n", " ")
   }
 
   /** SimHash near-pairs fully re-derived in DuckDB: per-token xxh64
@@ -642,6 +665,19 @@ object PipelineQueries {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
       Some(ngramOracle)),
+    // incremental screen: every 3rd doc plays today's batch, the rest
+    // is the historical corpus known only by its signature index
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val index = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        Dedup.screenAgainstIndex(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          index, threshold = 0.5)
+          .orderBy("doc_id", "index_id")
+      },
+      Some(incrementalOracle)),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",
@@ -927,6 +963,17 @@ object PipelineQueries {
         events(s, d).select("event_id", "user_id", "ts_s"),
         "user_id", "ts_s", "event_id", numFiles = 16),
       Some(zorderOracle)),
+    // single-scan column profiling (row/null/distinct/min/max per
+    // column); the oracle pays one pass per column instead
+    Q("q_profile_orders",
+      (s, d) => operators.Profiling.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c => s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+           |CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin.replace("\n", " "))
+        .mkString(" UNION ALL "))),
   )
 
   // ---------------------------------------------------------------------

@@ -102,19 +102,27 @@ object Dedup {
         array((0 until p.numHashes).map(i => col(s"__h$i")): _*).as("signature"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. The band key
-    * is (bandIdx, hash of that signature slice); the self-join shuffles
-    * on the band key, so only same-bucket docs ever meet. */
-  def lshCandidates(sigs: DataFrame, idCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
+  /** (id, band, key) — one row per LSH band per document; the band key
+    * is a hash of that signature slice. Shared by the self-join
+    * candidate generator and the cross-table incremental screen. */
+  private def bandBuckets(sigs: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
     val bandKeys = array((0 until p.bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(concat_ws(",",
           transform(slice(col("signature"), j * p.rowsPerBand + 1, p.rowsPerBand),
             _.cast("string")))).as("key"))
     }: _*)
-    val buckets = sigs.select(col(idCol), explode(bandKeys).as("bk"))
+    sigs.select(col(idCol), explode(bandKeys).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. The
+    * self-join shuffles on the band key, so only same-bucket docs ever
+    * meet. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val buckets = bandBuckets(sigs, idCol, p)
     val a = buckets.select(col("band"), col("key"), col(idCol).as("a"))
     val b = buckets.select(col("band"), col("key"), col(idCol).as("b"))
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
@@ -164,6 +172,49 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "est_jaccard", "jaccard")
+  }
+
+  /** Incremental near-dup screening — the shape a standing pipeline
+    * actually runs: dedup TODAY'S batch against the historical corpus
+    * without touching the corpus text. The index is the corpus's
+    * minhash signature table ([[minhashSignatures]], ~512 B/doc —
+    * write it once per snapshot, append each batch's signatures after
+    * screening), and screening is a cross-table band join: batch band
+    * buckets × index band buckets, then signature-estimate
+    * verification. Returns (idCol, index_id, est_jaccard) for batch
+    * docs whose estimate meets `threshold`.
+    *
+    * Verification here is the minhash ESTIMATE, not exact shingle
+    * jaccard — deliberately: exact verification needs the corpus
+    * shingle sets, i.e. re-reading 100 TB of history per batch. The
+    * estimate's error is ±1/√numHashes (~12% at 64 hashes); pipelines
+    * that need exact confirmation re-read the text of only the
+    * FLAGGED index docs (tiny) — compose with
+    * [[minhashNearDuplicates]] on that subset.
+    *
+    * Scale shape: the index side never rescans text (signatures are
+    * precomputed); the batch side is one signature build; the join
+    * shuffles band keys only; est verification joins two signature
+    * tables of ~512 B/row. */
+  def screenAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, threshold: Double,
+      p: MinHashParams = MinHashParams(), persist: Boolean = true): DataFrame = {
+    val bs = Caching.maybePersist(
+      minhashSignatures(batch, idCol, textCol, p), persist)
+    val bb = bandBuckets(bs, idCol, p)
+      .select(col(idCol), col("band"), col("key"))
+    val ib = bandBuckets(index, idCol, p)
+      .select(col(idCol).as("index_id"), col("band"), col("key"))
+    val cands = bb.join(ib, Seq("band", "key"))
+      .select(col(idCol), col("index_id")).distinct()
+    cands
+      .join(bs.select(col(idCol), col("signature").as("__sig_b")), idCol)
+      .join(index.select(col(idCol).as("index_id"),
+        col("signature").as("__sig_i")), "index_id")
+      .withColumn("est_jaccard",
+        estimatedJaccard(col("__sig_b"), col("__sig_i"), p.numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(idCol, "index_id", "est_jaccard")
   }
 
   // =====================================================================

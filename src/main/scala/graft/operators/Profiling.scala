@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the data-quality pass a pipeline runs before
+  * trusting a new 100 TB drop: per-column row/null/distinct counts and
+  * min/max, computed in ONE scan. A naive profiler aggregates once per
+  * column (k scans of the fact table); here all k columns' stats ride
+  * in a single `agg` — Spark expands the multiple `count(DISTINCT x)`s
+  * into one Expand+aggregate pipeline, so the input is read exactly
+  * once — and the wide one-row result is unpivoted to the long
+  * (col_name, stats...) shape with a driver-side-free `stack`.
+  *
+  * min/max are cast to string so heterogeneous column types share one
+  * output schema (the usual profile-table shape).
+  *
+  * The reference engine has no profiling (integer-only SELECT subset,
+  * /root/reference/sqlengine.py); extension surface. */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val base = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n - `__cnt_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+    base.selectExpr(
+      "__n AS n_rows",
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+  }
+}

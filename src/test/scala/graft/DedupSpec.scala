@@ -124,6 +124,23 @@ class DedupSpec extends SparkSpec {
     assert(cands.forall(p => p._1 < p._2))
   }
 
+  test("screenAgainstIndex flags batch docs near the indexed corpus only") {
+    val index = Dedup.minhashSignatures(
+      docs.filter($"doc_id".isin(0L, 3L)), "doc_id", "text")
+    // threshold below the fixture's ~0.54 true jaccard: the 64-hash
+    // ESTIMATE carries ±1/√64 noise, so 0.5 would be a coin flip here
+    val got = Dedup.screenAgainstIndex(
+      docs.filter($"doc_id".isin(1L, 2L)), "doc_id", "text",
+      index, threshold = 0.3)
+      .orderBy("doc_id", "index_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // batch doc 1 is byte-identical to indexed doc 0 (estimate exactly
+    // 1.0); batch doc 2 is the near-dup; nothing matches far doc 3
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 0L), (2L, 0L)))
+    assert(got(0)._3 == 1.0)
+    assert(got(1)._3 >= 0.3 && got(1)._3 < 1.0)
+  }
+
   test("connectedComponents merges transitively and keeps singletons") {
     // components: {0} {1,2,3} (via 1-2, 2-3: 1~3 never emitted) {4} {5,6}
     val vertices = (0L to 6L).toDF("doc_id")

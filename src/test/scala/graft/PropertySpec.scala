@@ -133,6 +133,48 @@ class PropertySpec extends SparkSpec {
     }, cases = 15)
   }
 
+  test("connectedComponents equals the union-find model on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 30)
+      m <- Gen.chooseNum(0, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2))
+    check("cc", Prop.forAll(graphGen) { case (n, edges) =>
+      // model: plain union-find with min-id representatives
+      val parent = scala.collection.mutable.Map((0L until n).map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = (0L until n).map(v => v -> find(v)).toMap
+      val vertices = (0L until n).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val got = graft.operators.Dedup.connectedComponents(vertices, "id", pairs)
+        .as[(Long, Long, Boolean)].collect()
+      got.forall { case (v, c, keep) => want(v) == c && keep == (v == c) } &&
+        got.length == n
+    }, cases = 10)
+  }
+
+  test("hash samples nest and are stratum-consistent for random rates") {
+    val rateGen = Gen.chooseNum(0, 1000000).map(_ / 1000000.0)
+    check("sampling", Prop.forAll(rateGen, rateGen) { (r1, r2) =>
+      val (lo, hi) = (math.min(r1, r2), math.max(r1, r2))
+      val ids = (0L until 300L).toDF("id")
+      val small = graft.operators.Sampling.hashSample(ids, "id", lo)
+        .as[Long].collect().toSet
+      val big = graft.operators.Sampling.hashSample(ids, "id", hi)
+        .as[Long].collect().toSet
+      small.subsetOf(big)
+    }, cases = 8)
+  }
+
   test("asofJoin equals the scan model (unique right timestamps)") {
     val rightGen = Gen.chooseNum(0, 30).flatMap(n =>
       Gen.pick(n, 0 until 200).map(_.toList))
