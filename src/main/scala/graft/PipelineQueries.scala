@@ -963,6 +963,17 @@ object PipelineQueries {
         events(s, d).select("event_id", "user_id", "ts_s"),
         "user_id", "ts_s", "event_id", numFiles = 16),
       Some(zorderOracle)),
+    // per-language token-length distribution (exact quantiles — the
+    // "cut the tails per cell" profile); percentile ≡ quantile_cont
+    // interpolation, already pinned by q_median
+    Q("doc_len_quantiles",
+      (s, d) => operators.Profiling.groupQuantiles(
+        TextAnalysis.withTokenStats(t(s, d, "documents")),
+        Seq("lang"), "n_tokens", Seq(0.25, 0.5, 0.75)).orderBy("lang"),
+      Some(s"""SELECT lang, quantile_cont(len($ToksSql), 0.25) AS q25,
+             |quantile_cont(len($ToksSql), 0.50) AS q50,
+             |quantile_cont(len($ToksSql), 0.75) AS q75,
+             |COUNT(*) AS n_rows FROM documents GROUP BY lang""".stripMargin.replace("\n", " "))),
     // single-scan column profiling (row/null/distinct/min/max per
     // column); the oracle pays one pass per column instead
     Q("q_profile_orders",

@@ -36,4 +36,22 @@ object Profiling {
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
   }
+
+  /** Per-group EXACT quantiles of a numeric column — the distribution
+    * profile behind every "cut the tails per language/source" mixing
+    * rule. Uses Spark's exact `percentile` (linear interpolation on the
+    * sorted group — the same contract as SQL's quantile_cont, which is
+    * what the driver's DuckDB oracle runs). One hash shuffle on the
+    * group key; exactness costs a per-group sort inside the aggregate
+    * buffer, the right trade for the ~thousands of mixture cells this
+    * profiles (for a quantile OVER THE WHOLE 100 TB fact table use
+    * approx_percentile and accept the sketch error). */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(q => q >= 0 && q <= 1))
+    val aggs = probs.map(q =>
+      expr(s"percentile($valueCol, ${q}D)").as(s"q${(q * 100).round}"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail :+ count(lit(1)).as("n_rows"): _*)
+  }
 }

@@ -25,6 +25,18 @@ class ProfilingSpec extends SparkSpec {
     assert(got("v") == ((4L, 1L, 2L, "10", "30")))
   }
 
+  test("groupQuantiles: exact interpolated quantiles per group") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), // q50 = 2.5
+      ("b", 10L), ("b", 20L), ("b", 40L),         // q50 = 20, q25 = 15
+    ).toDF("g", "v")
+    val got = Profiling.groupQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5))
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((1.75, 2.5, 4L)))
+    assert(got("b") == ((15.0, 20.0, 3L)))
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,
