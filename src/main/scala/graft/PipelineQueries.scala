@@ -608,6 +608,17 @@ object PipelineQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split"),
       Some(splitAssignOracle(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))),
+    // exact-count uniform cap per language (bounded-heap reservoir);
+    // oracle re-ranks by the re-derived hash
+    Q("doc_reservoir",
+      (s, d) => Sampling.reservoirPerGroup(t(s, d, "documents"),
+        Seq("lang"), "doc_id", k = 30).orderBy("lang", "rank"),
+      Some(s"""WITH rsrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${Xxh64Sql.M64} ELSE doc_id::HUGEINT END) AS v FROM documents),
+             |${Xxh64Sql.longHashStages("r")},
+             |rrank AS (SELECT d.lang, d.doc_id,
+             |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY h.hs DESC, d.doc_id ASC) AS rnk
+             |FROM documents d JOIN rh h USING (doc_id))
+             |SELECT lang, doc_id, CAST(rnk AS BIGINT) AS "rank" FROM rrank WHERE rnk <= 30""".stripMargin.replace("\n", " "))),
     // Engine-internal hashes (xxhash64) — rows-only check; semantics
     // pinned in TextAnalysisSpec.
     Q("doc_fingerprint",

@@ -76,6 +76,24 @@ object Sampling {
     fracs.map(_._1).zip(cum.map(c => threshold(math.min(c, 1.0), denom)))
   }
 
+  /** Deterministic per-group reservoir: EXACTLY `k` rows per group
+    * (fewer if the group is smaller), chosen uniformly by hash rank —
+    * "cap every source at N documents, picked at random but
+    * reproducibly". Rate-based sampling can't hit an exact count;
+    * window-rank over the full group shuffles every row. This rides
+    * the native bounded-heap top-k aggregate instead: each partition
+    * ships at most k rows per group, so a 100 TB corpus with a
+    * 5M-docs-per-source cap never shuffles more than the cap per
+    * (group, partition). Output: groupCols + idCol + rank (1-based,
+    * by descending hash — a stable "random" order usable as a nested
+    * sub-reservoir: rank ≤ j is the same j-row sample for every
+    * j ≤ k). */
+  def reservoirPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame =
+    Mixing.topKPerGroup(
+      df.withColumn("__hr", xxhash64(col(idCol))), groupCols, "__hr", idCol, k)
+      .drop("__hr")
+
   /** Disjoint train/val/test(/...) assignment from the same hash:
     * split i owns the bucket range [bound(i-1), bound(i)); the final
     * split's upper bound is forced to `denom` so every row is

@@ -67,6 +67,29 @@ class SamplingSpec extends SparkSpec {
     assert(train == Sampling.hashSample(ids, "id", 0.8).as[Long].collect().toSet)
   }
 
+  test("reservoirPerGroup: exact count, deterministic, nested by rank") {
+    val df = ids.withColumn("grp",
+      when(col("id") % 3 === 0, "a").otherwise("b"))
+    val got = Sampling.reservoirPerGroup(df, Seq("grp"), "id", k = 50)
+    val counts = got.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 50L, "b" -> 50L))
+    // deterministic under re-layout
+    val again = Sampling.reservoirPerGroup(
+      df.repartition(13, col("id") % 5), Seq("grp"), "id", k = 50)
+      .as[(String, Long, Long)].collect().toSet
+    assert(again == got.as[(String, Long, Long)].collect().toSet)
+    // a smaller reservoir is the rank-prefix of the bigger one
+    val small = Sampling.reservoirPerGroup(df, Seq("grp"), "id", k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(small == got.filter(col("rank") <= 10)
+      .as[(String, Long, Long)].collect().toSet)
+    // a group smaller than k yields the whole group
+    val tiny = df.filter(col("id") < 5) // grp a: {0,3}, b: {1,2,4}
+    val t = Sampling.reservoirPerGroup(tiny, Seq("grp"), "id", k = 50)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(t == Map("a" -> 2L, "b" -> 3L))
+  }
+
   test("splitBounds: last split absorbs the floating-point remainder") {
     val b = Sampling.splitBounds(Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4))
     assert(b.map(_._1) == Seq("a", "b", "c"))
