@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming pipelines over the `events` table shape
   * (event_id, ts, user_id, event_type, value). The reference engine is
@@ -66,6 +66,26 @@ object EventStreams {
   def enrichEvents(events: DataFrame, dim: DataFrame, key: String,
       joinType: String = "left_outer"): DataFrame =
     events.join(broadcast(dim), Seq(key), joinType)
+
+  /** Exactly-once OUTPUT via an idempotent foreachBatch sink: each
+    * microbatch overwrites its own `batch_id=<id>` directory, so the
+    * at-least-once batch REPLAY of checkpoint recovery (the crashed
+    * batch re-runs on restart) rewrites the same files instead of
+    * appending duplicates. This is the standard pattern for sinks
+    * without a transaction log (object stores, JDBC upserts — there
+    * the overwrite becomes a keyed MERGE); Spark's built-in file sink
+    * gets the same guarantee from its own commit log. The sink
+    * directory is hive-partitioned by batch_id, so a reader doing
+    * `spark.read.parquet(outDir)` sees exactly-once data with batch
+    * lineage for free. */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
 
   /** Tumbling 5-minute per-type counts/sums with a 10-minute watermark:
     * the streaming analog of the `ev_window_tumbling` batch query. */

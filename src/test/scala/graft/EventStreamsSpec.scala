@@ -136,6 +136,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(partial > 0 && partial <= want.size)
   }
 
+  test("idempotent foreachBatch sink: kill + restart yields exactly-once output") {
+    val src = java.nio.file.Files.createTempDirectory("idem_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idem_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("idem_out").toString
+    val all = batchEvents.withColumn("part", pmod(col("event_id"), lit(4)))
+    def addFile(p: Int): Unit =
+      all.filter(col("part") === p).drop("part")
+        .coalesce(1).write.mode("append").parquet(src)
+    addFile(0); addFile(1)
+    val schema = spark.read.parquet(src).schema
+    def startQuery() = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select("event_id", "user_id", "event_type")
+      EventStreams.idempotentParquetSink(events, out, ckpt)
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() > 0)
+    // restart from the same checkpoint with more input: recovery may
+    // REPLAY the last batch — the overwrite-by-batch-id sink must not
+    // duplicate it
+    addFile(2); addFile(3)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    val want = batchEvents.select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == want, "sink must hold every input row exactly once")
+  }
+
   test("incremental sessionize: emits closed sessions plus watermark-expired tails") {
     val stream = EventStreams.readEvents(spark, dir)
       .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"), col("value"))
