@@ -522,6 +522,20 @@ object PipelineQueries {
     t(s, d, "events").withColumn("ts_s", expr("ts DIV 1000000000"))
   }
 
+  /** Duplicated-passage oracle: the same tokenizer → DISTINCT word
+    * 3-grams per doc → gram document-frequency → per-doc counts, all
+    * ANSI set arithmetic (counts only, no ratio doubles). Mirrors
+    * [[TextAnalysis.duplicatedPassageStats]] including the
+    * shorter-than-n whole-text gram. */
+  private def dupPassagesOracle: String =
+    s"""WITH dtk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |dg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS g FROM dtk),
+       |gdf AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+       |CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM dg JOIN gdf USING (g) GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Gopher-style repetition stats re-derived in DuckDB: same
     * tokenizer, ALL word 2-grams (duplicates kept), count per (doc,
     * gram), then the distinct/total and modal/total ratios. Identical
@@ -596,6 +610,19 @@ object PipelineQueries {
     Q("doc_repetition",
       (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text"),
       Some(repetitionOracle)),
+    // corpus-wide top-K token counts (the vocabulary/BPE count step);
+    // ties at the cutoff broken by token asc → deterministic set
+    Q("doc_vocab_topk",
+      (s, d) => TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 100),
+      Some(s"""WITH vt AS (SELECT unnest($ToksSql) AS token FROM documents)
+             |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM vt
+             |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin.replace("\n", " "))),
+    // RefinedWeb-style duplicated-passage counts: distinct word 3-grams
+    // per doc, flagged when shared with ≥1 other document
+    Q("doc_dup_passages",
+      (s, d) => TextAnalysis.duplicatedPassageStats(t(s, d, "documents"),
+        "doc_id", "text", n = 3),
+      Some(dupPassagesOracle)),
     // deterministic hash-gated sampling: stratified per-language rates,
     // and the disjoint train/val/test split assignment
     Q("doc_sample_strat",
@@ -996,6 +1023,23 @@ object PipelineQueries {
            |CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
            |FROM orders""".stripMargin.replace("\n", " "))
         .mkString(" UNION ALL "))),
+    // per-group Pearson correlation from order-independent decimal
+    // sufficient statistics; the identical double formula on identical
+    // exact sums → bit-identical corr in both engines (native corr is
+    // an order-dependent double fold and could not hash-match)
+    Q("q_corr_grouped",
+      (s, d) => operators.Profiling.exactGroupCorr(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
+      Some("""WITH cs AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+             |FROM cs""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

@@ -37,6 +37,40 @@ object Profiling {
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
   }
 
+  /** Per-group Pearson correlation of two 2-decimal measure columns,
+    * computed ORDER-INDEPENDENTLY: the five sufficient statistics
+    * (Σx, Σy, Σxy, Σx², Σy², n) are accumulated in exact DECIMAL
+    * arithmetic — decimal addition is associative and commutative, so
+    * any partitioning gives bit-identical sums — and the textbook
+    * formula r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is
+    * applied in double ONCE at the end. An engine running the identical
+    * final formula on the identical exact sums (the DuckDB oracle does)
+    * produces the identical IEEE double, which native `corr` — a
+    * streaming double fold whose rounding depends on row order — cannot
+    * guarantee under partitioning.
+    *
+    * Shape at 100 TB: one partial-aggregating hash shuffle on the group
+    * key; the shuffle carries six decimals per group per partition. */
+  def exactGroupCorr(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val agged = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x).cast("double").as("__sx"),
+      sum(y).cast("double").as("__sy"),
+      sum(x * y).cast("double").as("__sxy"),
+      sum(x * x).cast("double").as("__sxx"),
+      sum(y * y).cast("double").as("__syy"))
+    agged
+      .withColumn("corr_xy",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+      .withColumn("n_rows", col("__n").cast("long"))
+      .select(groupCols.map(col) ++ Seq(col("n_rows"), col("corr_xy")): _*)
+  }
+
   /** Per-group EXACT quantiles of a numeric column — the distribution
     * profile behind every "cut the tails per language/source" mixing
     * rule. Uses Spark's exact `percentile` (linear interpolation on the

@@ -165,6 +165,49 @@ object TextAnalysis {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
+  /** Corpus-wide top-K token frequencies — the counting step every
+    * vocabulary / BPE-training pipeline starts with (Sennrich et al.
+    * '16 count-then-merge; the merge loop is driver-side and tiny, the
+    * count is the 100 TB part).
+    *
+    * Shape at 100 TB: explode → ONE hash aggregation with map-side
+    * partial counts (the shuffle carries one row per distinct token per
+    * partition, not per occurrence) → `TakeOrderedAndProject` for the
+    * top-K (per-partition bounded heaps, no global sort). Ties broken
+    * by token ascending so the result is deterministic. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** RefinedWeb-style duplicated-passage signals (Penedo et al. '23
+    * §3.2, public paper): for each document, how many of its distinct
+    * word n-gram "passages" also occur in at least one OTHER document.
+    * High `n_dup`/`n_passages` marks boilerplate shared across pages
+    * (headers, license blocks, templates) that exact-dedup misses.
+    *
+    * Shape at 100 TB: explode → distinct (doc, gram) via a partial-agg
+    * groupBy; gram document-frequency via a second partial-agg groupBy
+    * (one row per distinct gram); an equi-join back on gram — both
+    * sides are already hash-partitioned by gram from their aggregates,
+    * so AQE reuses the exchange; final per-doc rollup. Counts are
+    * emitted as longs (no ratio doubles) so the result hashes
+    * identically cross-engine. */
+  def duplicatedPassageStats(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val docGrams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
+      .distinct()
+    val gramDf = docGrams.groupBy("__g")
+      .agg(count(lit(1)).as("__df"))
+    docGrams.join(gramDf, "__g")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. '21 §A1.1, public
     * paper): documents dominated by a few repeated n-grams are
     * boilerplate/spam, and the filter rule is a threshold on

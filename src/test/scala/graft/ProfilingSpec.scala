@@ -37,6 +37,28 @@ class ProfilingSpec extends SparkSpec {
     assert(got("b") == ((15.0, 20.0, 3L)))
   }
 
+  test("exactGroupCorr matches a hand-computed Pearson r and is partition-invariant") {
+    // per group "g": x = [1, 2, 3], y = [2, 4, 6] → r = 1 exactly;
+    // "h": x = [1, 2, 3], y = [6, 5, 1] → r = -15/√252 = -0.944911...
+    val rows = Seq(
+      ("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+      ("h", 1.0, 6.0), ("h", 2.0, 5.0), ("h", 3.0, 1.0))
+    val df = rows.toDF("g", "x", "y")
+    val got = Profiling.exactGroupCorr(df, Seq("g"), "x", "y")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("g") == ((3L, 1.0)))
+    assert(math.abs(got("h")._2 - -15.0 / math.sqrt(252.0)) < 1e-15)
+    // identical bits under a different partitioning (decimal sums are
+    // order-independent; the double formula runs once on the result)
+    val shuffled = rows.reverse.toDF("g", "x", "y").repartition(7)
+    val got2 = Profiling.exactGroupCorr(shuffled, Seq("g"), "x", "y")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(java.lang.Double.doubleToLongBits(got2("h")) ==
+      java.lang.Double.doubleToLongBits(got("h")._2))
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,

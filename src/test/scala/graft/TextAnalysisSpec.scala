@@ -29,6 +29,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
   }
 
+  test("vocabTopK counts occurrences and breaks count ties by token asc") {
+    val df = Seq(
+      (1L, "bb aa bb cc"),
+      (2L, "aa bb dd"),
+    ).toDF("doc_id", "text")
+    // counts: bb=3, aa=2, cc=1, dd=1 — the k=3 cutoff tie (cc vs dd)
+    // resolves to cc by token order
+    val got = TextAnalysis.vocabTopK(df, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("bb" -> 3L, "aa" -> 2L, "cc" -> 1L))
+  }
+
+  test("duplicatedPassageStats flags distinct n-grams shared across docs") {
+    val df = Seq(
+      (1L, "a b c d"),     // 3-grams: "a b c", "b c d"
+      (2L, "a b c x"),     // 3-grams: "a b c", "b c x"
+      (3L, "z z"),         // shorter than n → whole text "z z"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedPassageStats(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 1L))) // "a b c" shared with doc 2
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((1L, 0L)))
+  }
+
+  test("duplicatedPassageStats counts repeated in-doc grams once (distinct)") {
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    // all 4 3-grams are "a b a"/"b a b" repeated → 2 distinct, 0 dup
+    val got = TextAnalysis.duplicatedPassageStats(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1L, 2L, 0L)))
+  }
+
   test("fingerprints: deterministic, equal for equal text, disjoint for unrelated") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
