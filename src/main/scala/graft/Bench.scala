@@ -31,13 +31,16 @@ object Bench {
     def exec(q: Queries.Q): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Two untimed warmup passes: round-1 data showed a single pass
-    // still leaves first-timed-run JIT/GC noise worth ~2× on sub-second
-    // queries (driver's one-shot run measured 8.7 s vs a 4.4 s stable
-    // estimate); the second pass lets codegen'd classes and the page
-    // cache settle before anything is timed.
+    // One untimed warmup pass (SPARK_GRAFT_WARMUP overrides): it loads
+    // classes, JIT-compiles the codegen paths, and primes the page
+    // cache; any residual first-run noise lands in timed iteration 1
+    // and the best-of-N minimum below discards it. (Round 1 ran two
+    // passes before timing — that predated per-query iteration arrays;
+    // with min-of-3 the second pass only added ~25 s of wall time.)
+    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+    require(warmupPasses >= 0, s"SPARK_GRAFT_WARMUP must be >= 0, got $warmupPasses")
     val w0 = System.nanoTime()
-    (1 to 2).foreach { _ =>
+    (1 to warmupPasses).foreach { _ =>
       headline.foreach { q =>
         try exec(q)
         catch { case _: Throwable => () }

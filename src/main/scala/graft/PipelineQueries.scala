@@ -366,8 +366,11 @@ object PipelineQueries {
        |mband AS (SELECT doc_id, fi // 4 AS band, list(m ORDER BY fi) AS s4 FROM msig GROUP BY doc_id, fi // 4)""".stripMargin.replace("\n", " ")
   }
 
-  private def minhashOracle: String = {
-    s"""WITH $minhashSigCtes,
+  /** CTE chain ending in `mres`(ida, idb, est_jaccard, jaccard) —
+    * shared by the minhash-pairs oracle and the end-to-end pipeline
+    * oracle. */
+  private def minhashPairCtes: String = {
+    s"""$minhashSigCtes,
        |mcand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM mband x JOIN mband y ON x.band = y.band AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
        |mfull AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM msig GROUP BY doc_id),
        |msets AS (SELECT doc_id, list(sh) AS shs FROM msh GROUP BY doc_id),
@@ -375,9 +378,28 @@ object PipelineQueries {
        |CAST(list_sum(list_transform(generate_series(1, 64), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard,
        |CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE) / len(list_distinct(list_concat(pa.shs, pb.shs))) AS jaccard
        |FROM mcand JOIN mfull sa ON sa.doc_id = ida JOIN mfull sb ON sb.doc_id = idb
-       |JOIN msets pa ON pa.doc_id = ida JOIN msets pb ON pb.doc_id = idb)
-       |SELECT ida AS a, idb AS b, est_jaccard, jaccard FROM mres WHERE jaccard >= 0.7""".stripMargin.replace("\n", " ")
+       |JOIN msets pa ON pa.doc_id = ida JOIN msets pb ON pb.doc_id = idb)""".stripMargin.replace("\n", " ")
   }
+
+  private def minhashOracle: String =
+    s"WITH $minhashPairCtes SELECT ida AS a, idb AS b, est_jaccard, jaccard FROM mres WHERE jaccard >= 0.7"
+
+  /** End-to-end dedup pipeline oracle: the same minhash pairs, then the
+    * transitive closure via a RECURSIVE CTE (min reachable id = the
+    * component keeper — the fixpoint the Spark side reaches by label
+    * propagation), then survivors with their cluster sizes. */
+  private def dedupPipelineOracle: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |mp AS (SELECT ida AS a, idb AS b FROM mres WHERE jaccard >= 0.7),
+       |pedge AS (SELECT a AS u, b AS v FROM mp UNION ALL SELECT b AS u, a AS v FROM mp),
+       |preach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u, p.r FROM pedge e JOIN preach p ON p.u = e.v
+       |),
+       |pcomp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM preach GROUP BY u)
+       |SELECT cluster_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM pcomp GROUP BY cluster_id""".stripMargin.replace("\n", " ")
 
   /** Incremental screen re-derived: batch docs (doc_id % 3 = 0) band-
     * matched against the index subset (doc_id % 3 != 0), verified by
@@ -716,6 +738,24 @@ object PipelineQueries {
           .orderBy("doc_id", "index_id")
       },
       Some(incrementalOracle)),
+    // the real customer path end-to-end: near-dup pairs → connected
+    // components → keep-filter, composed from the SAME operators the
+    // individual rows verify — this row pins that the stages compose
+    // without column/type drift (pairs' a/b feed clusters; keepers are
+    // cluster_id == doc_id) and that every survivor carries its
+    // cluster size for downstream weighting
+    Q("dedup_pipeline",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+          threshold = 0.7)
+        val clusters = Dedup.connectedComponents(docs, "doc_id", pairs)
+        clusters.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+          .join(clusters.filter(col("keep")), Seq("cluster_id"))
+          .select(col("doc_id"), col("n_members"))
+          .orderBy("doc_id")
+      },
+      Some(dedupPipelineOracle)),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",
@@ -923,6 +963,19 @@ object PipelineQueries {
              |AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT) - 300
              |AND CAST(floor(epoch(b.ts)) AS BIGINT) < CAST(floor(epoch(a.ts)) AS BIGINT)
              |GROUP BY a.event_id""".stripMargin.replace("\n", " "))),
+    // Batch analog of the stream-static enrichment join — runs the
+    // ACTUAL EventStreams.enrichEvents (broadcast left-outer on the
+    // dimension key), pinning the enrichment arithmetic cross-engine;
+    // the streaming variant is the same plan minus the microbatch loop.
+    Q("ev_enriched",
+      (s, d) => graft.streaming.EventStreams.enrichEvents(
+          events(s, d).select("event_id", "user_id", "event_type"),
+          t(s, d, "customer").select(col("c_custkey").as("user_id"),
+            col("c_name"), col("c_mktsegment")),
+          "user_id")
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment"),
+      Some("""SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin.replace("\n", " "))),
     Q("ev_type_share",
       (s, d) => {
         val e = events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -1026,7 +1079,11 @@ object PipelineQueries {
     // per-group Pearson correlation from order-independent decimal
     // sufficient statistics; the identical double formula on identical
     // exact sums → bit-identical corr in both engines (native corr is
-    // an order-dependent double fold and could not hash-match)
+    // an order-dependent double fold and could not hash-match). Both
+    // engines clamp into [-1,1] IDENTICALLY (the raw formula can land
+    // 1 ulp outside on collinear groups — √6·√24 < 12 in doubles);
+    // both emit NULL for zero-variance groups (denominator 0) and pass
+    // any NaN through unclamped.
     Q("q_corr_grouped",
       (s, d) => operators.Profiling.exactGroupCorr(t(s, d, "lineitem"),
         Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
@@ -1036,10 +1093,16 @@ object PipelineQueries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-             |FROM lineitem GROUP BY l_returnflag)
-             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-             |(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
-             |FROM cs""".stripMargin.replace("\n", " "))),
+             |FROM lineitem GROUP BY l_returnflag),
+             |nd AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |n * sxy - sx * sy AS num,
+             |sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) AS den
+             |FROM cs)
+             |SELECT l_returnflag, n_rows,
+             |CASE WHEN den = 0 THEN NULL
+             |WHEN isnan(num / den) THEN num / den
+             |ELSE least(greatest(num / den, -1.0), 1.0) END AS corr_xy
+             |FROM nd""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

@@ -49,6 +49,16 @@ object Profiling {
     * streaming double fold whose rounding depends on row order — cannot
     * guarantee under partitioning.
     *
+    * The raw formula can exceed |1| by an ulp (e.g. a perfectly
+    * collinear group where √6·√24 = 11.999999999999998 < 12), which
+    * breaks consumers like acos(r); the result is clamped into [−1, 1].
+    * A zero-variance group (denominator 0, correlation undefined)
+    * yields NULL — guarded BEFORE the division so ANSI mode doesn't
+    * throw DIVIDE_BY_ZERO, and kept out of the clamp (Spark's
+    * least/greatest skip NULLs, so a bare clamp would turn NULL into
+    * −1.0; NaN would likewise clamp to 1.0 since Spark orders NaN above
+    * every double — any NaN from rounding is passed through as-is).
+    *
     * Shape at 100 TB: one partial-aggregating hash shuffle on the group
     * key; the shuffle carries six decimals per group per partition. */
   def exactGroupCorr(df: DataFrame, groupCols: Seq[String],
@@ -62,11 +72,17 @@ object Profiling {
       sum(x * y).cast("double").as("__sxy"),
       sum(x * x).cast("double").as("__sxx"),
       sum(y * y).cast("double").as("__syy"))
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val den =
+      sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+        sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))
+    val raw = num / den
     agged
+      .withColumn("__den", den)
       .withColumn("corr_xy",
-        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
-            sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+        when(col("__den") === lit(0.0), lit(null).cast("double"))
+          .otherwise(when(isnan(raw), raw)
+            .otherwise(least(greatest(raw, lit(-1.0)), lit(1.0)))))
       .withColumn("n_rows", col("__n").cast("long"))
       .select(groupCols.map(col) ++ Seq(col("n_rows"), col("corr_xy")): _*)
   }

@@ -162,6 +162,28 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_._3) == 1)
   }
 
+  test("connectedComponents converges in O(log diameter) rounds (pointer jumping)") {
+    // A path graph of diameter 1000: plain min-label propagation moves
+    // the min one hop per round (needs ~1000 rounds); pointer jumping
+    // halves the remaining distance each round, so ceil(log2(1000))+c
+    // rounds must suffice. maxIter=15 passes ONLY with pointer jumping —
+    // reverting it makes connectedComponents throw non-convergence here.
+    val n = 1000L
+    val vertices = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vertices, "doc_id", pairs, maxIter = 15)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.size == n + 1)
+    assert(got.forall(_._2 == 0L), "every path vertex must reach label 0")
+    assert(got.count(_._3) == 1)
+    // and the non-convergence guard actually throws rather than
+    // silently emitting split clusters
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(vertices, "doc_id", pairs, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
   test("connectedComponents on real near-dup pairs keeps one doc per clique") {
     val cc = Dedup.connectedComponents(docs, "doc_id",
       Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5))

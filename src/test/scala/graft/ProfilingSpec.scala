@@ -47,8 +47,19 @@ class ProfilingSpec extends SparkSpec {
     val got = Profiling.exactGroupCorr(df, Seq("g"), "x", "y")
       .as[(String, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    // collinear: the RAW formula yields 1.0000000000000002 (√6·√24 =
+    // 11.999999999999998 in doubles); the [−1,1] clamp must bring it to
+    // exactly 1.0 so acos(r) etc. stay finite downstream
     assert(got("g") == ((3L, 1.0)))
+    assert(got("g")._2 <= 1.0)
     assert(math.abs(got("h")._2 - -15.0 / math.sqrt(252.0)) < 1e-15)
+    // zero-variance group: correlation is undefined → NULL, and the
+    // division must be guarded (ANSI mode would throw DIVIDE_BY_ZERO)
+    // rather than clamped (least/greatest skip NULLs → would emit -1.0)
+    val flat = Seq(("z", 5.0, 1.0), ("z", 5.0, 2.0)).toDF("g", "x", "y")
+    val rz = Profiling.exactGroupCorr(flat, Seq("g"), "x", "y")
+      .select("corr_xy").collect().head
+    assert(rz.isNullAt(0), s"zero-variance corr should be NULL, got $rz")
     // identical bits under a different partitioning (decimal sums are
     // order-independent; the double formula runs once on the result)
     val shuffled = rows.reverse.toDF("g", "x", "y").repartition(7)
