@@ -110,7 +110,13 @@ object PipelineQueries {
     * cells, and exact-cosine re-rank. MATERIALIZED on the per-iteration
     * CTEs — each references its predecessor twice, and without it the
     * inlined 10-level chain re-evaluates exponentially. */
-  private def ivfOracle: String = {
+  /** CTE chain re-deriving the IVF k-means train + assign in DuckDB,
+    * ending in `ivcell`(vec_id, v, cell) — the full corpus with its
+    * nearest-centroid cell after 10 Lloyd iterations on the same
+    * hash-ordered 4096-vector sample the Spark side trains on. Shared
+    * by the IVF top-k oracle (which adds probe scoring on `ivd`) and
+    * the semantic-dedup oracle (which adds within-cell pairs). */
+  private def kmeansCellCtes: String = {
     import Xxh64Sql._
     val dist64 = "list_sum(list_transform(generate_series(1, 64), j -> (s.v[j] - c.clist[j]) * (s.v[j] - c.clist[j])))"
     val iters = new StringBuilder
@@ -127,7 +133,7 @@ object PipelineQueries {
       prev = s"ivc$t"
     }
     val hfinal = xor64("b4", s"(b4 // ${1L << 32})")
-    s"""WITH ivv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""ivv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |ivk AS (SELECT vec_id, v, ${mulmod(rotl(mulmod("(vec_id::HUGEINT)", P2), 31), P1)} AS k FROM ivv),
        |ivx AS (SELECT vec_id, v, (${mulmod(rotl(xor64(Acc0Len8, "k"), 27), P1)} + $P4) % $M64 AS a3 FROM ivk),
        |ivy AS (SELECT vec_id, v, ${mulmod(xor64("a3", s"(a3 // ${1L << 33})"), P2)} AS b2 FROM ivx),
@@ -141,14 +147,35 @@ object PipelineQueries {
        |ivvn AS (SELECT vec_id, v, list_dot_product(v, v) AS vn FROM ivv),
        |ivd AS MATERIALIZED (SELECT t.vec_id, t.v, c.cell, (t.vn - 2.0 * list_dot_product(t.v, c.clist)) + c.cnorm AS d
        |FROM ivvn t CROSS JOIN ivcn c),
-       |ivcell AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd) WHERE rn = 1),
+       |ivcell AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd) WHERE rn = 1)""".stripMargin.replace("\n", " ")
+  }
+
+  private def ivfOracle: String =
+    s"""WITH $kmeansCellCtes,
        |ivpc AS (SELECT vec_id AS probe_id, v AS pv, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd WHERE vec_id < 10) WHERE rn <= 4),
        |ivscored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, ${cosSql("p.pv", "c.v")} AS cosine
        |FROM ivcell c JOIN ivpc p ON p.cell = c.cell WHERE c.vec_id <> p.probe_id)
        |SELECT probe_id, neighbor_id, cosine, rank FROM (
        |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ivscored)
        |WHERE rank <= 10""".stripMargin.replace("\n", " ")
-  }
+
+  /** Semantic-dedup oracle: the same k-means cells, within-cell cosine
+    * pairs at the same threshold, then the transitive closure via a
+    * RECURSIVE CTE (min reachable id per component — the fixpoint the
+    * Spark side reaches by label propagation). */
+  private def semDedupOracle: String =
+    s"""WITH RECURSIVE $kmeansCellCtes,
+       |sdp AS (SELECT x.vec_id AS a, y.vec_id AS b FROM ivcell x JOIN ivcell y
+       |ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |WHERE ${cosSql("x.v", "y.v")} >= 0.4),
+       |sde AS (SELECT a AS u, b AS v FROM sdp UNION ALL SELECT b AS u, a AS v FROM sdp),
+       |sdr(u, r) AS (
+       |  SELECT vec_id AS u, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT e.u, p.r FROM sde e JOIN sdr p ON p.u = e.v
+       |)
+       |SELECT u AS vec_id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
+       |FROM sdr GROUP BY u""".stripMargin.replace("\n", " ")
 
   private def annBruteOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -862,6 +889,13 @@ object PipelineQueries {
         dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
         planeGen = Similarity.lcgPlanes).orderBy("a", "b"),
       Some(cosinePairsOracle)),
+    // SemDeDup: k-means cells → within-cell cosine pairs → connected
+    // components, one keeper per semantic cluster (oracle re-derives
+    // the whole thing: Lloyd's in SQL + recursive-CTE closure)
+    Q("sem_dedup",
+      (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4).orderBy("vec_id"),
+      Some(semDedupOracle)),
   )
 
   // ---------------------------------------------------------------------
@@ -1047,6 +1081,20 @@ object PipelineQueries {
       Some("""SELECT e.event_id, e.event_type, d.n_type FROM events e
              |JOIN (SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY event_type) d
              |USING (event_type)""".stripMargin.replace("\n", " "))),
+    // Bloom-pruned join: the probe side (lineitem) is pre-filtered by
+    // a bitmap of the filtered build side's keys before the join — a
+    // Bloom filter has no false negatives, so the oracle is the PLAIN
+    // join; a hash match proves cross-engine that runtime pruning does
+    // not alter results (same protocol as the salted rows above)
+    Q("q_bloom_join",
+      (s, d) => operators.RuntimeFilter.bloomPrunedJoin(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, d, "orders").filter(col("o_totalprice") >= 450000.0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+        key = "l_orderkey", mBits = 1 << 14),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_totalprice >= 450000.0""".stripMargin.replace("\n", " "))),
     // per-file (min,max) boxes of a 2-D z-ordered layout — the exact
     // statistics parquet skipping feeds on (see Layout.zorderAudit)
     Q("layout_zorder",
@@ -1178,5 +1226,77 @@ object PipelineQueries {
              |FROM documents""".stripMargin.replace("\n", " "))),
   )
 
-  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ multimodal
+  // ---------------------------------------------------------------------
+  // CDC snapshot maintenance. The change feed is derived
+  // DETERMINISTICALLY from orders itself (no synthetic data): deletes
+  // for keys ≡0 (mod 10), an update for ≡1/≡2 at seq 1, a SECOND update
+  // for ≡1 at seq 2 (latest-wins must pick it), and inserts of fresh
+  // keys (+1_000_000) for ≡5. Both engines derive the identical feed,
+  // so the merge/history arithmetic is what the hash pins.
+  // ---------------------------------------------------------------------
+  private def cdcSnapshot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def cdcChanges(s: SparkSession, d: String): DataFrame = {
+    val o = cdcSnapshot(s, d)
+    val del = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+    val upd1 = o.filter(col("o_orderkey") % 10 === 1 || col("o_orderkey") % 10 === 2)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+        col("o_custkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val upd2 = o.filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        col("o_custkey"), lit("Y").as("o_orderstatus"),
+        (col("o_totalprice") + 2000.0).as("o_totalprice"))
+    val ins = o.filter(col("o_orderkey") % 10 === 5)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit(1L).as("seq"), lit("I").as("op"),
+        col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+    del.unionByName(upd1).unionByName(upd2).unionByName(ins)
+  }
+
+  /** The same change feed in DuckDB SQL. */
+  private val cdcChangesSql: String =
+    """cdcch AS (
+      |SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS seq, 'D' AS op, CAST(NULL AS BIGINT) AS c, CAST(NULL AS VARCHAR) AS st, CAST(NULL AS DOUBLE) AS tp FROM orders WHERE o_orderkey % 10 = 0
+      |UNION ALL SELECT o_orderkey, CAST(1 AS BIGINT), 'U', o_custkey, 'X', o_totalprice + 1000.0 FROM orders WHERE o_orderkey % 10 IN (1, 2)
+      |UNION ALL SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_custkey, 'Y', o_totalprice + 2000.0 FROM orders WHERE o_orderkey % 10 = 1
+      |UNION ALL SELECT o_orderkey + 1000000, CAST(1 AS BIGINT), 'I', o_custkey, 'N', o_totalprice FROM orders WHERE o_orderkey % 10 = 5)""".stripMargin.replace("\n", " ")
+
+  private val cdc = Vector(
+    // next-snapshot merge: latest change per key wins; D drops, I/U
+    // replace-or-append. Oracle merges independently via window rank +
+    // full outer join.
+    Q("cdc_apply",
+      (s, d) => operators.Cdc.applyChanges(cdcSnapshot(s, d), cdcChanges(s, d),
+        "o_orderkey", "seq", "op").orderBy("o_orderkey"),
+      Some(s"""WITH $cdcChangesSql,
+             |cdcl AS (SELECT k, op, c, st, tp FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM cdcch) WHERE rn = 1)
+             |SELECT COALESCE(l.k, s.o_orderkey) AS o_orderkey,
+             |CASE WHEN l.k IS NOT NULL THEN l.c ELSE s.o_custkey END AS o_custkey,
+             |CASE WHEN l.k IS NOT NULL THEN l.st ELSE s.o_orderstatus END AS o_orderstatus,
+             |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS o_totalprice
+             |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
+             |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin.replace("\n", " "))),
+    // SCD2 expansion of the same feed: per-key version chain with
+    // [valid_from, valid_to) sequence ranges; a D closes its
+    // predecessor and emits nothing.
+    Q("cdc_scd2",
+      (s, d) => operators.Cdc.scd2History(cdcChanges(s, d),
+        "o_orderkey", "seq", "op").orderBy("o_orderkey", "valid_from"),
+      Some(s"""WITH $cdcChangesSql
+             |SELECT k AS o_orderkey, c AS o_custkey, st AS o_orderstatus, tp AS o_totalprice,
+             |valid_from, valid_to, (valid_to IS NULL) AS is_current FROM (
+             |  SELECT k, op, c, st, tp, seq AS valid_from,
+             |  lead(seq, 1) OVER (PARTITION BY k ORDER BY seq ASC) AS valid_to
+             |  FROM cdcch)
+             |WHERE op <> 'D'""".stripMargin.replace("\n", " "))),
+  )
+
+  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ multimodal ++ cdc
 }

@@ -223,6 +223,46 @@ object Similarity {
         col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are k-means-assigned to `nlist`
+    * cells; pairs with cosine ≥ `threshold` are sought WITHIN each
+    * cell only; the resulting near-dup graph is resolved to components
+    * and one keeper (min id) survives per semantic cluster. Output:
+    * (id, cluster_id, keep) for every corpus row.
+    *
+    * Cross-cell near-duplicates are deliberately out of contract —
+    * that locality approximation is exactly what makes SemDeDup
+    * tractable: the quadratic pair search is bounded per cell. Scale
+    * shape at 100 TB: centroids are fitted on a bounded driver-side
+    * sample and shipped as literals (the paper's protocol — Faiss
+    * trains on a sample too), cell assignment is a map-only codegen'd
+    * argmin over `nlist` dots, and the within-cell join shuffles once
+    * on the cell id with ~N/nlist rows per cell — hold cell size
+    * constant by growing `nlist` ∝ N (the paper uses 11k cells for
+    * LAION-440M). Cluster resolution is the same O(E)-per-round label
+    * propagation as text dedup ([[Dedup.connectedComponents]]). */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, trainSample: Int = 4096): DataFrame = {
+    val train = corpus.select(asDouble(col(vecCol)), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = fitCentroids(train, nlist)
+    val assigned = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__d", centroidDists(col("__v"), centroids))
+      .withColumn("__cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .drop("__d")
+    val lhs = assigned.select(col("__cell"), col(idCol).as("__ida"),
+      col("__v").as("__va"))
+    val rhs = assigned.select(col("__cell"), col(idCol).as("__idb"),
+      col("__v").as("__vb"))
+    val pairs = lhs.join(rhs, Seq("__cell"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(cosine(col("__va"), col("__vb")) >= lit(threshold))
+      .select(col("__ida").as("a"), col("__idb").as("b"))
+    Dedup.connectedComponents(corpus.select(col(idCol)), idCol, pairs)
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold, banded-LSH candidate
     * generation — the embedding-space near-duplicate detector.
     *

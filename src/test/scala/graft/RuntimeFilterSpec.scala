@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RuntimeFilter
+
+/** Bloom-pruned join: output-invariance (no false negatives) plus the
+  * pruning actually pruning (the filter's whole point), plus the plan
+  * staying codegen'd (no UDF black box in the probe side's hot path). */
+class RuntimeFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val big = (0L until 1000L).map(i => (i, s"row$i")).toDF("k", "payload")
+  private lazy val small = Seq(3L, 500L, 999L, 3L).toDF("k")
+
+  test("bloomPrunedJoin returns exactly the plain join rows") {
+    val got = RuntimeFilter.bloomPrunedJoin(big, small.distinct(), "k", mBits = 1 << 10)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((3L, "row3"), (500L, "row500"), (999L, "row999")))
+  }
+
+  test("the bloom filter prunes the probe side hard at low fpp") {
+    val words = RuntimeFilter.buildBloom(small, "k", mBits = 1 << 10, k = 3)
+    assert(words.length == (1 << 10) / 64)
+    // 3 distinct keys × 3 hashes in 1024 bits → fpp ≈ (9/1024)^3 ≈ 7e-7;
+    // the surviving probe rows must be the 3 true matches, not ~1000
+    val survivors = RuntimeFilter.prune(big, "k", words, mBits = 1 << 10).count()
+    assert(survivors == 3)
+  }
+
+  test("membership test stays codegen'd on a parquet scan (no UDF)") {
+    // local Seqs get ConvertToLocalRelation-folded, so drive a real scan
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val keys = Seq(1L, 7L, 42L).toDF("l_orderkey")
+    val words = RuntimeFilter.buildBloom(keys, "l_orderkey", mBits = 1 << 10, k = 3)
+    val pruned = RuntimeFilter.prune(
+      li.select("l_orderkey", "l_quantity"), "l_orderkey", words, 1 << 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the WholeStageCodegen marker in simpleString
+    assert(plan.contains("*(1) Filter"), plan)
+    assert(plan.contains("xxhash64"), plan)
+    assert(!plan.contains("BatchEvalPython"), plan)
+    // and the pruned scan still returns every true match
+    val trueMatches = li.join(keys, Seq("l_orderkey")).count()
+    assert(pruned.join(keys, Seq("l_orderkey")).count() == trueMatches)
+  }
+}
