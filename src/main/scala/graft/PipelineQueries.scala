@@ -212,6 +212,32 @@ object PipelineQueries {
       | + CAST(len(list_distinct($ToksSql)) AS DOUBLE) / len($ToksSql) * 0.3
       | + least(1.0, (CAST(list_sum(list_transform($ToksSql, w -> length(w))) AS DOUBLE) / len($ToksSql)) / 5.0) * 0.3""".stripMargin.replace("\n", " ")
 
+  /** The filter-battery rules re-derived in DuckDB. Threshold literals
+    * MUST mirror the registered doc_filter_battery call; the failed
+    * list is built in the same fixed rule order, so the comma-joined
+    * attribution strings match byte for byte. */
+  private def filterBatteryOracle(minTokens: Long, maxTokens: Long,
+      minAvgLen: Double, maxAvgLen: Double, minAlphaRatio: Double,
+      minStopwordHits: Long, minDistinctRatio: Double): String = {
+    val en = operators.TextAnalysis.StopwordProfiles("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_len,
+       |CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha,
+       |CAST(len(list_filter(toks, w -> list_contains($en, w))) AS BIGINT) AS stop_hits,
+       |CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr FROM tk),
+       |fl AS (SELECT doc_id, n_tokens, list_filter([
+       |CASE WHEN n_tokens < $minTokens THEN 'too_few_tokens' END,
+       |CASE WHEN n_tokens > $maxTokens THEN 'too_many_tokens' END,
+       |CASE WHEN avg_len < $minAvgLen OR avg_len > $maxAvgLen THEN 'avg_token_len_oob' END,
+       |CASE WHEN alpha < $minAlphaRatio THEN 'low_alpha_ratio' END,
+       |CASE WHEN stop_hits < $minStopwordHits THEN 'low_stopword_hits' END,
+       |CASE WHEN dr < $minDistinctRatio THEN 'low_distinct_ratio' END], x -> x IS NOT NULL) AS failed FROM st)
+       |SELECT doc_id, n_tokens, array_to_string(failed, ',') AS failed_rules,
+       |(len(failed) = 0) AS keep FROM fl""".stripMargin.replace("\n", " ")
+  }
+
   private def mixTopkOracle: String =
     s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents)
        |SELECT lang, doc_id, quality, rank FROM (
@@ -648,6 +674,16 @@ object PipelineQueries {
         .withColumn("quality", TextAnalysis.qualityScore)
         .select("doc_id", "quality"),
       Some(s"SELECT doc_id, $QualitySql AS quality FROM documents")),
+    // Gopher rule battery with per-rule attribution; thresholds tuned
+    // so the synthetic corpus (10-99 tokens/doc) exercises both
+    // verdicts and several distinct failure combinations
+    Q("doc_filter_battery",
+      (s, d) => TextAnalysis.filterBattery(t(s, d, "documents"),
+        minTokens = 30, maxTokens = 100000, minAvgLen = 3.0, maxAvgLen = 10.0,
+        minAlphaRatio = 0.8, minStopwordHits = 2, minDistinctRatio = 0.3),
+      Some(filterBatteryOracle(minTokens = 30, maxTokens = 100000,
+        minAvgLen = 3.0, maxAvgLen = 10.0, minAlphaRatio = 0.8,
+        minStopwordHits = 2, minDistinctRatio = 0.3))),
     Q("doc_bpeish_tokens",
       (s, d) => TextAnalysis.withBpeTokenCount(t(s, d, "documents"))
         .select("doc_id", "n_bpeish"),
@@ -1010,6 +1046,33 @@ object PipelineQueries {
         .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment"),
       Some("""SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
              |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin.replace("\n", " "))),
+    // Conversion funnel: per user, first click → first purchase AT OR
+    // AFTER it, with time-to-convert. Two partial-aggregating shuffles
+    // on user_id + one equi-join — no window over the event log, so at
+    // 100 TB the shuffle carries one row per (user, stage), not the log.
+    Q("ev_funnel",
+      (s, d) => {
+        val e = events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(col("ts_s")).as("first_click"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_s"))
+          .join(clicks, Seq("user_id"))
+          .filter(col("ts_s") >= col("first_click"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("first_purchase"))
+        clicks.join(purch, Seq("user_id"), "left")
+          .withColumn("secs_to_convert",
+            col("first_purchase") - col("first_click"))
+      },
+      Some("""WITH c AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_click
+             |FROM events WHERE event_type = 'click' GROUP BY user_id),
+             |p AS (SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS first_purchase
+             |FROM events e JOIN c ON e.user_id = c.user_id
+             |WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) >= c.first_click
+             |GROUP BY e.user_id)
+             |SELECT c.user_id, c.first_click, p.first_purchase,
+             |p.first_purchase - c.first_click AS secs_to_convert
+             |FROM c LEFT JOIN p ON c.user_id = p.user_id""".stripMargin.replace("\n", " "))),
     Q("ev_type_share",
       (s, d) => {
         val e = events(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))

@@ -234,6 +234,32 @@ object Queries {
       (s, d) => t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
       Some(s"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")),
+    Q("q_cube",
+      (s, d) => t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)")),
+    // equi-width histogram, bounds derived in-query (one scalar agg
+    // broadcast against the scan — the standard two-phase shape; no
+    // driver round-trip). Identical double arithmetic in both engines;
+    // the mx=mn guard keeps a constant column from dividing by zero.
+    Q("q_histogram",
+      (s, d) => {
+        val o = t(s, d, "orders").select("o_totalprice")
+        val bounds = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(least(lit(19L),
+                floor((col("o_totalprice") - col("mn")) /
+                  ((col("mx") - col("mn")) / 20)))))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+             |SELECT CASE WHEN mx = mn THEN 0 ELSE least(19, CAST(floor((o_totalprice - mn) / ((mx - mn) / 20)) AS BIGINT)) END AS bucket,
+             |COUNT(*) AS n, ${DSUM.format("o_totalprice")} AS sum_price
+             |FROM orders CROSS JOIN b GROUP BY 1""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

@@ -89,6 +89,51 @@ object TextAnalysis {
       col("distinct_ratio") * 0.3 +
       least(lit(1.0), col("avg_token_len") / 5.0) * 0.3
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, §A1.1): every
+    * document is scored against the full rule set in one pass, and the
+    * output carries WHICH rules failed (`failed_rules`, comma-joined in
+    * a fixed order) plus the `keep` verdict — a pipeline needs the
+    * attribution column for threshold tuning and drop-rate dashboards,
+    * not just the boolean. Rules: token-count range, mean-token-length
+    * range, alphabetic-token ratio, stopword hit floor (count, not
+    * ratio — Gopher's rule), and a distinct-token-ratio floor (the
+    * cheap repetition proxy; [[repetitionStats]] has the full n-gram
+    * version). Map-only codegen'd projection — the token array
+    * materializes once and all six rules read it; at 100 TB this is a
+    * single scan with no shuffle at all. */
+  def filterBattery(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, minStopwordHits: Long = 2,
+      minDistinctRatio: Double = 0.3): DataFrame = {
+    val toks = col("__toks")
+    val stats = df.select(col(idCol), col(textCol))
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("__avg",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
+          .cast(DoubleType) / col("n_tokens"))
+      .withColumn("__alpha",
+        size(filter(toks, w => w.rlike("[a-z]"))).cast(DoubleType) / col("n_tokens"))
+      .withColumn("__stop", hitCount(toks, StopwordProfiles("en")))
+      .withColumn("__dr",
+        size(array_distinct(toks)).cast(DoubleType) / col("n_tokens"))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (col("n_tokens") < minTokens),
+      "too_many_tokens" -> (col("n_tokens") > maxTokens),
+      "avg_token_len_oob" -> (col("__avg") < minAvgLen || col("__avg") > maxAvgLen),
+      "low_alpha_ratio" -> (col("__alpha") < minAlphaRatio),
+      "low_stopword_hits" -> (col("__stop") < minStopwordHits),
+      "low_distinct_ratio" -> (col("__dr") < minDistinctRatio))
+    val failed = filter(
+      array(rules.map { case (n, c) => when(c, lit(n)) }: _*), x => x.isNotNull)
+    stats
+      .withColumn("failed_rules", concat_ws(",", failed))
+      .withColumn("keep", size(failed) === 0)
+      .select(col(idCol), col("n_tokens"), col("failed_rules"), col("keep"))
+  }
+
   /** N-gram-free language ID: stopword hit-rate per profile, argmax with
     * a fixed tie-break order (profile list order, then "und" =
     * undetermined when nothing hits). */
