@@ -234,7 +234,7 @@ object PipelineQueries {
        |CASE WHEN alpha < $minAlphaRatio THEN 'low_alpha_ratio' END,
        |CASE WHEN stop_hits < $minStopwordHits THEN 'low_stopword_hits' END,
        |CASE WHEN dr < $minDistinctRatio THEN 'low_distinct_ratio' END], x -> x IS NOT NULL) AS failed FROM st)
-       |SELECT doc_id, n_tokens, array_to_string(failed, ',') AS failed_rules,
+       |SELECT doc_id, n_tokens, COALESCE(array_to_string(failed, ','), '') AS failed_rules,
        |(len(failed) = 0) AS keep FROM fl""".stripMargin.replace("\n", " ")
   }
 

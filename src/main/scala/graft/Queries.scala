@@ -394,13 +394,21 @@ object Queries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS qty_n,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_r
              |FROM lineitem GROUP BY l_linestatus""".stripMargin.replace("\n", " "))),
-    // HLL sketch — engine-specific, so no cross-engine oracle; the exact
-    // count rides along and the <2% relative-error bound is spec-pinned.
+    // HLL sketch — engine-specific, so the sketch VALUE can't be
+    // oracled; its <2% relative-error CONTRACT can: Spark emits the
+    // exact count plus the bound as a boolean computed from the real
+    // sketch, DuckDB emits the exact count plus literal TRUE — the
+    // hash match pins the error bound cross-engine.
     Q("q_approx_distinct",
-      (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")),
-      None),
+      (s, d) => t(s, d, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.005).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) / col("exact_parts")
+            <= 0.02).as("within_2pct")),
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             |TRUE AS within_2pct FROM lineitem""".stripMargin.replace("\n", " "))),
     Q("q_median",
       (s, d) => t(s, d, "lineitem")
         .agg(expr("percentile(l_quantity, 0.5D)").as("median_qty"),

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *  - the bitmap is built ON the cluster (one projection + distinct of
   *    bit positions over the build side) and only the ≤ mBits/64 set
   *    WORDS are collected — the driver never sees the keys;
-  *  - the bitmap is embedded as an array<long> LITERAL, so the probe
-  *    side's membership test is a pure codegen'd expression
-  *    (xxhash64 → element_at → bit test) inside WholeStageCodegen — no
-  *    UDF, no broadcast variable, nothing opaque to Catalyst, and the
-  *    scan-adjacent filter still allows parquet column pruning;
+  *  - the bitmap rides in a broadcast ONE-ROW frame (array<long>
+  *    column) cross-joined onto the probe side, so the membership test
+  *    is a pure codegen'd expression (xxhash64 → element_at → bit
+  *    test) against a column bound ONCE — no UDF, nothing opaque to
+  *    Catalyst, no per-probe literal replication (a literal bitmap
+  *    gets copied k× and again across the join by constraint
+  *    propagation), and the scan still prunes parquet columns;
   *  - k independent hash probes come from `xxhash64(i, key)` — the
   *    same public hash both engines implement, which is what lets the
   *    DuckDB oracle verify output-invariance cross-engine.
@@ -57,16 +59,20 @@ object RuntimeFilter {
     words
   }
 
-  /** `keep` predicate: every one of the k probed bits is set. Pure
-    * built-in expressions over the literal word array — codegen'd. */
-  private def mightContain(key: Column, words: Array[Long], mBits: Int,
-      k: Int): Column = {
-    val bf = array(words.map(lit): _*)
+  /** `keep` predicate: every one of the k probed bits of `key` is set
+    * in the bitmap carried by `bitmapCol` — an array<long> COLUMN, so
+    * the words are bound ONCE however many probes read them. Inlining
+    * the array as a literal instead would replicate it k× here and
+    * again onto the build side via constraint propagation (6 copies at
+    * k = 3): at the default mBits = 2^20 that is a multi-MB expression
+    * tree that blows Janino's 64 KB method limit and drops the hot
+    * filter out of codegen. Pure built-ins — still codegen'd. */
+  private def mightContain(key: Column, bitmapCol: Column, mBits: Int,
+      k: Int): Column =
     positions(key, mBits, k).map { p =>
-      val word = element_at(bf, shiftrightunsigned(p, 6).cast("int") + 1)
+      val word = element_at(bitmapCol, shiftrightunsigned(p, 6).cast("int") + 1)
       word.bitwiseAND(shiftLeftCol(lit(1L), (p % 64).cast("int"))) =!= 0L
     }.reduce(_ && _)
-  }
 
   /** `shiftleft` with a COLUMN shift amount — the SQL function accepts
     * one, only the Scala wrapper pins it to a literal Int. */
@@ -74,10 +80,22 @@ object RuntimeFilter {
     call_function("shiftleft", value, shift)
 
   /** The probe-side pruning step alone: rows of `df` whose `keyCol`
-    * might be in the filter (all true members + ~fpp false positives). */
+    * might be in the filter (all true members + ~fpp false positives).
+    *
+    * The bitmap rides in a broadcast ONE-ROW frame cross-joined onto
+    * the probe side, and the k bit tests read the bitmap *column* —
+    * the words travel as broadcast relation data, appear once in the
+    * plan, and never enter an expression literal, so plan size, plan
+    * serialization, and codegen stay O(1) in mBits. */
   def prune(df: DataFrame, keyCol: String, words: Array[Long], mBits: Int,
-      k: Int = 3): DataFrame =
-    df.filter(mightContain(col(keyCol), words, mBits, k))
+      k: Int = 3): DataFrame = {
+    val bfCol = "__bloom_words"
+    val bf = broadcast(
+      df.sparkSession.createDataFrame(Seq(Tuple1(words.toSeq))).toDF(bfCol))
+    df.crossJoin(bf)
+      .filter(mightContain(col(keyCol), col(bfCol), mBits, k))
+      .drop(bfCol)
+  }
 
   /** Inner equi-join of `big` with `small`, with the big side
     * Bloom-pruned before the join. Result is EXACTLY the plain join

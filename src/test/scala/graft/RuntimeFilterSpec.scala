@@ -35,13 +35,35 @@ class RuntimeFilterSpec extends SparkSpec {
     val words = RuntimeFilter.buildBloom(keys, "l_orderkey", mBits = 1 << 10, k = 3)
     val pruned = RuntimeFilter.prune(
       li.select("l_orderkey", "l_quantity"), "l_orderkey", words, 1 << 10)
+    pruned.collect() // finalize THIS df's AQE plan (count() builds a new QE)
     val plan = pruned.queryExecution.executedPlan.toString
-    // the "*(n)" prefix is the WholeStageCodegen marker in simpleString
-    assert(plan.contains("*(1) Filter"), plan)
+    // the "*(n)" prefix is the WholeStageCodegen marker in simpleString;
+    // the membership test (now the BNLJ condition) must sit inside a
+    // codegen stage, bound to the broadcast bitmap COLUMN, not a literal
+    assert("""\*\(\d+\) """.r.findFirstIn(plan).isDefined, plan)
     assert(plan.contains("xxhash64"), plan)
+    assert(plan.contains("__bloom_words"), plan)
     assert(!plan.contains("BatchEvalPython"), plan)
     // and the pruned scan still returns every true match
     val trueMatches = li.join(keys, Seq("l_orderkey")).count()
     assert(pruned.join(keys, Seq("l_orderkey")).count() == trueMatches)
+  }
+
+  test("plan size stays O(1) in mBits: one bitmap copy, no literal blowup") {
+    // at the default mBits = 2^20 the bitmap is 16,384 longs; inlined as
+    // an expression literal it appeared SIX times through the plan
+    // (k=3 probes × both join sides via constraint propagation) — a
+    // multi-MB plan that broke codegen. Bound once as broadcast relation
+    // data, every plan string must stay small no matter the mBits.
+    val joined = RuntimeFilter.bloomPrunedJoin(big, small.distinct(), "k",
+      mBits = 1 << 20)
+    val qe = joined.queryExecution
+    val planChars =
+      qe.optimizedPlan.toString.length + qe.executedPlan.toString.length
+    assert(planChars < 100000,
+      s"plan strings total $planChars chars — bitmap leaked into the plan?")
+    // output invariance must survive the rebinding
+    val got = joined.orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((3L, "row3"), (500L, "row500"), (999L, "row999")))
   }
 }
