@@ -163,9 +163,16 @@ object PipelineQueries {
     * pairs at the same threshold, then the transitive closure via a
     * RECURSIVE CTE (min reachable id per component — the fixpoint the
     * Spark side reaches by label propagation). */
-  private def semDedupOracle: String =
+  private def semDedupOracle: String = semDedupOracleAt(nProbe = 1)
+
+  /** Parameterized on nProbe: each vector joins its `nProbe` nearest
+    * cells (rn <= nProbe over the same distance ranking the IVF probe
+    * side uses); a pair sharing several cells collapses via DISTINCT —
+    * exactly the Spark side's multi-cell assignment + distinct. */
+  private def semDedupOracleAt(nProbe: Int): String =
     s"""WITH RECURSIVE $kmeansCellCtes,
-       |sdp AS (SELECT x.vec_id AS a, y.vec_id AS b FROM ivcell x JOIN ivcell y
+       |sdcell AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd) WHERE rn <= $nProbe),
+       |sdp AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM sdcell x JOIN sdcell y
        |ON x.cell = y.cell AND x.vec_id < y.vec_id
        |WHERE ${cosSql("x.v", "y.v")} >= 0.4),
        |sde AS (SELECT a AS u, b AS v FROM sdp UNION ALL SELECT b AS u, a AS v FROM sdp),
@@ -932,6 +939,14 @@ object PipelineQueries {
       (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.4).orderBy("vec_id"),
       Some(semDedupOracle)),
+    // nProbe=2: each vector also files under its second-nearest cell,
+    // recovering near-dup pairs split by a cell boundary (the recall
+    // dial VERDICT r5 asked for) — oracle re-derives the multi-cell
+    // assignment with the same distance ranking
+    Q("sem_dedup_p2",
+      (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nProbe = 2).orderBy("vec_id"),
+      Some(semDedupOracleAt(nProbe = 2))),
   )
 
   // ---------------------------------------------------------------------

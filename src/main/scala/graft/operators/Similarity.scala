@@ -230,9 +230,14 @@ object Similarity {
     * and one keeper (min id) survives per semantic cluster. Output:
     * (id, cluster_id, keep) for every corpus row.
     *
-    * Cross-cell near-duplicates are deliberately out of contract —
-    * that locality approximation is exactly what makes SemDeDup
-    * tractable: the quadratic pair search is bounded per cell. Scale
+    * Cross-cell near-duplicates are out of contract at the default
+    * `nProbe = 1` — that locality approximation is exactly what makes
+    * SemDeDup tractable: the quadratic pair search is bounded per
+    * cell. `nProbe > 1` assigns each vector to its nProbe nearest
+    * cells, recovering boundary pairs (two near-dups split by a cell
+    * border still share a second-nearest cell) for ≈ nProbe²× the
+    * per-cell pair-join cost — the same recall/cost dial as IVF's
+    * probe count, applied to the corpus side. Scale
     * shape at 100 TB: centroids are fitted on a bounded driver-side
     * sample and shipped as literals (the paper's protocol — Faiss
     * trains on a sample too), cell assignment is a map-only codegen'd
@@ -242,24 +247,40 @@ object Similarity {
     * LAION-440M). Cluster resolution is the same O(E)-per-round label
     * propagation as text dedup ([[Dedup.connectedComponents]]). */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, trainSample: Int = 4096): DataFrame = {
+      threshold: Double, nlist: Int = 16, trainSample: Int = 4096,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nlist, s"nProbe must be in [1, $nlist]")
     val train = corpus.select(asDouble(col(vecCol)), col(idCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitCentroids(train, nlist)
-    val assigned = corpus
+    val withD = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__d", centroidDists(col("__v"), centroids))
-      .withColumn("__cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
-      .drop("__d")
+    val assigned =
+      if (nProbe == 1)
+        // fast path: plain argmin (ties break to the lowest cell, same
+        // as the sorted-slice path below)
+        withD.withColumn("__cell",
+          array_position(col("__d"), array_min(col("__d"))).cast("int"))
+          .drop("__d")
+      else
+        withD.withColumn("__dc",
+          explode(slice(array_sort(zip_with(col("__d"),
+            sequence(lit(1), lit(nlist)),
+            (d, i) => struct(d.as("d"), i.as("cell")))), 1, nProbe)))
+          .withColumn("__cell", col("__dc.cell"))
+          .drop("__d", "__dc")
     val lhs = assigned.select(col("__cell"), col(idCol).as("__ida"),
       col("__v").as("__va"))
     val rhs = assigned.select(col("__cell"), col(idCol).as("__idb"),
       col("__v").as("__vb"))
-    val pairs = lhs.join(rhs, Seq("__cell"))
+    val pairs0 = lhs.join(rhs, Seq("__cell"))
       .filter(col("__ida") < col("__idb"))
       .filter(cosine(col("__va"), col("__vb")) >= lit(threshold))
       .select(col("__ida").as("a"), col("__idb").as("b"))
+    // a pair sharing several probe cells surfaces once per shared cell
+    val pairs = if (nProbe > 1) pairs0.distinct() else pairs0
     Dedup.connectedComponents(corpus.select(col(idCol)), idCol, pairs)
   }
 
