@@ -89,7 +89,11 @@ object RuntimeFilter {
     * serialization, and codegen stay O(1) in mBits. */
   def prune(df: DataFrame, keyCol: String, words: Array[Long], mBits: Int,
       k: Int = 3): DataFrame = {
-    val bfCol = "__bloom_words"
+    // uniquify against the input so a caller column named __bloom_words
+    // is neither made ambiguous by the crossJoin nor dropped at the end
+    val bfCol = Iterator.from(0)
+      .map(i => if (i == 0) "__bloom_words" else s"__bloom_words_$i")
+      .find(n => !df.columns.contains(n)).get
     val bf = broadcast(
       df.sparkSession.createDataFrame(Seq(Tuple1(words.toSeq))).toDF(bfCol))
     df.crossJoin(bf)

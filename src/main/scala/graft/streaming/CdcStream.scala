@@ -39,7 +39,13 @@ object CdcStream {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed snapshot versions (batch ids), unsorted. */
+  /** Committed snapshot versions (batch ids), unsorted. A version
+    * counts as committed only once its `_SUCCESS` marker exists — a
+    * batch that crashes mid-write leaves a partial `v=<id>` directory
+    * with no marker, and it must stay invisible both to readers and to
+    * the next merge's prev-selection, or the torn write would be read
+    * as the newest snapshot. Foreign directories (`v=tmp` from stray
+    * tooling) are ignored rather than thrown on. */
   private def versions(spark: SparkSession, snapshotDir: String): Seq[Long] = {
     val path = new Path(snapshotDir)
     val f = fs(spark, snapshotDir)
@@ -47,7 +53,9 @@ object CdcStream {
     else f.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .filter(_.startsWith("v="))
+      .flatMap(s => s.stripPrefix("v=").toLongOption)
+      .filter(v => f.exists(new Path(s"$snapshotDir/v=$v/_SUCCESS")))
   }
 
   /** The snapshot as of the newest committed version — `initial` if no

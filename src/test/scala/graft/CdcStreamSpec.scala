@@ -60,6 +60,25 @@ class CdcStreamSpec extends SparkSpec {
     assert(snapRows(dir) == Set((1L, "v4"), (2L, "a"), (3L, "a")))
   }
 
+  test("torn writes and foreign dirs are invisible to readers and merges") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_torn").toString
+    val b0 = Seq((2L, "b", 10L, "U")).toDF("id", "val", "seq", "op")
+    CdcStream.mergeBatch(b0, 0L, dir, initial, "id", "seq", "op")
+    // simulate a batch-1 crash mid-write: a v=1 dir with data files but
+    // no _SUCCESS marker — readers must still see v=0, not torn v=1
+    val torn = new java.io.File(s"$dir/v=1")
+    Seq((999L, "torn", 99L, "U")).toDF("id", "val", "seq", "op")
+      .coalesce(1).write.mode("overwrite").parquet(torn.toString)
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    // and a foreign directory must be skipped, not throw
+    assert(new java.io.File(s"$dir/v=tmp").mkdir())
+    assert(snapRows(dir) == Set((1L, "a"), (2L, "b"), (3L, "a")))
+    // the replayed batch 1 merges on v=0 (not torn v=1) and commits
+    val b1 = Seq((5L, "e", 20L, "I")).toDF("id", "val", "seq", "op")
+    CdcStream.mergeBatch(b1, 1L, dir, initial, "id", "seq", "op")
+    assert(snapRows(dir) == Set((1L, "a"), (2L, "b"), (3L, "a"), (5L, "e")))
+  }
+
   test("cdcSnapshotSink end-to-end over a file-source stream") {
     val src = java.nio.file.Files.createTempDirectory("cdc_src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString

@@ -38,10 +38,14 @@ class RuntimeFilterSpec extends SparkSpec {
     pruned.collect() // finalize THIS df's AQE plan (count() builds a new QE)
     val plan = pruned.queryExecution.executedPlan.toString
     // the "*(n)" prefix is the WholeStageCodegen marker in simpleString;
-    // the membership test (now the BNLJ condition) must sit inside a
-    // codegen stage, bound to the broadcast bitmap COLUMN, not a literal
-    assert("""\*\(\d+\) """.r.findFirstIn(plan).isDefined, plan)
-    assert(plan.contains("xxhash64"), plan)
+    // the MEMBERSHIP TEST ITSELF (the xxhash64 probe against the
+    // broadcast bitmap column) must sit on a codegen'd node — asserting
+    // "some codegen stage exists" and "xxhash64 appears somewhere"
+    // independently would pass even if only the scan were codegen'd
+    val codegenMembership =
+      """(?m)^\s*(?:[:+\- ]*)\*\(\d+\) .*xxhash64""".r.findFirstIn(plan)
+    assert(codegenMembership.isDefined,
+      s"xxhash64 membership test not inside a *(n) codegen node:\n$plan")
     assert(plan.contains("__bloom_words"), plan)
     assert(!plan.contains("BatchEvalPython"), plan)
     // and the pruned scan still returns every true match
@@ -65,5 +69,18 @@ class RuntimeFilterSpec extends SparkSpec {
     // output invariance must survive the rebinding
     val got = joined.orderBy("k").as[(Long, String)].collect().toSeq
     assert(got == Seq((3L, "row3"), (500L, "row500"), (999L, "row999")))
+  }
+
+  test("prune survives a caller column named __bloom_words") {
+    val withClash = big.withColumn("__bloom_words", lit("mine"))
+    val words = RuntimeFilter.buildBloom(small, "k", mBits = 1 << 10, k = 3)
+    val pruned = RuntimeFilter.prune(withClash, "k", words, mBits = 1 << 10)
+    // the caller's column must come through untouched, not be dropped
+    // or made ambiguous by the broadcast frame's internal column
+    assert(pruned.columns.toSeq == Seq("k", "payload", "__bloom_words"))
+    val rows = pruned.orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((3L, "row3", "mine"), (500L, "row500", "mine"),
+      (999L, "row999", "mine")))
   }
 }
