@@ -1172,7 +1172,8 @@ object PipelineQueries {
         key = "l_orderkey", mBits = 1 << 14),
       Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-             |WHERE o.o_totalprice >= 450000.0""".stripMargin.replace("\n", " "))),
+             |WHERE o.o_totalprice >= 450000.0""".stripMargin.replace("\n", " ")),
+      bench = true),
     // per-file (min,max) boxes of a 2-D z-ordered layout — the exact
     // statistics parquet skipping feeds on (see Layout.zorderAudit)
     Q("layout_zorder",
@@ -1360,7 +1361,8 @@ object PipelineQueries {
              |CASE WHEN l.k IS NOT NULL THEN l.st ELSE s.o_orderstatus END AS o_orderstatus,
              |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS o_totalprice
              |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
-             |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin.replace("\n", " "))),
+             |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin.replace("\n", " ")),
+      bench = true),
     // SCD2 expansion of the same feed: per-key version chain with
     // [valid_from, valid_to) sequence ranges; a D closes its
     // predecessor and emits nothing.
