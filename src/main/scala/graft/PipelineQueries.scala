@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-import graft.operators.{Dedup, Sampling, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Quantization, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import Queries.{Q, t}
 
 /** LLM-data-pipeline extension queries over the `documents`,
@@ -150,6 +150,28 @@ object PipelineQueries {
        |ivcell AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd) WHERE rn = 1)""".stripMargin.replace("\n", " ")
   }
 
+  /** SQ8 search re-derived end-to-end: per-dim min/max fit, the same
+    * clamped floor encode, midpoint decode, exact cosine of decoded
+    * candidate vs raw probe, row_number top-10. Every step is the
+    * identical expression tree Quantization.{sqEncode,sqDecode} emit,
+    * so the doubles are bit-equal. */
+  private def sqOracle: String = {
+    val code = "CAST(least(255.0, greatest(0.0, floor((v[j] - mm.mn[j]) / (mm.mx[j] - mm.mn[j]) * 255.0))) AS INT)"
+    s"""WITH sqv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |mm AS (SELECT list(mn ORDER BY j) AS mn, list(mx ORDER BY j) AS mx FROM (
+       |  SELECT j, min(v[j]) AS mn, max(v[j]) AS mx FROM sqv
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY j)),
+       |sqd AS (SELECT vec_id, list_transform(generate_series(1, 64), j ->
+       |  mm.mn[j] + ((CASE WHEN mm.mx[j] = mm.mn[j] THEN 0 ELSE $code END) + 0.5) * ((mm.mx[j] - mm.mn[j]) / 255.0)) AS cv
+       |  FROM sqv CROSS JOIN mm),
+       |sqp AS (SELECT vec_id AS probe_id, v AS pv FROM sqv WHERE vec_id < 10),
+       |sqs AS (SELECT p.probe_id, d.vec_id AS neighbor_id, ${cosSql("p.pv", "d.cv")} AS qcos
+       |FROM sqd d CROSS JOIN sqp p WHERE d.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, qcos, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id ASC) AS rank FROM sqs)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+  }
+
   private def ivfOracle: String =
     s"""WITH $kmeansCellCtes,
        |ivpc AS (SELECT vec_id AS probe_id, v AS pv, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd WHERE vec_id < 10) WHERE rn <= 4),
@@ -211,6 +233,30 @@ object PipelineQueries {
     * TextAnalysis.tokens, so the oracles hold even if the corpus ever
     * gains leading/double spaces. */
   private val ToksSql = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+
+  private val Bm25Terms = Seq("vector", "merge", "stream")
+
+  /** BM25 (rational idf) re-derived in SQL — the same expression tree
+    * TextAnalysis.bm25TopK builds, so the doubles are bit-equal:
+    * idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) summed in term order. */
+  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+    val tfDefs = terms.zipWithIndex.map { case (tm, i) =>
+      s"len(list_filter($ToksSql, w -> w = '$tm')) AS tf$i"
+    }.mkString(", ")
+    val dfDefs = terms.indices.map { i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    // every literal is ::DOUBLE — DuckDB otherwise parses 1.2/0.5 as
+    // DECIMAL and keeps exact decimal arithmetic longer than Spark's
+    // all-double tree, drifting by 1 ulp on some rows
+    val scoreTerms = terms.indices.map { i =>
+      s"((n - df$i + 0.5::DOUBLE) / (df$i + 0.5::DOUBLE)) * ((tf$i * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (CAST(sdl AS DOUBLE) / n)))))"
+    }.mkString(" + ")
+    s"""WITH bmd AS (SELECT doc_id, len($ToksSql) AS dl, $tfDefs FROM documents),
+       |bms AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfDefs FROM bmd)
+       |SELECT doc_id, $scoreTerms AS score FROM bmd CROSS JOIN bms
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
 
   /** The quality-score formula as DuckDB SQL (same arithmetic order as
     * TextAnalysis.qualityScore — doubles come out bit-identical). */
@@ -921,6 +967,17 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       Some(ivfOracle)),
+    // SQ8 scalar quantization: the fit (per-dim min/max), the 8-bit
+    // encode, the midpoint decode, and the search are ALL closed-form
+    // arithmetic, so the oracle re-derives the entire quantization
+    // pipeline — the hash pins fit+encode+decode+rank cross-engine.
+    Q("ann_sq_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Quantization.sqTopK(e, probes(e), "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      Some(sqOracle)),
     // Banded LSH with LCG hyperplanes: the plane generation is exact
     // integer arithmetic both engines can reproduce, so bucket
     // assignment AND the exact-cosine verification are independently
@@ -1192,6 +1249,28 @@ object PipelineQueries {
              |quantile_cont(len($ToksSql), 0.50) AS q50,
              |quantile_cont(len($ToksSql), 0.75) AS q75,
              |COUNT(*) AS n_rows FROM documents GROUP BY lang""".stripMargin.replace("\n", " "))),
+    // BM25 top-k retrieval (rational-idf variant — see the operator
+    // scaladoc; log-free so scores are cross-engine bit-exact); the
+    // oracle recomputes tf/df/avgdl and the full weighting in SQL
+    Q("doc_bm25_topk",
+      (s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Bm25Terms, k = 25),
+      Some(bm25Oracle(Bm25Terms, 25))),
+    // per-language z-score outliers over token counts — group stats
+    // from exact integer sums broadcast back onto the scan, z computed
+    // map-side; |z| > 2 flags the length anomalies a quality gate drops
+    Q("doc_zscore_outliers",
+      (s, d) => operators.Profiling.zscoreOutliers(
+        TextAnalysis.withTokenStats(t(s, d, "documents")),
+        "lang", "n_tokens", z = 2.0)
+        .select("doc_id", "lang", "n_tokens", "zscore").orderBy("doc_id"),
+      Some(s"""WITH zdt AS (SELECT doc_id, lang, len($ToksSql) AS n_tokens FROM documents),
+             |zst AS (SELECT lang, count(*) AS n, sum(n_tokens) AS s, sum(n_tokens * n_tokens) AS ss FROM zdt GROUP BY lang),
+             |zj AS (SELECT d.doc_id, d.lang, d.n_tokens,
+             |(d.n_tokens - (CAST(s AS DOUBLE) / n)) / sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS zscore
+             |FROM zdt d JOIN zst USING (lang))
+             |SELECT doc_id, lang, n_tokens, zscore FROM zj
+             |WHERE abs(zscore) > 2.0""".stripMargin.replace("\n", " "))),
     // single-scan column profiling (row/null/distinct/min/max per
     // column); the oracle pays one pass per column instead
     Q("q_profile_orders",

@@ -238,6 +238,14 @@ object Queries {
       (s, d) => t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
       Some(s"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)")),
+    // GROUPING SETS — the general form rollup/cube specialize; one
+    // Expand + one aggregate exchange regardless of set count
+    Q("q_grouping_sets",
+      (s, d) => t(s, d, "lineitem")
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM.format("l_quantity")} AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))")),
     // equi-width histogram, bounds derived in-query (one scalar agg
     // broadcast against the scan — the standard two-phase shape; no
     // driver round-trip). Identical double arithmetic in both engines;
@@ -421,6 +429,29 @@ object Queries {
       },
       Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
              |TRUE AS within_2pct FROM lineitem""".stripMargin.replace("\n", " "))),
+    // approx_percentile's sketch value is engine-specific (KLL vs
+    // t-digest), so — like q_approx_distinct — the query oracles the
+    // CONTRACT: Spark computes the real sketch and checks its rank
+    // error (some rank in (lt, le] must fall within 0.5·N ± N/accuracy;
+    // lt/le bracket handles duplicate mass at the quantile), DuckDB
+    // emits TRUE; the shared exact median pins the rest of the row.
+    Q("q_approx_quantile",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_extendedprice")
+        val eps = 1.0 / 1000
+        val apx = li.agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx"))
+        li.crossJoin(broadcast(apx)).agg(
+          expr("percentile(l_extendedprice, 0.5D)").as("exact_median"),
+          sum(when(col("l_extendedprice") < col("apx"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("n"))
+          .select(col("exact_median"),
+            (col("lt") <= (lit(0.5) + eps) * col("n") &&
+              col("le") >= (lit(0.5) - eps) * col("n")).as("rank_ok"))
+      },
+      Some("""SELECT quantile_cont(l_extendedprice, 0.5) AS exact_median,
+             |TRUE AS rank_ok FROM lineitem""".stripMargin.replace("\n", " "))),
     Q("q_median",
       (s, d) => t(s, d, "lineitem")
         .agg(expr("percentile(l_quantity, 0.5D)").as("median_qty"),

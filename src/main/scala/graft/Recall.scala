@@ -59,6 +59,8 @@ object Recall {
     for (nProbe <- Seq(4, 8, 12))
       report(s"ann_ivf nProbe=$nProbe", topkPairs(Similarity.ivfTopK(
         emb, probes, "vec_id", "embedding", k, nProbe = nProbe)), exact)
+    report("ann_sq_topk", topkPairs(operators.Quantization.sqTopK(
+      emb, probes, "vec_id", "embedding", k)), exact)
 
     // --- exact all-pairs ground truth at the dedup threshold ---
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -104,4 +104,30 @@ object Profiling {
     df.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail :+ count(lit(1)).as("n_rows"): _*)
   }
+
+  /** Per-group z-score outlier flagging of an integer measure — the
+    * "drop statistically anomalous documents per language/source"
+    * quality gate. Group mean/variance come from EXACT integer sums
+    * (sum, sum-of-squares — order-independent, so deterministic under
+    * any partitioning and engine-comparable without the decimal trick);
+    * the variance uses the population form ss/n − mean². Scale shape:
+    * one partial-agg shuffle over the (few) groups, stats broadcast
+    * back onto the scan, z computed map-side — two passes over the
+    * data, zero row shuffles. Rows with |z| > `z` survive. */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      z: Double): DataFrame = {
+    val x = col(valueCol)
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__s"),
+      sum(x * x).as("__ss"))
+    val mean = col("__s").cast("double") / col("__n")
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__mean", mean)
+      .withColumn("zscore",
+        (x - col("__mean")) /
+          sqrt(col("__ss").cast("double") / col("__n") - col("__mean") * col("__mean")))
+      .filter(abs(col("zscore")) > lit(z))
+      .drop("__n", "__s", "__ss", "__mean")
+  }
 }

@@ -280,4 +280,43 @@ object TextAnalysis {
         (max(col("__c")).cast(DoubleType) /
           sum(col("__c")).cast(DoubleType)).as("top_ngram_frac"))
   }
+
+  /** BM25 ranked retrieval of the top `k` documents for a bag of query
+    * `terms` (Robertson/Sparck Jones; the Okapi weighting every search
+    * stack ships). One divergence, chosen deliberately: the idf factor
+    * is the RAW Robertson odds ratio `(N − df + ½)/(df + ½)` without
+    * the log — every arithmetic step is then +,·,/ on IEEE doubles in
+    * a fixed tree, so Spark and the DuckDB oracle produce bit-equal
+    * scores (`ln` has no cross-engine bit contract). The ranking is
+    * term-monotone exactly like log-BM25 (log is monotone), differing
+    * only in how multi-term scores blend.
+    *
+    * Scale shape: per-term tf counts are map-side array filters over
+    * the token array (materialized ONCE, not per term); corpus stats
+    * (N, Σdl, per-term df) are ONE partial-agg pass broadcast back
+    * onto the scan; the final top-k is TakeOrderedAndProject (per-
+    * partition heaps, k rows to the driver — never a global sort). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+      .select(col(idCol) +: col("__dl") +: terms.indices.map(i =>
+        size(filter(col("__toks"), w => w === lit(terms(i)))).as(s"__tf$i")): _*)
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).as("__sdl") +: terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val avgdl = col("__sdl").cast(DoubleType) / col("__n")
+    val score = terms.indices.map { i =>
+      val idf = (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5))
+      val num = col(s"__tf$i") * (lit(k1) + lit(1.0))
+      val den = col(s"__tf$i") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("__dl") / avgdl))
+      idf * (num / den)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantization, Similarity}
+
+/** SQ8 scalar quantization: round-trip error bound, the constant-
+  * dimension edge, code range, and search quality vs exact top-k. */
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codes are in [0,255] and decode within half a step of the input") {
+    val dim = 64
+    val (mins, maxs) = Quantization.fitMinMax(emb, "embedding", dim)
+    val v = graft.functions.VectorOps.asDouble(col("embedding"))
+    val enc = Quantization.sqEncode(v, mins, maxs)
+    val dec = Quantization.sqDecode(enc, mins, maxs)
+    // worst per-dim reconstruction error is half a quantization step
+    val steps = mins.indices.map(j => (maxs(j) - mins(j)) / 255.0)
+    val rows = emb.select(
+      aggregate(enc, lit(0), (a, c) => greatest(a, c)).as("maxCode"),
+      aggregate(enc, lit(255), (a, c) => least(a, c)).as("minCode"),
+      aggregate(zip_with(v, dec, (x, d) => abs(x - d)), lit(0.0),
+        (a, e) => greatest(a, e)).as("maxErr"))
+      .agg(max("maxCode"), min("minCode"), max("maxErr"))
+      .as[(Int, Int, Double)].collect()(0)
+    assert(rows._1 <= 255 && rows._2 >= 0)
+    assert(rows._3 <= steps.max / 2 + 1e-12,
+      s"max reconstruction error ${rows._3} exceeds half-step ${steps.max / 2}")
+  }
+
+  test("a constant dimension codes to 0 and decodes back exactly") {
+    val df = Seq((1L, Seq(7.0f, 1.0f)), (2L, Seq(7.0f, 3.0f))).toDF("id", "v")
+    val (mins, maxs) = Quantization.fitMinMax(df, "v", 2)
+    assert(mins(0) == 7.0 && maxs(0) == 7.0)
+    val dec = df.select(Quantization.sqDecode(
+      Quantization.sqEncode(graft.functions.VectorOps.asDouble(col("v")),
+        mins, maxs), mins, maxs).as("d"))
+      .select(element_at(col("d"), 1)).as[Double].collect()
+    assert(dec.forall(_ == 7.0))
+  }
+
+  test("SQ top-k tracks exact top-k closely (recall floor)") {
+    val probes = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Quantization.sqTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    // 8 bits/dim over the observed range: near-lossless ranking
+    assert(recall >= 0.9, s"SQ8 recall $recall unexpectedly low")
+  }
+}
