@@ -446,6 +446,22 @@ object PipelineQueries {
     * collision), and exact shingle-set jaccard verification. Shingles
     * here are ≤26 ASCII bytes (≤8-char corpus tokens), inside the
     * generator's ≤31-byte path. */
+  /** Exact-join oracle: brute-force ALL doc pairs' shingle-set Jaccard
+    * (no prefix filter, no index — the ground truth the prefix filter
+    * must reproduce exactly). Same shingle construction as the minhash
+    * CTEs. Quadratic by design; the driver runs it at sf0.01. */
+  private def prefixExactOracle(threshold: Double): String = {
+    val shingles =
+      """list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+        |i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin.replace("\n", " ")
+    s"""WITH pxt AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
+       |pxs AS (SELECT doc_id, $shingles AS s FROM pxt WHERE len($shingles) > 0),
+       |pxj AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+       |FROM pxs x JOIN pxs y ON x.doc_id < y.doc_id)
+       |SELECT a, b, jaccard FROM pxj WHERE jaccard >= $threshold""".stripMargin.replace("\n", " ")
+  }
+
   /** Shared CTE chain for the minhash oracles: tokenize, shingle,
     * xxh64-family signatures, band slices — ends with `mband`(doc_id,
     * band, s4) and, via `msig`, feeds `mfull`/`msets` in the callers. */
@@ -690,6 +706,22 @@ object PipelineQueries {
        |smb AS (SELECT d.doc_id, d.lang, ((h.hs % $m) + $m) % $m AS bucket FROM documents d JOIN smh h USING (doc_id))""".stripMargin.replace("\n", " ")
   }
 
+  /** Priority-sampling oracle: the same xxhash64-of-BIGINT chain the
+    * IVF sample selection uses (proven bit-exact by those oracles),
+    * then u = ((h >>> 11) + 1) / 2^53 and priority = w/u — mirroring
+    * Sampling.prioritySample's expression tree. */
+  private def prioritySampleOracle(k: Int): String = {
+    import Xxh64Sql._
+    val hfinal = xor64("b4", s"(b4 // ${1L << 32})")
+    s"""WITH psk AS (SELECT doc_id, len($ToksSql) AS n_tokens, ${mulmod(rotl(mulmod("(doc_id::HUGEINT)", P2), 31), P1)} AS k FROM documents),
+       |psx AS (SELECT doc_id, n_tokens, (${mulmod(rotl(xor64(Acc0Len8, "k"), 27), P1)} + $P4) % $M64 AS a3 FROM psk),
+       |psy AS (SELECT doc_id, n_tokens, ${mulmod(xor64("a3", s"(a3 // ${1L << 33})"), P2)} AS b2 FROM psx),
+       |psz AS (SELECT doc_id, n_tokens, ${mulmod(xor64("b2", s"(b2 // ${1L << 29})"), P3)} AS b4 FROM psy),
+       |psh AS (SELECT doc_id, n_tokens, CAST(($hfinal // 2048) + 1 AS DOUBLE) / 9007199254740992.0::DOUBLE AS u FROM psz)
+       |SELECT doc_id, n_tokens, n_tokens / u AS priority FROM psh
+       |ORDER BY priority DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   private def stratSampleOracle(rates: Map[String, Double], defaultRate: Double): String = {
     val cases = rates.toSeq.sortBy(_._1).map { case (l, r) =>
       s"WHEN lang = '$l' THEN ${Sampling.threshold(r)}"
@@ -768,6 +800,14 @@ object PipelineQueries {
         "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
         .select("doc_id", "lang"),
       Some(stratSampleOracle(Map("en" -> 0.5, "zh" -> 0.1), 0.25))),
+    // weight-proportional (token-count) priority sample — the oracle
+    // re-derives xxhash64(doc_id), the (0,1] mapping, and w/u
+    Q("doc_priority_sample",
+      (s, d) => Sampling.prioritySample(
+        TextAnalysis.withTokenStats(t(s, d, "documents")),
+        "doc_id", "n_tokens", k = 50)
+        .select("doc_id", "n_tokens", "priority"),
+      Some(prioritySampleOracle(50))),
     Q("doc_split_assign",
       (s, d) => Sampling.assignSplits(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -841,6 +881,14 @@ object PipelineQueries {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
       Some(ngramOracle)),
+    // EXACT prefix-filtered set-similarity join: the oracle brute-
+    // forces ALL pairs, so the hash match proves the prefix filter
+    // dropped no qualifying candidate (completeness, not just output
+    // plausibility)
+    Q("dedup_prefix_exact",
+      (s, d) => Dedup.prefixJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5).orderBy("a", "b"),
+      Some(prefixExactOracle(0.5))),
     // incremental screen: every 3rd doc plays today's batch, the rest
     // is the historical corpus known only by its signature index
     Q("dedup_incremental",
@@ -1442,6 +1490,24 @@ object PipelineQueries {
              |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
              |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin.replace("\n", " ")),
       bench = true),
+    // incremental view maintenance: the per-status (count, sum) view
+    // maintained from the change feed WITHOUT rescanning the base —
+    // the oracle recomputes the view from the fully-merged snapshot,
+    // so the hash proves delta maintenance ≡ recompute
+    Q("cdc_ivm_agg",
+      (s, d) => operators.Cdc.maintainGroupAgg(cdcSnapshot(s, d), cdcChanges(s, d),
+        "o_orderkey", "seq", "op", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderstatus"),
+      Some(s"""WITH $cdcChangesSql,
+             |cdcl AS (SELECT k, op, c, st, tp FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM cdcch) WHERE rn = 1),
+             |cdcm AS (SELECT
+             |CASE WHEN l.k IS NOT NULL THEN l.st ELSE s.o_orderstatus END AS o_orderstatus,
+             |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS o_totalprice
+             |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
+             |WHERE l.op IS NULL OR l.op <> 'D')
+             |SELECT o_orderstatus, count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM cdcm GROUP BY o_orderstatus""".stripMargin.replace("\n", " "))),
     // SCD2 expansion of the same feed: per-key version chain with
     // [valid_from, valid_to) sequence ranges; a D closes its
     // predecessor and emits nothing.

@@ -353,6 +353,62 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** EXACT set-similarity join via prefix filtering (Chaudhuri/Ganti/
+    * Kaushik ICDE'06; Xiao et al.'s PPJoin family) over word-shingle
+    * sets — the exactness-guaranteed complement to the approximate
+    * dedups: [[minhashNearDuplicates]] loses pairs to banding
+    * probability and [[ngramJaccardPairs]] to the stop-gram cap; this
+    * join returns EVERY pair with Jaccard ≥ threshold, provably.
+    *
+    * Principle: order all shingles by a global rarest-first key
+    * (corpus df, then the shingle itself); a set of size s keeps only
+    * its p = s − ⌈t·s⌉ + 1 smallest shingles as its prefix. Any two
+    * sets with J ≥ t overlap in ≥ ⌈t·max(sa,sb)⌉ shingles, too many to
+    * hide in either suffix (length ⌈t·s⌉ − 1 < the overlap), so the
+    * rarer end of the overlap necessarily lands in BOTH prefixes — the
+    * prefix-shingle equi-join is a complete candidate generator, and
+    * the exact verify only discards.
+    *
+    * Scale shape: one df-count aggregation (map-side partials), one
+    * freq join, per-doc prefix selection via an in-row array_sort (no
+    * global rank, no single-partition window), candidate equi-join on
+    * prefix shingles, verify join against the persisted shingle-set
+    * frame. Rarest-first is also why buckets stay small WITHOUT a cap:
+    * prefixes are drawn from the low-df tail by construction — the
+    * stop-shingle problem the n-gram path caps away cannot arise. Cost
+    * grows with threshold looseness (smaller t → longer prefixes), the
+    * documented PPJoin trade. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, persist: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tsets = Caching.maybePersist(
+      df.select(col(idCol),
+        shinglesFromTokens(graft.operators.TextAnalysis.tokens(col(textCol)), n).as("__s"))
+        .filter(size(col("__s")) > 0), persist)
+    val sh = tsets.select(col(idCol), explode(col("__s")).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val prefixes = sh.join(freq, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__df"), col("sh")))).as("__sorted"))
+      .withColumn("__p",
+        (size(col("__sorted")) - ceil(lit(threshold) * size(col("__sorted"))) + 1).cast("int"))
+      .select(col(idCol),
+        explode(transform(slice(col("__sorted"), lit(1), col("__p")), x => x("sh"))).as("sh"))
+    val cand = prefixes.select(col("sh"), col(idCol).as("a"))
+      .join(prefixes.select(col("sh"), col(idCol).as("b")), "sh")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(tsets.select(col(idCol).as("a"), col("__s").as("__sa")), "a")
+      .join(tsets.select(col(idCol).as("b"), col("__s").as("__sb")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast(DoubleType) /
+          size(array_union(col("__sa"), col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Decontamination: corpus documents overlapping ANY benchmark
     * document by char-n-gram jaccard ≥ threshold — the train/test
     * contamination check every pretraining pipeline runs before

@@ -94,6 +94,28 @@ object Sampling {
       df.withColumn("__hr", xxhash64(col(idCol))), groupCols, "__hr", idCol, k)
       .drop("__hr")
 
+  /** WEIGHT-PROPORTIONAL without-replacement sampling via priority
+    * sampling (Duffield, Lund & Thorup, JACM'07): each row draws a
+    * deterministic uniform u ∈ (0, 1] from its id hash and gets
+    * priority w/u; the k highest-priority rows are the sample.
+    * Inclusion probability ≈ min(1, k·w/Σw), and DLT prove the sample
+    * supports unbiased subset-sum estimation — the standard way to
+    * take "sample documents proportional to token count" without a
+    * weighted-pass shuffle. Deterministic like every sampler here
+    * (same hash → same sample under any partitioning); top-k runs as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver), so no global sort at any scale. u maps the hash's top
+    * 53 bits to (0, 1] — exact double arithmetic, engine-portable. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("__u",
+        (shiftrightunsigned(xxhash64(col(idCol)), 11) + lit(1L))
+          .cast("double") / lit(9007199254740992.0))
+      .withColumn("priority", col(weightCol) / col("__u"))
+      .drop("__u")
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+
   /** Disjoint train/val/test(/...) assignment from the same hash:
     * split i owns the bucket range [bound(i-1), bound(i)); the final
     * split's upper bound is forced to `denom` so every row is

@@ -34,6 +34,29 @@ class CdcSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"merge must not window the log:\n$plan")
   }
 
+  test("maintainGroupAgg: delta maintenance equals full recompute; empty groups vanish") {
+    import org.apache.spark.sql.types.DecimalType
+    val snap = Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0),
+      (5L, "g3", 5.0), (6L, "g4", 1.0)).toDF("k", "g", "amt")
+    val ch = Seq(
+      (1L, 1L, "U", "g2", 11.0), // moves g1 → g2
+      (2L, 1L, "D", null.asInstanceOf[String], 0.0), // delete from g1
+      (4L, 1L, "I", "g1", 40.0), // fresh insert into g1
+      (5L, 1L, "D", null.asInstanceOf[String], 0.0), // delete…
+      (5L, 2L, "I", "g3", 7.0), // …then re-insert (latest wins)
+      (6L, 1L, "D", null.asInstanceOf[String], 0.0) // empties g4 entirely
+    ).toDF("k", "seq", "op", "g", "amt")
+    val maintained = Cdc.maintainGroupAgg(snap, ch, "k", "seq", "op", "g", "amt")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    val recomputed = Cdc.applyChanges(snap, ch, "k", "seq", "op")
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("amt").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(maintained == recomputed)
+    assert(maintained == Seq(("g1", 1L, 40.0), ("g2", 2L, 41.0), ("g3", 1L, 7.0)))
+    assert(!maintained.exists(_._1 == "g4")) // count hit 0 → gone
+  }
+
   test("scd2History: version chain with exclusive upper bounds; D closes the key") {
     val got = Cdc.scd2History(changes, "k", "seq", "op")
       .orderBy("k", "valid_from")

@@ -192,4 +192,31 @@ class DedupSpec extends SparkSpec {
     assert(cc == Seq(
       (0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 3L, true)))
   }
+
+  test("prefixJaccardPairs equals brute force on real data (completeness)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t = 0.5
+    val got = Dedup.prefixJaccardPairs(real, "doc_id", "text", t)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // ground truth: ALL pairs, no filter
+    val sets = real.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
+    val brute = sets.toDF("a", "sa").join(sets.toDF("b", "sb"), col("a") < col("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= t)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == brute, s"prefix join ${got.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty) // the fixture corpus has planted near-dups
+  }
+
+  test("prefixJaccardPairs on the hand fixture: exact pair and value") {
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5)
+      .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
+    // (0,1) identical → 1.0; (0,2)/(1,2) one word changed in 12 tokens:
+    // 10 distinct 3-gram shingles each, 7 shared → 7/13
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(got.head._3 == 1.0)
+    assert(math.abs(got(1)._3 - 7.0 / 13.0) < 1e-15)
+  }
 }

@@ -90,6 +90,20 @@ class SamplingSpec extends SparkSpec {
     assert(t == Map("a" -> 2L, "b" -> 3L))
   }
 
+  test("prioritySample: deterministic, exact-k, weight-dominated") {
+    val df = ids.withColumn("w",
+      when(col("id") < 100, lit(1000.0)).otherwise(lit(1.0)))
+    val s1 = Sampling.prioritySample(df, "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.prioritySample(df.repartition(7), "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // layout-independent like every sampler here
+    assert(s1.size == 50)
+    // 100 rows carry 1000× the weight of the other 1900: the sample
+    // must be overwhelmingly theirs (a light row needs u < ~1e-3)
+    assert(s1.count(_ < 100L) >= 45, s"heavy rows: ${s1.count(_ < 100L)}")
+  }
+
   test("splitBounds: last split absorbs the floating-point remainder") {
     val b = Sampling.splitBounds(Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4))
     assert(b.map(_._1) == Seq("a", "b", "c"))
