@@ -887,8 +887,8 @@ object PipelineQueries {
     // plausibility)
     Q("dedup_prefix_exact",
       (s, d) => Dedup.prefixJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5).orderBy("a", "b"),
-      Some(prefixExactOracle(0.5))),
+        threshold = 0.8).orderBy("a", "b"),
+      Some(prefixExactOracle(0.8))),
     // incremental screen: every 3rd doc plays today's batch, the rest
     // is the historical corpus known only by its signature index
     Q("dedup_incremental",

@@ -391,13 +391,19 @@ object Dedup {
     val prefixes = sh.join(freq, Seq("sh"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__df"), col("sh")))).as("__sorted"))
+      .withColumn("__sz", size(col("__sorted")))
       .withColumn("__p",
-        (size(col("__sorted")) - ceil(lit(threshold) * size(col("__sorted"))) + 1).cast("int"))
-      .select(col(idCol),
+        (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int"))
+      .select(col(idCol), col("__sz"),
         explode(transform(slice(col("__sorted"), lit(1), col("__p")), x => x("sh"))).as("sh"))
-    val cand = prefixes.select(col("sh"), col(idCol).as("a"))
-      .join(prefixes.select(col("sh"), col(idCol).as("b")), "sh")
+    // PPJoin's length filter: J ≥ t ⇒ |A∩B| ≥ t·max(sa,sb), and the
+    // overlap fits in the smaller set, so t·sb ≤ sa (and vice versa) —
+    // prunes candidates inline at the equi-join, changes no output
+    val cand = prefixes.select(col("sh"), col(idCol).as("a"), col("__sz").as("__sza"))
+      .join(prefixes.select(col("sh"), col(idCol).as("b"), col("__sz").as("__szb")), "sh")
       .filter(col("a") < col("b"))
+      .filter(col("__sza") >= lit(threshold) * col("__szb") &&
+        col("__szb") >= lit(threshold) * col("__sza"))
       .select("a", "b").distinct()
     cand
       .join(tsets.select(col(idCol).as("a"), col("__s").as("__sa")), "a")
