@@ -463,9 +463,105 @@ object Queries {
              |FROM lineitem""".stripMargin.replace("\n", " "))),
   )
 
+  // ---------------------------------------------------------------------
+  // Full outer join, unpivot/melt, correlated EXISTS, lag/lead, ntile —
+  // the remaining ANSI-surface gaps beyond the reference (SURVEY §2.3,
+  // §2.5 extended).
+  // ---------------------------------------------------------------------
+  private val relationalExt = Vector(
+    // Spark cannot broadcast a full outer join, but both inputs here are
+    // already one-row-per-key aggregates, so the sort-merge join only
+    // shuffles nation-cardinality rows — the partial aggregation before
+    // the join is what makes this 100 TB-safe.
+    Q("q_full_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .groupBy(col("c_nationkey").cast(LongType).as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = t(s, d, "supplier")
+          .groupBy(col("s_nationkey").cast(LongType).as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, Seq("nk"), "full_outer")
+          .select(col("nk"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk) AS nk, COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+             |FULL JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+             |ON c.nk = s.nk""".stripMargin.replace("\n", " "))),
+    // Wide-to-long melt: map-only (one Expand node, no shuffle).
+    Q("q_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity").as("quantity"), col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"), col("l_tax").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "val"),
+      Some(Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+               "discount" -> "l_discount", "tax" -> "l_tax")
+        .map { case (m, c) =>
+          s"SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, '$m' AS measure, $c AS val FROM lineitem" }
+        .mkString(" UNION ALL "))),
+    // Correlated EXISTS with an inequality residual: planned as a left
+    // semi join on the equi-key with the correlated comparison as a
+    // post-join filter — shuffles on orderkey, never materializes the
+    // match multiplicity.
+    Q("q_exists_corr",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_quantity") > lit(45) &&
+            li("l_extendedprice") > o("o_totalprice") * lit(0.5),
+          "left_semi")
+          .select("o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+             |AND l.l_quantity > 45 AND l.l_extendedprice > o.o_totalprice * 0.5)""".stripMargin.replace("\n", " "))),
+    // lag/lead over a per-customer order timeline (inter-order gap in
+    // days + next order id). Partitioned window — shuffle on custkey,
+    // per-partition sort, no global order.
+    Q("q_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date"))
+              .cast(LongType).as("gap_days"),
+            col("next_key"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS gap_days,
+             |LEAD(o_orderkey) OVER w AS next_key
+             |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin.replace("\n", " "))),
+    // ntile bucketing per market segment. Deliberately partitioned: a
+    // GLOBAL ntile forces every row through one window partition — at
+    // scale, compute global quartiles via range-partitioned row_number
+    // against a broadcast total count instead.
+    Q("q_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+             |FROM customer""".stripMargin.replace("\n", " "))),
+  )
+
   /** Relational core: everything above. Extensions (dedup / similarity /
     * text / events) live in their operator objects and are appended in
     * [[SparkEntry]]. */
   val relational: Vector[Q] =
-    scans ++ filters ++ joins ++ aggregates ++ analytic ++ advanced
+    scans ++ filters ++ joins ++ aggregates ++ analytic ++ advanced ++ relationalExt
 }
