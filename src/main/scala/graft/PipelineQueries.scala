@@ -793,6 +793,30 @@ object PipelineQueries {
       (s, d) => TextAnalysis.duplicatedPassageStats(t(s, d, "documents"),
         "doc_id", "text", n = 3),
       Some(dupPassagesOracle)),
+    // overlapping token-window chunking (training-sample prep):
+    // 64-token chunks every 48 tokens
+    Q("doc_chunks",
+      (s, d) => TextAnalysis.chunkTokens(t(s, d, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 48),
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks, len($ToksSql) AS n FROM documents WHERE len($ToksSql) > 0),
+             |ch AS (SELECT doc_id, toks, unnest(generate_series(0, (n-1)//48)) AS chunk_id FROM tk)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |CAST(len(list_slice(toks, chunk_id*48+1, chunk_id*48+64)) AS BIGINT) AS n_chunk_tokens,
+             |array_to_string(list_slice(toks, chunk_id*48+1, chunk_id*48+64), ' ') AS chunk_text
+             |FROM ch""".stripMargin.replace("\n", " "))),
+    // corpus-unigram frequency scoring (log-free LM-quality signal):
+    // integer sums end-to-end, one double division at the end, so the
+    // doubles hash-match cross-engine
+    Q("doc_unigram_lm",
+      (s, d) => TextAnalysis.corpusFrequency(t(s, d, "documents"),
+        "doc_id", "text", rareMax = 2L),
+      Some(s"""WITH utk AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM utk GROUP BY doc_id, tok),
+             |vocab AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok)
+             |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |CAST(SUM(tf * cnt) AS DOUBLE) / SUM(tf) AS mean_tok_freq,
+             |CAST(SUM(CASE WHEN cnt <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+             |FROM tf JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin.replace("\n", " "))),
     // deterministic hash-gated sampling: stratified per-language rates,
     // and the disjoint train/val/test split assignment
     Q("doc_sample_strat",
@@ -1202,6 +1226,30 @@ object PipelineQueries {
       Some("""SELECT event_type, COUNT(*) AS n,
              |CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
              |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "))),
+    // At-least-once delivery collapse: deterministic first event per
+    // (user, type). Spark side uses min_by over a (ts, event_id) struct
+    // ordering — a PARTIAL-AGGREGABLE one-shuffle plan (map-side
+    // combine keeps one candidate row per key per partition; a
+    // row_number window would instead sort every key group). The
+    // oracle states the same semantics as QUALIFY-style SQL. Output ts
+    // is second-granularity (ts_s, the ev_ oracle convention): DuckDB's
+    // parquet reader truncates the ns timestamps to µs, so raw ns can't
+    // cross the oracle — ROW SELECTION is still exact because the
+    // full-ns Spark ordering and the µs DuckDB ordering agree (no two
+    // events of a (user, type) share a microsecond; event_id breaks
+    // any remaining tie identically in both engines).
+    Q("ev_dedup",
+      (s, d) => {
+        val ord = struct(col("ts"), col("event_id"))
+        events(s, d).groupBy("user_id", "event_type").agg(
+          min_by(col("event_id"), ord).as("event_id"),
+          min_by(col("ts_s"), ord).as("ts_s"),
+          min_by(col("value"), ord).as("value"),
+          min_by(col("props"), ord).as("props"))
+      },
+      Some("""SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, props
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn FROM events)
+             |WHERE rn = 1""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

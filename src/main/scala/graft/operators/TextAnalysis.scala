@@ -319,4 +319,61 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Fixed-size overlapping token chunks — training-sample prep
+    * (context-window packing input). A chunk starts every `stride`
+    * tokens while any token remains; the last chunk may be short.
+    *
+    * Scale shape: map-only — tokenize once, explode the start index
+    * sequence, slice. No shuffle; output size ≈ input × (chunkSize /
+    * stride), and filter/projection pushdown on the scan is intact.
+    * Empty documents yield zero chunks. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast(LongType))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L),
+          ((col("__n") - 1L) / lit(stride.toLong)).cast(LongType))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))
+          .as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast(LongType).as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Corpus-unigram frequency scoring — the shuffle-only core of an
+    * n-gram LM quality filter (log-free so the doubles are exactly
+    * reproducible: all aggregates are integer sums, with ONE double
+    * division at the end). Per document emits its token count, the
+    * mean corpus frequency of its tokens (low = rare/unusual text),
+    * and how many of its token occurrences are corpus-rare
+    * (count <= rareMax — OCR noise / codes / misspellings signal).
+    *
+    * Scale shape: two aggregations and one join, all keyed on token or
+    * (doc, token): (1) per-doc term frequencies (partial-agg shuffle),
+    * (2) vocabulary counts folded FROM the tf frame (vocab-sized, not
+    * occurrence-sized), (3) tf ⋈ vocab — AQE's skew-join split handles
+    * the head tokens ("the" joins every document). The tf frame feeds
+    * both sides, so it is persisted under the [[Caching]] ownership
+    * contract. */
+  def corpusFrequency(df: DataFrame, idCol: String, textCol: String,
+      rareMax: Long = 2L, persist: Boolean = true): DataFrame = {
+    val tf = Caching.maybePersist(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+        .groupBy(col(idCol), col("__tok"))
+        .agg(count(lit(1)).as("__tf")),
+      persist)
+    val vocab = tf.groupBy(col("__tok")).agg(sum(col("__tf")).as("__cnt"))
+    tf.join(vocab, "__tok")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        (sum(col("__tf") * col("__cnt")).cast(DoubleType) / sum(col("__tf")))
+          .as("mean_tok_freq"),
+        sum(when(col("__cnt") <= rareMax, col("__tf")).otherwise(0L)).as("n_rare"))
+  }
 }

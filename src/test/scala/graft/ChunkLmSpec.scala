@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Pins the round-7 text operators (chunkTokens, corpusFrequency) and
+  * the ev_dedup batch collapse on hand-computable fixtures; the
+  * full-corpus values are pinned cross-engine by the DuckDB oracles. */
+class ChunkLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens: stride windows, short tail, empty doc dropped") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"),
+      (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 1L, "e"),
+      (2L, 0L, 1L, "x")))
+  }
+
+  test("chunkTokens: every token occurs in some chunk; stride-aligned reassembly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 64, stride = 48)
+    // chunk L = floor((n-1)/stride) covers tokens [48L+1, n], so
+    // n_tokens must equal 48·last_chunk_id + last chunk's token count
+    val perDoc = chunks.groupBy("doc_id").agg(
+      max("chunk_id").as("last_id"),
+      max_by(col("n_chunk_tokens"), col("chunk_id")).as("last_n"))
+    val stats = TextAnalysis.withTokenStats(docs).select(col("doc_id"), col("n_tokens"))
+    val joined = perDoc.join(stats, "doc_id")
+      .filter(lit(48L) * col("last_id") + col("last_n") =!= col("n_tokens"))
+    assert(joined.count() == 0)
+  }
+
+  test("corpusFrequency: exact integer fixture") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusFrequency(docs, "doc_id", "text",
+        rareMax = 1L, persist = false)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // vocab: a=2, b=2, c=1
+    assert(got.toSeq == Seq(
+      (1L, 3L, (2.0 + 2.0 + 2.0) / 3, 0L),   // a,a,b — none rare at cnt<=1
+      (2L, 2L, (2.0 + 1.0) / 2, 1L)))        // b,c — c is rare
+  }
+
+  test("ev_dedup: one row per (user, type), and it is the earliest") {
+    val q = PipelineQueries.all.find(_.name == "ev_dedup").get
+    val out = q.run(spark, "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(out.count() ==
+      ev.select("user_id", "event_type").distinct().count())
+    // the kept event_id is the row_number()=1 pick under full-ns order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val expected = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("event_id")
+    assert(out.select("event_id").exceptAll(expected).isEmpty &&
+      expected.exceptAll(out.select("event_id")).isEmpty)
+  }
+}
