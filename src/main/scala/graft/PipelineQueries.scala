@@ -793,6 +793,26 @@ object PipelineQueries {
       (s, d) => TextAnalysis.duplicatedPassageStats(t(s, d, "documents"),
         "doc_id", "text", n = 3),
       Some(dupPassagesOracle)),
+    // count-min-sketch token counts (4 x 16 forces real collisions on
+    // the 31-token vocab): the oracle re-derives the EXACT sketch —
+    // same xxhash64, same Kirsch-Mitzenmacher buckets, same collision
+    // mass — so est is value-pinned cross-engine, not just bounded
+    Q("doc_cms_counts",
+      (s, d) => TextAnalysis.cmsTokenCounts(t(s, d, "documents"), "text",
+        depth = 4, width = 16),
+      Some({
+        import Xxh64Sql._
+        s"""WITH cmtk AS (SELECT unnest($ToksSql) AS tok FROM documents),
+           |cmv AS (SELECT tok, COUNT(*) AS cnt FROM cmtk GROUP BY tok),
+           |cmsrc AS (SELECT tok AS doc_id, tok FROM cmv),
+           |${tokenHashStages("cm")},
+           |cmhh AS (SELECT doc_id AS tok, hu % 4294967296 AS h1, hu // 4294967296 AS h2 FROM cmh),
+           |cmb AS (SELECT tok, r, (h1 + r * h2) % 16 AS bucket FROM cmhh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+           |cmbt AS (SELECT r, bucket, SUM(cnt) AS tot FROM cmb JOIN cmv USING (tok) GROUP BY r, bucket),
+           |cme AS (SELECT tok, MIN(tot) AS est FROM cmb JOIN cmbt USING (r, bucket) GROUP BY tok)
+           |SELECT v.tok AS token, CAST(v.cnt AS BIGINT) AS cnt, CAST(e.est AS BIGINT) AS est
+           |FROM cmv v JOIN cme e USING (tok)""".stripMargin.replace("\n", " ")
+      })),
     // overlapping token-window chunking (training-sample prep):
     // 64-token chunks every 48 tokens
     Q("doc_chunks",

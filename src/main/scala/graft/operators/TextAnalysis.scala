@@ -346,6 +346,43 @@ object TextAnalysis {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Count-min-sketch token counts, relationally: the sketch is the
+    * `depth × width` table of (row, bucket) → total — a FIXED-SIZE
+    * frame regardless of corpus size — and the per-token estimate is
+    * `min` over the `depth` bucket totals the token hashes into
+    * (Kirsch–Mitzenmacher double hashing off one xxhash64:
+    * `bucket_r = (h_lo32 + r·h_hi32) mod width`). Output per distinct
+    * token: (token, cnt exact, est sketch) — `est >= cnt` always, with
+    * overshoot exactly the collision mass, so the cross-engine hash
+    * match pins the entire sketch, not a bound.
+    *
+    * Spark-first shape: NO custom UDAF — the sketch build is a
+    * partial-agg `groupBy(row, bucket)` (map-side combine reduces each
+    * partition to ≤ depth·width rows before the shuffle, identical
+    * traffic to merging array sketches) and stays incrementally
+    * maintainable under streaming update. At 100 TB the only
+    * corpus-sized stages are the token explode and one groupBy. */
+  def cmsTokenCounts(df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 16): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val buckets = vocab
+      .withColumn("__h", xxhash64(col("token")))
+      .withColumn("__h1", col("__h").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("__h2", shiftrightunsigned(col("__h"), 32))
+      .select(col("token"), col("cnt"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("__r"))
+      .withColumn("__bucket",
+        (col("__h1") + col("__r") * col("__h2")) % width)
+      .drop("__h1", "__h2")
+    val sketch = buckets.groupBy("__r", "__bucket").agg(sum("cnt").as("__tot"))
+    buckets.join(sketch, Seq("__r", "__bucket"))
+      .groupBy("token").agg(min("__tot").as("est"))
+      .join(vocab, "token")
+      .select(col("token"), col("cnt"), col("est"))
+  }
+
   /** Corpus-unigram frequency scoring — the shuffle-only core of an
     * n-gram LM quality filter (log-free so the doubles are exactly
     * reproducible: all aggregates are integer sums, with ONE double

@@ -49,6 +49,20 @@ class ChunkLmSpec extends SparkSpec {
       (2L, 2L, (2.0 + 1.0) / 2, 1L)))        // b,c — c is rare
   }
 
+  test("cmsTokenCounts: est >= cnt always; est == cnt when the token's best row is collision-free") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.cmsTokenCounts(docs, "text", depth = 4, width = 16)
+    assert(out.filter(col("est") < col("cnt")).count() == 0)
+    assert(out.count() == 31) // full synthetic vocab
+    // sketch total per row == corpus token count (mass conservation)
+    val occ = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t")).count()
+    val sums = out.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(sums == occ)
+    // a wide sketch (no collisions possible to force) degenerates to exact
+    val exact = TextAnalysis.cmsTokenCounts(docs, "text", depth = 4, width = 4096)
+    assert(exact.filter(col("est") =!= col("cnt")).count() == 0)
+  }
+
   test("ev_dedup: one row per (user, type), and it is the earliest") {
     val q = PipelineQueries.all.find(_.name == "ev_dedup").get
     val out = q.run(spark, "/root/testdata/sf0.001")
