@@ -363,23 +363,26 @@ object TextAnalysis {
     * maintainable under streaming update. At 100 TB the only
     * corpus-sized stages are the token explode and one groupBy. */
   def cmsTokenCounts(df: DataFrame, textCol: String,
-      depth: Int = 4, width: Int = 16): DataFrame = {
+      depth: Int = 4, width: Int = 16, persist: Boolean = true): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
-    val vocab = df.select(explode(tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val buckets = vocab
-      .withColumn("__h", xxhash64(col("token")))
-      .withColumn("__h1", col("__h").bitwiseAND(lit(0xFFFFFFFFL)))
-      .withColumn("__h2", shiftrightunsigned(col("__h"), 32))
-      .select(col("token"), col("cnt"), col("__h1"), col("__h2"),
-        explode(sequence(lit(0L), lit(depth - 1L))).as("__r"))
-      .withColumn("__bucket",
-        (col("__h1") + col("__r") * col("__h2")) % width)
-      .drop("__h1", "__h2")
+    // the bucket frame feeds BOTH the sketch build and the estimate
+    // probe; persisting it (vocab-sized × depth, bounded by vocabulary
+    // not corpus) keeps the corpus-sized explode+groupBy to ONE scan
+    val buckets = Caching.maybePersist(
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .withColumn("__h", xxhash64(col("token")))
+        .withColumn("__h1", col("__h").bitwiseAND(lit(0xFFFFFFFFL)))
+        .withColumn("__h2", shiftrightunsigned(col("__h"), 32))
+        .select(col("token"), col("cnt"), col("__h1"), col("__h2"),
+          explode(sequence(lit(0L), lit(depth - 1L))).as("__r"))
+        .withColumn("__bucket",
+          (col("__h1") + col("__r") * col("__h2")) % width)
+        .drop("__h1", "__h2"),
+      persist)
     val sketch = buckets.groupBy("__r", "__bucket").agg(sum("cnt").as("__tot"))
     buckets.join(sketch, Seq("__r", "__bucket"))
-      .groupBy("token").agg(min("__tot").as("est"))
-      .join(vocab, "token")
+      .groupBy("token", "cnt").agg(min("__tot").as("est"))
       .select(col("token"), col("cnt"), col("est"))
   }
 
