@@ -116,8 +116,26 @@ object PipelineQueries {
     * hash-ordered 4096-vector sample the Spark side trains on. Shared
     * by the IVF top-k oracle (which adds probe scoring on `ivd`) and
     * the semantic-dedup oracle (which adds within-cell pairs). */
-  private def kmeansCellCtes: String = {
+  /** Shared sample CTEs (`ivv` … `ivsamp`): the full corpus as double
+    * lists plus the hash-ordered ≤4096-row training sample — the exact
+    * xxh64-of-BIGINT ordering the Spark trainers
+    * ([[operators.Similarity.ivfTopK]], [[operators.Quantization.pqTopK]])
+    * collect. Used by both the full-dim IVF k-means and the
+    * per-subspace PQ codebooks. */
+  private def ivfSampleCtes: String = {
     import Xxh64Sql._
+    val hfinal = xor64("b4", s"(b4 // ${1L << 32})")
+    s"""ivv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ivk AS (SELECT vec_id, v, ${mulmod(rotl(mulmod("(vec_id::HUGEINT)", P2), 31), P1)} AS k FROM ivv),
+       |ivx AS (SELECT vec_id, v, (${mulmod(rotl(xor64(Acc0Len8, "k"), 27), P1)} + $P4) % $M64 AS a3 FROM ivk),
+       |ivy AS (SELECT vec_id, v, ${mulmod(xor64("a3", s"(a3 // ${1L << 33})"), P2)} AS b2 FROM ivx),
+       |ivz AS (SELECT vec_id, v, ${mulmod(xor64("b2", s"(b2 // ${1L << 29})"), P3)} AS b4 FROM ivy),
+       |ivh AS (SELECT vec_id, v, (CASE WHEN $hfinal >= 9223372036854775808 THEN $hfinal - $M64 ELSE $hfinal END)::BIGINT AS hs FROM ivz),
+       |ivs0 AS (SELECT vec_id, v, row_number() OVER (ORDER BY hs ASC, vec_id ASC) AS pos FROM ivh),
+       |ivsamp AS MATERIALIZED (SELECT * FROM ivs0 WHERE pos <= 4096)""".stripMargin.replace("\n", " ")
+  }
+
+  private def kmeansCellCtes: String = {
     val dist64 = "list_sum(list_transform(generate_series(1, 64), j -> (s.v[j] - c.clist[j]) * (s.v[j] - c.clist[j])))"
     val iters = new StringBuilder
     var prev = "ivc0"
@@ -132,15 +150,7 @@ object PipelineQueries {
         |""".stripMargin
       prev = s"ivc$t"
     }
-    val hfinal = xor64("b4", s"(b4 // ${1L << 32})")
-    s"""ivv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |ivk AS (SELECT vec_id, v, ${mulmod(rotl(mulmod("(vec_id::HUGEINT)", P2), 31), P1)} AS k FROM ivv),
-       |ivx AS (SELECT vec_id, v, (${mulmod(rotl(xor64(Acc0Len8, "k"), 27), P1)} + $P4) % $M64 AS a3 FROM ivk),
-       |ivy AS (SELECT vec_id, v, ${mulmod(xor64("a3", s"(a3 // ${1L << 33})"), P2)} AS b2 FROM ivx),
-       |ivz AS (SELECT vec_id, v, ${mulmod(xor64("b2", s"(b2 // ${1L << 29})"), P3)} AS b4 FROM ivy),
-       |ivh AS (SELECT vec_id, v, (CASE WHEN $hfinal >= 9223372036854775808 THEN $hfinal - $M64 ELSE $hfinal END)::BIGINT AS hs FROM ivz),
-       |ivs0 AS (SELECT vec_id, v, row_number() OVER (ORDER BY hs ASC, vec_id ASC) AS pos FROM ivh),
-       |ivsamp AS MATERIALIZED (SELECT * FROM ivs0 WHERE pos <= 4096),
+    s"""$ivfSampleCtes,
        |ivc0 AS MATERIALIZED (SELECT c.cell, s.v AS clist FROM (SELECT unnest(generate_series(0, 15)) AS cell) c
        |JOIN ivsamp s ON s.pos = (c.cell * (SELECT count(*) FROM ivsamp)) // 16 + 1),
        |${iters}ivcn AS MATERIALIZED (SELECT cell, clist, list_sum(list_transform(clist, x -> x * x)) AS cnorm FROM ivc10),
@@ -180,6 +190,74 @@ object PipelineQueries {
        |SELECT probe_id, neighbor_id, cosine, rank FROM (
        |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ivscored)
        |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqNlist = 16
+  private val PqShortlist = 100
+
+  /** One PQ subspace's codebook, re-derived in DuckDB: Lloyd's k-means
+    * on the `ivsamp` slice `v[lo+1 : lo+sub]` — the identical trainer
+    * chain as [[kmeansCellCtes]] (seeded evenly-spaced init, ranked
+    * assignment with Σ(v−c)² ties to the lowest cell, ORDERED list_sum
+    * means, empty cells keep their centroid) — then every corpus
+    * vector's code for that subspace via the expanded
+    * (‖v_s‖²−2·v_s·c)+‖c‖² expression [[operators.Quantization.pqTopK]]
+    * encodes with. Ends in `pq<s>cb`(cell, clist, cnorm) and
+    * `pq<s>code`(vec_id, cell). */
+  private def pqSubspaceCtes(s: Int): String = {
+    val lo = s * PqSub
+    val p = s"pq$s"
+    val dist = s"list_sum(list_transform(generate_series(1, $PqSub), j -> (s.v[$lo + j] - c.clist[j]) * (s.v[$lo + j] - c.clist[j])))"
+    val iters = new StringBuilder
+    var prev = s"${p}c0"
+    for (t <- 1 to 10) {
+      iters ++= s"""${p}a$t AS MATERIALIZED (SELECT pos, v, cell FROM (
+        |SELECT s.pos, s.v, c.cell, row_number() OVER (PARTITION BY s.pos ORDER BY $dist ASC, c.cell ASC) AS rn
+        |FROM ivsamp s CROSS JOIN $prev c) WHERE rn = 1),
+        |${p}n$t AS (SELECT cell, count(*) AS cnt FROM ${p}a$t GROUP BY cell),
+        |${p}e$t AS (SELECT a.cell, d.j, list_sum(list(a.v[$lo + d.j] ORDER BY a.pos)) AS sm FROM ${p}a$t a CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS j) d GROUP BY a.cell, d.j),
+        |${p}m$t AS (SELECT e.cell, list(e.sm / n.cnt ORDER BY e.j) AS ml FROM ${p}e$t e JOIN ${p}n$t n ON n.cell = e.cell GROUP BY e.cell),
+        |${p}c$t AS MATERIALIZED (SELECT p.cell, COALESCE(m.ml, p.clist) AS clist FROM $prev p LEFT JOIN ${p}m$t m ON m.cell = p.cell),
+        |""".stripMargin
+      prev = s"${p}c$t"
+    }
+    s"""${p}c0 AS MATERIALIZED (SELECT c.cell, s.v[${lo + 1}:${lo + PqSub}] AS clist FROM (SELECT unnest(generate_series(0, ${PqNlist - 1})) AS cell) c
+       |JOIN ivsamp s ON s.pos = (c.cell * (SELECT count(*) FROM ivsamp)) // $PqNlist + 1),
+       |${iters}${p}cb AS MATERIALIZED (SELECT cell, clist, list_sum(list_transform(clist, x -> x * x)) AS cnorm FROM ${p}c10),
+       |${p}vd AS (SELECT t.vec_id, c.cell, (list_dot_product(t.v[${lo + 1}:${lo + PqSub}], t.v[${lo + 1}:${lo + PqSub}]) - 2.0 * list_dot_product(t.v[${lo + 1}:${lo + PqSub}], c.clist)) + c.cnorm AS d FROM ivv t CROSS JOIN ${p}cb c),
+       |${p}code AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ${p}vd) WHERE rn = 1)""".stripMargin.replace("\n", " ")
+  }
+
+  /** PQ-ADC search fully re-derived: m independent subspace codebooks
+    * (Lloyd's in SQL), the per-subspace encode, then the asymmetric
+    * score — Σ_s probe-slice·centroid dots left-to-right, centroid
+    * norms from the codebooks, the same (adot / (sqrt·sqrt)) tree as
+    * pqTopK — and row_number top-10. The hash pins train + encode +
+    * ADC rank cross-engine. */
+  private def pqOracle: String = {
+    val subCtes = (0 until PqM).map(pqSubspaceCtes).mkString(",\n")
+    val joins = (0 until PqM).map(s => s"JOIN pq${s}code k$s ON k$s.vec_id = t.vec_id JOIN pq${s}cb b$s ON b$s.cell = k$s.cell").mkString(" ")
+    val adot = (0 until PqM).map { s =>
+      val lo = s * PqSub
+      s"list_dot_product(p.pv[${lo + 1}:${lo + PqSub}], b$s.clist)"
+    }.reduce((a, b) => s"($a + $b)")
+    val cnorm = (0 until PqM).map(s => s"b$s.cnorm").reduce((a, b) => s"($a + $b)")
+    s"""WITH $ivfSampleCtes,
+       |$subCtes,
+       |pqp AS (SELECT vec_id AS probe_id, v AS pv FROM ivv WHERE vec_id < 10),
+       |pqsc AS (SELECT p.probe_id, t.vec_id AS neighbor_id,
+       |$adot / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt($cnorm)) AS qcos
+       |FROM ivv t $joins CROSS JOIN pqp p WHERE t.vec_id <> p.probe_id),
+       |pqsl AS (SELECT probe_id, neighbor_id FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id ASC) AS rn FROM pqsc)
+       |WHERE rn <= $PqShortlist),
+       |pqrr AS (SELECT sl.probe_id, sl.neighbor_id, ${cosSql("p.pv", "t.v")} AS cosine
+       |FROM pqsl sl JOIN ivv t ON t.vec_id = sl.neighbor_id JOIN pqp p ON p.probe_id = sl.probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM pqrr)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+  }
 
   /** Semantic-dedup oracle: the same k-means cells, within-cell cosine
     * pairs at the same threshold, then the transitive closure via a
@@ -1070,6 +1148,19 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       Some(sqOracle)),
+    // PQ + exact re-rank: m=8 subspace codebooks (same deterministic
+    // Lloyd trainer as IVF, same hash-ordered sample), per-subspace
+    // argmin encode, ADC shortlist over the codes alone, exact-cosine
+    // re-rank of shortlist rows only — the oracle re-runs all eight
+    // k-means in SQL, so the hash covers train/encode/ADC/re-rank.
+    Q("ann_pq_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Quantization.pqTopK(e, probes(e), "vec_id", "embedding", k = 10,
+          m = PqM, nlist = PqNlist, shortlist = PqShortlist)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      Some(pqOracle)),
     // Banded LSH with LCG hyperplanes: the plane generation is exact
     // integer arithmetic both engines can reproduce, so bucket
     // assignment AND the exact-cosine verification are independently

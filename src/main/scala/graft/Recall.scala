@@ -61,6 +61,14 @@ object Recall {
         emb, probes, "vec_id", "embedding", k, nProbe = nProbe)), exact)
     report("ann_sq_topk", topkPairs(operators.Quantization.sqTopK(
       emb, probes, "vec_id", "embedding", k)), exact)
+    // PQ: pure ADC at the registered codebook shape, then the
+    // registered shortlist+re-rank, then the shortlist dial turned up
+    report("ann_pq adc-only", topkPairs(operators.Quantization.pqTopK(
+      emb, probes, "vec_id", "embedding", k, m = 8, nlist = 16)), exact)
+    for (sl <- Seq(100, 200))
+      report(s"ann_pq rerank=$sl", topkPairs(operators.Quantization.pqTopK(
+        emb, probes, "vec_id", "embedding", k, m = 8, nlist = 16,
+        shortlist = sl)), exact)
 
     // --- exact all-pairs ground truth at the dedup threshold ---
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -98,4 +98,122 @@ object Quantization {
       .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
         col("entry.score").as("qcos"), (col("pos") + 1).as("rank"))
   }
+
+  // =====================================================================
+  // Product quantization (PQ) with asymmetric-distance search
+  // =====================================================================
+
+  /** Per-subspace k-means codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the Faiss
+    * `IndexPQ` scheme): the vector is split into `m` equal slices and
+    * each slice is quantized independently against its own `nlist`-entry
+    * codebook, fitted with the SAME deterministic Lloyd trainer the IVF
+    * index uses ([[Similarity.fitCentroids]]) on the same hash-ordered
+    * bounded driver sample. Returns `books(s)(cell)(j)`. */
+  def fitPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, nlist: Int,
+      trainSample: Int = 4096): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val train = corpus.select(asDouble(col(vecCol)), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(m)(s =>
+      Similarity.fitCentroids(train.map(_.slice(s * sub, (s + 1) * sub)), nlist))
+  }
+
+  /** Top-k cosine search against the PQ-compressed corpus via
+    * asymmetric distance computation (ADC): the corpus is stored as `m`
+    * SMALL-INT codes per vector (log2(nlist) bits each — at nlist=256,
+    * m bytes/vector, a 256× compression of a 64-dim float corpus);
+    * each candidate's dot product against the probe is reconstructed as
+    * the sum of per-subspace probe-slice·centroid dots, and its norm
+    * from the codebook entries' norms — the probe side stays exact
+    * (that is the "asymmetric" in ADC, the paper's higher-accuracy
+    * variant). Output (probe_id, neighbor_id, qcos, rank) — `qcos` is
+    * the PQ-space cosine a standing code index can compute without ever
+    * touching the raw corpus vectors.
+    *
+    * Scale shape at 100 TB: codebooks are fitted on a bounded
+    * driver-side sample (Faiss protocol, like IVF) and shipped as
+    * literals (m·nlist·sub doubles — KBs); encoding is a map-only
+    * codegen'd argmin per subspace; search is the broadcast-probes +
+    * map-side-partial-top-k shape of [[sqTopK]], but each candidate row
+    * carries only its m codes — the shuffle and the standing index are
+    * both ~m bytes/vector instead of 4·dim. Compose with IVF cells for
+    * sublinear candidate generation (IVF prunes, PQ compresses —
+    * independent knobs, exactly the Faiss `IVFPQ` layout). */
+  /** When `shortlist > k`, ADC only generates a per-probe candidate
+    * shortlist and the final top-k is re-ranked by EXACT cosine over
+    * the raw vectors of those candidates alone — the standard
+    * PQ-shortlist + re-rank serving layout (Jégou et al. §V.A): the
+    * full corpus is scanned as codes, the float vectors are fetched
+    * for `shortlist` rows per probe only, and recall recovers what the
+    * coarse codes lose. `shortlist <= k` disables re-ranking (pure
+    * ADC; `qcos` column is the ADC score instead of the cosine). */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int = 64, m: Int = 4, nlist: Int = 16,
+      trainSample: Int = 4096, shortlist: Int = 0): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    import graft.functions.VectorOps.dotNative
+    val sub = dim / m
+    val books = fitPqCodebooks(corpus, idCol, vecCol, dim, m, nlist, trainSample)
+    // ‖centroid‖² per codebook entry, summed in ascending-j order (the
+    // oracle's list_sum matches this fold exactly)
+    val norms = books.map(_.map(c => c.map(x => x * x).sum))
+
+    def subCol(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    // argmin_{cell} (‖v_s‖² − 2·v_s·c) + ‖c‖² — identical expression
+    // tree (and tie-break: first minimal cell) to the oracle's ranked
+    // re-derivation
+    def code(v: Column, s: Int): Column = {
+      val vs = subCol(v, s)
+      val d = array(books(s).zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        (dotNative(vs, vs) - lit(2.0) * dotNative(vs, cLit)) + lit(norms(s)(i))
+      }: _*)
+      array_position(d, array_min(d)).cast("int")
+    }
+
+    // the codes frame IS the standing index: m small ints per vector
+    val enc = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        array((0 until m).map(s => code(col("cv"), s)): _*).as("codes"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+
+    // ADC: Σ_s  pv_s · centroid_s(code_s)  /  (‖pv‖ · sqrt(Σ_s ‖centroid_s(code_s)‖²))
+    val adot = (0 until m).map { s =>
+      val bookLit = array(books(s).map(c => array(c.map(lit): _*)): _*)
+      dotNative(subCol(col("pv"), s), element_at(bookLit, element_at(col("codes"), s + 1)))
+    }.reduce(_ + _)
+    val cnorm = (0 until m).map { s =>
+      val nLit = array(norms(s).map(lit): _*)
+      element_at(nLit, element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+
+    val adcK = math.max(k, shortlist)
+    val adc = enc.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qcos", adot / (sqrt(dotNative(col("pv"), col("pv"))) * sqrt(cnorm)))
+      .groupBy(col("probe_id"))
+      .agg(topK(col("qcos"), col("neighbor_id"), col("neighbor_id"), adcK).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
+        col("entry.score").as("qcos"), (col("pos") + 1).as("rank"))
+    if (shortlist <= k) adc
+    else {
+      // exact re-rank: raw vectors for shortlist×probes rows only — a
+      // semi-join-sized fetch, never a second corpus-wide float scan
+      val raw = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      adc.select("probe_id", "neighbor_id")
+        .join(raw, Seq("neighbor_id"))
+        .join(broadcast(p), Seq("probe_id"))
+        .withColumn("cosine", cosine(col("pv"), col("cv")))
+        .groupBy(col("probe_id"))
+        .agg(topK(col("cosine"), col("neighbor_id"), col("neighbor_id"), k).as("top"))
+        .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
+          col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
+    }
+  }
 }
