@@ -784,6 +784,23 @@ object PipelineQueries {
        |smb AS (SELECT d.doc_id, d.lang, ((h.hs % $m) + $m) % $m AS bucket FROM documents d JOIN smh h USING (doc_id))""".stripMargin.replace("\n", " ")
   }
 
+  /** Temperature-resampling oracle: per-source counts, the ordered
+    * Σ√c (list_sum over a source-ordered list = the Scala fold), the
+    * same ((√c/Σ)·target)/c rate with trunc(rate·denom) thresholds,
+    * and the xxh64-of-BIGINT gate — mirrors
+    * [[operators.Mixing.temperatureSample]] end to end. */
+  private def temperatureOracle(target: Long): String = {
+    val m = Sampling.DefaultDenom
+    s"""WITH tsc AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+       |tst AS (SELECT list_sum(list(sqrt(CAST(c AS DOUBLE)) ORDER BY source)) AS total FROM tsc),
+       |tsr AS (SELECT source, CAST(trunc(least(1.0, ((sqrt(CAST(c AS DOUBLE)) / total) * ${target.toDouble}) / CAST(c AS DOUBLE)) * $m) AS BIGINT) AS thr FROM tsc CROSS JOIN tst),
+       |tpsrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${Xxh64Sql.M64} ELSE doc_id::HUGEINT END) AS v FROM documents),
+       |${Xxh64Sql.longHashStages("tp")}
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN tph h USING (doc_id) JOIN tsr r USING (source)
+       |WHERE ((h.hs % $m) + $m) % $m < r.thr""".stripMargin.replace("\n", " ")
+  }
+
   /** Priority-sampling oracle: the same xxhash64-of-BIGINT chain the
     * IVF sample selection uses (proven bit-exact by those oracles),
     * then u = ((h >>> 11) + 1) / 2^53 and priority = w/u — mirroring
@@ -1100,6 +1117,15 @@ object PipelineQueries {
             .cast(LongType).as("n_emails"))
       },
       Some(piiScrubOracle)),
+    // α=0.5 temperature resampling across sources (keep rate ∝ √c/c):
+    // the oracle re-derives counts, the ordered Σ√c, the truncated
+    // per-source thresholds, AND the xxh64 gate — the full mixture
+    // rule pinned cross-engine.
+    Q("doc_mix_temperature",
+      (s, d) => operators.Mixing.temperatureSample(
+        t(s, d, "documents"), "doc_id", "source", target = 300L)
+        .select("doc_id", "source"),
+      Some(temperatureOracle(300L))),
   )
 
   // ---------------------------------------------------------------------
@@ -1361,6 +1387,37 @@ object PipelineQueries {
       Some("""SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, props
              |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn FROM events)
              |WHERE rn = 1""".stripMargin.replace("\n", " "))),
+    // Time-based RANGE frame: trailing-5-minute average per user — the
+    // frame is defined by the ts VALUE (all peers included), so the
+    // row set is deterministic under ties, and the decimal window sum
+    // keeps the double bit-stable at any partitioning.
+    Q("ev_trailing_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-300L, 0L)
+        events(s, d).select(col("event_id"), col("user_id"), col("ts_s"),
+          (sum(col("value").cast(D4)).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("avg_5m"))
+      },
+      Some("""SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             |CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_5m
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)""".stripMargin.replace("\n", " "))),
+    // Event-type co-occurrence (market-basket over the per-user type
+    // set): distinct (user, type) first — the pair join then fans out
+    // ≤ |types|² per user, a bounded constant, never the raw log; one
+    // shuffle on user_id, one on the pair key.
+    Q("ev_cooccurrence",
+      (s, d) => {
+        val dist = events(s, d).select(col("user_id"), col("event_type")).distinct()
+        dist.toDF("user_id", "ta").join(dist.toDF("user_id", "tb"), Seq("user_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+             |SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_users
+             |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

@@ -557,6 +557,75 @@ object Queries {
       Some("""SELECT c_mktsegment, c_custkey,
              |NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
              |FROM customer""".stripMargin.replace("\n", " "))),
+    // first/last/nth over an explicit unbounded frame (default frame
+    // for last_value would stop at CURRENT ROW). Values are copied, not
+    // aggregated — no float-sum determinism concern.
+    Q("q_window_firstlast",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |FIRST_VALUE(o_totalprice) OVER w AS first_price,
+             |LAST_VALUE(o_totalprice) OVER w AS last_price,
+             |NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+             |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin.replace("\n", " "))),
+    // percent_rank/cume_dist: tie-aware ranks — deterministic under any
+    // tiebreak, and the (rank−1)/(n−1) division is exact-integer-in,
+    // so the doubles agree cross-engine bit for bit.
+    Q("q_percent_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").asc)
+        t(s, d, "customer").select(col("c_mktsegment"), col("c_custkey"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+             |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC)""".stripMargin.replace("\n", " "))),
+    // Ordered string aggregation: collect_list has no deterministic
+    // order under shuffle, so sort the ARRAY, not the input — the
+    // map-side partial aggregation stays order-free and the result is
+    // still deterministic at any parallelism.
+    Q("q_listagg",
+      (s, d) => t(s, d, "nation")
+        .groupBy(col("n_regionkey").cast(LongType).as("regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations")),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+             |string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY 1""".stripMargin.replace("\n", " "))),
+    // Per-group OLS from sufficient statistics: every sum is exact
+    // DECIMAL (order-independent under any partitioning), cast to
+    // double only for the final closed-form solve — bit-identical
+    // cross-engine without regr_slope's engine-specific accumulation.
+    Q("q_regr_slope",
+      (s, d) => {
+        val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+        t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"))
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+          .select(col("l_returnflag"), col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+      },
+      Some("""SELECT l_returnflag, slope, (sy - slope * sx) / n AS intercept FROM (
+             |SELECT l_returnflag, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, n, sx, sy FROM (
+             |SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |FROM lineitem GROUP BY l_returnflag))""".stripMargin.replace("\n", " "))),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /

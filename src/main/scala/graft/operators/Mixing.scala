@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,5 +80,39 @@ object Mixing {
       .withColumn("pack_id", expr(s"__cum DIV ${seqLen}L"))
       .withColumn("pack_offset", pmod(col("__cum"), lit(seqLen)))
       .drop("__cum")
+  }
+
+  /** Temperature-based source resampling (the multilingual-pretraining
+    * mixture rule, e.g. mBERT/XLM-R: sample source s with probability
+    * ∝ count(s)^α, α < 1 flattening the head): each source's keep rate
+    * is `min(1, (√c_s / Σ_t √c_t) · target / c_s)` at α = 0.5 — √ is
+    * IEEE-correctly-rounded, so the rates (and therefore the sample)
+    * reproduce bit-identically in any engine, unlike a general pow().
+    * Membership is the same hash-gated deterministic rule as
+    * [[Sampling.hashSample]]: keep iff xxh64(id) mod denom < rate·denom.
+    *
+    * Scale shape: per-source counts are one partial-agg shuffle;
+    * the counts frame is driver-collected — bounded by the number of
+    * mixture cells (sources), NOT data size — and the per-source
+    * thresholds ship back as one literal CASE; the gate itself is a
+    * map-only codegen'd filter on the corpus scan. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      target: Long, denom: Long = Sampling.DefaultDenom): DataFrame = {
+    // ascending-group order fixes the Σ√c accumulation order — the
+    // one float reduction here (engine-portable: an ORDER BY list_sum
+    // reproduces it)
+    val counts = df.groupBy(col(groupCol)).count()
+      .orderBy(col(groupCol)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var total = 0.0
+    counts.foreach { case (_, c) => total += math.sqrt(c.toDouble) }
+    val thresholds = counts.map { case (g, c) =>
+      val rate = math.min(1.0, math.sqrt(c.toDouble) / total * target.toDouble / c.toDouble)
+      (g, (rate * denom).toLong)
+    }
+    val thrCol = thresholds.foldLeft(lit(0L): Column) {
+      case (acc, (g, thr)) => when(col(groupCol) === g, lit(thr)).otherwise(acc)
+    }
+    df.filter(Sampling.hashBucket(col(idCol), denom) < thrCol)
   }
 }

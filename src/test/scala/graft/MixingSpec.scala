@@ -78,4 +78,25 @@ class MixingSpec extends SparkSpec {
     assert(got(2L) == ((1L << 53) + 1L, 0L),
       s"pack_id must be computed in exact long arithmetic; got ${got(2L)}")
   }
+
+  test("temperatureSample: flattens the head and is layout-invariant") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = Mixing.temperatureSample(corpus, "doc_id", "source", target = 300L)
+    val rates = sample.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 0.5: the keep RATE of the smallest source must be ≥ the keep
+    // rate of the largest (head flattened, tail boosted)
+    val smallest = full.minBy(_._2)._1
+    val largest = full.maxBy(_._2)._1
+    val rSmall = rates.getOrElse(smallest, 0L).toDouble / full(smallest)
+    val rLarge = rates.getOrElse(largest, 0L).toDouble / full(largest)
+    assert(rSmall >= rLarge,
+      s"temperature sampling must flatten: small-source rate $rSmall < large-source rate $rLarge")
+    // deterministic membership under a different partition layout
+    val again = Mixing.temperatureSample(corpus.repartition(7), "doc_id", "source", 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sample.select("doc_id").as[Long].collect().toSet)
+  }
 }
