@@ -734,6 +734,24 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5""".stripMargin.replace("\n", " ")
   }
 
+  /** Containment oracle: the same inverted-index CTEs as
+    * [[ngramOracle]], but both directions of each candidate pair
+    * scored as common/|side| — mirrors
+    * [[operators.Dedup.ngramContainmentPairs]]. */
+  private def containmentOracle: String = {
+    val grams = "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), i -> text[i:i+4]))"
+    s"""WITH gr AS (SELECT doc_id, unnest($grams) AS g FROM documents),
+       |stop AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 200),
+       |kept AS (SELECT gr.doc_id, gr.g FROM gr ANTI JOIN stop USING (g)),
+       |sz AS (SELECT doc_id, len($grams) AS sz FROM documents),
+       |shared AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS common FROM kept x JOIN kept y USING (g) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |cb AS (SELECT ida, idb, common, sa.sz AS sz_a, sb.sz AS sz_b
+       |FROM shared JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb),
+       |dir AS (SELECT ida AS inner_id, idb AS outer_id, CAST(common AS DOUBLE) / sz_a AS containment FROM cb
+       |UNION ALL SELECT idb AS inner_id, ida AS outer_id, CAST(common AS DOUBLE) / sz_b AS containment FROM cb)
+       |SELECT inner_id, outer_id, containment FROM dir WHERE containment >= 0.6""".stripMargin.replace("\n", " ")
+  }
+
   /** The events table ships TIMESTAMP(NANOS) parquet, which Spark's
     * vectorized reader rejects; read the physical int64 as nanos
     * (legacy conf) and derive `ts_s` = epoch seconds. All event queries
@@ -1020,6 +1038,22 @@ object PipelineQueries {
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
       Some(ngramOracle)),
+    // directional containment (|A∩B|/|A|): subsumption screening —
+    // same inverted index, both directions scored per candidate pair
+    Q("dedup_containment",
+      (s, d) => Dedup.ngramContainmentPairs(t(s, d, "documents"), "doc_id",
+        "text", n = 5, threshold = 0.6).orderBy("inner_id", "outer_id"),
+      Some(containmentOracle)),
+    // blocked edit-distance join over the distinct part-name domain:
+    // length-slot candidate generation (lossless for dist ≤ k), exact
+    // levenshtein verify — the entity-resolution fuzzy-match primitive
+    Q("er_editdist_pairs",
+      (s, d) => Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 3)
+        .orderBy("a", "b"),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+             |SELECT a.name AS a, b.name AS b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+             |FROM n a JOIN n b ON a.name < b.name
+             |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin.replace("\n", " "))),
     // EXACT prefix-filtered set-similarity join: the oracle brute-
     // forces ALL pairs, so the hash match proves the prefix filter
     // dropped no qualifying candidate (completeness, not just output

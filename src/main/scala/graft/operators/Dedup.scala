@@ -319,7 +319,17 @@ object Dedup {
     * output on the corpus (common-English 5-grams dominate above it). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5, maxDf: Int = 200,
-      persist: Boolean = true): DataFrame = {
+      persist: Boolean = true): DataFrame =
+    sharedGramCounts(df, idCol, textCol, n, maxDf, persist)
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** Shared-gram counts per candidate pair (a < b): (a, b, common,
+    * sz_a, sz_b) — the inverted-index core of the n-gram family. */
+  private def sharedGramCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int, persist: Boolean): DataFrame = {
     // Gram arrays are materialized ONCE (an interpreted HOF transform —
     // the most expensive projection here) and persisted: sizes, the df
     // count, and both sides of the self-join all read the same frame
@@ -347,10 +357,69 @@ object Dedup {
     shared
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), "a")
       .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), "b")
-      .withColumn("jaccard", col("common").cast(DoubleType) /
-        (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+  }
+
+  /** DIRECTIONAL n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥
+    * `threshold` — catches a short document subsumed by a longer one,
+    * which symmetric Jaccard structurally misses (a 50-gram doc inside
+    * a 5000-gram doc has J ≈ 0.01 but containment 1.0). The standard
+    * screen for quote/boilerplate subsumption and benchmark leakage
+    * where the contaminated doc EMBEDS the benchmark item. Both
+    * directions of every candidate pair are scored independently;
+    * output (inner_id, outer_id, containment). Same inverted-index +
+    * stop-gram-cap machinery — and the same "shared grams all stopped"
+    * miss caveat — as [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.8, maxDf: Int = 200,
+      persist: Boolean = true): DataFrame = {
+    val both = Caching.maybePersist(
+      sharedGramCounts(df, idCol, textCol, n, maxDf, persist), persist)
+    both.select(col("a").as("inner_id"), col("b").as("outer_id"),
+        (col("common").cast(DoubleType) / col("sz_a")).as("containment"))
+      .unionAll(both.select(col("b").as("inner_id"), col("a").as("outer_id"),
+        (col("common").cast(DoubleType) / col("sz_b")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  // =====================================================================
+  // Blocked edit-distance join (entity resolution)
+  // =====================================================================
+
+  /** All DISTINCT-value pairs of `strCol` within Levenshtein distance
+    * `maxDist` — the fuzzy-match primitive for entity resolution
+    * (name/address/title matching). Candidate generation blocks on
+    * STRING LENGTH: |len(a) − len(b)| ≤ maxDist is a necessary
+    * condition for dist ≤ maxDist, so pairing only length-compatible
+    * strings is lossless. Lengths are bucketed into slots of width
+    * 2·maxDist+1 with each probe row replicated to its ≤2 covering
+    * slots (the same exact-long slot trick as
+    * [[TemporalJoins.boundedRangeJoin]]) — a bounded equi-join, never
+    * an all-pairs product across length classes.
+    *
+    * Scale shape: the join runs over DISTINCT values (entity-name
+    * domains are orders of magnitude smaller than fact tables); within
+    * a slot, candidates are quadratic in the slot's distinct-value
+    * count — real name distributions spread over many lengths, and a
+    * hot length class can be further split by any cheap necessary
+    * condition (first-char class, char-frequency signature) before the
+    * O(len²) verify. The verify itself is Spark's codegen'd
+    * `levenshtein`. Output (a, b, dist), a < b. */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val w = 2L * maxDist + 1
+    def slot(l: Column): Column = (l - pmod(l, lit(w))) / w
+    val names = df.select(col(strCol).as("a")).distinct()
+      .withColumn("__la", length(col("a")).cast(LongType))
+    val probe = names.withColumn("__slot", explode(array_distinct(array(
+      slot(col("__la") - maxDist), slot(col("__la") + maxDist)))))
+    val build = names.select(col("a").as("b"), col("__la").as("__lb"))
+      .withColumn("__slot", slot(col("__lb")))
+    probe.join(build, Seq("__slot"))
+      .filter(col("a") < col("b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
   }
 
   /** EXACT set-similarity join via prefix filtering (Chaudhuri/Ganti/

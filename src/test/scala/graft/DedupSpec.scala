@@ -219,4 +219,47 @@ class DedupSpec extends SparkSpec {
     assert(got.head._3 == 1.0)
     assert(math.abs(got(1)._3 - 7.0 / 13.0) < 1e-15)
   }
+
+  test("ngramContainmentPairs: a substring doc scores 1.0 despite low jaccard") {
+    val sub = "alpha beta gamma delta"
+    val sup = sub + " epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val df = Seq((1L, sub), (2L, sup)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text",
+      n = 5, threshold = 0.9, maxDf = 1000, persist = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every 5-gram of the short doc appears in the long doc → C = 1.0
+    // in the sub→sup direction ONLY
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // ...while symmetric jaccard misses the pair even at 0.5
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 5, threshold = 0.5, maxDf = 1000, persist = false).count()
+    assert(j == 0, "jaccard should miss the subsumption pair")
+  }
+
+  test("editDistancePairs: exact distances, cross-length-slot pairs kept") {
+    val df = Seq("kitten", "sitting", "mitten", "flour", "spark-sql-engine")
+      .toDF("name")
+    val got = Dedup.editDistancePairs(df, "name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // kitten→sitting is the classic distance-3 pair AND spans lengths
+    // 6/7 — a pair the slot replication must not lose; kitten→mitten
+    // distance 1; sitting→mitten distance 4 (excluded).
+    assert(got.contains(("kitten", "sitting", 3L)))
+    assert(got.contains(("kitten", "mitten", 1L)))
+    assert(!got.exists(p => p._3 > 3L))
+    // completeness vs brute force on the same domain
+    val names = df.distinct().collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names if a < b
+      d = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      } if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"blocked join must equal brute force: $got vs $brute")
+  }
 }
