@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -776,6 +776,18 @@ object PipelineQueries {
        |CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
        |FROM dg JOIN gdf USING (g) GROUP BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** First-seen novelty oracle: same gram construction as
+    * [[dupPassagesOracle]], with the document-frequency aggregate
+    * replaced by the first-seen `MIN(doc_id)` per gram. */
+  private def noveltyOracle: String =
+    s"""WITH nvt AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |nvg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS g FROM nvt),
+       |nvf AS (SELECT g, MIN(doc_id) AS first_doc FROM nvg GROUP BY g)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |FROM nvg JOIN nvf USING (g) GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Gopher-style repetition stats re-derived in DuckDB: same
     * tokenizer, ALL word 2-grams (duplicates kept), count per (doc,
     * gram), then the distinct/total and modal/total ratios. Identical
@@ -906,6 +918,13 @@ object PipelineQueries {
       (s, d) => TextAnalysis.duplicatedPassageStats(t(s, d, "documents"),
         "doc_id", "text", n = 3),
       Some(dupPassagesOracle)),
+    // first-seen novelty in doc_id order: a gram is novel only for the
+    // document that introduces it (min-id aggregation, same two-
+    // partial-agg + equi-join shape as dup_passages)
+    Q("doc_ngram_novelty",
+      (s, d) => TextAnalysis.noveltyStats(t(s, d, "documents"),
+        "doc_id", "text", n = 3),
+      Some(noveltyOracle)),
     // count-min-sketch token counts (4 x 16 forces real collisions on
     // the 31-token vocab): the oracle re-derives the EXACT sketch —
     // same xxhash64, same Kirsch-Mitzenmacher buckets, same collision
@@ -1452,6 +1471,119 @@ object PipelineQueries {
              |SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_users
              |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
              |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Cohort retention matrix: cohort = a user's first active day; one
+    // cell per (cohort, day offset) with the share of the cohort still
+    // active. Shape at 100 TB: distinct (user, day) and min-day both
+    // partial-agg on user_id (one shuffle each, AQE reuses the
+    // exchange), the retention rollup shuffles one row per active
+    // (user, day) — never the raw log. Each user is distinct per day,
+    // so the rollup is count(*), not a count-distinct.
+    Q("ev_cohort_retention",
+      (s, d) => {
+        val e = events(s, d)
+          .select(col("user_id"), expr("ts_s DIV 86400").as("day"))
+        val active = e.distinct()
+        val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val cells = active.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = cohort.groupBy("cohort_day")
+          .agg(count(lit(1)).as("cohort_size"))
+        cells.join(sizes, Seq("cohort_day"))
+          .withColumn("retention",
+            col("n_active").cast(DoubleType) / col("cohort_size"))
+      },
+      Some("""WITH ce AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+             |ca AS (SELECT DISTINCT user_id, day FROM ce),
+             |cc AS (SELECT user_id, MIN(day) AS cohort_day FROM ce GROUP BY user_id),
+             |cr AS (SELECT cc.cohort_day, ca.day - cc.cohort_day AS day_offset, COUNT(*) AS n_active
+             |FROM ca JOIN cc ON ca.user_id = cc.user_id GROUP BY 1, 2),
+             |cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cc GROUP BY 1)
+             |SELECT cr.cohort_day, cr.day_offset, cr.n_active, cs.cohort_size,
+             |CAST(cr.n_active AS DOUBLE) / cs.cohort_size AS retention
+             |FROM cr JOIN cs ON cr.cohort_day = cs.cohort_day""".stripMargin.replace("\n", " "))),
+    // Event-type transition counts (first-order Markov over each user's
+    // ordered stream): lag over (user, ts, event_id) — the same
+    // one-sort-per-user-partition shape as sessionize — then a
+    // partial-agg rollup on the (prev, next) pair. Ordering uses the
+    // full-ns ts with event_id tiebreak; the µs DuckDB ordering selects
+    // the same rows (see ev_dedup's precision note).
+    Q("ev_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT prev_type, event_type AS next_type, COUNT(*) AS n FROM (
+             |SELECT event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+             |FROM events) WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Hopping (sliding) window counts via the NATIVE window() generator
+    // — 10-minute windows every 5 minutes, so each event lands in
+    // exactly 2 epoch-aligned windows; the same expression runs
+    // unchanged under readStream (§2.9). Window membership is decided
+    // by whole seconds (boundaries are second-aligned), so the
+    // second-floor oracle reproduces it exactly.
+    Q("ev_sliding_window",
+      (s, d) => events(s, d)
+        .withColumn("tsec", timestamp_seconds(col("ts_s")))
+        .groupBy(window(col("tsec"), "600 seconds", "300 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws_s"),
+          col("event_type"), col("n")),
+      Some("""WITH se AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type FROM events)
+             |SELECT (t // 300) * 300 - k.k AS ws_s, event_type, COUNT(*) AS n
+             |FROM se CROSS JOIN (SELECT unnest([0, 300]) AS k) k
+             |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Two-sample chi-squared drift between the early and late half of
+    // the stream over fixed value deciles — the scheduled data-quality
+    // gate that catches upstream distribution shifts. Transcendental-
+    // free on purpose (PSI's ln() is not bit-stable cross-engine): the
+    // statistic is rational in the bin counts, every double op in the
+    // same order in both engines. Shape: one scan + one 10-row
+    // aggregate; the expected-count terms come from window sums over
+    // the 10-row frame, not a second scan. (The long products in the
+    // expected counts are exact up to ~2^63; beyond that the statistic
+    // saturates double precision anyway.)
+    Q("ev_drift_chi2",
+      (s, d) => {
+        val e = events(s, d).select(col("ts_s"),
+          least(lit(9L), floor(col("value") / 50).cast(LongType)).as("bin"))
+        val mid = e.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2").as("__mid"))
+        val g = e.crossJoin(broadcast(mid)).groupBy("bin").agg(
+          sum(when(col("ts_s") <= col("__mid"), 1L).otherwise(0L)).as("n_early"),
+          sum(when(col("ts_s") > col("__mid"), 1L).otherwise(0L)).as("n_late"))
+        val tot = Window.partitionBy()
+        val tbin = col("n_early") + col("n_late")
+        val grand = col("te") + col("tl")
+        def term(o: Column, e: Column): Column =
+          (o.cast(DoubleType) - e) * (o.cast(DoubleType) - e) / e
+        g.withColumn("te", sum(col("n_early")).over(tot))
+          .withColumn("tl", sum(col("n_late")).over(tot))
+          .select(col("bin"), col("n_early"), col("n_late"),
+            (term(col("n_early"), (col("te") * tbin).cast(DoubleType) / grand) +
+              term(col("n_late"), (col("tl") * tbin).cast(DoubleType) / grand))
+              .as("chi2_term"))
+      },
+      Some("""WITH de AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin FROM events),
+             |dm AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM de),
+             |dg AS (SELECT bin, SUM(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS n_early,
+             |SUM(CASE WHEN t > mid THEN 1 ELSE 0 END) AS n_late FROM de CROSS JOIN dm GROUP BY bin),
+             |dt AS (SELECT bin, n_early, n_late, SUM(n_early) OVER () AS te, SUM(n_late) OVER () AS tl FROM dg)
+             |SELECT bin, CAST(n_early AS BIGINT) AS n_early, CAST(n_late AS BIGINT) AS n_late,
+             |(CAST(n_early AS DOUBLE) - CAST(te * (n_early + n_late) AS DOUBLE) / (te + tl))
+             | * (CAST(n_early AS DOUBLE) - CAST(te * (n_early + n_late) AS DOUBLE) / (te + tl))
+             | / (CAST(te * (n_early + n_late) AS DOUBLE) / (te + tl))
+             |+ (CAST(n_late AS DOUBLE) - CAST(tl * (n_early + n_late) AS DOUBLE) / (te + tl))
+             | * (CAST(n_late AS DOUBLE) - CAST(tl * (n_early + n_late) AS DOUBLE) / (te + tl))
+             | / (CAST(tl * (n_early + n_late) AS DOUBLE) / (te + tl)) AS chi2_term
+             |FROM dt""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------
@@ -1607,6 +1739,91 @@ object PipelineQueries {
              |WHEN isnan(num / den) THEN num / den
              |ELSE least(greatest(num / den, -1.0), 1.0) END AS corr_xy
              |FROM nd""".stripMargin.replace("\n", " "))),
+  )
+
+  // ---------------------------------------------------------------------
+  // Data-quality gates: a Deequ-style expectation battery, robust
+  // (median/MAD) outlier flagging, and basket-affinity pairs — the
+  // checks a pipeline runs on every ingested batch before training.
+  // ---------------------------------------------------------------------
+  private val dataQuality = Vector(
+    // Expectation battery over orders: ONE pass computes every metric
+    // (count/null-count/distinct/min/domain violations), then a stack()
+    // unpivots the single metrics row into (check_name, observed,
+    // passed) verdicts. At 100 TB this is one scan + a 1-row aggregate;
+    // the distinct-count is the only two-stage piece.
+    Q("dq_expectations",
+      (s, d) => t(s, d, "orders").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("n_custkey"),
+          countDistinct(col("o_orderkey")).as("n_distinct_key"),
+          min(col("o_totalprice")).as("min_price"),
+          sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L)
+            .otherwise(1L)).as("n_bad_status"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("n_null_date"))
+        .select(expr("""stack(5,
+          'completeness_custkey', CAST(n_custkey AS DOUBLE) / n_rows, n_custkey = n_rows,
+          'uniqueness_orderkey',  CAST(n_distinct_key AS DOUBLE) / n_rows, n_distinct_key = n_rows,
+          'min_price_nonneg',     min_price, min_price >= 0.0D,
+          'status_in_domain',     CAST(n_bad_status AS DOUBLE), n_bad_status = 0,
+          'date_completeness',    CAST(n_null_date AS DOUBLE), n_null_date = 0
+        ) AS (check_name, observed, passed)""")),
+      Some("""WITH dqm AS (SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_custkey,
+             |COUNT(DISTINCT o_orderkey) AS n_distinct_key, MIN(o_totalprice) AS min_price,
+             |SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS n_bad_status,
+             |SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_null_date FROM orders)
+             |SELECT 'completeness_custkey' AS check_name, CAST(n_custkey AS DOUBLE) / n_rows AS observed, n_custkey = n_rows AS passed FROM dqm
+             |UNION ALL SELECT 'uniqueness_orderkey', CAST(n_distinct_key AS DOUBLE) / n_rows, n_distinct_key = n_rows FROM dqm
+             |UNION ALL SELECT 'min_price_nonneg', min_price, min_price >= 0.0 FROM dqm
+             |UNION ALL SELECT 'status_in_domain', CAST(n_bad_status AS DOUBLE), n_bad_status = 0 FROM dqm
+             |UNION ALL SELECT 'date_completeness', CAST(n_null_date AS DOUBLE), n_null_date = 0 FROM dqm""".stripMargin.replace("\n", " "))),
+    // Robust per-group outliers: |x − median| > 2·MAD (the testdata
+    // price distribution is near-uniform — a light tail — so the
+    // textbook 3·MAD flags nothing; 2·MAD is the meaningful gate
+    // here and the multiplier is the caller's knob). Two tiny
+    // grouped-percentile aggregates (one row per status) broadcast back
+    // onto the scan — the flagging pass is map-only. percentile ≡
+    // quantile_cont interpolation is already pinned by q_median;
+    // the deviation/threshold arithmetic is identical IEEE ops.
+    Q("q_mad_outliers",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val med = o.groupBy("o_orderstatus")
+          .agg(expr("percentile(o_totalprice, 0.5D)").as("med"))
+        val stats = o.join(broadcast(med), "o_orderstatus")
+          .groupBy("o_orderstatus").agg(
+            min(col("med")).as("med"),
+            expr("percentile(abs(o_totalprice - med), 0.5D)").as("mad"))
+        o.join(broadcast(stats), "o_orderstatus")
+          .filter(abs(col("o_totalprice") - col("med")) > lit(2.0) * col("mad"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "med", "mad")
+      },
+      Some("""WITH mo AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+             |ma AS (SELECT o.o_orderstatus, MIN(mo.med) AS med,
+             |quantile_cont(abs(o.o_totalprice - mo.med), 0.5) AS mad
+             |FROM orders o JOIN mo ON o.o_orderstatus = mo.o_orderstatus GROUP BY 1)
+             |SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, ma.med, ma.mad
+             |FROM orders o JOIN ma ON o.o_orderstatus = ma.o_orderstatus
+             |WHERE abs(o.o_totalprice - ma.med) > 2.0 * ma.mad""".stripMargin.replace("\n", " "))),
+    // Market-basket co-purchase pairs (the order-basket sibling of
+    // ev_cooccurrence): distinct (order, part) first, self-join within
+    // the order — fan-out bounded by basket size squared, never the raw
+    // table — then a partial-agg rollup on the pair. Support ≥ 2 keeps
+    // the output the affinity shortlist, not the all-pairs tail.
+    Q("q_copurchase_pairs",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+      },
+      Some("""WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem)
+             |SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_orders
+             |FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------
@@ -1773,5 +1990,5 @@ object PipelineQueries {
              |WHERE op <> 'D'""".stripMargin.replace("\n", " "))),
   )
 
-  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ multimodal ++ cdc
+  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc
 }

@@ -253,6 +253,35 @@ object TextAnalysis {
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
   }
 
+  /** First-seen n-gram novelty (the incremental-crawl ordering signal):
+    * for each document, how many of its distinct word n-grams appear in
+    * NO lower-id document — i.e. the corpus is processed in id order
+    * and a gram is "novel" only for the document that introduces it.
+    * Low `n_novel`/`n_grams` marks late near-copies of earlier content,
+    * the snapshot-over-snapshot redundancy a CommonCrawl-style pipeline
+    * drops before training.
+    *
+    * Shape at 100 TB: explode → distinct (doc, gram) partial-agg
+    * groupBy; first-seen via a `min(id)` partial-agg groupBy (one row
+    * per distinct gram — the same shape as document frequency in
+    * [[duplicatedPassageStats]], with min instead of count); equi-join
+    * back on gram (both sides already hash-partitioned by gram, AQE
+    * reuses the exchange); final per-doc rollup. Counts emitted as
+    * longs so the result hashes identically cross-engine. */
+  def noveltyStats(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val docGrams = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
+      .distinct()
+    val firstSeen = docGrams.groupBy("__g")
+      .agg(min(col(idCol)).as("__first"))
+    docGrams.join(firstSeen, "__g")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. '21 §A1.1, public
     * paper): documents dominated by a few repeated n-grams are
     * boilerplate/spam, and the filter rule is a threshold on

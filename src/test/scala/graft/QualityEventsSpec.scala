@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant pins for the round-7 quality/analytics additions
+  * (ev_cohort_retention, ev_transitions, ev_sliding_window,
+  * ev_drift_chi2, dq_expectations, q_mad_outliers, q_copurchase_pairs,
+  * doc_ngram_novelty). Exact values are pinned cross-engine by the
+  * DuckDB oracles; these assert the structural identities the hash
+  * compare can't localize when they break (conservation of counts,
+  * offset-zero retention, window double-counting, verdict polarity).
+  */
+class QualityEventsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.all.find(_.name == name).get.run(spark, dir)
+  private lazy val events = spark.read.parquet(s"$dir/events.parquet")
+
+  test("ev_cohort_retention: offset 0 is the full cohort; cells conserve active days") {
+    val out = q("ev_cohort_retention").collect()
+    val day0 = out.filter(_.getLong(1) == 0L)
+    assert(day0.nonEmpty)
+    assert(day0.forall(r => r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
+    // sum of cells = number of distinct (user, day) pairs
+    val activeDays = events
+      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == activeDays)
+  }
+
+  test("ev_transitions: every event except each user's first contributes one transition") {
+    val out = q("ev_transitions").collect()
+    val total = events.count()
+    val users = events.select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == total - users)
+  }
+
+  test("ev_sliding_window: each event is counted in exactly two 300s-aligned windows") {
+    val out = q("ev_sliding_window").collect()
+    assert(out.map(_.getLong(2)).sum == 2 * events.count())
+    assert(out.forall(_.getLong(0) % 300 == 0))
+  }
+
+  test("ev_drift_chi2: terms nonnegative, bin counts conserve the stream") {
+    val out = q("ev_drift_chi2").collect()
+    assert(out.forall(_.getDouble(3) >= 0.0))
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == events.count())
+  }
+
+  test("dq_expectations: five verdicts, all passing on the clean testdata") {
+    val out = q("dq_expectations").collect()
+    assert(out.length == 5)
+    assert(out.forall(!_.isNullAt(1)))
+    assert(out.forall(_.getBoolean(2)), out.mkString("; "))
+  }
+
+  test("q_mad_outliers: nonempty and every flagged row beats its group threshold") {
+    val out = q("q_mad_outliers").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r =>
+      math.abs(r.getDouble(2) - r.getDouble(3)) > 2.0 * r.getDouble(4)))
+  }
+
+  test("q_copurchase_pairs: ordered pairs with support at least 2, bounded by basket fanout") {
+    val out = q("q_copurchase_pairs").collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getLong(2) >= 2))
+  }
+
+  test("doc_ngram_novelty: first doc fully novel; novel grams partition the gram space") {
+    val out = q("doc_ngram_novelty").collect()
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    val firstDoc = out.minBy(_.getLong(0))
+    assert(firstDoc.getLong(2) == firstDoc.getLong(1))
+    // every distinct gram is novel for exactly one doc: sums match
+    val distinctGrams = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(operators.TextAnalysis.ngramsAll(
+        operators.TextAnalysis.tokens(col("text")), 3)).as("g"))
+      .distinct().count()
+    assert(out.map(_.getLong(2)).sum == distinctGrams)
+  }
+}
