@@ -1540,6 +1540,44 @@ object PipelineQueries {
              |SELECT (t // 300) * 300 - k.k AS ws_s, event_type, COUNT(*) AS n
              |FROM se CROSS JOIN (SELECT unnest([0, 300]) AS k) k
              |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Lag-1 autocorrelation of the per-minute event rate (burstiness /
+    // seasonality screen). The minute rollup is a partial-agg shuffle
+    // over the log; the lead() runs on the POST-AGG minute series (one
+    // row per observed minute — a single-partition window, fine at any
+    // scale that fits a year of minutes, ~526k rows). Sufficient sums
+    // are exact integer products; the closed form (incl. IEEE-exact
+    // sqrt) is the identical op sequence in both engines. Gap minutes
+    // (zero events) are absent from the series by construction —
+    // documented observed-minute semantics.
+    Q("ev_autocorr_lag1",
+      (s, d) => {
+        val m = events(s, d)
+          .groupBy(expr("ts_s DIV 60").as("minute"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = m
+          .withColumn("cn", lead(col("c"), 1).over(Window.orderBy(col("minute"))))
+          .filter(col("cn").isNotNull)
+        pairs.agg(
+            count(lit(1)).cast(DoubleType).as("n"),
+            sum(col("c")).cast(DoubleType).as("sx"),
+            sum(col("cn")).cast(DoubleType).as("sy"),
+            sum(col("c") * col("cn")).cast(DoubleType).as("sxy"),
+            sum(col("c") * col("c")).cast(DoubleType).as("sxx"),
+            sum(col("cn") * col("cn")).cast(DoubleType).as("syy"))
+          .select(col("n").cast(LongType).as("n_pairs"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("autocorr_lag1"))
+      },
+      Some("""WITH am AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute, COUNT(*) AS c FROM events GROUP BY 1),
+             |ap AS (SELECT c, lead(c) OVER (ORDER BY minute) AS cn FROM am),
+             |ast AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(c) AS DOUBLE) AS sx, CAST(SUM(cn) AS DOUBLE) AS sy,
+             |CAST(SUM(c * cn) AS DOUBLE) AS sxy, CAST(SUM(c * c) AS DOUBLE) AS sxx, CAST(SUM(cn * cn) AS DOUBLE) AS syy
+             |FROM ap WHERE cn IS NOT NULL)
+             |SELECT CAST(n AS BIGINT) AS n_pairs,
+             |(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_lag1
+             |FROM ast""".stripMargin.replace("\n", " "))),
     // Two-sample chi-squared drift between the early and late half of
     // the stream over fixed value deciles — the scheduled data-quality
     // gate that catches upstream distribution shifts. Transcendental-
@@ -1668,6 +1706,22 @@ object PipelineQueries {
         events(s, d).select("event_id", "user_id", "ts_s"),
         "user_id", "ts_s", "event_id", numFiles = 16),
       Some(zorderOracle)),
+    // Hive-partitioned sink roundtrip: write documents partitioned by
+    // lang, read back with a lang filter — the filter resolves at
+    // PLANNING time (PartitionFilters; pruning pinned in LayoutSpec),
+    // and the hash match proves the partitioned layout loses no rows
+    // and corrupts no values on the way through the directory encoding.
+    Q("layout_partition_prune",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_partitioned_").toString
+        operators.Layout.partitionedRoundtrip(
+            t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+            "lang", tmp)
+          .filter(col("lang") === "en")
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'")),
     // per-language token-length distribution (exact quantiles — the
     // "cut the tails per cell" profile); percentile ≡ quantile_cont
     // interpolation, already pinned by q_median

@@ -42,6 +42,23 @@ object Layout {
         lit(0L)))
   }
 
+  /** Hive-style partitioned parquet roundtrip: write `df` partitioned
+    * by `partCol` (one directory per value), read it back. A filter on
+    * `partCol` over the returned frame prunes at PLANNING time —
+    * `.explain` shows it under `PartitionFilters`, and unselected
+    * directories are never listed, let alone read. This is the
+    * coarse-grained complement to [[zorder]]'s min/max file skipping:
+    * partition on the low-cardinality routing column (language,
+    * source, date), z-order within partitions on the range columns.
+    * Cardinality guard is the caller's job — a high-cardinality
+    * `partCol` produces one tiny file per value, the classic small-
+    * files failure at 100 TB. */
+  def partitionedRoundtrip(df: DataFrame, partCol: String,
+      path: String): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Re-layout `df` so files cluster in BOTH `colA` and `colB`:
     * compute per-column min/max (one aggregate job), z-interleave the
     * normalized values, range-partition on the z-value into `numFiles`

@@ -97,6 +97,20 @@ object EventStreams {
       .select(col("window.start").cast("long").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) 10-minute/5-minute per-type counts with a
+    * 10-minute watermark — the streaming analog of the
+    * `ev_sliding_window` batch query: the SAME `window()` expression
+    * runs in both, each event landing in exactly two epoch-aligned
+    * windows. */
+  def hoppingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "600 seconds", "300 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws_s"),
+        col("event_type"), col("n"))
+
   /** Streaming exact-duplicate removal: collapses rows with identical
     * (`keyCols`, event_time) — the "same record delivered twice"
     * at-least-once-transport case. A key recurring at a DIFFERENT

@@ -36,6 +36,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hopping window counts: streaming result equals the batch sliding query") {
+    val q = EventStreams.hoppingTypeCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hop_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("hop_out")
+      .as[(Long, String, Long)].collect().toSet
+    val want = SparkEntry.all.find(_.name == "ev_sliding_window").get
+      .run(spark, dir).as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming dedup: duplicate (user_id, event_time) rows collapse to one") {
     // duplicate the stream by unioning it with itself: every event
     // appears twice; watermarked dropDuplicates must emit each once

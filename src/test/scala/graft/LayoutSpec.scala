@@ -78,4 +78,21 @@ class LayoutSpec extends SparkSpec {
     val want = events.as[(Long, Long, Long)].collect().sorted.toSeq
     assert(got == want)
   }
+
+  test("partitioned roundtrip: partCol filter lands in PartitionFilters, not post-scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("partprune").toString
+    val back = Layout.partitionedRoundtrip(docs, "lang", dir)
+      .filter($"lang" === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    // the lang predicate must resolve at planning time against the
+    // directory values — a DataFilter here means every partition is read
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*lang""".r.findFirstIn(plan).isDefined,
+      s"lang filter not pushed to partition pruning:\n$plan")
+    // and the roundtrip loses nothing
+    assert(back.count() == docs.filter($"lang" === "en").count())
+    assert(Layout.partitionedRoundtrip(docs, "lang", dir).count() == docs.count())
+  }
 }
