@@ -1474,10 +1474,12 @@ object PipelineQueries {
     // Cohort retention matrix: cohort = a user's first active day; one
     // cell per (cohort, day offset) with the share of the cohort still
     // active. Shape at 100 TB: distinct (user, day) and min-day both
-    // partial-agg on user_id (one shuffle each, AQE reuses the
-    // exchange), the retention rollup shuffles one row per active
-    // (user, day) — never the raw log. Each user is distinct per day,
-    // so the rollup is count(*), not a count-distinct.
+    // partial-agg on user_id, the retention rollup shuffles one row per
+    // active (user, day) — never the raw log. Each user is distinct per
+    // day, so the rollup is count(*), not a count-distinct; and since
+    // every user is active on their own cohort day, cohort_size is the
+    // offset-0 cell — recovered by a window over the POST-AGG matrix
+    // (one row per cell) instead of a third events scan + join.
     Q("ev_cohort_retention",
       (s, d) => {
         val e = events(s, d)
@@ -1488,11 +1490,14 @@ object PipelineQueries {
           .groupBy(col("cohort_day"),
             (col("day") - col("cohort_day")).as("day_offset"))
           .agg(count(lit(1)).as("n_active"))
-        val sizes = cohort.groupBy("cohort_day")
-          .agg(count(lit(1)).as("cohort_size"))
-        cells.join(sizes, Seq("cohort_day"))
+        cells
+          .withColumn("cohort_size",
+            max(when(col("day_offset") === 0, col("n_active")))
+              .over(Window.partitionBy(col("cohort_day"))))
           .withColumn("retention",
             col("n_active").cast(DoubleType) / col("cohort_size"))
+          .select("cohort_day", "day_offset", "n_active", "cohort_size",
+            "retention")
       },
       Some("""WITH ce AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
              |ca AS (SELECT DISTINCT user_id, day FROM ce),
