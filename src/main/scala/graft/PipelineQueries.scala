@@ -1545,6 +1545,68 @@ object PipelineQueries {
              |SELECT (t // 300) * 300 - k.k AS ws_s, event_type, COUNT(*) AS n
              |FROM se CROSS JOIN (SELECT unnest([0, 300]) AS k) k
              |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Semi-structured payload extraction: the props column is a JSON
+    // blob; from_json with an explicit schema gives the TYPED column
+    // Catalyst can prune/push (a single JsonToStructs projection in the
+    // scan stage — map-only, no shuffle before the rollup). The oracle
+    // re-extracts with DuckDB's JSON path functions.
+    Q("ev_props_extract",
+      (s, d) => events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1""".stripMargin.replace("\n", " "))),
+    // Growth accounting: each active (user, day) is new (first day),
+    // retained (also active the day before) or resurrected (returning
+    // after a gap); churned(d) = active(d-1) − retained(d). Shape at
+    // 100 TB: distinct (user, day) partial-agg, one per-user window
+    // (sorted within user partitions), per-day rollup; the churn lag
+    // runs on the POST-AGG day series. Cumulative users = running sum
+    // of n_new over that same tiny series.
+    Q("ev_growth_accounting",
+      (s, d) => {
+        val ud = events(s, d)
+          .select(col("user_id"), expr("ts_s DIV 86400").as("day")).distinct()
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val status = ud.withColumn("prev_day", lag(col("day"), 1).over(wu))
+        val daily = status.groupBy("day").agg(
+          sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") - col("prev_day") === 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("prev_day").isNotNull && col("day") - col("prev_day") > 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+        val wd = Window.orderBy(col("day"))
+        daily
+          .withColumn("n_active",
+            col("n_new") + col("n_retained") + col("n_resurrected"))
+          .withColumn("n_churned",
+            when(lag(col("day"), 1).over(wd) === col("day") - 1,
+              lag(col("n_active"), 1).over(wd) - col("n_retained")))
+          .withColumn("cume_users",
+            sum(col("n_new")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+          .select("day", "n_new", "n_retained", "n_resurrected",
+            "n_active", "n_churned", "cume_users")
+      },
+      Some("""WITH gud AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+             |gst AS (SELECT user_id, day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day FROM gud),
+             |gda AS (SELECT day,
+             |CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |CAST(SUM(CASE WHEN day - prev_day = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |CAST(SUM(CASE WHEN prev_day IS NOT NULL AND day - prev_day > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+             |FROM gst GROUP BY day)
+             |SELECT day, n_new, n_retained, n_resurrected,
+             |n_new + n_retained + n_resurrected AS n_active,
+             |CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
+             |THEN lag(n_new + n_retained + n_resurrected) OVER (ORDER BY day) - n_retained END AS n_churned,
+             |CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users
+             |FROM gda""".stripMargin.replace("\n", " "))),
     // Lag-1 autocorrelation of the per-minute event rate (burstiness /
     // seasonality screen). The minute rollup is a partial-agg shuffle
     // over the log; the lead() runs on the POST-AGG minute series (one

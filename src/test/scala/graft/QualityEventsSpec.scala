@@ -68,6 +68,29 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) >= 2))
   }
 
+  test("ev_props_extract: every event carries a k; per-type counts conserve the stream") {
+    val out = q("ev_props_extract").collect()
+    assert(out.map(_.getLong(1)).sum == events.count())
+    assert(out.forall(r => r.getLong(2) >= r.getLong(1))) // k >= 1 per event
+  }
+
+  test("ev_growth_accounting: statuses partition actives; churn balances the day ledger") {
+    val out = q("ev_growth_accounting").collect().sortBy(_.getLong(0))
+    // new + retained + resurrected = active; actives conserve (user, day)
+    assert(out.forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4)))
+    val activeDays = events
+      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400")).distinct().count()
+    assert(out.map(_.getLong(4)).sum == activeDays)
+    // on consecutive days: churned(d) = active(d-1) - retained(d)
+    out.sliding(2).foreach { case Array(prev, cur) =>
+      if (cur.getLong(0) == prev.getLong(0) + 1)
+        assert(cur.getLong(5) == prev.getLong(4) - cur.getLong(2))
+      case _ => ()
+    }
+    // cume_users ends at the total distinct-user count
+    assert(out.last.getLong(6) == events.select("user_id").distinct().count())
+  }
+
   test("doc_ngram_novelty: first doc fully novel; novel grams partition the gram space") {
     val out = q("doc_ngram_novelty").collect()
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
