@@ -1000,6 +1000,19 @@ object PipelineQueries {
              |ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY h.hs DESC, d.doc_id ASC) AS rnk
              |FROM documents d JOIN rh h USING (doc_id))
              |SELECT lang, doc_id, CAST(rnk AS BIGINT) AS "rank" FROM rrank WHERE rnk <= 30""".stripMargin.replace("\n", " "))),
+    // class-balanced downsample: per-label keep rates derived FROM THE
+    // DATA (minority count / label count), gated by the same stable id
+    // hash — the oracle re-derives counts, thresholds, and gate
+    Q("doc_rebalance",
+      (s, d) => Sampling.rebalanceClasses(t(s, d, "documents"),
+        "doc_id", "lang").select("doc_id", "lang"),
+      Some(s"""WITH $sampleBucketCtes,
+             |rbc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+             |rbm AS (SELECT MIN(n) AS mn FROM rbc),
+             |rbt AS (SELECT lang, CAST(trunc(CAST(mn AS DOUBLE) / n * ${Sampling.DefaultDenom}) AS BIGINT) AS thr
+             |FROM rbc CROSS JOIN rbm)
+             |SELECT smb.doc_id, smb.lang FROM smb JOIN rbt USING (lang)
+             |WHERE smb.bucket < rbt.thr""".stripMargin.replace("\n", " "))),
     // Engine-internal hashes (xxhash64) — rows-only check; semantics
     // pinned in TextAnalysisSpec.
     Q("doc_fingerprint",
@@ -1191,6 +1204,24 @@ object PipelineQueries {
       (s, d) => t(s, d, "embeddings").groupBy("label")
         .agg(count(lit(1)).as("n")),
       Some("SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label")),
+    // per-label centroid (the class-prototype vector a classifier /
+    // SemDeDup seeding step needs): posexplode to (label, dim) cells,
+    // components quantized to a 1e-6 grid (the mm_features idiom —
+    // float→decimal casts round-trip differently at the half-way digit
+    // cross-engine, exact integer sums do not), mean as ONE double
+    // division at the end. Quantization error ≤ 5e-7 per component on
+    // unit-norm embeddings. Shape: explode is map-side, the rollup
+    // carries one row per (label, dim) per partition.
+    Q("emb_label_centroid",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast(LongType).as("pos"))
+        .agg((sum(round(col("v").cast(DoubleType) * 1000000).cast(LongType))
+          .cast(DoubleType) / (count(lit(1)) * lit(1000000L))).as("mean_v")),
+      Some("""SELECT label, CAST(j - 1 AS BIGINT) AS pos,
+             |CAST(SUM(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000) AS mean_v
+             |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) j
+             |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
     // Exact ANN via the native top-k aggregate (map-side bounded heaps;
     // see TopKAggregate) — the window formulation is kept as
     // Similarity.bruteForceTopK and spec-pinned equal.

@@ -130,4 +130,25 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Class-balanced downsample: every label is kept at (in expectation)
+    * the minority class's count — rate_g = min_n / n_g, applied through
+    * the same deterministic id-hash gate as [[hashSample]], so the kept
+    * set is stable under re-layouts and nested across re-runs. The
+    * per-label thresholds come from one tiny count aggregate broadcast
+    * back onto the scan; the gate itself is a map-side codegen'd
+    * filter. Thresholds are `trunc(rate · denom)` longs so an external
+    * re-derivation (the DuckDB oracle) agrees bit-for-bit. */
+  def rebalanceClasses(df: DataFrame, idCol: String, labelCol: String,
+      denom: Long = DefaultDenom): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
+    val mn = counts.agg(min(col("__n")).as("__mn"))
+    val thr = counts.crossJoin(broadcast(mn))
+      .withColumn("__thr",
+        (col("__mn").cast("double") / col("__n") * denom).cast("long"))
+      .select(col(labelCol), col("__thr"))
+    df.join(broadcast(thr), Seq(labelCol))
+      .filter(hashBucket(col(idCol), denom) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -91,6 +91,22 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.last.getLong(6) == events.select("user_id").distinct().count())
   }
 
+  test("emb_label_centroid: one cell per (label, dim); quantized mean tracks the true mean") {
+    val out = q("emb_label_centroid").collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nLabels = emb.select("label").distinct().count()
+    assert(out.length == nLabels * 64)
+    // quantized mean within 5e-7 of the float mean per component
+    val truth = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1).toLong) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val want = truth((r.getInt(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - want) < 5e-7)
+    }
+  }
+
   test("doc_ngram_novelty: first doc fully novel; novel grams partition the gram space") {
     val out = q("doc_ngram_novelty").collect()
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))

@@ -38,6 +38,27 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 2000L)
   }
 
+  test("rebalanceClasses: minority kept whole, majorities downsampled toward it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Sampling.rebalanceClasses(docs, "doc_id", "lang")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = before.values.min
+    // the minority class's rate is exactly 1.0 → kept in full
+    val minorityLang = before.minBy(_._2)._1
+    assert(after(minorityLang) == minN)
+    // every class lands near the minority count (hash-gate variance)
+    after.foreach { case (l, n) =>
+      assert(math.abs(n - minN) <= math.max(6L, (minN * 0.35).toLong),
+        s"$l kept $n vs target $minN (before ${before(l)})")
+    }
+    // kept set is a subset of the input, layout-independent
+    assert(kept.count() ==
+      Sampling.rebalanceClasses(docs.repartition(13), "doc_id", "lang").count())
+  }
+
   test("stratified sample applies each stratum's own rate") {
     val strat = ids.withColumn("grp",
       when(col("id") % 2 === 0, "even").otherwise("odd"))
