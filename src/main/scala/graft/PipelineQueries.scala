@@ -1576,6 +1576,59 @@ object PipelineQueries {
              |SELECT (t // 300) * 300 - k.k AS ws_s, event_type, COUNT(*) AS n
              |FROM se CROSS JOIN (SELECT unnest([0, 300]) AS k) k
              |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Calendar-spine gap fill: the per-(user, day) activity matrix with
+    // explicit zero rows — the regular-series shape feature pipelines
+    // and forecasting joins need (a groupBy alone silently drops the
+    // inactive days). Spine = distinct users × sequence(min_day,
+    // max_day): both sides come from partial aggs, the spine size is
+    // users × days (documented, bounded), and the left join back is a
+    // shuffle on (user, day) rollup rows — never the raw log.
+    Q("ev_user_daily_gapfill",
+      (s, d) => {
+        val e = events(s, d)
+          .select(col("user_id"), expr("ts_s DIV 86400").as("day"))
+        val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val spine = e.select("user_id").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .na.fill(0L, Seq("n"))
+      },
+      Some("""WITH gfe AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+             |gfd AS (SELECT user_id, day, COUNT(*) AS n FROM gfe GROUP BY 1, 2),
+             |gfb AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM gfe),
+             |gfs AS (SELECT u.user_id, g.day FROM (SELECT DISTINCT user_id FROM gfe) u
+             |CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM gfb), (SELECT d1 FROM gfb))) AS day) g)
+             |SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n
+             |FROM gfs s LEFT JOIN gfd d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin.replace("\n", " "))),
+    // Per-type inter-arrival gaps (burst/idle profile of each event
+    // stream): one per-user lag — the sessionize sort shape — then a
+    // per-type rollup of exact integer gap sums plus the pinned
+    // percentile interpolation for the median.
+    Q("ev_interarrival_stats",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        events(s, d)
+          .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+          .filter(col("prev_ts").isNotNull)
+          .withColumn("gap_s", col("ts_s") - col("prev_ts"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_gaps"),
+            sum(col("gap_s")).as("sum_gap_s"),
+            (sum(col("gap_s")).cast(DoubleType) / count(lit(1))).as("mean_gap_s"),
+            expr("percentile(gap_s, 0.5D)").as("p50_gap_s"))
+      },
+      Some("""WITH iag AS (SELECT event_type,
+             |CAST(floor(epoch(ts)) AS BIGINT) -
+             |lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS gap_s
+             |FROM events)
+             |SELECT event_type, COUNT(*) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+             |CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s,
+             |quantile_cont(gap_s, 0.5) AS p50_gap_s
+             |FROM iag WHERE gap_s IS NOT NULL GROUP BY event_type""".stripMargin.replace("\n", " "))),
     // Semi-structured payload extraction: the props column is a JSON
     // blob; from_json with an explicit schema gives the TYPED column
     // Catalyst can prune/push (a single JsonToStructs projection in the

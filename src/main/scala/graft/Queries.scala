@@ -626,6 +626,56 @@ object Queries {
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
              |FROM lineitem GROUP BY l_returnflag))""".stripMargin.replace("\n", " "))),
+    // Bivariate (Mahalanobis-form) outliers from the same exact-decimal
+    // sufficient statistics as q_regr_slope: ONE stats pass broadcast
+    // back onto a map-only flagging scan; the quadratic form is rational
+    // in the sums, every double op in the same order in both engines.
+    // The 5.5 cut targets the extreme-corner tail of the bounded
+    // synthetic marginals (max observed md2 ≈ 5.9); a heavy-tailed
+    // production metric would use the chi-squared(2) cut instead.
+    Q("q_outliers_2d",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val x = dec(col("l_quantity")); val y = dec(col("l_extendedprice"))
+        val stats = li.agg(
+            count(lit(1)).cast(DoubleType).as("n"),
+            sum(x).cast(DoubleType).as("sx"),
+            sum(y).cast(DoubleType).as("sy"),
+            sum(x * y).cast(DoubleType).as("sxy"),
+            sum(x * x).cast(DoubleType).as("sxx"),
+            sum(y * y).cast(DoubleType).as("syy"))
+          .withColumn("mx", col("sx") / col("n"))
+          .withColumn("my", col("sy") / col("n"))
+          .withColumn("vx", col("sxx") / col("n") - col("mx") * col("mx"))
+          .withColumn("vy", col("syy") / col("n") - col("my") * col("my"))
+          .withColumn("cxy", col("sxy") / col("n") - col("mx") * col("my"))
+          .withColumn("det", col("vx") * col("vy") - col("cxy") * col("cxy"))
+          .select("mx", "my", "vx", "vy", "cxy", "det")
+        val dx = col("l_quantity") - col("mx")
+        val dy = col("l_extendedprice") - col("my")
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .crossJoin(broadcast(stats))
+          .withColumn("md2",
+            (col("vy") * dx * dx - lit(2.0) * col("cxy") * dx * dy +
+              col("vx") * dy * dy) / col("det"))
+          .filter(col("md2") > 5.5)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "md2")
+      },
+      Some("""WITH o2s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |FROM lineitem),
+             |o2m AS (SELECT *, sx / n AS mx, sy / n AS my FROM o2s),
+             |o2v AS (SELECT *, sxx / n - mx * mx AS vx, syy / n - my * my AS vy, sxy / n - mx * my AS cxy FROM o2m),
+             |o2d AS (SELECT *, vx * vy - cxy * cxy AS det FROM o2v)
+             |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |(vy * (l_quantity - mx) * (l_quantity - mx) - 2.0 * cxy * (l_quantity - mx) * (l_extendedprice - my) + vx * (l_extendedprice - my) * (l_extendedprice - my)) / det AS md2
+             |FROM lineitem CROSS JOIN o2d
+             |WHERE (vy * (l_quantity - mx) * (l_quantity - mx) - 2.0 * cxy * (l_quantity - mx) * (l_extendedprice - my) + vx * (l_extendedprice - my) * (l_extendedprice - my)) / det > 5.5""".stripMargin.replace("\n", " "))),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /

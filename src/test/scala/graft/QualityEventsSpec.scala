@@ -91,6 +91,40 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.last.getLong(6) == events.select("user_id").distinct().count())
   }
 
+  test("ev_user_daily_gapfill: full user-by-day grid, zeros where inactive, counts conserve") {
+    val out = q("ev_user_daily_gapfill")
+    val users = events.select("user_id").distinct().count()
+    val Array(d0, d1) = events
+      .select(expr("MIN((ts DIV 1000000000) DIV 86400)"),
+        expr("MAX((ts DIV 1000000000) DIV 86400)")).collect().head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(out.count() == users * (d1 - d0 + 1))
+    assert(out.agg(sum(col("n"))).head.getLong(0) == events.count())
+    assert(out.filter(col("n") === 0).count() > 0, "no gaps — spine adds nothing")
+  }
+
+  test("ev_interarrival_stats: one row per type; gaps nonnegative, count conserves") {
+    val out = q("ev_interarrival_stats").collect()
+    val perType = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perTypeUsers = events.select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == perType(t) - perTypeUsers(t)) // gaps = events - streams
+      assert(r.getDouble(3) >= 0 && r.getDouble(4) >= 0)
+    }
+  }
+
+  test("q_outliers_2d: flagged rows all exceed the cut; cut keeps the tail only") {
+    val out = SparkEntry.all.find(_.name == "q_outliers_2d").get.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(4) > 5.5))
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.length < total / 50, "cut must select a tail, not the body")
+  }
+
   test("emb_label_centroid: one cell per (label, dim); quantized mean tracks the true mean") {
     val out = q("emb_label_centroid").collect()
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
