@@ -1090,6 +1090,30 @@ object PipelineQueries {
     // forces ALL pairs, so the hash match proves the prefix filter
     // dropped no qualifying candidate (completeness, not just output
     // plausibility)
+    // cross-source contamination matrix: the SAME banded minhash pairs,
+    // rolled up by unordered source pair — the "which corpus leaked
+    // into which" accounting a benchmark-decontamination audit reports.
+    // Source lookup is a broadcast of the (id → source) projection onto
+    // the pair list; the matrix rollup is trivially small.
+    Q("dedup_cross_source",
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+            threshold = 0.7)
+          .select("a", "b")
+          .join(broadcast(src.toDF("a", "sa")), Seq("a"))
+          .join(broadcast(src.toDF("b", "sb")), Seq("b"))
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+             |xsp AS (SELECT ida, idb FROM mres WHERE jaccard >= 0.7)
+             |SELECT least(da.source, db.source) AS source_a,
+             |greatest(da.source, db.source) AS source_b, COUNT(*) AS n_pairs
+             |FROM xsp p JOIN documents da ON da.doc_id = p.ida
+             |JOIN documents db ON db.doc_id = p.idb
+             |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
     Q("dedup_prefix_exact",
       (s, d) => Dedup.prefixJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.8).orderBy("a", "b"),
@@ -1502,6 +1526,28 @@ object PipelineQueries {
              |SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_users
              |FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
              |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // Batch twin of the streaming trendingTopK (finalize-on-watermark
+    // flatMapGroupsWithState): per tumbling window, the k most frequent
+    // types — count DESC, type ASC, exactly the stream's deterministic
+    // ranking. The rank window runs on the POST-AGG (window, type)
+    // frame, never the log.
+    Q("ev_trending_topk",
+      (s, d) => {
+        val counts = events(s, d)
+          .groupBy((col("ts_s") - pmod(col("ts_s"), lit(300L)))
+            .as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("window_start"))
+              .orderBy(col("n").desc, col("event_type").asc)).cast(LongType))
+          .filter(col("rank") <= 3)
+      },
+      Some("""SELECT window_start, event_type, n, "rank" FROM (
+             |SELECT window_start, event_type, n,
+             |row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS "rank" FROM (
+             |SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, event_type, COUNT(*) AS n
+             |FROM events GROUP BY 1, 2)) WHERE "rank" <= 3""".stripMargin.replace("\n", " "))),
     // Cohort retention matrix: cohort = a user's first active day; one
     // cell per (cohort, day offset) with the share of the cohort still
     // active. Shape at 100 TB: distinct (user, day) and min-day both

@@ -141,6 +141,30 @@ class QualityEventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_trending_topk: dense contiguous ranks per window, counts honor the order") {
+    val rows = q("ev_trending_topk").collect()
+      .groupBy(_.getLong(0)).values
+    rows.foreach { w =>
+      val sorted = w.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length))
+      assert(sorted.length <= 3)
+      // count non-increasing down the ranks
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi.getLong(2) >= lo.getLong(2))
+        case _ => ()
+      }
+    }
+  }
+
+  test("dedup_cross_source: unordered source pairs; totals match the pair list") {
+    val out = q("dedup_cross_source").collect()
+    assert(out.forall(r => r.getString(0) <= r.getString(1)))
+    val nPairs = operators.Dedup.minhashNearDuplicates(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      threshold = 0.7).count()
+    assert(out.map(_.getLong(2)).sum == nPairs)
+  }
+
   test("doc_ngram_novelty: first doc fully novel; novel grams partition the gram space") {
     val out = q("doc_ngram_novelty").collect()
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
