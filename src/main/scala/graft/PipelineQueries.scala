@@ -1775,6 +1775,73 @@ object PipelineQueries {
              |SELECT CAST(n AS BIGINT) AS n_pairs,
              |(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_lag1
              |FROM ast""".stripMargin.replace("\n", " "))),
+    // Rate-spike anomaly flags: each observed minute's count z-scored
+    // against its trailing 60-observed-minute window (ROWS frame on the
+    // POST-AGG minute series — same observed-minute semantics as
+    // ev_autocorr_lag1). Mean/variance come from exact integer window
+    // sums; z is rational + one IEEE-exact sqrt, so flags are
+    // cross-engine bit-stable. np >= 30 suppresses the cold start,
+    // var > 0 the constant-window degenerate case.
+    Q("ev_rate_spikes",
+      (s, d) => {
+        val m = events(s, d)
+          .groupBy(expr("ts_s DIV 60").as("minute"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("minute")).rowsBetween(-60, -1)
+        val mean = col("sp").cast(DoubleType) / col("np")
+        val vr = col("sq").cast(DoubleType) / col("np") - mean * mean
+        m.withColumn("np", count(col("c")).over(w))
+          .withColumn("sp", sum(col("c")).over(w))
+          .withColumn("sq", sum(col("c") * col("c")).over(w))
+          .filter(col("np") >= 30 && vr > 0)
+          .withColumn("z", (col("c") - mean) / sqrt(vr))
+          .filter(col("z") > 3.0)
+          .select("minute", "c", "z")
+      },
+      Some("""WITH rsm AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute, COUNT(*) AS c FROM events GROUP BY 1),
+             |rsw AS (SELECT minute, c,
+             |COUNT(c) OVER win AS np, CAST(SUM(c) OVER win AS BIGINT) AS sp, CAST(SUM(c * c) OVER win AS BIGINT) AS sq
+             |FROM rsm WINDOW win AS (ORDER BY minute ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+             |SELECT minute, c, z FROM (
+             |SELECT minute, c,
+             |(c - CAST(sp AS DOUBLE) / np) / sqrt(CAST(sq AS DOUBLE) / np - (CAST(sp AS DOUBLE) / np) * (CAST(sp AS DOUBLE) / np)) AS z
+             |FROM rsw WHERE np >= 30 AND CAST(sq AS DOUBLE) / np - (CAST(sp AS DOUBLE) / np) * (CAST(sp AS DOUBLE) / np) > 0)
+             |WHERE z > 3.0""".stripMargin.replace("\n", " "))),
+    // Top session paths (the product-analytics "user journey" rollup):
+    // the ev_sessionize segmentation, each session's ordered type
+    // sequence folded to a path string (array_sort on (ts, id, type)
+    // structs — per-session lists are bounded by the 30-minute gap
+    // semantics), then a partial-agg path rollup and bounded top-k.
+    Q("ev_session_paths",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s").asc, col("event_id").asc)
+        val e = events(s, d)
+          .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        e.groupBy("user_id", "session_idx")
+          .agg(concat_ws(">", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc).limit(20)
+      },
+      Some("""WITH spb AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |  CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
+             |       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
+             |       THEN 1 ELSE 0 END AS new_session FROM events),
+             |sps AS (SELECT user_id, ts, event_id, event_type,
+             |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM spb),
+             |spp AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+             |FROM sps GROUP BY user_id, session_idx)
+             |SELECT path, COUNT(*) AS n_sessions FROM spp GROUP BY path
+             |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin.replace("\n", " "))),
     // Two-sample chi-squared drift between the early and late half of
     // the stream over fixed value deciles — the scheduled data-quality
     // gate that catches upstream distribution shifts. Transcendental-

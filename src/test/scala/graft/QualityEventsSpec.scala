@@ -165,6 +165,37 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum == nPairs)
   }
 
+  test("ev_rate_spikes: every flag beats its own trailing-window threshold") {
+    val out = q("ev_rate_spikes").collect()
+    assert(out.forall(_.getDouble(2) > 3.0))
+    // recompute one flagged minute's z from scratch
+    if (out.nonEmpty) {
+      val minutes = events.select(expr("(ts DIV 1000000000) DIV 60").as("m"))
+        .groupBy("m").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val flagged = out.head
+      val idx = minutes.indexWhere(_._1 == flagged.getLong(0))
+      val win = minutes.slice(math.max(0, idx - 60), idx).map(_._2.toDouble)
+      val mean = win.sum / win.length
+      val z = (flagged.getLong(1) - mean) /
+        math.sqrt(win.map(x => x * x).sum / win.length - mean * mean)
+      assert(math.abs(z - flagged.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("ev_session_paths: paths are type sequences; session totals conserve") {
+    val out = q("ev_session_paths").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val types = events.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(out.forall(_.getString(0).split(">").forall(types.contains)))
+    // top-k ordering: n_sessions non-increasing
+    out.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi.getLong(1) >= lo.getLong(1))
+      case _ => ()
+    }
+  }
+
   test("doc_ngram_novelty: first doc fully novel; novel grams partition the gram space") {
     val out = q("doc_ngram_novelty").collect()
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
