@@ -1093,16 +1093,18 @@ object PipelineQueries {
     // cross-source contamination matrix: the SAME banded minhash pairs,
     // rolled up by unordered source pair — the "which corpus leaked
     // into which" accounting a benchmark-decontamination audit reports.
-    // Source lookup is a broadcast of the (id → source) projection onto
-    // the pair list; the matrix rollup is trivially small.
+    // The source lookup joins the SMALL pair list against the full
+    // (id → source) projection — no broadcast hint on purpose: the
+    // corpus side must never be broadcast, and AQE's runtime stats pick
+    // the pair side when it fits. The matrix rollup is trivially small.
     Q("dedup_cross_source",
       (s, d) => {
         val src = t(s, d, "documents").select(col("doc_id"), col("source"))
         Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
             threshold = 0.7)
           .select("a", "b")
-          .join(broadcast(src.toDF("a", "sa")), Seq("a"))
-          .join(broadcast(src.toDF("b", "sb")), Seq("b"))
+          .join(src.toDF("a", "sa"), Seq("a"))
+          .join(src.toDF("b", "sb"), Seq("b"))
           .groupBy(least(col("sa"), col("sb")).as("source_a"),
             greatest(col("sa"), col("sb")).as("source_b"))
           .agg(count(lit(1)).as("n_pairs"))

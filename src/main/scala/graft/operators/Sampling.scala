@@ -138,7 +138,9 @@ object Sampling {
     * per-label thresholds come from one tiny count aggregate broadcast
     * back onto the scan; the gate itself is a map-side codegen'd
     * filter. Thresholds are `trunc(rate · denom)` longs so an external
-    * re-derivation (the DuckDB oracle) agrees bit-for-bit. */
+    * re-derivation (the DuckDB oracle) agrees bit-for-bit. Rows with a
+    * NULL label have no class and are dropped (the equi-join never
+    * matches them) — coalesce the label upstream to keep them. */
   def rebalanceClasses(df: DataFrame, idCol: String, labelCol: String,
       denom: Long = DefaultDenom): DataFrame = {
     val counts = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
