@@ -762,27 +762,29 @@ object PipelineQueries {
     t(s, d, "events").withColumn("ts_s", expr("ts DIV 1000000000"))
   }
 
-  /** Duplicated-passage oracle: the same tokenizer → DISTINCT word
-    * 3-grams per doc → gram document-frequency → per-doc counts, all
-    * ANSI set arithmetic (counts only, no ratio doubles). Mirrors
-    * [[TextAnalysis.duplicatedPassageStats]] including the
-    * shorter-than-n whole-text gram. */
+  /** Shared CTE for the corpus-gram oracles: tokenize → DISTINCT word
+    * 3-grams per doc (including the shorter-than-n whole-text gram) —
+    * the SQL mirror of `TextAnalysis.distinctDocGrams`, written ONCE so
+    * dup-passages and novelty cannot diverge. Ends in `<p>g`(doc_id, g). */
+  private def docGramCtes(p: String): String =
+    s"""${p}tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |${p}g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS g FROM ${p}tk)""".stripMargin
+
+  /** Duplicated-passage oracle: gram document-frequency → per-doc
+    * counts, all ANSI set arithmetic (counts only, no ratio doubles).
+    * Mirrors [[TextAnalysis.duplicatedPassageStats]]. */
   private def dupPassagesOracle: String =
-    s"""WITH dtk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-       |dg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
-       |  ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS g FROM dtk),
+    s"""WITH ${docGramCtes("d")},
        |gdf AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
        |CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
        |FROM dg JOIN gdf USING (g) GROUP BY doc_id""".stripMargin.replace("\n", " ")
 
-  /** First-seen novelty oracle: same gram construction as
-    * [[dupPassagesOracle]], with the document-frequency aggregate
-    * replaced by the first-seen `MIN(doc_id)` per gram. */
+  /** First-seen novelty oracle: same gram construction, with the
+    * document-frequency aggregate replaced by first-seen `MIN(doc_id)`. */
   private def noveltyOracle: String =
-    s"""WITH nvt AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-       |nvg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
-       |  ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END) AS g FROM nvt),
+    s"""WITH ${docGramCtes("nv")},
        |nvf AS (SELECT g, MIN(doc_id) AS first_doc FROM nvg GROUP BY g)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
        |CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
@@ -1979,8 +1981,10 @@ object PipelineQueries {
     // and corrupts no values on the way through the directory encoding.
     Q("layout_partition_prune",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_partitioned_").toString
+        // fixed path + overwrite: repeated runs (Verify, best-of-N
+        // bench, the Plans audit) reuse one directory instead of
+        // leaking a parquet copy per invocation
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_partition_prune"
         operators.Layout.partitionedRoundtrip(
             t(s, d, "documents").select("doc_id", "lang", "n_chars"),
             "lang", tmp)

@@ -239,12 +239,20 @@ object TextAnalysis {
     * so AQE reuses the exchange; final per-doc rollup. Counts are
     * emitted as longs (no ratio doubles) so the result hashes
     * identically cross-engine. */
+  /** The DISTINCT (doc, n-gram) frame both corpus-level gram statistics
+    * ([[duplicatedPassageStats]], [[noveltyStats]]) aggregate over —
+    * one shared construction so the gram rule (including the
+    * shorter-than-n whole-text gram from [[ngramsAll]]) cannot diverge
+    * between them. Output columns: (idCol, `__g`). */
+  private def distinctDocGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = df
+    .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
+    .distinct()
+
   def duplicatedPassageStats(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val docGrams = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
-      .distinct()
+    val docGrams = distinctDocGrams(df, idCol, textCol, n)
     val gramDf = docGrams.groupBy("__g")
       .agg(count(lit(1)).as("__df"))
     docGrams.join(gramDf, "__g")
@@ -270,10 +278,7 @@ object TextAnalysis {
     * longs so the result hashes identically cross-engine. */
   def noveltyStats(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val docGrams = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
-      .distinct()
+    val docGrams = distinctDocGrams(df, idCol, textCol, n)
     val firstSeen = docGrams.groupBy("__g")
       .agg(min(col(idCol)).as("__first"))
     docGrams.join(firstSeen, "__g")
