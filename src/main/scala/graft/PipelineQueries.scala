@@ -1705,29 +1705,8 @@ object PipelineQueries {
     // runs on the POST-AGG day series. Cumulative users = running sum
     // of n_new over that same tiny series.
     Q("ev_growth_accounting",
-      (s, d) => {
-        val ud = events(s, d)
-          .select(col("user_id"), expr("ts_s DIV 86400").as("day")).distinct()
-        val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
-        val status = ud.withColumn("prev_day", lag(col("day"), 1).over(wu))
-        val daily = status.groupBy("day").agg(
-          sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
-          sum(when(col("day") - col("prev_day") === 1, 1L).otherwise(0L))
-            .as("n_retained"),
-          sum(when(col("prev_day").isNotNull && col("day") - col("prev_day") > 1, 1L)
-            .otherwise(0L)).as("n_resurrected"))
-        val wd = Window.orderBy(col("day"))
-        daily
-          .withColumn("n_active",
-            col("n_new") + col("n_retained") + col("n_resurrected"))
-          .withColumn("n_churned",
-            when(lag(col("day"), 1).over(wd) === col("day") - 1,
-              lag(col("n_active"), 1).over(wd) - col("n_retained")))
-          .withColumn("cume_users",
-            sum(col("n_new")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
-          .select("day", "n_new", "n_retained", "n_resurrected",
-            "n_active", "n_churned", "cume_users")
-      },
+      (s, d) => operators.Analytics.growthAccounting(
+        events(s, d).select(col("user_id"), expr("ts_s DIV 86400").as("day"))),
       Some("""WITH gud AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
              |gst AS (SELECT user_id, day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day FROM gud),
              |gda AS (SELECT day,
@@ -1779,6 +1758,30 @@ object PipelineQueries {
              |SELECT CAST(n AS BIGINT) AS n_pairs,
              |(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_lag1
              |FROM ast""".stripMargin.replace("\n", " "))),
+    // Per-day unique users, sketched: the "daily uniques" dashboard
+    // aggregate at 100 TB runs on HLL (mergeable across partitions, one
+    // small register set per day flowing through the shuffle), not on
+    // count-distinct. PER-GROUP the multi-distinct Expand trap that bit
+    // q_approx_distinct does not apply (no countDistinct mixed in);
+    // exact counts come from a separate distinct-then-count pass joined
+    // back, and the oracle pins the ≤2% error CONTRACT per day (the
+    // sketch value itself is engine-specific).
+    Q("ev_daily_uniques_approx",
+      (s, d) => {
+        val e = events(s, d)
+          .select(col("user_id"), expr("ts_s DIV 86400").as("day"))
+        val approx = e.groupBy("day").agg(
+          approx_count_distinct(col("user_id"), rsd = 0.005).as("approx"))
+        val exact = e.distinct().groupBy("day")
+          .agg(count(lit(1)).as("exact_users"))
+        exact.join(approx, Seq("day"))
+          .select(col("day"), col("exact_users"),
+            (abs(col("approx") - col("exact_users")) / col("exact_users")
+              <= 0.02).as("within_2pct"))
+      },
+      Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_2pct
+             |FROM events GROUP BY 1""".stripMargin.replace("\n", " "))),
     // Rate-spike anomaly flags: each observed minute's count z-scored
     // against its trailing 60-observed-minute window (ROWS frame on the
     // POST-AGG minute series — same observed-minute semantics as

@@ -175,6 +175,34 @@ class PropertySpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("growthAccounting equals the per-day set model on random activity") {
+    val actGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(0, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 14L))))
+    check("growth", Prop.forAll(actGen) { act =>
+      val dist = act.distinct
+      if (dist.isEmpty) true
+      else {
+        val got = graft.operators.Analytics.growthAccounting(
+            act.toDF("user_id", "day"))
+          .select("day", "n_new", "n_retained", "n_resurrected", "n_active", "cume_users")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+        val byUser = dist.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        val days = dist.map(_._2).distinct.sorted
+        var cume = 0L
+        val want = days.map { d =>
+          val active = dist.filter(_._2 == d).map(_._1)
+          val nNew = active.count(u => byUser(u).head == d)
+          val nRet = active.count(u => byUser(u).contains(d - 1) && byUser(u).head != d)
+          val nRes = active.size - nNew - nRet
+          cume += nNew
+          (d, nNew.toLong, nRet.toLong, nRes.toLong, active.size.toLong, cume)
+        }
+        got == want
+      }
+    }, cases = 10)
+  }
+
   test("asofJoin equals the scan model (unique right timestamps)") {
     val rightGen = Gen.chooseNum(0, 30).flatMap(n =>
       Gen.pick(n, 0 until 200).map(_.toList))

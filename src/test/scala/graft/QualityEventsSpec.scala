@@ -199,6 +199,15 @@ class QualityEventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_daily_uniques_approx: every day within the 2% sketch contract") {
+    val out = q("ev_daily_uniques_approx").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(2)), out.filterNot(_.getBoolean(2)).mkString("; "))
+    assert(out.map(_.getLong(1)).sum ==
+      events.select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400"))
+        .distinct().count())
+  }
+
   test("doc_ngram_novelty: first doc fully novel; novel grams partition the gram space") {
     val out = q("doc_ngram_novelty").collect()
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
