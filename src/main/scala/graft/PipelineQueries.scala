@@ -1092,6 +1092,19 @@ object PipelineQueries {
     // forces ALL pairs, so the hash match proves the prefix filter
     // dropped no qualifying candidate (completeness, not just output
     // plausibility)
+    // per-band LSH index audit (bucket sizes + candidate-pair cost):
+    // the skew observability row a production banded index is sized by;
+    // the oracle re-derives the whole signature chain and buckets by
+    // the actual band slice (Spark buckets by its hash — same partition
+    // of docs, and the hash-match proves it)
+    Q("dedup_lsh_bucket_stats",
+      (s, d) => Dedup.lshBucketStats(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH $minhashSigCtes,
+             |lbs AS (SELECT band, s4, COUNT(*) AS sz FROM mband GROUP BY band, s4)
+             |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_buckets,
+             |CAST(MAX(sz) AS BIGINT) AS max_bucket,
+             |CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+             |FROM lbs GROUP BY band""".stripMargin.replace("\n", " "))),
     // cross-source contamination matrix: the SAME banded minhash pairs,
     // rolled up by unordered source pair — the "which corpus leaked
     // into which" accounting a benchmark-decontamination audit reports.

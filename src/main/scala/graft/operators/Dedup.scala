@@ -117,6 +117,22 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Per-band LSH index audit: bucket count, the largest bucket, and
+    * the candidate pairs each band generates (Σ sz·(sz−1)/2 — the
+    * actual cost the self-join pays). THE skew observability for a
+    * banded index: a hot bucket shows up here as max_bucket and a
+    * candidate-pair spike long before the pair join itself falls over,
+    * and the numbers size the maxBucket guard. One extra rollup over
+    * the same band frame the candidate join shuffles — no new scan. */
+  def lshBucketStats(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    bandBuckets(minhashSignatures(df, idCol, textCol, p), idCol, p)
+      .groupBy("band", "key").agg(count(lit(1)).as("sz"))
+      .groupBy(col("band").cast("long").as("band")).agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) DIV 2")).as("n_cand_pairs"))
+
   /** Candidate pairs (a < b) sharing at least one LSH band. The
     * self-join shuffles on the band key, so only same-bucket docs ever
     * meet. */

@@ -159,6 +159,24 @@ class QualityEventsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_lsh_bucket_stats: per-band audit bounds the candidate join") {
+    val out = q("dedup_lsh_bucket_stats").collect()
+    assert(out.length == 16) // default MinHashParams bands
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    out.foreach { r =>
+      assert(r.getLong(1) <= docs)           // buckets <= docs per band
+      assert(r.getLong(2) >= 1)              // max bucket nonempty
+      // pair cost of one band is at most the all-pairs worst case
+      assert(r.getLong(3) <= docs * (docs - 1) / 2)
+    }
+    // total candidates across bands >= distinct candidate pairs
+    val cands = operators.Dedup.lshCandidates(
+      operators.Dedup.minhashSignatures(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      "doc_id").count()
+    assert(out.map(_.getLong(3)).sum >= cands)
+  }
+
   test("dedup_cross_source: unordered source pairs; totals match the pair list") {
     val out = q("dedup_cross_source").collect()
     assert(out.forall(r => r.getString(0) <= r.getString(1)))
