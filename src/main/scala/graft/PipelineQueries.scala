@@ -2116,7 +2116,8 @@ object PipelineQueries {
              |UNION ALL SELECT 'uniqueness_orderkey', CAST(n_distinct_key AS DOUBLE) / n_rows, n_distinct_key = n_rows FROM dqm
              |UNION ALL SELECT 'min_price_nonneg', min_price, min_price >= 0.0 FROM dqm
              |UNION ALL SELECT 'status_in_domain', CAST(n_bad_status AS DOUBLE), n_bad_status = 0 FROM dqm
-             |UNION ALL SELECT 'date_completeness', CAST(n_null_date AS DOUBLE), n_null_date = 0 FROM dqm""".stripMargin.replace("\n", " "))),
+             |UNION ALL SELECT 'date_completeness', CAST(n_null_date AS DOUBLE), n_null_date = 0 FROM dqm""".stripMargin.replace("\n", " ")),
+      bench = true),
     // Robust per-group outliers: |x − median| > 2·MAD (the testdata
     // price distribution is near-uniform — a light tail — so the
     // textbook 3·MAD flags nothing; 2·MAD is the meaningful gate
