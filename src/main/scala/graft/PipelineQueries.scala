@@ -369,6 +369,45 @@ object PipelineQueries {
        |(len(failed) = 0) AS keep FROM fl""".stripMargin.replace("\n", " ")
   }
 
+  /** End-to-end training-manifest oracle: the filter battery's keep
+    * predicate (same thresholds as `doc_filter_battery`) → the FULL
+    * minhash near-dup chain over the kept subset → recursive-CTE
+    * transitive closure → one keeper per cluster → the xxh64 split
+    * gate. Every stage is the same SQL the per-stage oracles pin;
+    * composing them end-to-end pins the PIPELINE (including that dedup
+    * runs on the filtered set, not the corpus). */
+  private def trainingManifestOracle: String = {
+    val en = operators.TextAnalysis.StopwordProfiles("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val bounds = Sampling.splitBounds(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val cases = bounds.init.map { case (name, upper) =>
+      s"WHEN bucket < $upper THEN '$name'"
+    }.mkString(" ") + s" ELSE '${bounds.last._1}'"
+    s"""WITH RECURSIVE
+       |tmtk AS (SELECT doc_id, text, lang, $ToksSql AS toks FROM documents),
+       |tmst AS (SELECT doc_id, text, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_len,
+       |CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha,
+       |CAST(len(list_filter(toks, w -> list_contains($en, w))) AS BIGINT) AS stop_hits,
+       |CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr FROM tmtk),
+       |fbk AS (SELECT doc_id, text, lang FROM tmst WHERE NOT (
+       |n_tokens < 50 OR n_tokens > 100000 OR avg_len < 3.0 OR avg_len > 10.0
+       |OR alpha < 0.8 OR stop_hits < 2 OR dr < 0.3)),
+       |${minhashPairCtes("fbk")},
+       |tme AS (SELECT ida AS a, idb AS b FROM mres WHERE jaccard >= 0.7),
+       |tmedge AS (SELECT a AS u, b AS v FROM tme UNION ALL SELECT b AS u, a AS v FROM tme),
+       |tmreach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM fbk
+       |  UNION
+       |  SELECT e.u, p.r FROM tmedge e JOIN tmreach p ON p.u = e.v
+       |),
+       |tmcomp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM tmreach GROUP BY u),
+       |tmkeep AS (SELECT doc_id FROM tmcomp WHERE doc_id = cluster_id),
+       |$sampleBucketCtes
+       |SELECT k.doc_id, b.lang, CASE $cases END AS split
+       |FROM tmkeep k JOIN smb b USING (doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   private def mixTopkOracle: String =
     s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS quality FROM documents)
        |SELECT lang, doc_id, quality, rank FROM (
@@ -543,7 +582,12 @@ object PipelineQueries {
   /** Shared CTE chain for the minhash oracles: tokenize, shingle,
     * xxh64-family signatures, band slices — ends with `mband`(doc_id,
     * band, s4) and, via `msig`, feeds `mfull`/`msets` in the callers. */
-  private def minhashSigCtes: String = {
+  private def minhashSigCtes: String = minhashSigCtes("documents")
+
+  /** As above with the corpus CTE/table parameterized, so a pipeline
+    * oracle can run the identical chain over a FILTERED subset (the
+    * training-manifest oracle feeds it the filter-battery keep set). */
+  private def minhashSigCtes(from: String): String = {
     import Xxh64Sql._
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val seeds = (0 until 64).map { i =>
@@ -557,7 +601,7 @@ object PipelineQueries {
     val shingles =
       """list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
         |i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin.replace("\n", " ")
-    s"""mtk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM documents),
+    s"""mtk AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS toks FROM $from),
        |msh AS (SELECT doc_id, unnest($shingles) AS sh FROM mtk),
        |mhdist AS (SELECT DISTINCT sh FROM msh),
        |mhfam AS (SELECT unnest($famList) AS fi, unnest($seedList) AS seed),
@@ -569,8 +613,10 @@ object PipelineQueries {
   /** CTE chain ending in `mres`(ida, idb, est_jaccard, jaccard) —
     * shared by the minhash-pairs oracle and the end-to-end pipeline
     * oracle. */
-  private def minhashPairCtes: String = {
-    s"""$minhashSigCtes,
+  private def minhashPairCtes: String = minhashPairCtes("documents")
+
+  private def minhashPairCtes(from: String): String = {
+    s"""${minhashSigCtes(from)},
        |mcand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM mband x JOIN mband y ON x.band = y.band AND x.s4 = y.s4 AND x.doc_id < y.doc_id),
        |mfull AS (SELECT doc_id, list(m ORDER BY fi) AS sig FROM msig GROUP BY doc_id),
        |msets AS (SELECT doc_id, list(sh) AS shs FROM msh GROUP BY doc_id),
@@ -1166,6 +1212,29 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(dedupPipelineOracle)),
+    // THE end-to-end prep run: quality-filter the corpus, near-dup
+    // dedup the SURVIVORS (not the raw corpus — order matters: junk
+    // must not become a cluster keeper), then deterministic train/val/
+    // test assignment. One composed lazy plan; each stage is the
+    // scale-audited operator above, and the oracle re-runs the whole
+    // chain in SQL so the hash pins the composition, not just the parts.
+    Q("pipeline_training_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val kept = docs.join(
+          TextAnalysis.filterBattery(docs).filter(col("keep"))
+            .select("doc_id"),
+          Seq("doc_id"))
+        val pairs = Dedup.minhashNearDuplicates(kept, "doc_id", "text",
+          threshold = 0.7)
+        val survivors = Dedup.connectedComponents(kept, "doc_id", pairs)
+          .filter(col("keep")).select("doc_id")
+        Sampling.assignSplits(
+            survivors.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+            "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .select("doc_id", "lang", "split")
+      },
+      Some(trainingManifestOracle)),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",

@@ -177,6 +177,26 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum >= cands)
   }
 
+  test("pipeline_training_manifest: filtered, deduped, and fully split") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = q("pipeline_training_manifest").collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(out.length == ids.size) // one row per survivor
+    // every manifest doc passed the battery
+    val kept = operators.TextAnalysis.filterBattery(docs)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(kept))
+    // no near-dup pair (within the kept set) survives whole
+    val pairs = operators.Dedup.minhashNearDuplicates(
+        docs.filter(col("doc_id").isin(kept.toSeq: _*)), "doc_id", "text",
+        threshold = 0.7)
+      .select("a", "b").collect()
+    assert(pairs.forall(p => !(ids(p.getLong(0)) && ids(p.getLong(1)))))
+    // splits cover the manifest and only use the three names
+    assert(out.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("dedup_cross_source: unordered source pairs; totals match the pair list") {
     val out = q("dedup_cross_source").collect()
     assert(out.forall(r => r.getString(0) <= r.getString(1)))
