@@ -347,52 +347,67 @@ object PipelineQueries {
     * MUST mirror the registered doc_filter_battery call; the failed
     * list is built in the same fixed rule order, so the comma-joined
     * attribution strings match byte for byte. */
-  private def filterBatteryOracle(minTokens: Long, maxTokens: Long,
-      minAvgLen: Double, maxAvgLen: Double, minAlphaRatio: Double,
-      minStopwordHits: Long, minDistinctRatio: Double): String = {
+  /** Battery token-stats CTE, prefix-parameterized and written ONCE —
+    * shared by the per-doc battery oracle and the end-to-end manifest
+    * oracle so the stats definitions cannot diverge. Carries the listed
+    * extra columns through; ends in `<p>st`. */
+  private def batteryStatsCtes(p: String, extraCols: String = ""): String = {
     val en = operators.TextAnalysis.StopwordProfiles("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-       |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    s"""${p}tk AS (SELECT doc_id$extraCols, $ToksSql AS toks FROM documents),
+       |${p}st AS (SELECT doc_id$extraCols, CAST(len(toks) AS BIGINT) AS n_tokens,
        |CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_len,
        |CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha,
        |CAST(len(list_filter(toks, w -> list_contains($en, w))) AS BIGINT) AS stop_hits,
-       |CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr FROM tk),
+       |CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr FROM ${p}tk)""".stripMargin
+  }
+
+  /** The six battery rules as (name, fail-condition SQL) over a
+    * `<p>st` row — the single source for both battery oracles. */
+  private def batteryRules(minTokens: Long, maxTokens: Long,
+      minAvgLen: Double, maxAvgLen: Double, minAlphaRatio: Double,
+      minStopwordHits: Long, minDistinctRatio: Double): Seq[(String, String)] = Seq(
+    "too_few_tokens" -> s"n_tokens < $minTokens",
+    "too_many_tokens" -> s"n_tokens > $maxTokens",
+    "avg_token_len_oob" -> s"avg_len < $minAvgLen OR avg_len > $maxAvgLen",
+    "low_alpha_ratio" -> s"alpha < $minAlphaRatio",
+    "low_stopword_hits" -> s"stop_hits < $minStopwordHits",
+    "low_distinct_ratio" -> s"dr < $minDistinctRatio")
+
+  private def filterBatteryOracle(minTokens: Long, maxTokens: Long,
+      minAvgLen: Double, maxAvgLen: Double, minAlphaRatio: Double,
+      minStopwordHits: Long, minDistinctRatio: Double): String = {
+    val cases = batteryRules(minTokens, maxTokens, minAvgLen, maxAvgLen,
+      minAlphaRatio, minStopwordHits, minDistinctRatio)
+      .map { case (name, cond) => s"CASE WHEN $cond THEN '$name' END" }
+      .mkString(",\n|")
+    s"""WITH ${batteryStatsCtes("")},
        |fl AS (SELECT doc_id, n_tokens, list_filter([
-       |CASE WHEN n_tokens < $minTokens THEN 'too_few_tokens' END,
-       |CASE WHEN n_tokens > $maxTokens THEN 'too_many_tokens' END,
-       |CASE WHEN avg_len < $minAvgLen OR avg_len > $maxAvgLen THEN 'avg_token_len_oob' END,
-       |CASE WHEN alpha < $minAlphaRatio THEN 'low_alpha_ratio' END,
-       |CASE WHEN stop_hits < $minStopwordHits THEN 'low_stopword_hits' END,
-       |CASE WHEN dr < $minDistinctRatio THEN 'low_distinct_ratio' END], x -> x IS NOT NULL) AS failed FROM st)
+       |$cases], x -> x IS NOT NULL) AS failed FROM st)
        |SELECT doc_id, n_tokens, COALESCE(array_to_string(failed, ','), '') AS failed_rules,
        |(len(failed) = 0) AS keep FROM fl""".stripMargin.replace("\n", " ")
   }
 
   /** End-to-end training-manifest oracle: the filter battery's keep
-    * predicate (same thresholds as `doc_filter_battery`) → the FULL
-    * minhash near-dup chain over the kept subset → recursive-CTE
-    * transitive closure → one keeper per cluster → the xxh64 split
-    * gate. Every stage is the same SQL the per-stage oracles pin;
-    * composing them end-to-end pins the PIPELINE (including that dedup
-    * runs on the filtered set, not the corpus). */
+    * predicate (the SAME thresholds and shared stats/rules SQL as the
+    * registered `doc_filter_battery`) → the FULL minhash near-dup chain
+    * over the kept subset → recursive-CTE transitive closure → one
+    * keeper per cluster → the xxh64 split gate. Every stage is the same
+    * SQL the per-stage oracles pin; composing them end-to-end pins the
+    * PIPELINE (including that dedup runs on the filtered set, not the
+    * corpus). */
   private def trainingManifestOracle: String = {
-    val en = operators.TextAnalysis.StopwordProfiles("en")
-      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val failAny = batteryRules(minTokens = 30, maxTokens = 100000,
+      minAvgLen = 3.0, maxAvgLen = 10.0, minAlphaRatio = 0.8,
+      minStopwordHits = 2, minDistinctRatio = 0.3)
+      .map { case (_, cond) => s"($cond)" }.mkString(" OR ")
     val bounds = Sampling.splitBounds(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val cases = bounds.init.map { case (name, upper) =>
       s"WHEN bucket < $upper THEN '$name'"
     }.mkString(" ") + s" ELSE '${bounds.last._1}'"
     s"""WITH RECURSIVE
-       |tmtk AS (SELECT doc_id, text, lang, $ToksSql AS toks FROM documents),
-       |tmst AS (SELECT doc_id, text, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_len,
-       |CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha,
-       |CAST(len(list_filter(toks, w -> list_contains($en, w))) AS BIGINT) AS stop_hits,
-       |CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr FROM tmtk),
-       |fbk AS (SELECT doc_id, text, lang FROM tmst WHERE NOT (
-       |n_tokens < 50 OR n_tokens > 100000 OR avg_len < 3.0 OR avg_len > 10.0
-       |OR alpha < 0.8 OR stop_hits < 2 OR dr < 0.3)),
+       |${batteryStatsCtes("tm", extraCols = ", text, lang")},
+       |fbk AS (SELECT doc_id, text, lang FROM tmst WHERE NOT ($failAny)),
        |${minhashPairCtes("fbk")},
        |tme AS (SELECT ida AS a, idb AS b FROM mres WHERE jaccard >= 0.7),
        |tmedge AS (SELECT a AS u, b AS v FROM tme UNION ALL SELECT b AS u, a AS v FROM tme),
@@ -1222,8 +1237,11 @@ object PipelineQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val kept = docs.join(
-          TextAnalysis.filterBattery(docs).filter(col("keep"))
-            .select("doc_id"),
+          TextAnalysis.filterBattery(docs,
+              minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
+              maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
+              minDistinctRatio = 0.3)
+            .filter(col("keep")).select("doc_id"),
           Seq("doc_id"))
         val pairs = Dedup.minhashNearDuplicates(kept, "doc_id", "text",
           threshold = 0.7)
@@ -2066,10 +2084,13 @@ object PipelineQueries {
     // and corrupts no values on the way through the directory encoding.
     Q("layout_partition_prune",
       (s, d) => {
-        // fixed path + overwrite: repeated runs (Verify, best-of-N
-        // bench, the Plans audit) reuse one directory instead of
-        // leaking a parquet copy per invocation
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_partition_prune"
+        // per-process fixed path + overwrite: repeated runs within a
+        // JVM (Verify, best-of-N bench, the Plans audit) reuse one
+        // directory instead of leaking a copy per invocation, while the
+        // pid suffix keeps concurrent JVMs (a Verify beside an AllTime
+        // sweep) from overwriting each other's lazily-read files
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_partition_prune_${ProcessHandle.current().pid()}"
         operators.Layout.partitionedRoundtrip(
             t(s, d, "documents").select("doc_id", "lang", "n_chars"),
             "lang", tmp)

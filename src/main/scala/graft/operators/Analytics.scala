@@ -21,6 +21,10 @@ object Analytics {
     * periods (NULL after a global gap); cumulative entities = running
     * sum of n_new.
     *
+    * Output schema is FIXED regardless of the input column names:
+    * (day, n_new, n_retained, n_resurrected, n_active, n_churned,
+    * cume_users) — `entityCol`/`periodCol` only select the inputs.
+    *
     * Shape at 100 TB: distinct is a partial-agg shuffle on the pair;
     * the lag sorts within entity partitions (the sessionize shape); the
     * per-period rollup and both post-agg windows run on one row per

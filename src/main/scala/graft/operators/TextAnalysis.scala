@@ -226,6 +226,17 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** The DISTINCT (doc, n-gram) frame both corpus-level gram statistics
+    * ([[duplicatedPassageStats]], [[noveltyStats]]) aggregate over —
+    * one shared construction so the gram rule (including the
+    * shorter-than-n whole-text gram from [[ngramsAll]]) cannot diverge
+    * between them. Output columns: (idCol, `__g`). */
+  private def distinctDocGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = df
+    .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
+    .distinct()
+
   /** RefinedWeb-style duplicated-passage signals (Penedo et al. '23
     * §3.2, public paper): for each document, how many of its distinct
     * word n-gram "passages" also occur in at least one OTHER document.
@@ -239,17 +250,6 @@ object TextAnalysis {
     * so AQE reuses the exchange; final per-doc rollup. Counts are
     * emitted as longs (no ratio doubles) so the result hashes
     * identically cross-engine. */
-  /** The DISTINCT (doc, n-gram) frame both corpus-level gram statistics
-    * ([[duplicatedPassageStats]], [[noveltyStats]]) aggregate over —
-    * one shared construction so the gram rule (including the
-    * shorter-than-n whole-text gram from [[ngramsAll]]) cannot diverge
-    * between them. Output columns: (idCol, `__g`). */
-  private def distinctDocGrams(df: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = df
-    .select(col(idCol), tokens(col(textCol)).as("__toks"))
-    .select(col(idCol), explode(ngramsAll(col("__toks"), n)).as("__g"))
-    .distinct()
-
   def duplicatedPassageStats(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
     val docGrams = distinctDocGrams(df, idCol, textCol, n)

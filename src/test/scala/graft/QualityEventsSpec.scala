@@ -71,10 +71,17 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) >= 2))
   }
 
-  test("ev_props_extract: every event carries a k; per-type counts conserve the stream") {
+  test("ev_props_extract: per-type sums match an independent JSON-path extraction") {
     val out = q("ev_props_extract").collect()
-    assert(out.map(_.getLong(1)).sum == events.count())
-    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(3) >= 0)) // k is nonnegative
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.values.map(_._1).sum == events.count())
+    // cross-check from_json against the independent get_json_object path
+    val direct = events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("s"), max(col("k")).as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == direct)
   }
 
   test("ev_growth_accounting: statuses partition actives; churn balances the day ledger") {
@@ -182,8 +189,11 @@ class QualityEventsSpec extends SparkSpec {
     val out = q("pipeline_training_manifest").collect()
     val ids = out.map(_.getLong(0)).toSet
     assert(out.length == ids.size) // one row per survivor
-    // every manifest doc passed the battery
-    val kept = operators.TextAnalysis.filterBattery(docs)
+    // every manifest doc passed the battery (the registered thresholds)
+    val kept = operators.TextAnalysis.filterBattery(docs,
+        minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
+        maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
+        minDistinctRatio = 0.3)
       .filter(col("keep")).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(kept))
