@@ -2031,6 +2031,16 @@ object PipelineQueries {
        |FROM zf GROUP BY file_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Shared oracle for the format-roundtrip queries: the same aggregate
+    * straight off the parquet table — a roundtrip that loses or mangles
+    * anything cannot hash-match this. */
+  private val ioRoundtripOracle: String =
+    """SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts,
+      |MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts
+      |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
+
   private val skewLayout = Vector(
     // two-phase salted aggregate over the 5 hot event_type keys (each
     // holds ~20% of the table — exactly the hot-key shape); DECIMAL
@@ -2077,6 +2087,43 @@ object PipelineQueries {
         events(s, d).select("event_id", "user_id", "ts_s"),
         "user_id", "ts_s", "event_id", numFiles = 16),
       Some(zorderOracle)),
+    // Multi-format source/sink roundtrips: the same events projection
+    // written to JSON-lines / ORC and read back through an EXPLICIT
+    // schema (schema-on-read, no inference job), then aggregated — the
+    // oracle runs the identical aggregate over the original parquet, so
+    // the hash match proves the format roundtrip loses neither rows nor
+    // values (doubles survive via shortest-repr JSON and typed ORC).
+    Q("io_jsonl_roundtrip",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_jsonl_${ProcessHandle.current().pid()}"
+        val e = events(s, d)
+          .select("event_id", "user_id", "event_type", "ts_s", "value")
+        e.write.mode("overwrite").json(tmp)
+        s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts_s BIGINT, value DOUBLE")
+          .json(tmp)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("value").cast(D4)).cast(DoubleType).as("sum_value"),
+            min(col("ts_s")).as("min_ts"), max(col("ts_s")).as("max_ts"))
+      },
+      Some(ioRoundtripOracle)),
+    Q("io_orc_roundtrip",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_orc_${ProcessHandle.current().pid()}"
+        val e = events(s, d)
+          .select("event_id", "user_id", "event_type", "ts_s", "value")
+        e.write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("value").cast(D4)).cast(DoubleType).as("sum_value"),
+            min(col("ts_s")).as("min_ts"), max(col("ts_s")).as("max_ts"))
+      },
+      Some(ioRoundtripOracle)),
     // Hive-partitioned sink roundtrip: write documents partitioned by
     // lang, read back with a lang filter — the filter resolves at
     // PLANNING time (PartitionFilters; pruning pinned in LayoutSpec),

@@ -184,6 +184,21 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum >= cands)
   }
 
+  test("format roundtrips: jsonl and orc aggregates equal the parquet path") {
+    val want = q("io_orc_roundtrip").collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val json = q("io_jsonl_roundtrip").collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val parquet = events
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        min(expr("ts DIV 1000000000")).as("min_ts"),
+        max(expr("ts DIV 1000000000")).as("max_ts"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(want == parquet && json == parquet)
+  }
+
   test("pipeline_training_manifest: filtered, deduped, and fully split") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = q("pipeline_training_manifest").collect()
