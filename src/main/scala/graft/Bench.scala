@@ -75,7 +75,19 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the line in files: the driver scrapes stdout through
+    // sbt's [info] prefixes and has failed to parse it (BENCH_r07
+    // "parsed": null) — a machine-readable copy removes the scrape.
+    val outs = Seq(
+      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench.json"))
+    outs.foreach { p =>
+      try java.nio.file.Files.writeString(p, json + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -397,10 +397,16 @@ object PipelineQueries {
     * PIPELINE (including that dedup runs on the filtered set, not the
     * corpus). */
   private def trainingManifestOracle: String = {
+    // COALESCE(cond, FALSE) per rule: the battery's list_filter keeps a
+    // row whose rule condition evaluates NULL (NULL never enters the
+    // failed list), so the composed keep predicate must treat NULL as
+    // pass too — a bare NOT(c1 OR c2 ...) would DROP the row when any
+    // cond is NULL. Matters for configs where a NULL stat can reach a
+    // rule without tripping another one first (e.g. minTokens = 0).
     val failAny = batteryRules(minTokens = 30, maxTokens = 100000,
       minAvgLen = 3.0, maxAvgLen = 10.0, minAlphaRatio = 0.8,
       minStopwordHits = 2, minDistinctRatio = 0.3)
-      .map { case (_, cond) => s"($cond)" }.mkString(" OR ")
+      .map { case (_, cond) => s"COALESCE(($cond), FALSE)" }.mkString(" OR ")
     val bounds = Sampling.splitBounds(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val cases = bounds.init.map { case (name, upper) =>
       s"WHEN bucket < $upper THEN '$name'"
@@ -822,6 +828,18 @@ object PipelineQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts_s", expr("ts DIV 1000000000"))
   }
+
+  /** Per-(process, dataset) scratch directory for the sink-roundtrip
+    * queries. The pid keeps concurrent JVMs (a Verify beside an AllTime
+    * sweep) from overwriting each other's lazily-read files; the
+    * dataset-dir hash keeps TWO datasets in one JVM apart — without it,
+    * constructing the query for a second `d` overwrites the directory
+    * a previously returned frame still reads lazily. `overwrite` mode
+    * means repeated runs for the SAME (jvm, dataset) reuse one
+    * directory instead of leaking a copy per invocation. */
+  private def scratchDir(tag: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
 
   /** Shared CTE for the corpus-gram oracles: tokenize → DISTINCT word
     * 3-grams per doc (including the shorter-than-n whole-text gram) —
@@ -1252,7 +1270,10 @@ object PipelineQueries {
             "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
           .select("doc_id", "lang", "split")
       },
-      Some(trainingManifestOracle)),
+      Some(trainingManifestOracle),
+      // benched: the composed path IS the product — regression-time the
+      // whole filter→dedup→split chain, not only its stages
+      bench = true),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",
@@ -1425,6 +1446,14 @@ object PipelineQueries {
       (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, nProbe = 2).orderBy("vec_id"),
       Some(semDedupOracleAt(nProbe = 2))),
+    // nProbe=4: the PRODUCTION point on the measured recall curve
+    // (0.27 / 0.63 / 0.96 boundary-pair recall at nProbe 1/2/4 — see
+    // README "Measured recall"); registered so the setting a real
+    // pipeline would ship is itself hash-verified, not just measured.
+    Q("sem_dedup_p4",
+      (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, nProbe = 4).orderBy("vec_id"),
+      Some(semDedupOracleAt(nProbe = 4))),
   )
 
   // ---------------------------------------------------------------------
@@ -1526,6 +1555,35 @@ object PipelineQueries {
              |AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT) - 300
              |AND CAST(floor(epoch(b.ts)) AS BIGINT) < CAST(floor(epoch(a.ts)) AS BIGINT)
              |GROUP BY a.event_id""".stripMargin.replace("\n", " "))),
+    // Batch twin of the stream-stream interval join
+    // (EventStreams.purchasesWithRecentClicks): each purchase paired
+    // with the same user's clicks in the strictly-preceding 10 minutes,
+    // at µs precision — the SAME window arithmetic the watermarked
+    // streaming join runs (EventStreamsSpec pins stream ≡ this shape;
+    // this row pins the shape itself against DuckDB). The click id
+    // rides through boundedRangeJoin's right payload, so no join-back.
+    Q("ev_stream_join",
+      (s, d) => {
+        val e = events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("purchase_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("click_ts"),
+            col("event_id").as("click_id"))
+        TemporalJoins.boundedRangeJoin(purchases, clicks, Seq("user_id"),
+            "purchase_ts", "click_ts", lo = -600L * 1000000L, hi = 0L,
+            payload = Seq("click_id"))
+          .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+            col("click_id"), col("__rts").as("click_ts"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+             |c.event_id AS click_id, epoch_us(c.ts) AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ON p.user_id = c.user_id
+             |AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+             |AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin.replace("\n", " "))),
     // Batch analog of the stream-static enrichment join — runs the
     // ACTUAL EventStreams.enrichEvents (broadcast left-outer on the
     // dimension key), pinning the enrichment arithmetic cross-engine;
@@ -1916,9 +1974,13 @@ object PipelineQueries {
              |WHERE z > 3.0""".stripMargin.replace("\n", " "))),
     // Top session paths (the product-analytics "user journey" rollup):
     // the ev_sessionize segmentation, each session's ordered type
-    // sequence folded to a path string (array_sort on (ts, id, type)
+    // sequence folded to a path string (array_sort on (ts_s, id, type)
     // structs — per-session lists are bounded by the 30-minute gap
     // semantics), then a partial-agg path rollup and bounded top-k.
+    // The path sort key is (ts_s, event_id) — the SAME key the
+    // sessionization lag uses and the same second-floor precision both
+    // engines agree on (DuckDB truncates the nanos ts to µs, so a full-
+    // precision ts key could order two same-µs events differently).
     Q("ev_session_paths",
       (s, d) => {
         val byUser = Window.partitionBy(col("user_id"))
@@ -1932,7 +1994,7 @@ object PipelineQueries {
             sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         e.groupBy("user_id", "session_idx")
           .agg(concat_ws(">", transform(
-            array_sort(collect_list(struct(col("ts"), col("event_id"),
+            array_sort(collect_list(struct(col("ts_s"), col("event_id"),
               col("event_type")))),
             x => x.getField("event_type"))).as("path"))
           .groupBy("path").agg(count(lit(1)).as("n_sessions"))
@@ -1945,7 +2007,7 @@ object PipelineQueries {
              |       THEN 1 ELSE 0 END AS new_session FROM events),
              |sps AS (SELECT user_id, ts, event_id, event_type,
              |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM spb),
-             |spp AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+             |spp AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS path
              |FROM sps GROUP BY user_id, session_idx)
              |SELECT path, COUNT(*) AS n_sessions FROM spp GROUP BY path
              |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin.replace("\n", " "))),
@@ -2095,8 +2157,7 @@ object PipelineQueries {
     // values (doubles survive via shortest-repr JSON and typed ORC).
     Q("io_jsonl_roundtrip",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_jsonl_${ProcessHandle.current().pid()}"
+        val tmp = scratchDir("jsonl", d)
         val e = events(s, d)
           .select("event_id", "user_id", "event_type", "ts_s", "value")
         e.write.mode("overwrite").json(tmp)
@@ -2111,8 +2172,7 @@ object PipelineQueries {
       Some(ioRoundtripOracle)),
     Q("io_orc_roundtrip",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_orc_${ProcessHandle.current().pid()}"
+        val tmp = scratchDir("orc", d)
         val e = events(s, d)
           .select("event_id", "user_id", "event_type", "ts_s", "value")
         e.write.mode("overwrite").orc(tmp)
@@ -2131,13 +2191,7 @@ object PipelineQueries {
     // and corrupts no values on the way through the directory encoding.
     Q("layout_partition_prune",
       (s, d) => {
-        // per-process fixed path + overwrite: repeated runs within a
-        // JVM (Verify, best-of-N bench, the Plans audit) reuse one
-        // directory instead of leaking a copy per invocation, while the
-        // pid suffix keeps concurrent JVMs (a Verify beside an AllTime
-        // sweep) from overwriting each other's lazily-read files
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_partition_prune_${ProcessHandle.current().pid()}"
+        val tmp = scratchDir("partition_prune", d)
         operators.Layout.partitionedRoundtrip(
             t(s, d, "documents").select("doc_id", "lang", "n_chars"),
             "lang", tmp)

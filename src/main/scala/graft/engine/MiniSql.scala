@@ -34,6 +34,10 @@ object MiniSql {
   final case class ColOperand(ref: ColRef) extends Operand
   final case class NumLit(v: Long) extends Operand
   final case class StrLit(v: String) extends Operand
+  /** An aggregate term inside a predicate — only legal in HAVING
+    * (the engine rejects it in WHERE, mirroring ANSI). `fn` is
+    * canonical (`average` already folded to `avg`). */
+  final case class AggOperand(fn: String, ref: ColRef) extends Operand
 
   sealed trait Pred
   final case class Cmp(lhs: Operand, op: String, rhs: Operand) extends Pred
@@ -48,7 +52,8 @@ object MiniSql {
   final case class OrderItem(ref: ColRef, asc: Boolean)
 
   final case class SelectStmt(projs: Seq[Proj], tables: Seq[String],
-      where: Option[Pred], orderBy: Seq[OrderItem] = Nil, limit: Option[Long] = None)
+      where: Option[Pred], orderBy: Seq[OrderItem] = Nil, limit: Option[Long] = None,
+      groupBy: Seq[ColRef] = Nil, having: Option[Pred] = None)
 
   /** Error class mirroring the reference's user-facing message taxonomy
     * (SURVEY.md §2.11). */
@@ -119,6 +124,17 @@ object MiniSql {
       expectIdent("from")
       val tables = tableList()
       val where = if (at("where")) { next(); Some(orExpr()) } else None
+      // GROUP BY / HAVING: extension surface — the reference has only
+      // whole-column aggregates (SURVEY §2.4); grouped aggregation was
+      // previously reachable only through the DataFrame registry
+      val group = if (at("group")) {
+        next(); expectIdent("by")
+        val cols = Vector.newBuilder[ColRef]
+        cols += colRef()
+        while (atSym(",")) { next(); cols += colRef() }
+        cols.result()
+      } else Vector.empty
+      val having = if (at("having")) { next(); Some(orExpr()) } else None
       // ORDER BY / LIMIT: extension surface — the reference grammar has
       // neither (SURVEY §2.6)
       val order = if (at("order")) {
@@ -143,7 +159,7 @@ object MiniSql {
         }
       } else None
       if (pos != toks.length) fail(s"unexpected trailing tokens")
-      SelectStmt(projs, tables, where, order, limit)
+      SelectStmt(projs, tables, where, order, limit, group, having)
     }
 
     private def projList(): Seq[Proj] = {
@@ -228,6 +244,9 @@ object MiniSql {
     private def operand(): Operand = next() match {
       case Num(v) => NumLit(v)
       case Str(v) => StrLit(v)
+      case Ident(fn) if aggFns(fn) && atSym("(") =>
+        eatSym("("); val c = colRef(); eatSym(")")
+        AggOperand(if (fn == "average") "avg" else fn, c)
       case Ident(name) => ColOperand(colRefTail(name))
       case t => fail(s"bad operand $t")
     }

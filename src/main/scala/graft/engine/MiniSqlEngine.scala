@@ -29,8 +29,28 @@ import MiniSql._
   * (§2.12, all deliberate): real comparison operators, unlimited
   * conditions, no 1000-row cap, AVG/MIN+WHERE fixed, COUNT supported,
   * aligned headers, mixed aggregate+plain rejected.
-  */
-final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
+  *
+  * Extension: GROUP BY / HAVING (the reference has only whole-column
+  * aggregates) — grouped projections keep `TABLE.COL` headers,
+  * aggregates `FN(TABLE.COL)`; non-grouped plain columns are rejected
+  * with the ANSI error, and aggregates in WHERE point the user to
+  * HAVING. Groups emit in grouping-key order (file order has no
+  * meaning post-aggregation).
+  *
+  * '''Parity-scale contract''': plain-projection queries end in a
+  * global `orderBy` on per-table row-ids to reproduce the reference's
+  * file-order output — a total sort, priced for the reference's
+  * fixture scale (10–320-row CSVs), NOT for big tables. Pointing the
+  * dialect at large data: pass `fileOrder = false` to skip the
+  * implicit sort (rows then arrive in partition order, like any
+  * ORDER BY-less SQL engine) or keep a `LIMIT` on the query — with
+  * `fileOrder` on, LIMIT plans as Spark's TakeOrderedAndProject
+  * (per-partition top-k, no global sort materialized).
+  *
+  * @param fileOrder emit rows in reference file order (default). An
+  *        explicit ORDER BY still sorts either way. */
+final class MiniSqlEngine(catalog: Map[String, DataFrame],
+    fileOrder: Boolean = true) {
 
   /** table → ordered data columns (metadata order, uppercase). */
   private val tableCols: Map[String, Seq[String]] =
@@ -86,6 +106,8 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
       case NumLit(v) => lit(v)
       case StrLit(v) => lit(v)
       case ColOperand(r) => val (t, c) = resolve(r); col(phys(t, c))
+      case AggOperand(fn, r) => throw MiniSqlError(
+        s"Aggregate ${fn.toUpperCase}(${r.display}) is not allowed in WHERE (use HAVING)")
     }
     def predCol(p: Pred): Column = p match {
       case AndPred(l, r) => predCol(l) && predCol(r)
@@ -128,10 +150,118 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
     val aggs = stmt.projs.collect { case a: AggCol => a }
     val dists = stmt.projs.collect { case d: DistinctCol => d }
 
-    if (stmt.orderBy.nonEmpty && (aggs.nonEmpty || dists.nonEmpty))
+    if (stmt.having.nonEmpty && stmt.groupBy.isEmpty)
+      throw MiniSqlError("HAVING requires GROUP BY")
+
+    if (stmt.orderBy.nonEmpty && stmt.groupBy.isEmpty && (aggs.nonEmpty || dists.nonEmpty))
       throw MiniSqlError("ORDER BY applies to plain projections only")
 
-    if (aggs.nonEmpty) {
+    // -- GROUP BY / HAVING (extension; see class doc) -------------------
+    // Maps straight to groupBy().agg(): every aggregate term appearing
+    // in the SELECT list or the HAVING predicate is computed ONCE under
+    // an internal alias, HAVING filters the aggregated frame, and the
+    // final select re-emits reference-style headers (TABLE.COL for
+    // grouped columns, FN(TABLE.COL) for aggregates). Output order is
+    // the grouping key ascending unless an explicit ORDER BY names
+    // grouped columns — file order has no meaning post-aggregation.
+    if (stmt.groupBy.nonEmpty) {
+      if (dists.nonEmpty)
+        throw MiniSqlError("DISTINCT(col) cannot be combined with GROUP BY")
+      val groupTcs = stmt.groupBy.map(resolve)
+      val groupSet = groupTcs.toSet
+      stmt.projs.foreach {
+        case Star => throw MiniSqlError("* projection cannot be combined with GROUP BY")
+        case PlainCol(ref) =>
+          val tc = resolve(ref)
+          if (!groupSet.contains(tc))
+            throw MiniSqlError(
+              s"Column ${display(tc)} must appear in GROUP BY or inside an aggregate")
+        case _ => ()
+      }
+      def aggExpr(fn: String, tc: (String, String)): Column = {
+        val c = col(phys(tc._1, tc._2))
+        fn match {
+          case "max" => max(c)
+          case "min" => min(c)
+          case "sum" => sum(c)
+          case "avg" => avg(c).cast(DoubleType)
+          case "count" => count(c)
+        }
+      }
+      def havingAggs(p: Pred): Seq[(String, (String, String))] = p match {
+        case AndPred(l, r) => havingAggs(l) ++ havingAggs(r)
+        case OrPred(l, r) => havingAggs(l) ++ havingAggs(r)
+        case Cmp(l, _, r) => Seq(l, r).collect {
+          case AggOperand(fn, ref) => (fn, resolve(ref)) }
+        case InPred(l, _, _) => Seq(l).collect {
+          case AggOperand(fn, ref) => (fn, resolve(ref)) }
+      }
+      val terms = (stmt.projs.collect { case AggCol(fn, ref) => (fn, resolve(ref)) }
+        ++ stmt.having.toSeq.flatMap(havingAggs)).distinct
+      val alias = terms.zipWithIndex
+        .map { case (t0, i) => t0 -> s"__agg$i" }.toMap
+      val aggCols = terms.map { case t0 @ (fn, tc) => aggExpr(fn, tc).as(alias(t0)) }
+      val groupCols = groupTcs.map(tc => col(phys(tc._1, tc._2)))
+      val grouped =
+        if (aggCols.nonEmpty) filtered.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        else filtered.groupBy(groupCols: _*).agg(count(lit(1)).as("__drop")).drop("__drop")
+      // HAVING over the aggregated frame: aggregate operands resolve to
+      // their internal alias, plain columns must be grouped
+      def havingOperand(o: Operand): Column = o match {
+        case NumLit(v) => lit(v)
+        case StrLit(v) => lit(v)
+        case AggOperand(fn, ref) => col(alias((fn, resolve(ref))))
+        case ColOperand(r) =>
+          val tc = resolve(r)
+          if (!groupSet.contains(tc))
+            throw MiniSqlError(
+              s"Column ${display(tc)} in HAVING must appear in GROUP BY or inside an aggregate")
+          col(phys(tc._1, tc._2))
+      }
+      def havingCol(p: Pred): Column = p match {
+        case AndPred(l, r) => havingCol(l) && havingCol(r)
+        case OrPred(l, r) => havingCol(l) || havingCol(r)
+        case InPred(l, vs, negated) =>
+          val in = havingOperand(l).isin(vs.map {
+            case NumLit(v) => v: Any
+            case StrLit(v) => v: Any
+            case _ => throw MiniSqlError("IN list must hold literals, not columns")
+          }: _*)
+          if (negated) !in else in
+        case Cmp(l, op, r) =>
+          val (lc, rc) = (havingOperand(l), havingOperand(r))
+          op match {
+            case "=" => lc === rc
+            case "!=" => lc =!= rc
+            case "<" => lc < rc
+            case ">" => lc > rc
+            case "<=" => lc <= rc
+            case ">=" => lc >= rc
+          }
+      }
+      val afterHaving = stmt.having.fold(grouped)(h => grouped.filter(havingCol(h)))
+      val sortCols =
+        if (stmt.orderBy.nonEmpty) stmt.orderBy.map { oi =>
+          val tc = resolve(oi.ref)
+          if (!groupSet.contains(tc))
+            throw MiniSqlError(
+              s"ORDER BY column ${display(tc)} must appear in GROUP BY")
+          val c = col(phys(tc._1, tc._2))
+          if (oi.asc) c.asc else c.desc
+        }
+        else groupCols.map(_.asc)
+      afterHaving
+        .orderBy(sortCols: _*)
+        .select(stmt.projs.map {
+          case PlainCol(ref) =>
+            val tc = resolve(ref)
+            col(phys(tc._1, tc._2)).as(display(tc))
+          case AggCol(fn, ref) =>
+            val tc = resolve(ref)
+            col(alias((fn, tc))).as(s"${fn.toUpperCase}(${display(tc)})")
+          case p => throw MiniSqlError(s"unsupported projection $p with GROUP BY")
+        }: _*)
+    } else if (aggs.nonEmpty) {
       if (aggs.size != stmt.projs.size)
         throw MiniSqlError(
           "Nonaggregated column alongside an aggregate needs GROUP BY (not in this dialect)")
@@ -169,14 +299,16 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame]) {
       }
       // explicit ORDER BY (extension) wins; file order breaks ties —
       // otherwise reference file-order / left-major product order
+      // (skipped entirely when the engine was built unordered: see the
+      // parity-scale contract in the class doc)
       val sortCols = stmt.orderBy.map { oi =>
         val tc = resolve(oi.ref)
         val c = col(phys(tc._1, tc._2))
         if (oi.asc) c.asc else c.desc
-      } ++ rowOrder.map(_.asc)
-      filtered
-        .orderBy(sortCols: _*)
-        .select(targets.map(tc => col(phys(tc._1, tc._2)).as(display(tc))): _*)
+      } ++ (if (fileOrder) rowOrder.map(_.asc) else Nil)
+      val projection = targets.map(tc => col(phys(tc._1, tc._2)).as(display(tc)))
+      if (sortCols.isEmpty) filtered.select(projection: _*)
+      else filtered.orderBy(sortCols: _*).select(projection: _*)
     }
   }
 }

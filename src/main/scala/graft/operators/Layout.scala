@@ -56,7 +56,14 @@ object Layout {
   def partitionedRoundtrip(df: DataFrame, partCol: String,
       path: String): DataFrame = {
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // Partition values come back through directory-name type INFERENCE
+    // (spark.sql.sources.partitionColumnTypeInference), which need not
+    // reproduce the written type — a LongType day returns IntegerType.
+    // Cast back to the declared type and restore the original column
+    // order so the roundtrip is schema-faithful for any partCol type.
     df.sparkSession.read.parquet(path)
+      .withColumn(partCol, col(partCol).cast(df.schema(partCol).dataType))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Re-layout `df` so files cluster in BOTH `colA` and `colB`:

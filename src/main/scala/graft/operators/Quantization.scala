@@ -38,7 +38,14 @@ import graft.functions.VectorOps.{asDouble, cosine}
 object Quantization {
 
   /** Per-dimension (min, max) over the corpus — one pass, map-side
-    * partials, a single 2·dim-column row to the driver. */
+    * partials, a single 2·dim-column row to the driver.
+    *
+    * Plan-width note: this builds 2·dim aggregate expressions (128 at
+    * the testdata's dim=64 — fine). At dims in the THOUSANDS the plan
+    * itself becomes the cost (codegen size, analyzer time); switch to a
+    * single array-valued aggregate there — `zip_with`-based
+    * element-wise min/max folded via `reduce` over the vector column,
+    * one expression regardless of dim — before raising `dim`. */
   def fitMinMax(corpus: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
     val v = asDouble(col(vecCol))
     val aggs = (1 to dim).flatMap(j => Seq(

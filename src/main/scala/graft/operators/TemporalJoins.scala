@@ -77,9 +77,15 @@ object TemporalJoins {
     *
     * Implementation: slot width = hi - lo; each left row lands in the
     * ≤2 slots its window overlaps, the right side in exactly one; then
-    * equi-join on (key..., slot) + the exact range predicate. */
+    * equi-join on (key..., slot) + the exact range predicate.
+    *
+    * `payload` columns ride through from the RIGHT side (they must not
+    * collide with left column names — rename on the way in, as
+    * [[asofJoin]] callers do); the matched right timestamp is always
+    * exposed as `__rts`. */
   def boundedRangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTs: String, rightTs: String, lo: Long, hi: Long): DataFrame = {
+      leftTs: String, rightTs: String, lo: Long, hi: Long,
+      payload: Seq[String] = Nil): DataFrame = {
     require(hi > lo, "hi must exceed lo")
     val width = hi - lo
     // exact long floor-division (floor(x/w) = (x - pmod(x,w)) / w) — a
@@ -89,8 +95,8 @@ object TemporalJoins {
       .withColumn("__slot", explode(array_distinct(array(
         slot(col(leftTs) + lo), slot(col(leftTs) + hi - 1)))))
     val rSlots = right.select(
-      keyCols.map(col) :+ col(rightTs).as("__rts") :+
-        slot(col(rightTs)).as("__slot"): _*)
+      keyCols.map(col) ++ Seq(col(rightTs).as("__rts"),
+        slot(col(rightTs)).as("__slot")) ++ payload.map(col): _*)
     lSlots.join(rSlots, keyCols :+ "__slot")
       .filter(col("__rts") >= col(leftTs) + lo && col("__rts") < col(leftTs) + hi)
       .drop("__slot")

@@ -141,7 +141,9 @@ object EventStreams {
     * clicks in the preceding 10 minutes. Both sides carry watermarks and
     * the join condition bounds event-time distance, so Spark can evict
     * buffered rows — state stays proportional to the window, not the
-    * stream. The batch analog is TemporalJoins.boundedRangeJoin. */
+    * stream. The batch twin is the registered `ev_stream_join` query
+    * (TemporalJoins.boundedRangeJoin, DuckDB-oracled); EventStreamsSpec
+    * asserts this stream equals that twin row-for-row. */
   def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

@@ -102,9 +102,9 @@ class EventStreamsSpec extends SparkSpec {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us").as("cts"), col("event_id").as("click_id"))
     val want = graft.operators.TemporalJoins.boundedRangeJoin(
-      purchases, clicks.select(col("user_id"), col("cts")), Seq("user_id"),
-      "ts_us", "cts", lo = -600L * 1000000, hi = 0)
-      .join(clicks.withColumnRenamed("cts", "__rts"), Seq("user_id", "__rts"))
+      purchases, clicks.select(col("user_id"), col("cts"), col("click_id")),
+      Seq("user_id"), "ts_us", "cts", lo = -600L * 1000000, hi = 0,
+      payload = Seq("click_id"))
       .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
     assert(got == want)
     assert(got.nonEmpty)

@@ -210,6 +210,71 @@ class MiniSqlSpec extends SparkSpec {
       () => fail("prompted despite valid path")) == fixtureDir)
   }
 
+  test("extension: GROUP BY maps to groupBy().agg() with FN(TABLE.COL) headers") {
+    val df = engine.execute("select B, sum(A), count(A) from table1 group by B")
+    assert(df.columns.toSeq ==
+      Seq("TABLE1.B", "SUM(TABLE1.A)", "COUNT(TABLE1.A)"))
+    val (cols, rws) = model("table1")
+    val (ai, bi) = (cols.indexOf("A"), cols.indexOf("B"))
+    val want = rws.groupBy(_(bi)).toVector
+      .map { case (b, rs) => Vector[Any](b, rs.map(_(ai)).sum, rs.size.toLong) }
+      .sortBy(_(0).asInstanceOf[Long]) // groups emit in key order
+    assert(rows(df) == want)
+  }
+
+  test("extension: HAVING filters groups; aggregates shared with the SELECT list compute once") {
+    val df = engine.execute(
+      "select B, count(A) from table1 group by B having count(A) > 1 order by B desc")
+    val (cols, rws) = model("table1")
+    val (ai, bi) = (cols.indexOf("A"), cols.indexOf("B"))
+    val want = rws.groupBy(_(bi)).toVector
+      .map { case (b, rs) => (b, rs.map(_(ai)).size.toLong) }
+      .filter(_._2 > 1)
+      .sortBy(-_._1).map { case (b, n) => Vector[Any](b, n) }
+    assert(rows(df) == want)
+    // HAVING may also name an aggregate absent from the SELECT list
+    val df2 = engine.execute(
+      "select B from table1 group by B having max(A) >= min(A)")
+    assert(df2.columns.toSeq == Seq("TABLE1.B"))
+    assert(rows(df2).flatten.toSet == rws.map(_(bi)).toSet)
+  }
+
+  test("extension: GROUP BY error classes (ANSI column rule, WHERE-aggregate, bare HAVING)") {
+    val e1 = intercept[MiniSqlError] {
+      engine.execute("select A, sum(B) from table1 group by B")
+    }
+    assert(e1.getMessage.contains("must appear in GROUP BY"))
+    val e2 = intercept[MiniSqlError] {
+      engine.execute("select B from table1 where sum(A) > 3 group by B")
+    }
+    assert(e2.getMessage.contains("HAVING"))
+    val e3 = intercept[MiniSqlError] {
+      engine.execute("select B from table1 having B > 1")
+    }
+    assert(e3.getMessage.contains("HAVING requires GROUP BY"))
+    val e4 = intercept[MiniSqlError] {
+      engine.execute("select * from table1 group by B")
+    }
+    assert(e4.getMessage.contains("cannot be combined with GROUP BY"))
+  }
+
+  test("extension: fileOrder=false skips the implicit row-id sort (parity-scale contract)") {
+    val unordered = new MiniSqlEngine(CsvCatalog.load(spark, fixtureDir),
+      fileOrder = false)
+    val df = unordered.execute("select A, B from table1")
+    // same multiset of rows…
+    val (cols, rws) = model("table1")
+    val (ai, bi) = (cols.indexOf("A"), cols.indexOf("B"))
+    assert(rows(df).map(r => (r(0), r(1))).sortBy(_.toString) ==
+      rws.map(r => (r(ai): Any, r(bi): Any)).sortBy(_.toString))
+    // …with NO global sort in the plan (the big-table guard)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Sort"),
+      s"unordered dialect query must not plan a sort:\n${df.queryExecution.optimizedPlan}")
+    // an explicit ORDER BY still sorts
+    val sorted = unordered.execute("select A from table1 order by A desc")
+    assert(rows(sorted).flatten == colVals("table1", "A").sortBy(-_))
+  }
+
   test("CLI: malformed cells are counted per table (ref per-cell warning, sqlengine.py:146-147)") {
     val dir = Files.createTempDirectory("badcsv")
     Files.writeString(dir.resolve("metadata.txt"),
