@@ -2395,6 +2395,33 @@ object PipelineQueries {
        |SELECT doc_id AS id, CAST(greatest(1, CAST(trunc(w * scale) AS INTEGER)) AS INTEGER) AS width,
        |CAST(greatest(1, CAST(trunc(h * scale) AS INTEGER)) AS INTEGER) AS height FROM sc""".stripMargin.replace("\n", " ")
 
+  /** Perceptual-hash pair oracle: re-derives the blockhash per doc —
+    * 64 block sums over the byte stream (`ascii` per char; the corpus
+    * is pure ASCII so char == byte), exact cross-multiplied mean
+    * threshold, HUGEINT bit assembly, signed view — then the O(n²)
+    * hamming check (affordable at sf0.01; the Spark side's pigeonhole
+    * buckets are the scale path, same output). */
+  /** CTE chain ending in `phsg`(doc_id, h) — the DuckDB re-derivation
+    * of [[operators.Multimodal.perceptualHash]]. */
+  private def phashCtes: String =
+    s"""phn AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+       |phs AS (SELECT doc_id, n, list_transform(generate_series(0, 63), c ->
+       |COALESCE(list_sum(list_transform(generate_series((c*n)//64 + 1, ((c+1)*n)//64), i -> ascii(text[i:i])::BIGINT)), 0)) AS bs FROM phn),
+       |pht AS (SELECT doc_id, n, bs, COALESCE(list_sum(bs), 0) AS total FROM phs),
+       |phh AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(generate_series(0, 63), c ->
+       |CASE WHEN bs[c+1] * n > total * (((c+1)*n)//64 - (c*n)//64) THEN (1::HUGEINT << c) ELSE 0::HUGEINT END)), 0) AS HUGEINT) AS su FROM pht),
+       |phsg AS (SELECT doc_id, (CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616 ELSE su END)::BIGINT AS h FROM phh)""".stripMargin.replace("\n", " ")
+
+  private def phashOracle: String =
+    s"WITH $phashCtes SELECT doc_id AS id, h AS phash FROM phsg ORDER BY id"
+
+  private def phashPairsOracle(maxHamming: Int): String =
+    s"""WITH $phashCtes
+       |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+       |FROM phsg x JOIN phsg y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.h, y.h)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin.replace("\n", " ")
+
   private def withPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", col("text").cast("binary"))
 
@@ -2429,6 +2456,31 @@ object PipelineQueries {
       Some("""SELECT doc_id, (octet_length(encode(text)) - 1) // 128 + 1 AS n_frames,
              |CAST(((octet_length(encode(text)) - 1) // 128) * 128 AS BIGINT) AS last_off
              |FROM documents""".stripMargin.replace("\n", " "))),
+    // Perceptual media hash: blockhash (aHash family) over the
+    // stub-decoded raster — every per-doc bit pattern hash-verified
+    // against DuckDB's independent re-derivation (500 rows covering
+    // pooling, exact mean threshold, bit assembly, signed view).
+    Q("mm_phash",
+      (s, d) => operators.Multimodal.perceptualHash(
+        withPayload(t(s, d, "documents")), "doc_id", "payload")
+        .orderBy("id"),
+      Some(phashOracle)),
+    // Perceptual media near-dup: the blockhash + the SAME pigeonhole
+    // hamming machinery the text simhash uses (Dedup.hammingNearPairs)
+    // — extends the dedup family to the media column. chunks=8 (8-bit
+    // cells) keeps the pigeonhole exact up to hamming 7. This corpus
+    // has no byte-level media near-dups under that radius (its text
+    // near-dups are word-edits, hamming 9+ here; the minimum cross-doc
+    // distance is 9), so BOTH engines independently derive the empty
+    // pair set — the agreement is the check. MultimodalSpec pins the
+    // positive path (identical + locally-edited payloads pair up);
+    // dedup_simhash pins the shared pair machinery with 20 rows.
+    Q("mm_phash_pairs",
+      (s, d) => operators.Dedup.hammingNearPairs(
+        operators.Multimodal.perceptualHash(
+          withPayload(t(s, d, "documents")), "doc_id", "payload"),
+        "id", "phash", maxHamming = 7, chunks = 8).orderBy("a", "b"),
+      Some(phashPairsOracle(maxHamming = 7))),
   )
 
   // ---------------------------------------------------------------------

@@ -270,30 +270,43 @@ object Dedup {
     * to cluster-size². Chunk-collision candidates scale D²/2^16 in the
     * number of distinct hashes D, not corpus size. */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4, persist: Boolean = true): DataFrame =
+    hammingNearPairs(simhashSignatures(df, idCol, textCol), idCol, "simhash",
+      maxHamming, chunks, persist)
+
+  /** Near-pairs by hamming distance over ANY precomputed 64-bit hash
+    * column — the pigeonhole bucketing engine behind
+    * [[simhashNearPairs]] (text simhash) and
+    * [[Multimodal.perceptualHash]] (media blockhash) pair search.
+    * `sigs` must hold one row per (idCol, hashCol); see
+    * [[simhashNearPairs]] for the scale shape (distinct-hash candidate
+    * generation, member expansion proportional to output). */
+  def hammingNearPairs(sigs0: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, chunks: Int = 4, persist: Boolean = true): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     val width = 64 / chunks
     val mask = (1L << width) - 1
     // consumed 3× (both member sides + distinct hashes): persist so the
-    // corpus scan + 64-column vote aggregation happens once (16 B/doc)
-    val sigs = Caching.maybePersist(simhashSignatures(df, idCol, textCol), persist)
+    // upstream signature computation happens once (16 B/doc)
+    val sigs = Caching.maybePersist(sigs0, persist)
 
     // pairs inside an identical-hash cluster: hamming 0, no bucketing
-    val m1 = sigs.select(col("simhash").as("h"), col(idCol).as("a"))
-    val m2 = sigs.select(col("simhash").as("h"), col(idCol).as("b"))
+    val m1 = sigs.select(col(hashCol).as("h"), col(idCol).as("a"))
+    val m2 = sigs.select(col(hashCol).as("h"), col(idCol).as("b"))
     val eqPairs = m1.join(m2, "h").filter(col("a") < col("b"))
       .select(col("a"), col("b"), lit(0).as("hamming"))
 
     // distinct-hash candidates via the pigeonhole chunk join
-    val reps = sigs.select("simhash").distinct()
+    val reps = sigs.select(hashCol).distinct()
     val chunkKeys = array((0 until chunks).map { c =>
       struct(lit(c).as("ci"),
-        shiftright(col("simhash"), c * width).bitwiseAND(mask).as("cv"))
+        shiftright(col(hashCol), c * width).bitwiseAND(mask).as("cv"))
     }: _*)
-    val buckets = reps.select(col("simhash"), explode(chunkKeys).as("ck"))
-      .select(col("simhash"), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
-    val ha = buckets.select(col("ci"), col("cv"), col("simhash").as("h_a"))
-    val hb = buckets.select(col("ci"), col("cv"), col("simhash").as("h_b"))
+    val buckets = reps.select(col(hashCol), explode(chunkKeys).as("ck"))
+      .select(col(hashCol), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val ha = buckets.select(col("ci"), col("cv"), col(hashCol).as("h_a"))
+    val hb = buckets.select(col("ci"), col("cv"), col(hashCol).as("h_b"))
     val hashPairs = ha.join(hb, Seq("ci", "cv")).filter(col("h_a") < col("h_b"))
       .select("h_a", "h_b").distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))

@@ -114,6 +114,61 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Perceptual-hash record shape. */
+  final case class PHashed(id: Long, phash: Long)
+
+  /** Blockhash-style perceptual hash (the aHash family) of a media
+    * payload: the byte stream plays the decoded grayscale raster (the
+    * STUB part — a real deployment decodes pixels first, the pooling
+    * and thresholding below are unchanged), average-pooled into
+    * `blocks` contiguous cells; bit `c` is set iff cell `c`'s mean
+    * exceeds the global mean. The comparison is exact integer
+    * cross-multiplication (`sum_c · n > total · size_c`), so the hash
+    * is bit-reproducible in any engine — no float thresholds.
+    *
+    * Unlike the payload's rolling hash (which avalanche-scatters on a
+    * one-byte edit), block means move smoothly with content, so
+    * near-identical payloads land within a few hamming bits — feed the
+    * result to [[Dedup.hammingNearPairs]] for the bucketed pair
+    * search. Map-only, one pass per payload; same batched
+    * `mapPartitions` shape as [[decodeFeatures]]. */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String,
+      blocks: Int = 64, batchSize: Int = 64): DataFrame = {
+    require(blocks >= 1 && blocks <= 64, s"blocks must be in [1, 64], got $blocks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real decoder would init its codec once per batch here
+          batch.iterator.map { case (id, payload) =>
+            val n = payload.length
+            def lo(c: Int): Int = (c.toLong * n / blocks).toInt
+            val sums = new Array[Long](blocks)
+            var total = 0L
+            var c = 0
+            while (c < blocks) {
+              var i = lo(c)
+              val end = lo(c + 1)
+              while (i < end) { sums(c) += payload(i) & 0xff; i += 1 }
+              total += sums(c); c += 1
+            }
+            var hash = 0L
+            c = 0
+            while (c < blocks) {
+              val size = lo(c + 1) - lo(c)
+              // exact mean comparison: sum_c/size_c > total/n without
+              // division; empty cells (n < blocks) stay 0
+              if (sums(c) * n > total * size) hash |= 1L << c
+              c += 1
+            }
+            PHashed(id, hash)
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling stub: every `stride`-th fake frame offset of a
     * video payload — demonstrates the explode-to-frames shape
     * (id, frame_idx, frame_off) a real pipeline uses. Pure column expr. */

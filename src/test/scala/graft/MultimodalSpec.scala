@@ -58,6 +58,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptualHash matches a reference blockhash; empty payload codes to 0") {
+    def refHash(bytes: Array[Byte], blocks: Int = 64): Long = {
+      val n = bytes.length
+      def lo(c: Int) = (c.toLong * n / blocks).toInt
+      val sums = (0 until blocks).map(c =>
+        bytes.slice(lo(c), lo(c + 1)).map(b => (b & 0xff).toLong).sum)
+      val total = sums.sum
+      (0 until blocks).foldLeft(0L) { (h, c) =>
+        if (sums(c) * n > total * (lo(c + 1) - lo(c))) h | (1L << c) else h
+      }
+    }
+    val rows = Seq((1L, "IMG" + "x" * 100), (2L, "a"), (3L, ""))
+      .toDF("id", "text").withColumn("payload", col("text").cast("binary"))
+    val got = Multimodal.perceptualHash(rows, "id", "payload")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == refHash(("IMG" + "x" * 100).getBytes))
+    // single byte: the one block mean equals the global mean (strict >
+    // fails) and 63 blocks are empty → all bits clear
+    assert(got(2L) == 0L)
+    assert(got(3L) == 0L)
+  }
+
+  test("perceptualHash + hammingNearPairs: identical and locally-edited payloads pair up") {
+    // a "corpus": base raster, an exact copy, a local edit (one block's
+    // bytes brightened), and an unrelated raster
+    val base = Array.tabulate(640)(i => ((i * 37) % 251).toByte)
+    val near = base.clone(); (320 until 330).foreach(i => near(i) = 250.toByte)
+    val far = Array.tabulate(640)(i => ((i * 101 + 13) % 251).toByte)
+    val rows = Seq((1L, base), (2L, base.clone()), (3L, near), (4L, far))
+      .toDF("id", "payload")
+    val hashed = graft.operators.Multimodal.perceptualHash(rows, "id", "payload")
+    val pairs = graft.operators.Dedup
+      .hammingNearPairs(hashed, "id", "phash", maxHamming = 7, chunks = 8)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"exact copy must pair at hamming 0: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0,
+      s"local edit must pair within the radius: $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      s"unrelated raster must stay out: $pairs")
+  }
+
   test("sampleFrames explodes stride-spaced offsets") {
     val got = Multimodal.sampleFrames(docs.filter($"id" === 1L), "id", "payload", stride = 32)
       .select("frame_idx", "frame_off").as[(Long, Long)].collect().sorted.toSeq
