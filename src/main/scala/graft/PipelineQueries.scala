@@ -1433,10 +1433,15 @@ object PipelineQueries {
       Some(cosinePairsOracle)),
     // SemDeDup: k-means cells → within-cell cosine pairs → connected
     // components, one keeper per semantic cluster (oracle re-derives
-    // the whole thing: Lloyd's in SQL + recursive-CTE closure)
+    // the whole thing: Lloyd's in SQL + recursive-CTE closure).
+    // SPARK_GRAFT_SEMDEDUP_NLIST is a SWEEP-ONLY override honoring the
+    // nlist ∝ N contract (constant cell size) at larger scales — the
+    // default (16, what the oracle pins) is never changed by Verify.
     Q("sem_dedup",
       (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
-        "embedding", threshold = 0.4).orderBy("vec_id"),
+        "embedding", threshold = 0.4,
+        nlist = sys.env.get("SPARK_GRAFT_SEMDEDUP_NLIST").map(_.toInt).getOrElse(16))
+        .orderBy("vec_id"),
       Some(semDedupOracle)),
     // nProbe=2: each vector also files under its second-nearest cell,
     // recovering near-dup pairs split by a cell boundary (the recall
