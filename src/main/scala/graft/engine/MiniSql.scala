@@ -48,8 +48,10 @@ object MiniSql {
   final case class AndPred(l: Pred, r: Pred) extends Pred
   final case class OrPred(l: Pred, r: Pred) extends Pred
 
-  /** ORDER BY item: column + direction. */
-  final case class OrderItem(ref: ColRef, asc: Boolean)
+  /** ORDER BY item: column + direction; `aggFn` (canonical name) is
+    * set for `ORDER BY fn(col)`, legal only with GROUP BY. */
+  final case class OrderItem(ref: ColRef, asc: Boolean,
+      aggFn: Option[String] = None)
 
   final case class SelectStmt(projs: Seq[Proj], tables: Seq[String],
       where: Option[Pred], orderBy: Seq[OrderItem] = Nil, limit: Option[Long] = None,
@@ -141,11 +143,20 @@ object MiniSql {
         next(); expectIdent("by")
         val items = Vector.newBuilder[OrderItem]
         def one(): Unit = {
-          val c = colRef()
+          val (c, fn) = peek match {
+            case Some(Ident(f)) if aggFns(f) =>
+              val mark = pos
+              next()
+              if (atSym("(")) {
+                eatSym("("); val r = colRef(); eatSym(")")
+                (r, Some(if (f == "average") "avg" else f))
+              } else { pos = mark; (colRef(), None) }
+            case _ => (colRef(), None)
+          }
           val asc =
             if (at("desc")) { next(); false }
             else { if (at("asc")) next(); true }
-          items += OrderItem(c, asc)
+          items += OrderItem(c, asc, fn)
         }
         one()
         while (atSym(",")) { next(); one() }

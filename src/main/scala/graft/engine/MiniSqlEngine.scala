@@ -152,6 +152,8 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame],
 
     if (stmt.having.nonEmpty && stmt.groupBy.isEmpty)
       throw MiniSqlError("HAVING requires GROUP BY")
+    if (stmt.groupBy.isEmpty && stmt.orderBy.exists(_.aggFn.nonEmpty))
+      throw MiniSqlError("ORDER BY on an aggregate requires GROUP BY")
 
     if (stmt.orderBy.nonEmpty && stmt.groupBy.isEmpty && (aggs.nonEmpty || dists.nonEmpty))
       throw MiniSqlError("ORDER BY applies to plain projections only")
@@ -197,7 +199,8 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame],
           case AggOperand(fn, ref) => (fn, resolve(ref)) }
       }
       val terms = (stmt.projs.collect { case AggCol(fn, ref) => (fn, resolve(ref)) }
-        ++ stmt.having.toSeq.flatMap(havingAggs)).distinct
+        ++ stmt.having.toSeq.flatMap(havingAggs)
+        ++ stmt.orderBy.flatMap(oi => oi.aggFn.map(fn => (fn, resolve(oi.ref))))).distinct
       val alias = terms.zipWithIndex
         .map { case (t0, i) => t0 -> s"__agg$i" }.toMap
       val aggCols = terms.map { case t0 @ (fn, tc) => aggExpr(fn, tc).as(alias(t0)) }
@@ -243,10 +246,14 @@ final class MiniSqlEngine(catalog: Map[String, DataFrame],
       val sortCols =
         if (stmt.orderBy.nonEmpty) stmt.orderBy.map { oi =>
           val tc = resolve(oi.ref)
-          if (!groupSet.contains(tc))
-            throw MiniSqlError(
-              s"ORDER BY column ${display(tc)} must appear in GROUP BY")
-          val c = col(phys(tc._1, tc._2))
+          val c = oi.aggFn match {
+            case Some(fn) => col(alias((fn, tc)))
+            case None =>
+              if (!groupSet.contains(tc))
+                throw MiniSqlError(
+                  s"ORDER BY column ${display(tc)} must appear in GROUP BY")
+              col(phys(tc._1, tc._2))
+          }
           if (oi.asc) c.asc else c.desc
         }
         else groupCols.map(_.asc)

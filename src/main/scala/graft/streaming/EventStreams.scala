@@ -160,6 +160,31 @@ object EventStreams {
       .select("purchase_id", "user_id", "purchase_time", "click_id", "click_time")
   }
 
+  /** Left-outer variant of [[purchasesWithRecentClicks]]: every
+    * purchase emits exactly once — matched purchases as inner pairs,
+    * unmatched ones with null click columns once the watermark proves
+    * no qualifying click can still arrive (click watermark past the
+    * purchase time). This deferred null emission is the one interval-
+    * join semantics Append mode cannot fake with an inner join + batch
+    * completion: the "no match" verdict itself needs the watermark.
+    * State stays bounded exactly as in the inner variant. */
+  def purchasesWithRecentClicksOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "20 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 10 MINUTES") &&
+        col("click_time") < col("purchase_time"),
+      "leftOuter")
+      .select("purchase_id", "user_id", "purchase_time", "click_id", "click_time")
+  }
+
   /** Per-window trending top-k: the k most frequent event types of
     * every tumbling window, emitted ONCE, when the watermark passes the
     * window's end — the finalize-on-watermark pattern streaming sort/

@@ -110,6 +110,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("left-outer stream-stream join: unmatched purchases emit nulls on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF().toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = EventStreams.purchasesWithRecentClicksOuter(events)
+      .select("purchase_id", "click_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_outer_out").start()
+    try {
+      // user 1: click 100 s before the purchase → matched pair;
+      // user 2: purchase with no click anywhere near it
+      mem.addData((1L, 1L, "click", 9900L), (2L, 1L, "purchase", 10000L),
+        (3L, 2L, "purchase", 20000L))
+      q.processAllAvailable()
+      val matchedOnly = spark.table("ssj_outer_out")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(matchedOnly == Set((2L, Some(1L))),
+        s"inner match emits immediately, the null verdict must wait: $matchedOnly")
+      // far-future traffic on BOTH sides pushes the global watermark
+      // past user 2's join window → the unmatched purchase must emit
+      mem.addData((90L, 98L, "purchase", 100000L), (91L, 99L, "click", 100000L))
+      q.processAllAvailable()
+      mem.addData((92L, 98L, "purchase", 100001L), (93L, 99L, "click", 100001L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_outer_out").as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((3L, None)),
+        s"watermark-proven matchless purchase must emit with null click: $got")
+      assert(!got.contains((2L, None)), s"matched purchase must not also emit a null row: $got")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restart resumes aggregation state exactly") {
     // split events into 4 files; feed 2, stop, add 2, restart from the
     // SAME checkpoint — the recovered state must make the final result

@@ -239,6 +239,27 @@ class MiniSqlSpec extends SparkSpec {
     assert(rows(df2).flatten.toSet == rws.map(_(bi)).toSet)
   }
 
+  test("extension: ORDER BY on an aggregate (top-groups-first), GROUP BY only") {
+    val df = engine.execute(
+      "select B, sum(A) from table1 group by B order by sum(A) desc")
+    val (cols, rws) = model("table1")
+    val (ai, bi) = (cols.indexOf("A"), cols.indexOf("B"))
+    val sums = rws.groupBy(_(bi)).map { case (b, rs) => (b, rs.map(_(ai)).sum) }
+    assert(rows(df).map(_(1).asInstanceOf[Long]) ==
+      sums.values.toVector.sortBy(-_))
+    // the ordering aggregate need not be projected
+    val df2 = engine.execute(
+      "select B from table1 group by B order by count(A) desc, B asc")
+    val want2 = sums.keys.toVector
+      .map(b => (b, rws.count(_(bi) == b).toLong)).sortBy { case (b, n) => (-n, b) }
+      .map(_._1)
+    assert(rows(df2).flatten == want2)
+    val e = intercept[MiniSqlError] {
+      engine.execute("select A from table1 order by sum(A)")
+    }
+    assert(e.getMessage.contains("requires GROUP BY"))
+  }
+
   test("extension: GROUP BY error classes (ANSI column rule, WHERE-aggregate, bare HAVING)") {
     val e1 = intercept[MiniSqlError] {
       engine.execute("select A, sum(B) from table1 group by B")
