@@ -707,6 +707,23 @@ object PipelineQueries {
   private def simhashOracle: String =
     s"WITH $simhashPairCtes SELECT a, b, hamming FROM shpairs"
 
+  /** Hashed-feature linear-scorer oracle: same tokens → staged xxh64 →
+    * bucket = hu % buckets (2^64 ≡ 0 mod 2^16, so the unsigned
+    * remainder equals Spark's signed floorMod) → the fixture weight →
+    * exact integer per-doc sums, ONE double division; token-less docs
+    * re-enter via the left join with score 0. */
+  private def qualityModelOracle: String = {
+    import Xxh64Sql._
+    s"""WITH qssrc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS tok FROM documents),
+       |${tokenHashStages("qs")},
+       |qsw AS (SELECT doc_id, ((hu % 65536) * 2654435761) % 1024 - 512 AS w FROM qsh),
+       |qsa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS ws FROM qsw GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.n, 0) AS n_tokens, COALESCE(a.ws, 0) AS w_sum,
+       |CASE WHEN COALESCE(a.n, 0) > 0 THEN CAST(a.ws AS DOUBLE) / a.n ELSE 0.0 END AS score,
+       |CASE WHEN COALESCE(a.n, 0) > 0 THEN CAST(a.ws AS DOUBLE) / a.n > 0.0 ELSE FALSE END AS keep
+       |FROM documents d LEFT JOIN qsa a USING (doc_id)""".stripMargin.replace("\n", " ")
+  }
+
   /** Cluster resolution re-derived independently: the same simhash
     * pairs, then min-reachable-id per vertex via a RECURSIVE CTE (the
     * transitive closure the Spark side computes by label propagation —
@@ -965,6 +982,16 @@ object PipelineQueries {
         .withColumn("quality", TextAnalysis.qualityScore)
         .select("doc_id", "quality"),
       Some(s"SELECT doc_id, $QualitySql AS quality FROM documents")),
+    // Model-based quality gate: a hashed-feature LINEAR classifier run
+    // inside the scan (fasttext shape — hash token, gather weight,
+    // mean). The weight table is a deterministic fixture so the oracle
+    // re-derives every gathered weight through the same staged-xxh64
+    // SQL the minhash/simhash chains pin; a trained model swaps the
+    // fixture for a broadcast array, nothing else moves.
+    Q("doc_quality_model",
+      (s, d) => TextAnalysis.linearQualityScore(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some(qualityModelOracle)),
     // Gopher rule battery with per-rule attribution; thresholds tuned
     // so the synthetic corpus (10-99 tokens/doc) exercises both
     // verdicts and several distinct failure combinations

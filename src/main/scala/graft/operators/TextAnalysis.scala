@@ -65,6 +65,32 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Fasttext-style linear quality scorer over hashed token features:
+    * each token hashes (xxh64) into one of `buckets` feature slots,
+    * the slot's weight is gathered, and the document's score is the
+    * mean weight; `keep = score > 0`. This is the map-only, codegen'd
+    * shape of shipping a TRAINED linear classifier into the scan
+    * stage — at scale the weight table arrives as a broadcast array
+    * (here it is a deterministic integer fixture,
+    * `w(b) = floorMod(b · 2654435761, 1024) − 512`, so the oracle can
+    * re-derive every weight exactly; swapping in learned weights
+    * changes one expression). No shuffle, no UDF — hash, gather and
+    * mean all run inside whole-stage codegen. */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    val toks = tokens(col(textCol))
+    val weights = transform(toks, t =>
+      pmod(pmod(xxhash64(t), lit(buckets.toLong)) * lit(2654435761L),
+        lit(1024L)) - lit(512L))
+    df.select(col(idCol),
+        size(toks).cast(LongType).as("n_tokens"),
+        aggregate(weights, lit(0L), (acc, x) => acc + x).as("w_sum"))
+      .withColumn("score",
+        when(col("n_tokens") > 0,
+          col("w_sum").cast(DoubleType) / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("keep", col("score") > 0.0)
+  }
+
   /** BPE-style pre-tokenization pattern: letter runs, single digits,
     * and single non-alphanumeric marks — the shape GPT-2-family
     * tokenizers split on before byte-pair merging. Written in the

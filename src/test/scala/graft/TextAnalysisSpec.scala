@@ -135,4 +135,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0.0, 1.0)))
     assert(got(4L) == ((3L, 1.0 - 1.0 / 3.0, 1.0)))
   }
+
+  test("linearQualityScore: mean of gathered fixture weights, keep ⇔ score > 0, empty doc → 0") {
+    import org.apache.spark.sql.functions.xxhash64
+    val docs = Seq((1L, "alpha beta beta"), (2L, ""), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.linearQualityScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // reference weight: the same fixture computed directly
+    def w(tok: String): Long = {
+      val h = docs.sparkSession.range(1)
+        .select(xxhash64(org.apache.spark.sql.functions.lit(tok)))
+        .head().getLong(0)
+      Math.floorMod(Math.floorMod(h, 1L << 16) * 2654435761L, 1024L) - 512L
+    }
+    val (wa, wb) = (w("alpha"), w("beta"))
+    assert(got(1L)._2 == 3L && got(1L)._3 == wa + 2 * wb)
+    assert(got(1L)._4 == (wa + 2 * wb).toDouble / 3)
+    assert(got(1L)._5 == (got(1L)._4 > 0))
+    assert(got(2L) == ((2L, 0L, 0L, 0.0, false)))
+    assert(got(3L)._3 == wa && got(3L)._5 == (wa > 0))
+    // map-only contract: the classifier must not introduce a shuffle
+    val plan = TextAnalysis.linearQualityScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scorer must stay map-only:\n$plan")
+  }
 }
