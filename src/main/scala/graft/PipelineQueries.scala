@@ -1616,6 +1616,37 @@ object PipelineQueries {
              |ON p.user_id = c.user_id
              |AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
              |AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin.replace("\n", " "))),
+    // Batch twin of the LEFT-OUTER stream-stream join
+    // (EventStreams.purchasesWithRecentClicksOuter): every purchase
+    // survives — matched ones as pairs, matchless ones with null click
+    // columns (what the stream emits once the watermark proves the
+    // verdict). Outer completion = purchases left-joined back onto the
+    // inner boundedRangeJoin result on the unique purchase id.
+    Q("ev_stream_join_outer",
+      (s, d) => {
+        val e = events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("purchase_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("click_ts"),
+            col("event_id").as("click_id"))
+        val pairs = TemporalJoins.boundedRangeJoin(purchases, clicks,
+            Seq("user_id"), "purchase_ts", "click_ts",
+            lo = -600L * 1000000L, hi = 0L, payload = Seq("click_id"))
+          .select(col("purchase_id"), col("click_id"),
+            col("__rts").as("click_ts"))
+        purchases.join(pairs, Seq("purchase_id"), "left")
+          .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+            col("click_id"), col("click_ts"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+             |c.event_id AS click_id, epoch_us(c.ts) AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ON p.user_id = c.user_id
+             |AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+             |AND epoch_us(c.ts) < epoch_us(p.ts)""".stripMargin.replace("\n", " "))),
     // Batch analog of the stream-static enrichment join — runs the
     // ACTUAL EventStreams.enrichEvents (broadcast left-outer on the
     // dimension key), pinning the enrichment arithmetic cross-engine;
