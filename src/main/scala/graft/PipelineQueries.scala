@@ -1773,6 +1773,32 @@ object PipelineQueries {
              |row_number() OVER (PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS "rank" FROM (
              |SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, event_type, COUNT(*) AS n
              |FROM events GROUP BY 1, 2)) WHERE "rank" <= 3""".stripMargin.replace("\n", " "))),
+    // Spark's NATIVE session_window operator, cross-checked against an
+    // independent gap-session derivation — note the boundary rule
+    // differs from the lag formulation in ev_sessionize: session_window
+    // starts a NEW session when the gap is >= the duration (the next
+    // event's window must OVERLAP the previous, t < prev + gap, to
+    // merge), while the lag rule merges at exactly gap. The oracle
+    // mirrors the native >= rule, so the hash pins Spark's documented
+    // semantics, not an approximation of them.
+    Q("ev_session_native",
+      (s, d) => events(s, d)
+        .withColumn("et", timestamp_seconds(col("ts_s")))
+        .groupBy(col("user_id"),
+          session_window(col("et"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").cast(LongType).as("session_start"),
+          // window end = last event + gap; recover the last-event time
+          (col("sw.end").cast(LongType) - 1800L).as("session_end"),
+          col("n_events")),
+      Some("""SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, COUNT(*) AS n_events FROM (
+             |  SELECT user_id, ts_s, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM (
+             |    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
+             |         OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) >= 1800
+             |         THEN 1 ELSE 0 END AS new_session FROM events))
+             |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " "))),
     // Cohort retention matrix: cohort = a user's first active day; one
     // cell per (cohort, day offset) with the share of the cohort still
     // active. Shape at 100 TB: distinct (user, day) and min-day both
@@ -2226,6 +2252,22 @@ object PipelineQueries {
         e.write.mode("overwrite").json(tmp)
         s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts_s BIGINT, value DOUBLE")
           .json(tmp)
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("value").cast(D4)).cast(DoubleType).as("sum_value"),
+            min(col("ts_s")).as("min_ts"), max(col("ts_s")).as("max_ts"))
+      },
+      Some(ioRoundtripOracle)),
+    Q("io_csv_roundtrip",
+      (s, d) => {
+        val tmp = scratchDir("csv", d)
+        val e = events(s, d)
+          .select("event_id", "user_id", "event_type", "ts_s", "value")
+        e.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true")
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts_s BIGINT, value DOUBLE")
+          .csv(tmp)
           .groupBy("event_type").agg(
             count(lit(1)).as("n"),
             sum(col("event_id")).as("sum_id"),
