@@ -86,7 +86,12 @@ object Bench {
         System.getProperty("java.io.tmpdir"), "graft_bench.json"))
     outs.foreach { p =>
       try java.nio.file.Files.writeString(p, json + "\n")
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          // keep going (stdout still carries the line) but SAY so — a
+          // silent miss here puts the driver back on stdout scraping
+          System.err.println(s"WARN: could not write bench output to $p: $e")
+      }
     }
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.operators.{Dedup, Quantization, Sampling, Similarity, TemporalJoins, TextAnalysis}
 import Queries.{Q, t}
@@ -854,9 +854,16 @@ object PipelineQueries {
     * a previously returned frame still reads lazily. `overwrite` mode
     * means repeated runs for the SAME (jvm, dataset) reuse one
     * directory instead of leaking a copy per invocation. */
-  private def scratchDir(tag: String, d: String): String =
+  private def scratchDir(tag: String, d: String): String = {
+    // key on a 128-bit digest of the dataset path, not String.hashCode:
+    // a 32-bit collision between two datasets in one JVM would silently
+    // re-introduce the lazily-read-file overwrite hazard
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(d.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+      s"${ProcessHandle.current().pid()}_$dig"
+  }
 
   /** Shared CTE for the corpus-gram oracles: tokenize → DISTINCT word
     * 3-grams per doc (including the shorter-than-n whole-text gram) —
@@ -1467,7 +1474,10 @@ object PipelineQueries {
     Q("sem_dedup",
       (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.4,
-        nlist = sys.env.get("SPARK_GRAFT_SEMDEDUP_NLIST").map(_.toInt).getOrElse(16))
+        nlist = sys.env.get("SPARK_GRAFT_SEMDEDUP_NLIST").map { v =>
+          v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SEMDEDUP_NLIST must be a positive integer, got '$v'"))
+        }.getOrElse(16))
         .orderBy("vec_id"),
       Some(semDedupOracle)),
     // nProbe=2: each vector also files under its second-nearest cell,
@@ -2464,107 +2474,155 @@ object PipelineQueries {
   )
 
   // ---------------------------------------------------------------------
-  // Multimodal plumbing (decode is a deterministic stub — see
-  // operators.Multimodal). The stub's 64-bit rolling hash is exact
-  // integer arithmetic, so DuckDB re-computes it with HUGEINT mod-2^64
-  // folds (the corpus is pure ASCII → ascii(char) == payload byte):
-  // even the STUB path is cross-engine verified, and a real codec swap
-  // only has to re-oracle the kernel, not the plumbing.
+  // Multimodal: documents carry a REAL binary raster payload — the text
+  // bytes laid out as a 24-wide binary PGM (P5) image ("P5\n24 {h}\n255\n"
+  // header + pixel plane, space-padded to fill the last row).
+  // operators.Multimodal parses the actual Netpbm header+pixel format
+  // (pure header grammar, no codec libs), so decode → features →
+  // resize → phash all run on decoded pixels, and DuckDB re-derives
+  // every byte from the same layout rule (the corpus is pure ASCII →
+  // ascii(char) == pixel byte; padding is the space byte 32).
   // ---------------------------------------------------------------------
 
-  /** DuckDB: the stub's FNV-ish rolling hash h = h*31 + byte (mod 2^64)
-    * over the payload bytes, as unsigned HUGEINT. */
-  private val StubHashSql =
-    """list_reduce(list_prepend(1125899906842597::HUGEINT,
-      |list_transform(generate_series(1, length(text)), i -> ascii(text[i:i])::HUGEINT)),
-      |(h, b) -> (h * 31 + b) % 18446744073709551616)""".stripMargin.replace("\n", " ")
+  private val PgmW = 24
 
-  /** Java-semantics arithmetic right shift + floorMod(·, 1000) on the
-    * SIGNED 64-bit view of the hash (DuckDB `//` truncates toward zero;
-    * Java `>>` floors — the CASE reconciles them for negatives). */
-  private def stubFeatureSql(shift: String): String =
-    s"""((((CASE WHEN hsg >= 0 THEN hsg // (1::HUGEINT << $shift)
-       |ELSE (hsg - ((1::HUGEINT << $shift) - 1)) // (1::HUGEINT << $shift) END) % 1000) + 1000) % 1000)""".stripMargin.replace("\n", " ")
+  /** documents + a real binary PGM (P5) payload derived from `text`:
+    * pixels are the text bytes row-major at width 24, space-padded. */
+  private def withPayload(df: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val hgt = floor((len + lit(PgmW - 1)) / lit(PgmW)).cast(IntegerType)
+    val pad = (hgt * lit(PgmW) - len).cast(IntegerType)
+    df.withColumn("payload", concat(
+      concat(lit("P5\n"), lit(PgmW).cast(StringType), lit(" "),
+        hgt.cast(StringType), lit("\n255\n")).cast(BinaryType),
+      col("text").cast(BinaryType),
+      lit(" " * (PgmW - 1)).substr(lit(1), pad).cast(BinaryType)))
+  }
 
+  /** Media replica rule: every doc_id ≡ 0 (mod 5) gets a near-duplicate
+    * raster — the same payload with its FIRST pixel replaced by '~'
+    * (one local edit moves one block sum slightly, so the blockhash
+    * lands within a couple of hamming bits of the original) — under
+    * doc_id + 1_000_000. The media analog of the corpus's Caesar-shift
+    * text replicas: it makes the near-dup pair set provably non-empty,
+    * so mm_phash_pairs verifies real pair FORMATION cross-engine, not
+    * agreement on an empty set. */
+  private def withMediaReplicas(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text")).unionByName(
+      df.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(lit("~"), expr("substring(text, 2)")).as("text")))
+
+  /** The same replica rule in DuckDB. */
+  private val MediaReplicaSql =
+    """mdocs AS (SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, '~' || text[2:] FROM documents WHERE doc_id % 5 = 0)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of the PGM layout rule over corpus `src`: text
+    * length, raster rows `hh`, padded pixel count `n`. */
+  private def pgmGeom(src: String): String =
+    s"""pgn AS (SELECT doc_id, text, length(text) AS len,
+       |(length(text) + 23) // 24 AS hh, 24 * ((length(text) + 23) // 24) AS n FROM $src)""".stripMargin.replace("\n", " ")
+
+  /** Pixel byte `i` (1-based) of the PGM pixel plane: a text byte
+    * inside the doc, the space pad after it. */
+  private val PixSql = "CASE WHEN i <= len THEN ascii(text[i:i])::BIGINT ELSE 32 END"
+
+  /** Pooled per-mille intensity features (8 cells), the DuckDB mirror
+    * of [[operators.Multimodal.decodeFeatures]]'s pixel pooling:
+    * `⌊sum_c·1000 / (size_c·255)⌋` — exact integer arithmetic in both
+    * engines. */
   private def mmFeaturesOracle: String =
-    s"""WITH h0 AS (SELECT doc_id, $StubHashSql AS hu FROM documents),
-       |hs AS (SELECT doc_id, hu, CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS hsg FROM h0)
-       |SELECT doc_id AS id, CAST(16 + hu % 1024 AS INTEGER) AS width, CAST(16 + (hu // 1024) % 1024 AS INTEGER) AS height,
-       |array_to_string(list_transform([0,1,2,3,4,5,6,7], i -> CAST(${stubFeatureSql("(i*7)")} AS VARCHAR)), ',') AS features_q
-       |FROM hs""".stripMargin.replace("\n", " ")
+    s"""WITH ${pgmGeom("documents")},
+       |fs AS (SELECT doc_id, n, list_transform(generate_series(0, 7), c ->
+       |COALESCE(list_sum(list_transform(generate_series((c*n)//8 + 1, ((c+1)*n)//8), i -> $PixSql)), 0)) AS cs,
+       |list_transform(generate_series(0, 7), c -> ((c+1)*n)//8 - (c*n)//8) AS sz FROM pgn)
+       |SELECT doc_id AS id, CAST(24 AS INTEGER) AS width, CAST(n // 24 AS INTEGER) AS height,
+       |array_to_string(list_transform(generate_series(0, 7), c ->
+       |CAST((cs[c+1] * 1000) // (sz[c+1] * 255) AS VARCHAR)), ',') AS features_q
+       |FROM fs""".stripMargin.replace("\n", " ")
 
+  /** Nearest-neighbor resample to fit (8, 8): same aspect-preserving
+    * scale, integer-truncated source index `(x·w/nw, y·h/nh)`, and the
+    * exact pixel checksum — proves the resample moved real pixels. */
   private def mmResizeOracle: String =
-    s"""WITH h0 AS (SELECT doc_id, $StubHashSql AS hu FROM documents),
-       |wh AS (SELECT doc_id, CAST(16 + hu % 1024 AS INTEGER) AS w, CAST(16 + (hu // 1024) % 1024 AS INTEGER) AS h FROM h0),
-       |sc AS (SELECT doc_id, w, h, least(1.0, least(64.0 / w, 64.0 / h)) AS scale FROM wh)
-       |SELECT doc_id AS id, CAST(greatest(1, CAST(trunc(w * scale) AS INTEGER)) AS INTEGER) AS width,
-       |CAST(greatest(1, CAST(trunc(h * scale) AS INTEGER)) AS INTEGER) AS height FROM sc""".stripMargin.replace("\n", " ")
+    s"""WITH ${pgmGeom("documents")},
+       |sc AS (SELECT doc_id, text, len, hh, least(1.0::DOUBLE, least(8.0::DOUBLE / 24.0, 8.0::DOUBLE / hh)) AS scale FROM pgn),
+       |dim AS (SELECT doc_id, text, len, hh, greatest(1, CAST(trunc(24 * scale) AS INTEGER)) AS nw,
+       |greatest(1, CAST(trunc(hh * scale) AS INTEGER)) AS nh FROM sc)
+       |SELECT doc_id AS id, CAST(nw AS INTEGER) AS width, CAST(nh AS INTEGER) AS height,
+       |CAST(list_sum(list_transform(
+       |list_transform(generate_series(0, nw * nh - 1), k -> (((k // nw) * hh) // nh) * 24 + ((k % nw) * 24) // nw + 1),
+       |si -> CASE WHEN si <= len THEN ascii(text[si:si])::BIGINT ELSE 32 END)) AS BIGINT) AS pix_sum
+       |FROM dim""".stripMargin.replace("\n", " ")
 
-  /** Perceptual-hash pair oracle: re-derives the blockhash per doc —
-    * 64 block sums over the byte stream (`ascii` per char; the corpus
-    * is pure ASCII so char == byte), exact cross-multiplied mean
-    * threshold, HUGEINT bit assembly, signed view — then the O(n²)
-    * hamming check (affordable at sf0.01; the Spark side's pigeonhole
-    * buckets are the scale path, same output). */
   /** CTE chain ending in `phsg`(doc_id, h) — the DuckDB re-derivation
-    * of [[operators.Multimodal.perceptualHash]]. */
-  private def phashCtes: String =
-    s"""phn AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    * of [[operators.Multimodal.perceptualHash]] over corpus `src`:
+    * 64 block sums over the PIXEL plane, exact cross-multiplied mean
+    * threshold, HUGEINT bit assembly, signed 64-bit view. */
+  private def phashCtes(src: String): String =
+    s"""${pgmGeom(src)},
        |phs AS (SELECT doc_id, n, list_transform(generate_series(0, 63), c ->
-       |COALESCE(list_sum(list_transform(generate_series((c*n)//64 + 1, ((c+1)*n)//64), i -> ascii(text[i:i])::BIGINT)), 0)) AS bs FROM phn),
+       |COALESCE(list_sum(list_transform(generate_series((c*n)//64 + 1, ((c+1)*n)//64), i -> $PixSql)), 0)) AS bs FROM pgn),
        |pht AS (SELECT doc_id, n, bs, COALESCE(list_sum(bs), 0) AS total FROM phs),
        |phh AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(generate_series(0, 63), c ->
        |CASE WHEN bs[c+1] * n > total * (((c+1)*n)//64 - (c*n)//64) THEN (1::HUGEINT << c) ELSE 0::HUGEINT END)), 0) AS HUGEINT) AS su FROM pht),
        |phsg AS (SELECT doc_id, (CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616 ELSE su END)::BIGINT AS h FROM phh)""".stripMargin.replace("\n", " ")
 
   private def phashOracle: String =
-    s"WITH $phashCtes SELECT doc_id AS id, h AS phash FROM phsg ORDER BY id"
+    s"WITH ${phashCtes("documents")} SELECT doc_id AS id, h AS phash FROM phsg ORDER BY id"
 
+  /** Pair oracle over originals + seeded replicas: the O(n²) hamming
+    * check (affordable at sf0.01; the Spark side's pigeonhole buckets
+    * are the scale path, same output). */
   private def phashPairsOracle(maxHamming: Int): String =
-    s"""WITH $phashCtes
+    s"""WITH $MediaReplicaSql, ${phashCtes("mdocs")}
        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
        |FROM phsg x JOIN phsg y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.h, y.h)) <= $maxHamming
        |ORDER BY a, b""".stripMargin.replace("\n", " ")
 
-  private def withPayload(df: DataFrame): DataFrame =
-    df.withColumn("payload", col("text").cast("binary"))
-
   private val multimodal = Vector(
+    // Real decode: n_bytes is the payload length (header + pixels),
+    // width/height come from PARSING the P5 header — the oracle
+    // re-derives both from the layout rule.
     Q("mm_decode_meta",
       (s, d) => operators.Multimodal
         .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
-        .select(col("id"), col("n_bytes")),
-      Some("SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents")),
-    // The raw `features array<float>` column is kept in the API
-    // (decodeFeatures); the REGISTERED projection quantizes it to a
-    // driver-sortable scalar (stub features are exact multiples of
-    // 1/1000, so ×1000 + round is lossless).
+        .select("id", "n_bytes", "width", "height"),
+      Some("""SELECT doc_id AS id,
+             |CAST(11 + length(CAST((length(text) + 23) // 24 AS VARCHAR)) + 24 * ((length(text) + 23) // 24) AS BIGINT) AS n_bytes,
+             |CAST(24 AS INTEGER) AS width, CAST((length(text) + 23) // 24 AS INTEGER) AS height
+             |FROM documents""".stripMargin.replace("\n", " "))),
+    // Pooled-intensity features over the DECODED pixel plane. The
+    // per-mille quantization is part of the feature definition (exact
+    // integers in [0,1000] stored as float), so the cast-to-long
+    // projection is lossless and the oracle re-derives every cell.
     Q("mm_features",
       (s, d) => operators.Multimodal
         .decodeFeatures(withPayload(t(s, d, "documents")), "doc_id", "payload")
         .select(col("id"), col("width"), col("height"),
           concat_ws(",", transform(col("features"),
-            f => round(f.cast(DoubleType) * 1000).cast(LongType).cast("string")))
-            .as("features_q")),
+            f => f.cast(LongType).cast(StringType))).as("features_q")),
       Some(mmFeaturesOracle)),
+    // Real nearest-neighbor resample into an 8×8 box: dims AND the
+    // exact checksum of the resampled pixels are oracle-verified.
     Q("mm_resize",
       (s, d) => operators.Multimodal
         .resizeTo(withPayload(t(s, d, "documents")), "doc_id", "payload",
-          maxW = 64, maxH = 64)
-        .select("id", "width", "height"),
+          maxW = 8, maxH = 8)
+        .select("id", "width", "height", "pix_sum"),
       Some(mmResizeOracle)),
     Q("mm_frame_sample",
       (s, d) => operators.Multimodal
         .sampleFrames(withPayload(t(s, d, "documents")), "doc_id", "payload", stride = 128)
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"), max("frame_off").as("last_off")),
-      Some("""SELECT doc_id, (octet_length(encode(text)) - 1) // 128 + 1 AS n_frames,
-             |CAST(((octet_length(encode(text)) - 1) // 128) * 128 AS BIGINT) AS last_off
-             |FROM documents""".stripMargin.replace("\n", " "))),
-    // Perceptual media hash: blockhash (aHash family) over the
-    // stub-decoded raster — every per-doc bit pattern hash-verified
-    // against DuckDB's independent re-derivation (500 rows covering
-    // pooling, exact mean threshold, bit assembly, signed view).
+      Some("""WITH p AS (SELECT doc_id, 11 + length(CAST((length(text) + 23) // 24 AS VARCHAR)) + 24 * ((length(text) + 23) // 24) AS m FROM documents)
+             |SELECT doc_id, (m - 1) // 128 + 1 AS n_frames, CAST(((m - 1) // 128) * 128 AS BIGINT) AS last_off FROM p""".stripMargin.replace("\n", " "))),
+    // Perceptual media hash: blockhash (aHash family) over the DECODED
+    // pixel plane — every per-doc bit pattern hash-verified against
+    // DuckDB's independent re-derivation (500 rows covering header
+    // parse, pooling, exact mean threshold, bit assembly, signed view).
     Q("mm_phash",
       (s, d) => operators.Multimodal.perceptualHash(
         withPayload(t(s, d, "documents")), "doc_id", "payload")
@@ -2573,17 +2631,14 @@ object PipelineQueries {
     // Perceptual media near-dup: the blockhash + the SAME pigeonhole
     // hamming machinery the text simhash uses (Dedup.hammingNearPairs)
     // — extends the dedup family to the media column. chunks=8 (8-bit
-    // cells) keeps the pigeonhole exact up to hamming 7. This corpus
-    // has no byte-level media near-dups under that radius (its text
-    // near-dups are word-edits, hamming 9+ here; the minimum cross-doc
-    // distance is 9), so BOTH engines independently derive the empty
-    // pair set — the agreement is the check. MultimodalSpec pins the
-    // positive path (identical + locally-edited payloads pair up);
-    // dedup_simhash pins the shared pair machinery with 20 rows.
+    // cells) keeps the pigeonhole exact up to hamming 7. The input is
+    // originals ∪ seeded one-pixel-edit replicas (withMediaReplicas),
+    // so the pair set is NON-EMPTY by construction — both engines must
+    // re-derive the same real pairs, not agree on an empty set.
     Q("mm_phash_pairs",
       (s, d) => operators.Dedup.hammingNearPairs(
         operators.Multimodal.perceptualHash(
-          withPayload(t(s, d, "documents")), "doc_id", "payload"),
+          withPayload(withMediaReplicas(t(s, d, "documents"))), "doc_id", "payload"),
         "id", "phash", maxHamming = 7, chunks = 8).orderBy("a", "b"),
       Some(phashPairsOracle(maxHamming = 7))),
   )

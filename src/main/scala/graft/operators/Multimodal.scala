@@ -9,18 +9,21 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction partition-wise in batches (the Scala
   * equivalent of PySpark's `mapInPandas` batch shape).
   *
-  * The actual byte→pixels/samples decode is a clearly-marked
-  * DETERMINISTIC STUB (no codec libraries in this container, and none
-  * may be added — zero egress); everything around it is real and
-  * load-bearing at scale:
+  * The decode step is REAL for the binary Netpbm rasters — P5 (PGM,
+  * 8-bit grayscale) and P6 (PPM, 8-bit RGB) are pure header+pixel
+  * formats that need no codec library, so [[decodeRaster]] parses
+  * them end to end (magic, `#` comments, dimensions, maxval, pixel
+  * plane). Payloads that are not a valid raster fall back to the
+  * bytes-as-pixels view (a 1×n grayscale strip), which keeps
+  * hashing/featurization total over arbitrary binary columns. The
+  * execution shape is the load-bearing part at scale:
   *  - schema: `media struct<payload: binary, meta: struct<...>>`;
   *  - execution: typed `Dataset.mapPartitions` over batches of
-  *    `batchSize` rows, so a real decoder could amortize codec init per
-  *    batch exactly like an Arrow batch UDF. The typed path stays in
-  *    Tungsten end to end (DeserializeToObject → MapPartitions →
-  *    SerializeFromObject in one plan) — no external-Row round trip
-  *    and no `createDataFrame` re-analysis, which matters when the
-  *    decode stage dominates a real multimodal run;
+  *    `batchSize` rows, so a heavier codec (JPEG, audio) could
+  *    amortize its init per batch exactly like an Arrow batch UDF.
+  *    The typed path stays in Tungsten end to end
+  *    (DeserializeToObject → MapPartitions → SerializeFromObject in
+  *    one plan) — no external-Row round trip;
   *  - output schema comes from the case-class encoder — downstream
   *    pruning/filters behave normally.
   */
@@ -35,11 +38,14 @@ object Multimodal {
     StructField("sample_rate_hz", IntegerType)))
 
   /** Wrap a binary column into the canonical media struct with
-    * container-level metadata sniffed from the payload head (real
-    * pattern; fake magic numbers). */
+    * container-level metadata sniffed from the payload head (magic
+    * bytes only — P5/P6 Netpbm rasters and the synthetic IMG/AUD
+    * containers; full header parsing happens in the decode stage). */
   def asMedia(df: DataFrame, binCol: String, out: String = "media"): DataFrame = {
     val b = col(binCol)
-    val fmt = when(substring(b, 1, 3) === lit("IMG".getBytes), "img")
+    val fmt = when(substring(b, 1, 2) === lit("P5".getBytes) ||
+        substring(b, 1, 2) === lit("P6".getBytes), "img")
+      .when(substring(b, 1, 3) === lit("IMG".getBytes), "img")
       .when(substring(b, 1, 3) === lit("AUD".getBytes), "aud")
       .otherwise("bin")
     df.withColumn(out, struct(
@@ -48,53 +54,160 @@ object Multimodal {
         lit(0).as("n_frames"), lit(0).as("sample_rate_hz")).as("meta")))
   }
 
-  /** ===== STUB ===== deterministic fake decode: derives pseudo
-    * dimensions and an 8-dim feature vector from the bytes. A real
-    * deployment replaces ONLY this function with a codec call; the
-    * batching/schema contract around it is unchanged. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    var h = 1125899906842597L // deterministic FNV-ish rolling hash
-    payload.foreach(b => h = h * 31 + (b & 0xff))
-    val width = 16 + math.floorMod(h, 1024).toInt
-    val height = 16 + math.floorMod(h >> 10, 1024).toInt
-    val feat = Array.tabulate(8)(i =>
-      math.floorMod(h >> (i * 7), 1000).toFloat / 1000f)
-    (width, height, feat)
+  /** A decoded 8-bit grayscale raster, row-major. */
+  final case class Raster(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Dependency-free decoder for binary Netpbm rasters: P5 (PGM
+    * grayscale) and P6 (PPM RGB, reduced to luma `(r+g+b)/3`,
+    * truncating). Handles the full header grammar — `#` comments,
+    * arbitrary whitespace runs, maxval up to 255 (single-byte
+    * samples) — and requires the pixel plane to be complete. Returns
+    * None for anything that is not a well-formed single-byte P5/P6
+    * payload; callers choose the fallback policy ([[decodeOrRaw]]). */
+  def decodeRaster(payload: Array[Byte]): Option[Raster] = {
+    if (payload.length < 2 || payload(0) != 'P') return None
+    val p6 = payload(1) == '6'
+    if (payload(1) != '5' && !p6) return None
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    // whitespace runs and '#'-to-end-of-line comments; false on EOF
+    def skipWs(): Boolean = {
+      var progressed = false
+      var done = false
+      while (!done && i < payload.length) {
+        if (isWs(payload(i))) { i += 1; progressed = true }
+        else if (payload(i) == '#') {
+          while (i < payload.length && payload(i) != '\n') i += 1
+          progressed = true
+        } else done = true
+      }
+      progressed && i < payload.length
+    }
+    // unsigned decimal int; -1 when absent or overflowing
+    def int(): Int = {
+      var v = 0L
+      var any = false
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+        v = v * 10 + (payload(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    if (!skipWs()) return None
+    val w = int(); if (w < 0) return None
+    if (!skipWs()) return None
+    val h = int(); if (h < 0) return None
+    if (!skipWs()) return None
+    val maxval = int(); if (maxval < 1 || maxval > 255) return None
+    // exactly ONE whitespace byte separates the header from pixel data
+    if (i >= payload.length || !isWs(payload(i))) return None
+    i += 1
+    val np = w.toLong * h
+    if (np > Int.MaxValue - 8) return None
+    val need = if (p6) np * 3 else np
+    if (payload.length - i < need) return None
+    if (!p6) {
+      Some(Raster(w, h, java.util.Arrays.copyOfRange(payload, i, i + np.toInt)))
+    } else {
+      val px = new Array[Byte](np.toInt)
+      var k = 0
+      while (k < np) {
+        val o = i + k * 3
+        px(k) = (((payload(o) & 0xff) + (payload(o + 1) & 0xff) +
+          (payload(o + 2) & 0xff)) / 3).toByte
+        k += 1
+      }
+      Some(Raster(w, h, px))
+    }
+  }
+
+  /** Decode policy for opaque media columns: a valid P5/P6 payload
+    * decodes to its raster; anything else is viewed as a 1×n
+    * grayscale strip of its raw bytes, so every downstream kernel
+    * (pooling, hashing, resampling) stays total over arbitrary
+    * binary data. */
+  def decodeOrRaw(payload: Array[Byte]): Raster =
+    decodeRaster(payload).getOrElse(Raster(payload.length, 1, payload))
+
+  /** Exact `a·b > c·d` for nonnegative longs via 128-bit products
+    * (`Math.multiplyHigh`): the pooled-mean threshold stays
+    * bit-reproducible for rasters of any size — a plain Long product
+    * overflows past ~1.2 GB payloads and would silently flip hash
+    * bits (the oracle's HUGEINT arithmetic never overflows, so the
+    * engines would diverge exactly there). */
+  private[graft] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
+  /** Average-pool `px` into `k` contiguous cells (cell c covers
+    * pixel indexes [c·n/k, (c+1)·n/k)): per-cell sums, per-cell
+    * sizes, and the grand total — the shared kernel under both the
+    * pooled-intensity features and the blockhash. */
+  private def cellSums(px: Array[Byte], k: Int): (Array[Long], Array[Int], Long) = {
+    val n = px.length
+    def lo(c: Int): Int = (c.toLong * n / k).toInt
+    val sums = new Array[Long](k)
+    val sizes = new Array[Int](k)
+    var total = 0L
+    var c = 0
+    while (c < k) {
+      var i = lo(c)
+      val end = lo(c + 1)
+      sizes(c) = end - i
+      while (i < end) { sums(c) += px(i) & 0xff; i += 1 }
+      total += sums(c); c += 1
+    }
+    (sums, sizes, total)
   }
 
   /** Decoded record shape (the encoder IS the output schema). */
   final case class Decoded(id: Long, n_bytes: Long, width: Int, height: Int,
       features: Array[Float])
 
-  /** Batched partition-wise decode of `binCol`, keyed by `idCol`.
-    * Output: (id, n_bytes, width, height, features[8]). */
+  /** Batched partition-wise decode of `binCol`, keyed by `idCol`:
+    * parses the raster header (real P5/P6 parse; raw-bytes strip
+    * otherwise) and pools the pixel plane into `cells` contiguous
+    * per-mille intensity features — `feat(c) = ⌊sum_c·1000 /
+    * (size_c·255)⌋`, exact integers in [0,1000] stored as float, so
+    * the vector is bit-reproducible in any engine (no float
+    * accumulation order to disagree on).
+    * Output: (id, n_bytes, width, height, features[cells]). */
   def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
-      batchSize: Int = 64): DataFrame = {
+      cells: Int = 8, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // a real decoder would init its codec once per batch here
+          // a heavier codec would init once per batch here
           batch.iterator.map { case (id, payload) =>
-            val (w, h, feat) = stubDecode(payload)
-            Decoded(id, payload.length.toLong, w, h, feat)
+            val r = decodeOrRaw(payload)
+            val (sums, sizes, _) = cellSums(r.pixels, cells)
+            val feat = Array.tabulate(cells)(c =>
+              if (sizes(c) == 0) 0f
+              else (sums(c) * 1000L / (sizes(c) * 255L)).toFloat)
+            Decoded(id, payload.length.toLong, r.width, r.height, feat)
           }
         }
       }.toDF()
   }
 
-  /** Resized record shape. */
+  /** Resized record shape: the resampled raster plus its exact pixel
+    * checksum (the cheap cross-engine proof that the resample really
+    * moved pixels, not just the header dims). */
   final case class Resized(id: Long, width: Int, height: Int,
-      features: Array[Float])
+      pixels: Array[Byte], pix_sum: Long)
 
-  /** ===== STUB decode inside ===== batched resize-to-target: decodes
-    * (stub), scales the pseudo dimensions to fit `(maxW, maxH)`
-    * preserving aspect ratio, and rescales the feature vector — the
-    * standard normalize-before-training step. The batching/schema
-    * contract is the real, load-bearing part; a production build swaps
-    * only the decode+resample kernel. */
+  /** Batched resize-to-target: decodes (real P5/P6 parse), scales the
+    * dimensions to fit `(maxW, maxH)` preserving aspect ratio, and
+    * nearest-neighbor resamples the pixel plane — source pixel
+    * `(x·w/nw, y·h/nh)`, integer truncation, so every output byte is
+    * deterministic and the oracle can re-derive the checksum. */
   def resizeTo(df: DataFrame, idCol: String, binCol: String,
       maxW: Int = 256, maxH: Int = 256, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -103,12 +216,31 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // real impl: init codec + resampler once per batch here
           batch.iterator.map { case (id, payload) =>
-            val (w, h, feat) = stubDecode(payload)
-            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-            Resized(id, nw, nh, feat.map(f => (f * scale).toFloat))
+            val r = decodeOrRaw(payload)
+            if (r.pixels.isEmpty) Resized(id, 0, 0, Array.emptyByteArray, 0L)
+            else {
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+              val nw = math.max(1, (r.width * scale).toInt)
+              val nh = math.max(1, (r.height * scale).toInt)
+              val out = new Array[Byte](nw * nh)
+              var sum = 0L
+              var y = 0
+              while (y < nh) {
+                val sy = (y.toLong * r.height / nh).toInt
+                var x = 0
+                while (x < nw) {
+                  val sx = (x.toLong * r.width / nw).toInt
+                  val p = r.pixels(sy * r.width + sx)
+                  out(y * nw + x) = p
+                  sum += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Resized(id, nw, nh, out, sum)
+            }
           }
         }
       }.toDF()
@@ -117,21 +249,20 @@ object Multimodal {
   /** Perceptual-hash record shape. */
   final case class PHashed(id: Long, phash: Long)
 
-  /** Blockhash-style perceptual hash (the aHash family) of a media
-    * payload: the byte stream plays the decoded grayscale raster (the
-    * STUB part — a real deployment decodes pixels first, the pooling
-    * and thresholding below are unchanged), average-pooled into
-    * `blocks` contiguous cells; bit `c` is set iff cell `c`'s mean
-    * exceeds the global mean. The comparison is exact integer
-    * cross-multiplication (`sum_c · n > total · size_c`), so the hash
-    * is bit-reproducible in any engine — no float thresholds.
+  /** Blockhash-style perceptual hash (the aHash family): decode the
+    * payload (real P5/P6 parse; raw-bytes strip otherwise),
+    * average-pool the grayscale plane into `blocks` contiguous
+    * cells; bit `c` is set iff cell `c`'s mean exceeds the global
+    * mean. The comparison is exact integer cross-multiplication
+    * (`sum_c · n > total · size_c`, 128-bit via [[prodGt]]), so the
+    * hash is bit-reproducible in any engine at any payload size —
+    * no float thresholds, no overflow.
     *
-    * Unlike the payload's rolling hash (which avalanche-scatters on a
-    * one-byte edit), block means move smoothly with content, so
-    * near-identical payloads land within a few hamming bits — feed the
-    * result to [[Dedup.hammingNearPairs]] for the bucketed pair
-    * search. Map-only, one pass per payload; same batched
-    * `mapPartitions` shape as [[decodeFeatures]]. */
+    * Block means move smoothly with content, so near-identical
+    * rasters land within a few hamming bits — feed the result to
+    * [[Dedup.hammingNearPairs]] for the bucketed pair search.
+    * Map-only, one pass per payload; same batched `mapPartitions`
+    * shape as [[decodeFeatures]]. */
   def perceptualHash(df: DataFrame, idCol: String, binCol: String,
       blocks: Int = 64, batchSize: Int = 64): DataFrame = {
     require(blocks >= 1 && blocks <= 64, s"blocks must be in [1, 64], got $blocks")
@@ -141,26 +272,16 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // a real decoder would init its codec once per batch here
           batch.iterator.map { case (id, payload) =>
-            val n = payload.length
-            def lo(c: Int): Int = (c.toLong * n / blocks).toInt
-            val sums = new Array[Long](blocks)
-            var total = 0L
+            val px = decodeOrRaw(payload).pixels
+            val n = px.length
+            val (sums, sizes, total) = cellSums(px, blocks)
+            var hash = 0L
             var c = 0
             while (c < blocks) {
-              var i = lo(c)
-              val end = lo(c + 1)
-              while (i < end) { sums(c) += payload(i) & 0xff; i += 1 }
-              total += sums(c); c += 1
-            }
-            var hash = 0L
-            c = 0
-            while (c < blocks) {
-              val size = lo(c + 1) - lo(c)
               // exact mean comparison: sum_c/size_c > total/n without
               // division; empty cells (n < blocks) stay 0
-              if (sums(c) * n > total * size) hash |= 1L << c
+              if (prodGt(sums(c), n, total, sizes(c))) hash |= 1L << c
               c += 1
             }
             PHashed(id, hash)

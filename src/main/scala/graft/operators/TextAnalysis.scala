@@ -83,8 +83,11 @@ object TextAnalysis {
       pmod(pmod(xxhash64(t), lit(buckets.toLong)) * lit(2654435761L),
         lit(1024L)) - lit(512L))
     df.select(col(idCol),
-        size(toks).cast(LongType).as("n_tokens"),
-        aggregate(weights, lit(0L), (acc, x) => acc + x).as("w_sum"))
+        // coalesce: size()/aggregate() return null for a NULL text —
+        // fold that to the empty-text shape (0 tokens, score 0) so the
+        // scorer is total and matches the oracle's LEFT JOIN + COALESCE
+        coalesce(size(toks).cast(LongType), lit(0L)).as("n_tokens"),
+        coalesce(aggregate(weights, lit(0L), (acc, x) => acc + x), lit(0L)).as("w_sum"))
       .withColumn("score",
         when(col("n_tokens") > 0,
           col("w_sum").cast(DoubleType) / col("n_tokens")).otherwise(lit(0.0)))

@@ -4,10 +4,59 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** The decode math is a stub; these tests pin the REAL parts — schema,
-  * determinism, batching, and the frame-explode shape. */
+/** Pins the real Netpbm decoder (P5/P6 header grammar, pixel planes,
+  * fallback policy), the overflow-safe mean comparison, and the
+  * execution shape — schema, determinism, batching, frame-explode. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  test("decodeRaster parses binary PGM (P5): comments, whitespace runs, pixel plane") {
+    val px = Array.tabulate(12)(i => (i * 20).toByte)
+    val pgm = "P5\n# a comment\n4 3\n255\n".getBytes ++ px
+    val r = Multimodal.decodeRaster(pgm).get
+    assert(r.width == 4 && r.height == 3)
+    assert(r.pixels.sameElements(px))
+    // arbitrary whitespace between header tokens is legal
+    val pgm2 = "P5  4\t3\r\n255 ".getBytes ++ px
+    val r2 = Multimodal.decodeRaster(pgm2).get
+    assert(r2.width == 4 && r2.height == 3 && r2.pixels.sameElements(px))
+  }
+
+  test("decodeRaster reduces P6 (PPM RGB) to truncated-mean luma") {
+    val rgb = Array[Byte](10, 20, 40, 0, 0, 0) // (10,20,40) and (0,0,0)
+    val r = Multimodal.decodeRaster("P6\n2 1\n255\n".getBytes ++ rgb).get
+    assert(r.width == 2 && r.height == 1)
+    assert(r.pixels.toSeq == Seq[Byte](23, 0)) // (10+20+40)/3 = 23
+  }
+
+  test("decodeRaster rejects malformed payloads; decodeOrRaw falls back to a 1xN strip") {
+    assert(Multimodal.decodeRaster("P5\n4 3\n255\n".getBytes).isEmpty) // truncated pixels
+    assert(Multimodal.decodeRaster(("P5\n2 2\n65535\n" + "x" * 8).getBytes).isEmpty) // 2-byte samples
+    assert(Multimodal.decodeRaster("IMGxxxx".getBytes).isEmpty)
+    assert(Multimodal.decodeRaster(Array.emptyByteArray).isEmpty)
+    val raw = Multimodal.decodeOrRaw("IMGxxxx".getBytes)
+    assert(raw.width == 7 && raw.height == 1 && raw.pixels.length == 7)
+  }
+
+  test("prodGt: exact product comparison where a plain Long product overflows") {
+    val n = 3_000_000_000L // a 3 GB raster
+    val big = 255L * n     // its max cell sum — big * n overflows Long
+    assert(Multimodal.prodGt(big, n, big - 1, n))
+    assert(!Multimodal.prodGt(big, n, big, n))
+    assert(Multimodal.prodGt(big, n, 1, 1))
+    assert(!Multimodal.prodGt(1, 1, big, n))
+    assert(!Multimodal.prodGt(0, 0, 0, 0))
+  }
+
+  test("perceptualHash pools DECODED pixels: header spelling does not change the hash") {
+    val px = Array.tabulate(128)(i => ((i * 37) % 251).toByte)
+    val a = "P5\n8 16\n255\n".getBytes ++ px
+    val b = "P5 # same raster, noisier header\n 8\t16  255\n".getBytes ++ px
+    val got = Seq((1L, a), (2L, b)).toDF("id", "payload")
+    val hashes = Multimodal.perceptualHash(got, "id", "payload")
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+  }
 
   private lazy val docs = Seq(
     (1L, "IMG" + "x" * 100), (2L, "AUD" + "y" * 50), (3L, "plain bytes")
