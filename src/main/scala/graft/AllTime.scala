@@ -26,7 +26,11 @@ object AllTime {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        val tag = if (repeat > 1) s" (best of $repeat)" else ""
+        // the full iteration array rides along so a spread (GC, cache
+        // churn) is visible without re-running
+        val tag = if (repeat > 1)
+          s" (best of $repeat) " + times.map(t => f"$t%.2f").mkString("[", ",", "]")
+        else ""
         println(f"ALLTIME ${q.name}%-24s ${times.min}%8.2f s$tag")
       } catch { case e: Throwable =>
         println(f"ALLTIME ${q.name}%-24s FAILED ${e.getMessage}")

@@ -59,6 +59,14 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters > 0, s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters")
     val results = headline.map { q =>
+      // one untimed exec immediately before timing: the global pass
+      // above primes classes and the page cache, but by the time the
+      // Nth query's turn comes its JIT-hot paths are minutes old —
+      // composed eager queries (the training-manifest CC loop) would
+      // otherwise spend timed iterations still converging to steady
+      // state (measured 17.8 → 7.0 → 4.5 → 3.8 → 3.8 s on repeat-5)
+      try exec(q)
+      catch { case _: Throwable => () }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try exec(q)

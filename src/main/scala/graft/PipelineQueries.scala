@@ -999,6 +999,15 @@ object PipelineQueries {
       (s, d) => TextAnalysis.linearQualityScore(
         t(s, d, "documents"), "doc_id", "text"),
       Some(qualityModelOracle)),
+    // The SAME classifier fed its weights as an EXTERNAL table (one-row
+    // broadcast frame + per-token gather) — the path a trained model
+    // ships through. The table here encodes the fixture, so the oracle
+    // is identical: the green row proves table path ≡ fixture path.
+    Q("doc_quality_model_ext",
+      (s, d) => TextAnalysis.linearQualityScoreWith(
+        t(s, d, "documents"), "doc_id", "text",
+        TextAnalysis.fixtureWeights()),
+      Some(qualityModelOracle)),
     // Gopher rule battery with per-rule attribution; thresholds tuned
     // so the synthetic corpus (10-99 tokens/doc) exercises both
     // verdicts and several distinct failure combinations
@@ -1784,13 +1793,14 @@ object PipelineQueries {
              |SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start, event_type, COUNT(*) AS n
              |FROM events GROUP BY 1, 2)) WHERE "rank" <= 3""".stripMargin.replace("\n", " "))),
     // Spark's NATIVE session_window operator, cross-checked against an
-    // independent gap-session derivation — note the boundary rule
-    // differs from the lag formulation in ev_sessionize: session_window
-    // starts a NEW session when the gap is >= the duration (the next
-    // event's window must OVERLAP the previous, t < prev + gap, to
-    // merge), while the lag rule merges at exactly gap. The oracle
-    // mirrors the native >= rule, so the hash pins Spark's documented
-    // semantics, not an approximation of them.
+    // independent gap-session derivation. Boundary rule (empirically
+    // pinned, batch AND streaming agree): an event at EXACTLY
+    // prev + gap still MERGES — Spark merges adjacent windows
+    // (next.start <= prev.end), so a new session starts only when the
+    // gap is STRICTLY GREATER than the duration. The oracle mirrors
+    // that strict-> rule; the corpus has no exact-gap pairs
+    // (verified), so the rule is additionally pinned by the
+    // EventStreamsSpec boundary fixture.
     Q("ev_session_native",
       (s, d) => events(s, d)
         .withColumn("et", timestamp_seconds(col("ts_s")))
@@ -1806,7 +1816,7 @@ object PipelineQueries {
              |  SELECT user_id, ts_s, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM (
              |    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
              |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
-             |         OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) >= 1800
+             |         OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) > 1800
              |         THEN 1 ELSE 0 END AS new_session FROM events))
              |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " "))),
     // Cohort retention matrix: cohort = a user's first active day; one
@@ -2542,18 +2552,38 @@ object PipelineQueries {
        |CAST((cs[c+1] * 1000) // (sz[c+1] * 255) AS VARCHAR)), ',') AS features_q
        |FROM fs""".stripMargin.replace("\n", " ")
 
-  /** Nearest-neighbor resample to fit (8, 8): same aspect-preserving
-    * scale, integer-truncated source index `(x·w/nw, y·h/nh)`, and the
-    * exact pixel checksum — proves the resample moved real pixels. */
-  private def mmResizeOracle: String =
-    s"""WITH ${pgmGeom("documents")},
+  /** Nearest-neighbor resample geometry to fit (8, 8): same
+    * aspect-preserving scale and integer-truncated source index
+    * `(x·w/nw, y·h/nh)` as [[operators.Multimodal.resampleRaster]].
+    * Ends in `dim`(doc_id, text, len, hh, nw, nh). */
+  private def mmResizeCtes: String =
+    s"""${pgmGeom("documents")},
        |sc AS (SELECT doc_id, text, len, hh, least(1.0::DOUBLE, least(8.0::DOUBLE / 24.0, 8.0::DOUBLE / hh)) AS scale FROM pgn),
        |dim AS (SELECT doc_id, text, len, hh, greatest(1, CAST(trunc(24 * scale) AS INTEGER)) AS nw,
-       |greatest(1, CAST(trunc(hh * scale) AS INTEGER)) AS nh FROM sc)
+       |greatest(1, CAST(trunc(hh * scale) AS INTEGER)) AS nh FROM sc)""".stripMargin.replace("\n", " ")
+
+  /** Exact checksum of the resampled plane — proves the resample moved
+    * real pixels, not just the header dims. */
+  private val MmPixSumSql =
+    """CAST(list_sum(list_transform(
+      |list_transform(generate_series(0, nw * nh - 1), k -> (((k // nw) * hh) // nh) * 24 + ((k % nw) * 24) // nw + 1),
+      |si -> CASE WHEN si <= len THEN ascii(text[si:si])::BIGINT ELSE 32 END)) AS BIGINT) AS pix_sum""".stripMargin.replace("\n", " ")
+
+  private def mmResizeOracle: String =
+    s"""WITH $mmResizeCtes
        |SELECT doc_id AS id, CAST(nw AS INTEGER) AS width, CAST(nh AS INTEGER) AS height,
-       |CAST(list_sum(list_transform(
-       |list_transform(generate_series(0, nw * nh - 1), k -> (((k // nw) * hh) // nh) * 24 + ((k % nw) * 24) // nw + 1),
-       |si -> CASE WHEN si <= len THEN ascii(text[si:si])::BIGINT ELSE 32 END)) AS BIGINT) AS pix_sum
+       |$MmPixSumSql
+       |FROM dim""".stripMargin.replace("\n", " ")
+
+  /** Thumbnail oracle: the re-encoded P5 payload's byte count
+    * (canonical "P5\n{w} {h}\n255\n" header + plane) plus the
+    * re-DECODED dims and checksum — pins encode ∘ decode identity. */
+  private def mmThumbnailOracle: String =
+    s"""WITH $mmResizeCtes
+       |SELECT doc_id AS id,
+       |CAST(9 + length(CAST(nw AS VARCHAR)) + length(CAST(nh AS VARCHAR)) + nw * nh AS BIGINT) AS n_bytes,
+       |CAST(nw AS INTEGER) AS width, CAST(nh AS INTEGER) AS height,
+       |$MmPixSumSql
        |FROM dim""".stripMargin.replace("\n", " ")
 
   /** CTE chain ending in `phsg`(doc_id, h) — the DuckDB re-derivation
@@ -2613,6 +2643,21 @@ object PipelineQueries {
           maxW = 8, maxH = 8)
         .select("id", "width", "height", "pix_sum"),
       Some(mmResizeOracle)),
+    // The media WRITE path end to end: decode → resample → re-ENCODE
+    // as P5, then decode the thumbnail AGAIN and report its dims +
+    // checksum. A green row proves encode ∘ decode is the identity
+    // cross-engine (the second decode reproduces exactly the resample
+    // the oracle derives) and pins the canonical header byte count.
+    Q("mm_thumbnail",
+      (s, d) => {
+        val th = operators.Multimodal.thumbnails(
+          withPayload(t(s, d, "documents")), "doc_id", "payload",
+          maxW = 8, maxH = 8)
+        operators.Multimodal.resizeTo(th, "id", "payload", maxW = 8, maxH = 8)
+          .join(th.select(col("id"), col("n_bytes")), "id")
+          .select("id", "n_bytes", "width", "height", "pix_sum")
+      },
+      Some(mmThumbnailOracle)),
     Q("mm_frame_sample",
       (s, d) => operators.Multimodal
         .sampleFrames(withPayload(t(s, d, "documents")), "doc_id", "payload", stride = 128)

@@ -197,17 +197,52 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Aspect-preserving nearest-neighbor resample into a `(maxW, maxH)`
+    * box: source pixel `(x·w/nw, y·h/nh)`, integer truncation, so
+    * every output byte is deterministic and an oracle can re-derive
+    * the full plane. An empty raster resamples to an empty raster. */
+  private def resampleRaster(r: Raster, maxW: Int, maxH: Int): Raster = {
+    if (r.pixels.isEmpty) Raster(0, 0, Array.emptyByteArray)
+    else {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+      val nw = math.max(1, (r.width * scale).toInt)
+      val nh = math.max(1, (r.height * scale).toInt)
+      val out = new Array[Byte](nw * nh)
+      var y = 0
+      while (y < nh) {
+        val sy = (y.toLong * r.height / nh).toInt
+        var x = 0
+        while (x < nw) {
+          val sx = (x.toLong * r.width / nw).toInt
+          out(y * nw + x) = r.pixels(sy * r.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      Raster(nw, nh, out)
+    }
+  }
+
+  /** Encode a grayscale raster as binary PGM (P5) — the media WRITE
+    * path complementing [[decodeRaster]]: `decodeRaster(encodePgm(r))`
+    * round-trips exactly (canonical single-space header, maxval 255). */
+  def encodePgm(r: Raster): Array[Byte] = {
+    val header = s"P5\n${r.width} ${r.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + r.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(r.pixels, 0, out, header.length, r.pixels.length)
+    out
+  }
+
   /** Resized record shape: the resampled raster plus its exact pixel
     * checksum (the cheap cross-engine proof that the resample really
     * moved pixels, not just the header dims). */
   final case class Resized(id: Long, width: Int, height: Int,
       pixels: Array[Byte], pix_sum: Long)
 
-  /** Batched resize-to-target: decodes (real P5/P6 parse), scales the
-    * dimensions to fit `(maxW, maxH)` preserving aspect ratio, and
-    * nearest-neighbor resamples the pixel plane — source pixel
-    * `(x·w/nw, y·h/nh)`, integer truncation, so every output byte is
-    * deterministic and the oracle can re-derive the checksum. */
+  /** Batched resize-to-target: decodes (real P5/P6 parse), then
+    * [[resampleRaster]] — deterministic down to every output byte. */
   def resizeTo(df: DataFrame, idCol: String, binCol: String,
       maxW: Int = 256, maxH: Int = 256, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -217,30 +252,36 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload) =>
-            val r = decodeOrRaw(payload)
-            if (r.pixels.isEmpty) Resized(id, 0, 0, Array.emptyByteArray, 0L)
-            else {
-              val scale = math.min(1.0,
-                math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
-              val nw = math.max(1, (r.width * scale).toInt)
-              val nh = math.max(1, (r.height * scale).toInt)
-              val out = new Array[Byte](nw * nh)
-              var sum = 0L
-              var y = 0
-              while (y < nh) {
-                val sy = (y.toLong * r.height / nh).toInt
-                var x = 0
-                while (x < nw) {
-                  val sx = (x.toLong * r.width / nw).toInt
-                  val p = r.pixels(sy * r.width + sx)
-                  out(y * nw + x) = p
-                  sum += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              Resized(id, nw, nh, out, sum)
-            }
+            val r = resampleRaster(decodeOrRaw(payload), maxW, maxH)
+            var sum = 0L
+            var i = 0
+            while (i < r.pixels.length) { sum += r.pixels(i) & 0xff; i += 1 }
+            Resized(id, r.width, r.height, r.pixels, sum)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Thumbnail record shape: a VALID P5 payload (chainable into
+    * another decode) plus its byte count. */
+  final case class Thumb(id: Long, payload: Array[Byte], n_bytes: Long)
+
+  /** Batched thumbnail pipeline — decode → aspect-preserving resample
+    * → re-encode as P5. The end-to-end media write path: every output
+    * payload is itself a well-formed raster, so downstream stages
+    * (another resize, a perceptual hash, an export sink) chain on it
+    * without special-casing. */
+  def thumbnails(df: DataFrame, idCol: String, binCol: String,
+      maxW: Int = 256, maxH: Int = 256, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val enc = encodePgm(resampleRaster(decodeOrRaw(payload), maxW, maxH))
+            Thumb(id, enc, enc.length.toLong)
           }
         }
       }.toDF()

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token statistics, quality scoring, language identification, and
@@ -88,6 +88,42 @@ object TextAnalysis {
         // scorer is total and matches the oracle's LEFT JOIN + COALESCE
         coalesce(size(toks).cast(LongType), lit(0L)).as("n_tokens"),
         coalesce(aggregate(weights, lit(0L), (acc, x) => acc + x), lit(0L)).as("w_sum"))
+      .withColumn("score",
+        when(col("n_tokens") > 0,
+          col("w_sum").cast(DoubleType) / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("keep", col("score") > 0.0)
+  }
+
+  /** The deterministic weight fixture [[linearQualityScore]] bakes in,
+    * materialized as an actual table: `w(b) = floorMod(b · 2654435761,
+    * 1024) − 512`. Exists so the external-table path can be proven
+    * equivalent to the fixture path when fed the same weights. */
+  def fixtureWeights(buckets: Int = 1 << 16): Array[Long] =
+    Array.tabulate(buckets)(b => Math.floorMod(b * 2654435761L, 1024L) - 512L)
+
+  /** [[linearQualityScore]] with an EXTERNAL weight table — the "swap
+    * in learned weights" path. `weights(b)` is the per-bucket weight,
+    * shipped as a one-row broadcast frame (the same trick
+    * [[RuntimeFilter]] plays with its bloom bitmap) and gathered per
+    * token with `get(array, bucket)` — still no shuffle, no UDF, and
+    * the scan side of the join stays map-only. Weights are integer
+    * (quantize learned float weights first, e.g. per-mille — the
+    * library-wide policy that keeps per-doc sums exact and the score
+    * a single double division, bit-reproducible in any engine). */
+  def linearQualityScoreWith(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = weights.length
+    require(buckets > 0, "weights must be non-empty")
+    val wTable = Seq(weights.toSeq).toDF("__w")
+    val toks = tokens(col(textCol))
+    val gathered = transform(toks, t =>
+      get(col("__w"), pmod(xxhash64(t), lit(buckets.toLong)).cast(IntegerType)))
+    df.join(broadcast(wTable))
+      .select(col(idCol),
+        coalesce(size(toks).cast(LongType), lit(0L)).as("n_tokens"),
+        coalesce(aggregate(gathered, lit(0L), (acc, x) => acc + x), lit(0L)).as("w_sum"))
       .withColumn("score",
         when(col("n_tokens") > 0,
           col("w_sum").cast(DoubleType) / col("n_tokens")).otherwise(lit(0.0)))

@@ -229,6 +229,31 @@ object EventStreams {
       }
   }
 
+  /** Spark's NATIVE session_window aggregation as a stream: the same
+    * `groupBy(user_id, session_window(event_time, gap))` expression
+    * the registered `ev_session_native` batch query runs, watermarked
+    * — Append-mode legal because Spark finalizes a session window
+    * (and evicts its state) once the watermark passes the window end
+    * (= last event + gap). The declarative twin of the hand-rolled
+    * [[sessionize]]: that one exists for the custom-state shape
+    * (explicit merge rules, late-event policy); this one lets the
+    * engine own merge + eviction. Output matches the batch query's
+    * columns: (user_id, session_start, session_end = last event,
+    * n_events). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val gapSeconds = parseDelaySeconds(gap)
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").cast("long").as("session_start"),
+        // window end = last event + gap; recover the last-event time
+        (col("sw.end").cast("long") - gapSeconds).as("session_end"),
+        col("n_events"))
+  }
+
   /** Incremental sessionization (30-min inactivity gap) via
     * flatMapGroupsWithState with EVENT-TIME TIMEOUT: emits every
     * session closed within a batch, and — crucially for a real stream —

@@ -454,6 +454,67 @@ class EventStreamsSpec extends SparkSpec {
       s"expected window 0 finalized once from recovered counts; got ${readOut()}")
   }
 
+  test("native session_window stream: finalized sessions equal the ev_session_native batch query") {
+    // same second-floored event time the batch twin uses
+    val stream = EventStreams.readEvents(spark, dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts DIV 1000000000")))
+    val q = EventStreams.sessionWindowCounts(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("swin_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("swin_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.all.find(_.name == "ev_session_native").get
+      .run(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wmS = batchEvents.agg(max("ts_s")).as[Long].head() - 600
+    // Append only withholds sessions the final watermark has not yet
+    // finalized (window end = last event + gap): everything emitted
+    // must be a true batch session, everything provably finalized must
+    // be emitted, and only not-yet-expired tails may be withheld.
+    assert(got.subsetOf(batch), s"stream emitted a non-batch session: ${got -- batch}")
+    val mustEmit = batch.filter { case (_, _, end, _) => end + 1800 < wmS }
+    assert(mustEmit.subsetOf(got), s"missing finalized sessions: ${mustEmit -- got}")
+    val mayHold = batch.filter { case (_, _, end, _) => end + 1800 >= wmS }
+    assert((batch -- got).subsetOf(mayHold),
+      s"withheld a session the watermark already finalized: ${(batch -- got) -- mayHold}")
+    assert(got.nonEmpty)
+  }
+
+  test("sessionWindowCounts: merges at exactly the gap, splits strictly beyond it, emits once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_s")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val q = EventStreams.sessionWindowCounts(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("swin_mem_out").start()
+    try {
+      // user 1: 1000 and 2000 merge (gap 1000); 3800 sits at EXACTLY
+      // prev + gap — Spark merges adjacent windows (batch agrees:
+      // probed empirically), so all three are ONE session. user 3:
+      // 1801-second gap (strictly > gap) really splits.
+      mem.addData((1L, 1000L), (1L, 2000L), (1L, 3800L),
+        (3L, 1000L), (3L, 2801L))
+      q.processAllAvailable()
+      // the batch's own watermark (3800 − 600 = 3200) already passes
+      // u3's first window end (1000 + 1800) → exactly that one emits
+      assert(spark.table("swin_mem_out").as[(Long, Long, Long, Long)]
+        .collect().toSet == Set((3L, 1000L, 1000L, 1L)),
+        "only u3's gap-split first session is finalized so far")
+      mem.addData((2L, 100000L))
+      q.processAllAvailable()
+      mem.addData((2L, 100001L))
+      q.processAllAvailable()
+      val got = spark.table("swin_mem_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1000L, 3800L, 3L),
+        (3L, 1000L, 1000L, 1L), (3L, 2801L, 2801L, 1L)),
+        s"expected exact-gap merge for u1 and a strict-> split for u3; got $got")
+    } finally q.stop()
+  }
+
   test("dedupEventsByKey: first event per key wins within the watermark window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -148,6 +148,26 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated raster must stay out: $pairs")
   }
 
+  test("encodePgm round-trips through decodeRaster; thumbnails chain into a second decode") {
+    val r = Multimodal.Raster(5, 3, Array.tabulate(15)(i => (i * 11).toByte))
+    val back = Multimodal.decodeRaster(Multimodal.encodePgm(r)).get
+    assert(back.width == 5 && back.height == 3 && back.pixels.sameElements(r.pixels))
+    val docs = Seq(
+      (1L, "P5\n8 16\n255\n".getBytes ++ Array.tabulate(128)(i => ((i * 37) % 251).toByte)))
+      .toDF("id", "payload")
+    val th = Multimodal.thumbnails(docs, "id", "payload", maxW = 4, maxH = 4)
+    val (payload, n) = th.select("payload", "n_bytes")
+      .as[(Array[Byte], Long)].head()
+    assert(n == payload.length)
+    val dec = Multimodal.decodeRaster(payload).get
+    assert(dec.width >= 1 && dec.width <= 4 && dec.height >= 1 && dec.height <= 4,
+      s"thumbnail must fit the box: ${dec.width}x${dec.height}")
+    // chaining a second resize over the thumbnail is the identity
+    val again = Multimodal.resizeTo(th, "id", "payload", maxW = 4, maxH = 4)
+      .select("width", "height").as[(Int, Int)].head()
+    assert(again == ((dec.width, dec.height)))
+  }
+
   test("sampleFrames explodes stride-spaced offsets") {
     val got = Multimodal.sampleFrames(docs.filter($"id" === 1L), "id", "payload", stride = 32)
       .select("frame_idx", "frame_off").as[(Long, Long)].collect().sorted.toSeq

@@ -161,4 +161,32 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scorer must stay map-only:\n$plan")
   }
+
+  test("linearQualityScoreWith: external weight table ≡ fixture when it encodes the fixture") {
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, ""), (3L, "alpha zz9"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fix = TextAnalysis.linearQualityScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    val ext = TextAnalysis.linearQualityScoreWith(docs, "doc_id", "text",
+        TextAnalysis.fixtureWeights())
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(ext == fix, s"table path must reproduce the fixture path:\n  fix=$fix\n  ext=$ext")
+    // and DIFFERENT weights must actually flow through (not a re-derive
+    // of the fixture): all-positive weights keep every non-empty doc
+    val allPos = TextAnalysis.linearQualityScoreWith(docs, "doc_id", "text",
+        Array.fill(1 << 16)(7L))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(allPos(1L)._3 == 4L * 7 && allPos(1L)._4 == 7.0 && allPos(1L)._5)
+    assert(allPos(3L)._3 == 2L * 7 && allPos(3L)._5)
+    assert(allPos(2L) == ((2L, 0L, 0L, 0.0, false)))
+    assert(allPos(4L) == ((4L, 0L, 0L, 0.0, false)), "null text folds to the empty-doc shape")
+    // the weight table must arrive broadcast, never shuffle the scan
+    val plan = TextAnalysis.linearQualityScoreWith(docs, "doc_id", "text",
+        TextAnalysis.fixtureWeights(256))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"weight table must broadcast:\n$plan")
+    assert(!plan.contains("ShuffleExchange"), s"scan side must not shuffle:\n$plan")
+  }
 }
