@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.operators.Dedup.MinHashParams
+
+/** Streaming incremental dedup INGEST: each micro-batch of documents
+  * is screened against the STANDING signature index (everything kept
+  * so far), near-dup-deduped within itself, and its survivors
+  * committed — the kept documents to one sink, their minhash
+  * signatures appended to the index. The continuous-ingest twin of
+  * the batch `dedup_incremental` query, and the shape a 100 TB corpus
+  * actually grows by: history is consulted ONLY through its signature
+  * index (~512 B/doc), never re-read as text.
+  *
+  * Batch rule (deterministic, pinned by DedupStreamSpec): drop every
+  * document the index screen flags, then near-dup-dedup the REMAINDER
+  * (connected components over its pair graph, min-id keeper) — the
+  * same filter-then-dedup composition the training-manifest pipeline
+  * uses.
+  *
+  * Exactly-once protocol (the [[CdcStream]] idea, applied to an
+  * append-only index): both sinks are partitioned by batch id
+  * (`b=<id>`) and each batch OVERWRITES its own partitions, while the
+  * index read excludes partitions `>=` the current batch id — so a
+  * replayed batch never screens against its own earlier half-written
+  * delta, recomputes the identical survivor set, and rewrites the same
+  * files. A partition counts as committed only once its `_SUCCESS`
+  * marker exists. At lake scale the per-batch delta directories get
+  * periodically compacted into larger index files; the protocol is
+  * unchanged (compaction replaces committed partitions wholesale).
+  *
+  * The reference engine is read-only over static CSVs
+  * (/root/reference/sqlengine.py; no streams); extension surface. */
+object DedupStream {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed index delta batch ids (guarded by `_SUCCESS`). */
+  private def committed(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val path = new Path(indexDir)
+    val f = fs(spark, indexDir)
+    if (!f.exists(path)) Seq.empty
+    else f.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("b="))
+      .flatMap(s => s.stripPrefix("b=").toLongOption)
+      .filter(v => f.exists(new Path(s"$indexDir/b=$v/_SUCCESS")))
+  }
+
+  /** The standing signature index as of batches STRICTLY BELOW
+    * `belowBatch` — the replay-safe view. `empty` supplies the
+    * signature schema when nothing has committed yet. */
+  def indexSoFar(spark: SparkSession, indexDir: String, belowBatch: Long,
+      empty: DataFrame): DataFrame =
+    committed(spark, indexDir).filter(_ < belowBatch).sorted match {
+      case Seq() => empty
+      case vs => vs.map(v => spark.read.parquet(s"$indexDir/b=$v"))
+        .reduce(_.unionByName(_))
+    }
+
+  /** One foreachBatch step, factored out so a spec can drive replay
+    * directly: screen batch `id`, commit survivors + their signature
+    * delta. Idempotent by construction — see the object doc. */
+  def screenBatch(batch: DataFrame, id: Long, indexDir: String,
+      keptDir: String, idCol: String, textCol: String, threshold: Double,
+      p: MinHashParams = MinHashParams()): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol))
+    val emptyIndex = Dedup.minhashSignatures(docs.filter(lit(false)),
+      idCol, textCol, p)
+    val index = indexSoFar(spark, indexDir, id, emptyIndex)
+    val hits = Dedup.screenAgainstIndex(docs, idCol, textCol, index,
+      threshold, p, persist = false)
+      .select(col(idCol)).distinct()
+    // survivors of the history screen, then near-dup-dedup WITHIN them
+    val rem = docs.join(hits, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist=false per the Caching contract: a long-running stream
+    // constructs fresh plans every batch — operator-internal persists
+    // would pile up one cache entry per batch; `rem` above is the one
+    // multi-consumer frame and this step owns its lifecycle
+    val pairs = Dedup.minhashNearDuplicates(rem, idCol, textCol,
+      threshold, p, persist = false)
+    val kept = Dedup.connectedComponents(rem.select(col(idCol)), idCol, pairs)
+      .filter(col("keep")).select(col(idCol))
+      .join(rem, Seq(idCol))
+    kept.write.mode("overwrite").parquet(s"$keptDir/b=$id")
+    // the delta re-reads kept from ITS OWN committed files: the
+    // signature write must not race the kept write's lazy plan
+    val keptBack = spark.read.parquet(s"$keptDir/b=$id")
+    Dedup.minhashSignatures(keptBack, idCol, textCol, p)
+      .write.mode("overwrite").parquet(s"$indexDir/b=$id")
+    rem.unpersist()
+  }
+
+  /** Sink a streaming document feed as a continuously-deduped corpus:
+    * kept docs land under `keptDir/b=<batch>`, the signature index
+    * grows under `indexDir/b=<batch>`. Read the corpus with
+    * `spark.read.parquet(keptDir)`. */
+  def dedupIngestSink(docs: DataFrame, indexDir: String, keptDir: String,
+      checkpoint: String, idCol: String, textCol: String,
+      threshold: Double = 0.7,
+      p: MinHashParams = MinHashParams()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        screenBatch(batch, id, indexDir, keptDir, idCol, textCol, threshold, p)
+      }
+      .start()
+}
