@@ -2673,18 +2673,21 @@ object PipelineQueries {
         withPayload(t(s, d, "documents")), "doc_id", "payload")
         .orderBy("id"),
       Some(phashOracle)),
-    // Perceptual media near-dup: the blockhash + the SAME pigeonhole
-    // hamming machinery the text simhash uses (Dedup.hammingNearPairs)
-    // — extends the dedup family to the media column. chunks=8 (8-bit
-    // cells) keeps the pigeonhole exact up to hamming 7. The input is
+    // Perceptual media near-dup: the blockhash + multi-index hamming
+    // search (Dedup.hammingNearPairsMih) — extends the dedup family to
+    // the media column. Radius 7 over 4 SIXTEEN-bit chunks with
+    // single-bit-flip probes: exact by the pigeonhole, and the 65 536-
+    // value chunk keys keep candidates D²/2^16-bounded (the plain
+    // 8-bit-chunk pigeonhole saturated its 256 bucket values and went
+    // quadratic at 10× — measured before the switch). The input is
     // originals ∪ seeded one-pixel-edit replicas (withMediaReplicas),
     // so the pair set is NON-EMPTY by construction — both engines must
     // re-derive the same real pairs, not agree on an empty set.
     Q("mm_phash_pairs",
-      (s, d) => operators.Dedup.hammingNearPairs(
+      (s, d) => operators.Dedup.hammingNearPairsMih(
         operators.Multimodal.perceptualHash(
           withPayload(withMediaReplicas(t(s, d, "documents"))), "doc_id", "payload"),
-        "id", "phash", maxHamming = 7, chunks = 8).orderBy("a", "b"),
+        "id", "phash", maxHamming = 7, chunks = 4).orderBy("a", "b"),
       Some(phashPairsOracle(maxHamming = 7))),
   )
 

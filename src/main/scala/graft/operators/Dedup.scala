@@ -322,6 +322,73 @@ object Dedup {
     eqPairs.unionByName(crossPairs)
   }
 
+  /** Multi-index-hashing variant of [[hammingNearPairs]] for radii AT
+    * OR BEYOND the chunk count — where the plain pigeonhole would need
+    * chunks > radius and its key space collapses (8 chunks of 8 bits
+    * have only 256 bucket values each, so buckets saturate with corpus
+    * size and the candidate join goes quadratic — measured 13× cost on
+    * 10× docs for the media phash at radius 7). MIH (Norouzi,
+    * Punjani & Fleet, CVPR '12 — public algorithm): split the hash
+    * into `chunks` WIDE substrings; by the pigeonhole, a pair within
+    * `maxHamming` agrees within ⌊maxHamming/chunks⌋ bits on SOME
+    * chunk. For per-chunk radius ≤ 1 each distinct hash PROBES its
+    * chunk value plus that value's single-bit flips, joined against
+    * the other side's DIRECT chunk values — 16-bit chunks keep 65 536
+    * bucket values, so candidates scale D²/2^16 per chunk in distinct
+    * hashes D while the probe fan-out stays a constant
+    * `(1 + width) · chunks` keys per hash. Output is IDENTICAL to
+    * [[hammingNearPairs]] (exact bit_count verification); only the
+    * candidate generation changes. Radii below the chunk count
+    * delegate to the plain pigeonhole (fewer keys, same buckets). */
+  def hammingNearPairsMih(sigs0: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 7, chunks: Int = 4, persist: Boolean = true): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    if (maxHamming < chunks)
+      return hammingNearPairs(sigs0, idCol, hashCol, maxHamming, chunks, persist)
+    val width = 64 / chunks
+    require(maxHamming / chunks <= 1,
+      s"per-chunk radius ⌊$maxHamming/$chunks⌋ > 1 unsupported; raise chunks")
+    val mask = (1L << width) - 1
+    val sigs = Caching.maybePersist(sigs0, persist)
+
+    val m1 = sigs.select(col(hashCol).as("h"), col(idCol).as("a"))
+    val m2 = sigs.select(col(hashCol).as("h"), col(idCol).as("b"))
+    val eqPairs = m1.join(m2, "h").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+
+    val reps = sigs.select(hashCol).distinct()
+    def chunkVal(c: Int) =
+      shiftright(col(hashCol), c * width).bitwiseAND(mask)
+    val directKeys = array((0 until chunks).map { c =>
+      struct(lit(c).as("ci"), chunkVal(c).as("cv"))
+    }: _*)
+    // the identity probe covers chunk-distance 0; each single-bit flip
+    // covers chunk-distance 1 — one side probes, the other files once
+    val probeKeys = array((for {
+      c <- 0 until chunks
+      b <- -1 until width
+    } yield struct(lit(c).as("ci"),
+      (if (b < 0) chunkVal(c)
+       else chunkVal(c).bitwiseXOR(lit(1L << b))).as("cv"))): _*)
+    val direct = reps.select(col(hashCol).as("h_b"), explode(directKeys).as("ck"))
+      .select(col("ck.ci").as("ci"), col("ck.cv").as("cv"), col("h_b"))
+    val probes = reps.select(col(hashCol).as("h_a"), explode(probeKeys).as("pk"))
+      .select(col("pk.ci").as("ci"), col("pk.cv").as("cv"), col("h_a"))
+    val hashPairs = probes.join(direct, Seq("ci", "cv"))
+      .filter(col("h_a") < col("h_b"))
+      .select("h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+
+    val crossPairs = hashPairs
+      .join(m1.withColumnRenamed("h", "h_a"), "h_a")
+      .join(m2.withColumnRenamed("h", "h_b"), "h_b")
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("hamming"))
+
+    eqPairs.unionByName(crossPairs)
+  }
+
   // =====================================================================
   // Character n-gram Jaccard
   // =====================================================================

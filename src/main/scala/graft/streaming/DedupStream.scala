@@ -100,6 +100,39 @@ object DedupStream {
     rem.unpersist()
   }
 
+  /** Compact the index's committed deltas: merge every delta STRICTLY
+    * BELOW the newest committed batch into the OLDEST merged id, then
+    * drop the rest. Read semantics are unchanged — [[indexSoFar]]
+    * unions committed partitions below the caller's batch id, every
+    * future batch id is above all merged ids, and the one batch
+    * Structured Streaming can still replay (the newest) reads exactly
+    * the same row set it read before. The newest delta itself is left
+    * alone for that reason.
+    *
+    * Durability note (same boundary as [[CdcStream]]'s snapshot
+    * rewrite): the merged content is staged to committed files first
+    * and the target partition rewritten from the staging copy, so no
+    * lazy plan reads a directory being overwritten; a crash DURING the
+    * target rewrite leaves that one delta's rows invisible until the
+    * staging dir is recovered. A lake deployment hosts the index in an
+    * ACID table format where this compaction is a transaction — the
+    * read protocol here is exactly what those formats' logs implement. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val vs = committed(spark, indexDir).sorted
+    if (vs.length < 3) return // newest is untouchable; need >= 2 below it
+    val mergeIds = vs.dropRight(1)
+    val target = mergeIds.head
+    val staging = s"$indexDir/compact_staging" // no b= prefix → invisible
+    val f = fs(spark, indexDir)
+    mergeIds.map(v => spark.read.parquet(s"$indexDir/b=$v"))
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .write.mode("overwrite").parquet(s"$indexDir/b=$target")
+    mergeIds.tail.foreach(v => f.delete(new Path(s"$indexDir/b=$v"), true))
+    f.delete(new Path(staging), true)
+  }
+
   /** Sink a streaming document feed as a continuously-deduped corpus:
     * kept docs land under `keptDir/b=<batch>`, the signature index
     * grows under `indexDir/b=<batch>`. Read the corpus with

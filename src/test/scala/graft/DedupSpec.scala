@@ -116,6 +116,39 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hammingNearPairsMih equals the quadratic model at radius 7 (incl. boundary distances)") {
+    // hashes engineered around the radius: exact dup (0), one flip (1),
+    // exactly 7 flips spread over ALL chunks (the pigeonhole-tightest
+    // case: min per-chunk distance 1), 8 flips (just outside), plus
+    // random hashes for background pairs
+    val base = 0x0123456789abcdefL
+    def flips(bits: Int*) = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val rnd = new scala.util.Random(11)
+    val engineered = Seq(
+      1L -> base, 2L -> base, 3L -> flips(5),
+      4L -> flips(0, 9, 17, 25, 33, 41, 49), // 7 bits, all 4 chunks hit
+      5L -> flips(0, 9, 17, 25, 33, 41, 49, 57)) // 8 bits — outside
+    val hashes = engineered ++ Seq.tabulate(40)(i => (10L + i) -> rnd.nextLong())
+    val df = hashes.toDF("id", "h")
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    val got = Dedup.hammingNearPairsMih(df, "id", "h", maxHamming = 7, chunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.exists(_._3 == 7), "fixture must exercise the exact radius boundary")
+    assert(got.contains((1L, 2L, 0)), "identical hashes pair at distance 0")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 5L), "distance 8 stays outside radius 7")
+    // a radius BELOW the chunk count delegates to the plain pigeonhole
+    // — same answers either way
+    val small = Dedup.hammingNearPairsMih(df, "id", "h", maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val plain = Dedup.hammingNearPairs(df, "id", "h", maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(small == plain)
+  }
+
   test("LSH candidates never include a pair twice and never self-pair") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
     val cands = Dedup.lshCandidates(sigs, "doc_id")

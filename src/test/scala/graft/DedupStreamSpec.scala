@@ -85,5 +85,23 @@ class DedupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(kept).select("doc_id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L, 4L, 7L),
       "re-ingested content must be screened out by the standing index")
+
+    // COMPACTION: merge every delta below the newest into the oldest
+    // id — content identical, directory count collapsed, the newest
+    // (replayable) delta untouched, and subsequent ingest still screens
+    val before = spark.read.parquet(index).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    DedupStream.compactIndex(spark, index)
+    val dirs = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("b=")).sorted.toSeq
+    assert(dirs == Seq("b=0", "b=3"),
+      s"deltas 0..2 must collapse into b=0, newest b=3 untouched; got $dirs")
+    assert(spark.read.parquet(index).select("doc_id").as[Long]
+      .collect().sorted.toSeq == before, "compaction must not change index content")
+    DedupStream.screenBatch(Seq((10L, baseA), (11L, baseC)).toDF("doc_id", "text"),
+      id = 4L, index, kept, "doc_id", "text", threshold = 0.7)
+    assert(spark.read.parquet(kept).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 4L, 7L),
+      "post-compaction screen must still consult the merged history")
   }
 }

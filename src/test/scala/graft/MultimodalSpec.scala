@@ -139,7 +139,7 @@ class MultimodalSpec extends SparkSpec {
       .toDF("id", "payload")
     val hashed = graft.operators.Multimodal.perceptualHash(rows, "id", "payload")
     val pairs = graft.operators.Dedup
-      .hammingNearPairs(hashed, "id", "phash", maxHamming = 7, chunks = 8)
+      .hammingNearPairsMih(hashed, "id", "phash", maxHamming = 7, chunks = 4)
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs.get((1L, 2L)).contains(0), s"exact copy must pair at hamming 0: $pairs")
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0,
