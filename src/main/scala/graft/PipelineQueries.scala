@@ -1819,6 +1819,40 @@ object PipelineQueries {
              |         OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) > 1800
              |         THEN 1 ELSE 0 END AS new_session FROM events))
              |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " "))),
+    // The session boundary rule with TEETH: seed, per user, a clone
+    // event at EXACTLY first_event + gap. Under the true rule (merge at
+    // exactly the gap; split strictly beyond) unbridged clones extend
+    // the first session; under the plausible-but-wrong ">= splits"
+    // reading every unbridged clone starts its own session — so the
+    // hash genuinely distinguishes the two, which the organic corpus
+    // cannot (it has no exact-gap pairs; verified). Keeps the native
+    // operator's documented semantics oracle-verified, not just
+    // spec-pinned on a fixture.
+    Q("ev_session_boundary",
+      (s, d) => {
+        val e = events(s, d).select("user_id", "ts_s")
+        val clones = e.groupBy("user_id")
+          .agg((min(col("ts_s")) + 1800L).as("ts_s"))
+        e.unionByName(clones)
+          .withColumn("et", timestamp_seconds(col("ts_s")))
+          .groupBy(col("user_id"),
+            session_window(col("et"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("sw.start").cast(LongType).as("session_start"),
+            (col("sw.end").cast(LongType) - 1800L).as("session_end"),
+            col("n_events"))
+      },
+      Some("""WITH sbe AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+             |sbc AS (SELECT user_id, MIN(ts_s) + 1800 AS ts_s FROM sbe GROUP BY user_id),
+             |sba AS (SELECT * FROM sbe UNION ALL SELECT * FROM sbc)
+             |SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, COUNT(*) AS n_events FROM (
+             |  SELECT user_id, ts_s, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM (
+             |    SELECT user_id, ts_s,
+             |    CASE WHEN lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s ASC) IS NULL
+             |         OR ts_s - lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s ASC) > 1800
+             |         THEN 1 ELSE 0 END AS new_session FROM sba))
+             |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " "))),
     // Cohort retention matrix: cohort = a user's first active day; one
     // cell per (cohort, day offset) with the share of the cohort still
     // active. Shape at 100 TB: distinct (user, day) and min-day both
@@ -2688,7 +2722,10 @@ object PipelineQueries {
         operators.Multimodal.perceptualHash(
           withPayload(withMediaReplicas(t(s, d, "documents"))), "doc_id", "payload"),
         "id", "phash", maxHamming = 7, chunks = 4).orderBy("a", "b"),
-      Some(phashPairsOracle(maxHamming = 7))),
+      Some(phashPairsOracle(maxHamming = 7)),
+      // benched: the candidate-generation strategy here has a history
+      // (the saturating pigeonhole) — keep the MIH path regression-timed
+      bench = true),
   )
 
   // ---------------------------------------------------------------------
