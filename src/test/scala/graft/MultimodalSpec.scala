@@ -168,6 +168,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again == ((dec.width, dec.height)))
   }
 
+  test("decodeRaster: encode∘decode identity on random rasters; total on garbage") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val w = rnd.nextInt(40)
+      val h = rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val r = Multimodal.Raster(w, h, px)
+      val back = Multimodal.decodeRaster(Multimodal.encodePgm(r)).get
+      assert(back.width == w && back.height == h && back.pixels.sameElements(px))
+    }
+    (1 to 500).foreach { _ =>
+      val garbage = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      // must never throw — None or a valid raster, and the fallback is total
+      Multimodal.decodeRaster(garbage)
+      val raw = Multimodal.decodeOrRaw(garbage)
+      assert(raw.pixels.length == garbage.length || raw.width >= 0)
+    }
+    // adversarial headers: truncated at every prefix of a valid payload
+    val full = Multimodal.encodePgm(Multimodal.Raster(3, 2, Array[Byte](1, 2, 3, 4, 5, 6)))
+    (0 until full.length).foreach { n =>
+      assert(Multimodal.decodeRaster(full.take(n)).isEmpty,
+        s"truncation at $n must be rejected, not mis-decoded")
+    }
+  }
+
   test("sampleFrames explodes stride-spaced offsets") {
     val got = Multimodal.sampleFrames(docs.filter($"id" === 1L), "id", "payload", stride = 32)
       .select("frame_idx", "frame_off").as[(Long, Long)].collect().sorted.toSeq
