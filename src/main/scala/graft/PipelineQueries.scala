@@ -2677,6 +2677,16 @@ object PipelineQueries {
           maxW = 8, maxH = 8)
         .select("id", "width", "height", "pix_sum"),
       Some(mmResizeOracle)),
+    // Header-ONLY metadata sweep — the first pass a 100 TB media column
+    // gets: format + real parsed dims with no pixel materialization.
+    Q("mm_describe",
+      (s, d) => operators.Multimodal
+        .describeMedia(withPayload(t(s, d, "documents")), "doc_id", "payload")
+        .select("id", "format", "width", "height", "n_bytes"),
+      Some("""SELECT doc_id AS id, 'pgm' AS format, CAST(24 AS INTEGER) AS width,
+             |CAST((length(text) + 23) // 24 AS INTEGER) AS height,
+             |CAST(11 + length(CAST((length(text) + 23) // 24 AS VARCHAR)) + 24 * ((length(text) + 23) // 24) AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin.replace("\n", " "))),
     // The media WRITE path end to end: decode → resample → re-ENCODE
     // as P5, then decode the thumbnail AGAIN and report its dims +
     // checksum. A green row proves encode ∘ decode is the identity

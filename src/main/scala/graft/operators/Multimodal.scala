@@ -57,14 +57,18 @@ object Multimodal {
   /** A decoded 8-bit grayscale raster, row-major. */
   final case class Raster(width: Int, height: Int, pixels: Array[Byte])
 
-  /** Dependency-free decoder for binary Netpbm rasters: P5 (PGM
-    * grayscale) and P6 (PPM RGB, reduced to luma `(r+g+b)/3`,
-    * truncating). Handles the full header grammar — `#` comments,
-    * arbitrary whitespace runs, maxval up to 255 (single-byte
-    * samples) — and requires the pixel plane to be complete. Returns
-    * None for anything that is not a well-formed single-byte P5/P6
-    * payload; callers choose the fallback policy ([[decodeOrRaw]]). */
-  def decodeRaster(payload: Array[Byte]): Option[Raster] = {
+  /** A parsed Netpbm header: dimensions, RGB-ness, and the offset of
+    * the first pixel byte — everything metadata extraction needs
+    * WITHOUT touching the pixel plane. */
+  final case class RasterHeader(width: Int, height: Int, isP6: Boolean,
+      pixelOffset: Int)
+
+  /** Header-only parse of a binary Netpbm payload (P5 grayscale / P6
+    * RGB): magic, `#` comments, arbitrary whitespace runs, maxval up
+    * to 255 (single-byte samples), and a COMPLETE pixel plane after
+    * the header. None for anything else. The cheap first pass a
+    * metadata sweep runs over a 100 TB media column — no pixel copy. */
+  def parseRasterHeader(payload: Array[Byte]): Option[RasterHeader] = {
     if (payload.length < 2 || payload(0) != 'P') return None
     val p6 = payload(1) == '6'
     if (payload(1) != '5' && !p6) return None
@@ -107,19 +111,67 @@ object Multimodal {
     if (np > Int.MaxValue - 8) return None
     val need = if (p6) np * 3 else np
     if (payload.length - i < need) return None
-    if (!p6) {
-      Some(Raster(w, h, java.util.Arrays.copyOfRange(payload, i, i + np.toInt)))
-    } else {
-      val px = new Array[Byte](np.toInt)
-      var k = 0
-      while (k < np) {
-        val o = i + k * 3
-        px(k) = (((payload(o) & 0xff) + (payload(o + 1) & 0xff) +
-          (payload(o + 2) & 0xff)) / 3).toByte
-        k += 1
+    Some(RasterHeader(w, h, p6, i))
+  }
+
+  /** Full decode of a binary Netpbm raster — [[parseRasterHeader]]
+    * plus the pixel plane (P6 reduced to luma `(r+g+b)/3`,
+    * truncating). None for anything that is not a well-formed
+    * single-byte P5/P6 payload; callers choose the fallback policy
+    * ([[decodeOrRaw]]). */
+  def decodeRaster(payload: Array[Byte]): Option[Raster] =
+    parseRasterHeader(payload).map { hd =>
+      val np = hd.width * hd.height
+      if (!hd.isP6) {
+        Raster(hd.width, hd.height,
+          java.util.Arrays.copyOfRange(payload, hd.pixelOffset, hd.pixelOffset + np))
+      } else {
+        val px = new Array[Byte](np)
+        var k = 0
+        while (k < np) {
+          val o = hd.pixelOffset + k * 3
+          px(k) = (((payload(o) & 0xff) + (payload(o + 1) & 0xff) +
+            (payload(o + 2) & 0xff)) / 3).toByte
+          k += 1
+        }
+        Raster(hd.width, hd.height, px)
       }
-      Some(Raster(w, h, px))
     }
+
+  /** Described-media record shape. */
+  final case class MediaDesc(id: Long, format: String, width: Int,
+      height: Int, n_bytes: Long)
+
+  /** Header-only media description — fills the typed meta columns
+    * [[asMedia]] sniffs ("pgm"/"ppm" with REAL parsed dims; "img"/
+    * "aud"/"bin" with zeros for non-raster containers) without ever
+    * materializing a pixel. The batch shape is the same
+    * `mapPartitions` contract as [[decodeFeatures]]. */
+  def describeMedia(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            parseRasterHeader(payload) match {
+              case Some(hd) =>
+                MediaDesc(id, if (hd.isP6) "ppm" else "pgm",
+                  hd.width, hd.height, payload.length.toLong)
+              case None =>
+                val fmt =
+                  if (payload.length >= 3 &&
+                    payload(0) == 'I' && payload(1) == 'M' && payload(2) == 'G') "img"
+                  else if (payload.length >= 3 &&
+                    payload(0) == 'A' && payload(1) == 'U' && payload(2) == 'D') "aud"
+                  else "bin"
+                MediaDesc(id, fmt, 0, 0, payload.length.toLong)
+            }
+          }
+        }
+      }.toDF()
   }
 
   /** Decode policy for opaque media columns: a valid P5/P6 payload

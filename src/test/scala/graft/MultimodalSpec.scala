@@ -148,6 +148,24 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated raster must stay out: $pairs")
   }
 
+  test("describeMedia: header-only dims for rasters, container sniff for the rest") {
+    val px = Array.tabulate(12)(i => i.toByte)
+    val rows = Seq(
+      (1L, "P5\n4 3\n255\n".getBytes ++ px),
+      (2L, "P6\n2 2\n255\n".getBytes ++ Array.fill(12)(7.toByte)),
+      (3L, "IMGxxxx".getBytes),
+      (4L, "AUDyyyy".getBytes),
+      (5L, "opaque".getBytes))
+      .toDF("id", "payload")
+    val got = Multimodal.describeMedia(rows, "id", "payload")
+      .as[(Long, String, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "pgm", 4, 3, 12L + 11)))
+    assert(got(2L) == ((2L, "ppm", 2, 2, 12L + 11)))
+    assert(got(3L) == ((3L, "img", 0, 0, 7L)))
+    assert(got(4L) == ((4L, "aud", 0, 0, 7L)))
+    assert(got(5L) == ((5L, "bin", 0, 0, 6L)))
+  }
+
   test("encodePgm round-trips through decodeRaster; thumbnails chain into a second decode") {
     val r = Multimodal.Raster(5, 3, Array.tabulate(15)(i => (i * 11).toByte))
     val back = Multimodal.decodeRaster(Multimodal.encodePgm(r)).get
