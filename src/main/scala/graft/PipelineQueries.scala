@@ -2583,25 +2583,30 @@ object PipelineQueries {
        |list_transform(generate_series(0, 7), c -> ((c+1)*n)//8 - (c*n)//8) AS sz FROM pgn)
        |SELECT doc_id AS id, CAST(24 AS INTEGER) AS width, CAST(n // 24 AS INTEGER) AS height,
        |array_to_string(list_transform(generate_series(0, 7), c ->
-       |CAST((cs[c+1] * 1000) // (sz[c+1] * 255) AS VARCHAR)), ',') AS features_q
+       |CAST(CASE WHEN sz[c+1] = 0 THEN 0 ELSE (cs[c+1] * 1000) // (sz[c+1] * 255) END AS VARCHAR)), ',') AS features_q
        |FROM fs""".stripMargin.replace("\n", " ")
 
   /** Nearest-neighbor resample geometry to fit (8, 8): same
     * aspect-preserving scale and integer-truncated source index
     * `(x·w/nw, y·h/nh)` as [[operators.Multimodal.resampleRaster]].
-    * Ends in `dim`(doc_id, text, len, hh, nw, nh). */
+    * The hh = 0 branches mirror the Scala side's empty-raster guard
+    * (an empty text makes a 24×0 payload → 0×0 resample, zero
+    * checksum) so the oracle stays total if a future corpus admits
+    * empty documents. Ends in `dim`(doc_id, text, len, hh, nw, nh). */
   private def mmResizeCtes: String =
     s"""${pgmGeom("documents")},
-       |sc AS (SELECT doc_id, text, len, hh, least(1.0::DOUBLE, least(8.0::DOUBLE / 24.0, 8.0::DOUBLE / hh)) AS scale FROM pgn),
-       |dim AS (SELECT doc_id, text, len, hh, greatest(1, CAST(trunc(24 * scale) AS INTEGER)) AS nw,
-       |greatest(1, CAST(trunc(hh * scale) AS INTEGER)) AS nh FROM sc)""".stripMargin.replace("\n", " ")
+       |sc AS (SELECT doc_id, text, len, hh, least(1.0::DOUBLE, least(8.0::DOUBLE / 24.0,
+       |CASE WHEN hh = 0 THEN 1.0::DOUBLE ELSE 8.0::DOUBLE / hh END)) AS scale FROM pgn),
+       |dim AS (SELECT doc_id, text, len, hh,
+       |CASE WHEN hh = 0 THEN 0 ELSE greatest(1, CAST(trunc(24 * scale) AS INTEGER)) END AS nw,
+       |CASE WHEN hh = 0 THEN 0 ELSE greatest(1, CAST(trunc(hh * scale) AS INTEGER)) END AS nh FROM sc)""".stripMargin.replace("\n", " ")
 
   /** Exact checksum of the resampled plane — proves the resample moved
     * real pixels, not just the header dims. */
   private val MmPixSumSql =
-    """CAST(list_sum(list_transform(
+    """CAST(COALESCE(list_sum(list_transform(
       |list_transform(generate_series(0, nw * nh - 1), k -> (((k // nw) * hh) // nh) * 24 + ((k % nw) * 24) // nw + 1),
-      |si -> CASE WHEN si <= len THEN ascii(text[si:si])::BIGINT ELSE 32 END)) AS BIGINT) AS pix_sum""".stripMargin.replace("\n", " ")
+      |si -> CASE WHEN si <= len THEN ascii(text[si:si])::BIGINT ELSE 32 END)), 0) AS BIGINT) AS pix_sum""".stripMargin.replace("\n", " ")
 
   private def mmResizeOracle: String =
     s"""WITH $mmResizeCtes

@@ -109,14 +109,20 @@ object DedupStream {
     * the same row set it read before. The newest delta itself is left
     * alone for that reason.
     *
-    * Durability note (same boundary as [[CdcStream]]'s snapshot
-    * rewrite): the merged content is staged to committed files first
-    * and the target partition rewritten from the staging copy, so no
-    * lazy plan reads a directory being overwritten; a crash DURING the
-    * target rewrite leaves that one delta's rows invisible until the
-    * staging dir is recovered. A lake deployment hosts the index in an
-    * ACID table format where this compaction is a transaction — the
-    * read protocol here is exactly what those formats' logs implement. */
+    * Durability (same boundary as [[CdcStream]]'s snapshot rewrite;
+    * run compaction from the ingest's own foreachBatch or a
+    * maintenance window, never beside a live reader). Two crash
+    * windows, both non-fatal and both convergent:
+    *  - DURING the target rewrite: that one delta's rows are invisible
+    *    until the staging dir (which still holds them) is recovered;
+    *  - AFTER the rewrite, BEFORE the tail deletes: merged rows exist
+    *    both in the target and in the not-yet-deleted tails. Harmless
+    *    to screening (candidates and hits are distinct'd) and healed
+    *    by the next compactIndex — the merge below is DISTINCT, so
+    *    re-merging duplicated deltas collapses them.
+    * A lake deployment hosts the index in an ACID table format where
+    * this compaction is a transaction — the read protocol here is
+    * exactly what those formats' logs implement. */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     val vs = committed(spark, indexDir).sorted
     if (vs.length < 3) return // newest is untouchable; need >= 2 below it
@@ -126,6 +132,7 @@ object DedupStream {
     val f = fs(spark, indexDir)
     mergeIds.map(v => spark.read.parquet(s"$indexDir/b=$v"))
       .reduce(_.unionByName(_))
+      .distinct() // heals row duplication from a prior interrupted run
       .write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging)
       .write.mode("overwrite").parquet(s"$indexDir/b=$target")
@@ -136,15 +143,27 @@ object DedupStream {
   /** Sink a streaming document feed as a continuously-deduped corpus:
     * kept docs land under `keptDir/b=<batch>`, the signature index
     * grows under `indexDir/b=<batch>`. Read the corpus with
-    * `spark.read.parquet(keptDir)`. */
+    * `spark.read.parquet(keptDir)`.
+    *
+    * `compactEvery > 0` folds [[compactIndex]] into every Nth batch's
+    * foreachBatch step — without it a long-lived stream accrues one
+    * index delta per batch, and [[indexSoFar]]'s per-batch cost (one
+    * listing + one `_SUCCESS` probe + one union branch per delta)
+    * grows linearly over the stream's lifetime. In-batch compaction is
+    * replay-safe: the newest delta (the only batch Structured
+    * Streaming can still replay) is never merged, and the foreachBatch
+    * serialization means no reader races the rewrite. */
   def dedupIngestSink(docs: DataFrame, indexDir: String, keptDir: String,
       checkpoint: String, idCol: String, textCol: String,
       threshold: Double = 0.7,
-      p: MinHashParams = MinHashParams()): StreamingQuery =
+      p: MinHashParams = MinHashParams(),
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         screenBatch(batch, id, indexDir, keptDir, idCol, textCol, threshold, p)
+        if (compactEvery > 0 && id % compactEvery == 0)
+          compactIndex(batch.sparkSession, indexDir)
       }
       .start()
 }

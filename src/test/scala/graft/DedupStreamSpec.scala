@@ -104,4 +104,31 @@ class DedupStreamSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 2L, 4L, 7L),
       "post-compaction screen must still consult the merged history")
   }
+
+  test("dedupIngestSink auto-compacts: delta count stays bounded on a long stream") {
+    val src = java.nio.file.Files.createTempDirectory("ddc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ddc_ck").toString
+    val index = java.nio.file.Files.createTempDirectory("ddc_ix").toString + "/ix"
+    val kept = java.nio.file.Files.createTempDirectory("ddc_out").toString + "/kept"
+    // five single-file batches of distinct docs → five deltas without
+    // compaction; compactEvery=1 folds all-but-the-newest each batch
+    (0 until 5).foreach { i =>
+      Seq((i.toLong, s"unique document number $i with its very own tokens $i$i"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val q = DedupStream.dedupIngestSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      index, kept, ckpt, "doc_id", "text", threshold = 0.7, compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    val dirs = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("b=")).sorted.toSeq
+    assert(dirs.length == 2,
+      s"auto-compaction must hold the delta count at merged+newest; got $dirs")
+    assert(spark.read.parquet(index).select("doc_id").as[Long]
+      .collect().sorted.toSeq == (0L until 5L),
+      "compacted index must still hold every survivor's signature")
+    assert(spark.read.parquet(kept).count() == 5)
+  }
 }

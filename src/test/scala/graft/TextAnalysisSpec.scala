@@ -182,11 +182,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(allPos(3L)._3 == 2L * 7 && allPos(3L)._5)
     assert(allPos(2L) == ((2L, 0L, 0L, 0.0, false)))
     assert(allPos(4L) == ((4L, 0L, 0L, 0.0, false)), "null text folds to the empty-doc shape")
-    // the weight table must arrive broadcast, never shuffle the scan
-    val plan = TextAnalysis.linearQualityScoreWith(docs, "doc_id", "text",
+    // the weight table must arrive broadcast, never shuffle the scan —
+    // checked on the plan TREE (ShuffleExchangeExec prints as plain
+    // "Exchange", so a string match would be vacuous)
+    val planned = TextAnalysis.linearQualityScoreWith(docs, "doc_id", "text",
         TextAnalysis.fixtureWeights(256))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Broadcast"), s"weight table must broadcast:\n$plan")
-    assert(!plan.contains("ShuffleExchange"), s"scan side must not shuffle:\n$plan")
+      .queryExecution.executedPlan
+    assert(planned.toString.contains("Broadcast"),
+      s"weight table must broadcast:\n$planned")
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"scan side must not shuffle:\n$planned")
   }
 }
