@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // forward stdin to the forked JVM (MiniSqlCli REPL)
+// Pass the forked JVM's stdout through RAW instead of re-logging it
+// under sbt's "[info] " prefix: the bench/verify drivers scrape stdout
+// for one machine-readable JSON line, and the prefix has broken their
+// parse every round (BENCH_r0{7,8,9}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

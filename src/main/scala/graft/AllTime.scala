@@ -24,6 +24,9 @@ object AllTime {
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // Caching contract: release this exec's operator-internal
+          // persists so a full sweep doesn't accumulate storage pressure
+          spark.catalog.clearCache()
           (System.nanoTime() - t0) / 1e9
         }
         // the full iteration array rides along so a spread (GC, cache

@@ -28,8 +28,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.all.filter(_.bench)
-    def exec(q: Queries.Q): Unit =
+    def exec(q: Queries.Q): Unit = {
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // Caching contract (operators/Caching.scala): operator-internal
+      // persists are released by the CALLER after its terminal action.
+      // Without this, ~85 execs (17 headliners × warmup+pre-exec+iters)
+      // each pin fresh copies of signature/bucket frames — storage
+      // pressure mounts over the run and late iterations degrade into
+      // eviction/GC storms (BENCH_r09: dedup_minhash 1.8→4.8→26.3 s
+      // across its own three iterations).
+      spark.catalog.clearCache()
+    }
+    def warmExec(q: Queries.Q): Unit =
+      try exec(q)
+      catch { case e: Throwable =>
+        // a query that fails deterministically fails iters+1 times; an
+        // invisible warm-up failure would make that lengthening silent
+        System.err.println(s"WARN: warmup exec of ${q.name} failed: ${e.getMessage}")
+      }
 
     // One untimed warmup pass (SPARK_GRAFT_WARMUP overrides): it loads
     // classes, JIT-compiles the codegen paths, and primes the page
@@ -40,12 +56,7 @@ object Bench {
     val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     require(warmupPasses >= 0, s"SPARK_GRAFT_WARMUP must be >= 0, got $warmupPasses")
     val w0 = System.nanoTime()
-    (1 to warmupPasses).foreach { _ =>
-      headline.foreach { q =>
-        try exec(q)
-        catch { case _: Throwable => () }
-      }
-    }
+    (1 to warmupPasses).foreach { _ => headline.foreach(warmExec) }
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
     // Best-of-3: single-run times at this scale are dominated by JVM
@@ -65,8 +76,7 @@ object Bench {
       // composed eager queries (the training-manifest CC loop) would
       // otherwise spend timed iterations still converging to steady
       // state (measured 17.8 → 7.0 → 4.5 → 3.8 → 3.8 s on repeat-5)
-      try exec(q)
-      catch { case _: Throwable => () }
+      warmExec(q)
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try exec(q)

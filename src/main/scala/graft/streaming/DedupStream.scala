@@ -41,18 +41,23 @@ object DedupStream {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed index delta batch ids (guarded by `_SUCCESS`). */
-  private def committed(spark: SparkSession, indexDir: String): Seq[Long] = {
-    val path = new Path(indexDir)
-    val f = fs(spark, indexDir)
-    if (!f.exists(path)) Seq.empty
+  /** Batch ids (`b=<id>` partitions) under `dir`, split by whether the
+    * partition's `_SUCCESS` marker exists — committed vs mid-write. */
+  private def batchIds(spark: SparkSession, dir: String): (Seq[Long], Seq[Long]) = {
+    val path = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(path)) (Seq.empty, Seq.empty)
     else f.listStatus(path).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith("b="))
       .flatMap(s => s.stripPrefix("b=").toLongOption)
-      .filter(v => f.exists(new Path(s"$indexDir/b=$v/_SUCCESS")))
+      .partition(v => f.exists(new Path(s"$dir/b=$v/_SUCCESS")))
   }
+
+  /** Committed delta batch ids (guarded by `_SUCCESS`). */
+  private def committed(spark: SparkSession, indexDir: String): Seq[Long] =
+    batchIds(spark, indexDir)._1
 
   /** The standing signature index as of batches STRICTLY BELOW
     * `belowBatch` — the replay-safe view. `empty` supplies the
@@ -85,20 +90,44 @@ object DedupStream {
     // persist=false per the Caching contract: a long-running stream
     // constructs fresh plans every batch — operator-internal persists
     // would pile up one cache entry per batch; `rem` above is the one
-    // multi-consumer frame and this step owns its lifecycle
-    val pairs = Dedup.minhashNearDuplicates(rem, idCol, textCol,
-      threshold, p, persist = false)
-    val kept = Dedup.connectedComponents(rem.select(col(idCol)), idCol, pairs)
-      .filter(col("keep")).select(col(idCol))
-      .join(rem, Seq(idCol))
-    kept.write.mode("overwrite").parquet(s"$keptDir/b=$id")
-    // the delta re-reads kept from ITS OWN committed files: the
-    // signature write must not race the kept write's lazy plan
-    val keptBack = spark.read.parquet(s"$keptDir/b=$id")
-    Dedup.minhashSignatures(keptBack, idCol, textCol, p)
-      .write.mode("overwrite").parquet(s"$indexDir/b=$id")
-    rem.unpersist()
+    // multi-consumer frame and this step owns its lifecycle. The
+    // finally matters in a stream: Spark retries a failed batch with a
+    // FRESH screenBatch call, so an exception mid-body (a transient FS
+    // error, a failed write) would otherwise leak one cached plan per
+    // attempt for the stream's whole lifetime.
+    try {
+      val pairs = Dedup.minhashNearDuplicates(rem, idCol, textCol,
+        threshold, p, persist = false)
+      val kept = Dedup.connectedComponents(rem.select(col(idCol)), idCol, pairs)
+        .filter(col("keep")).select(col(idCol))
+        .join(rem, Seq(idCol))
+      kept.write.mode("overwrite").parquet(s"$keptDir/b=$id")
+      // the delta re-reads kept from ITS OWN committed files: the
+      // signature write must not race the kept write's lazy plan
+      val keptBack = spark.read.parquet(s"$keptDir/b=$id")
+      Dedup.minhashSignatures(keptBack, idCol, textCol, p)
+        .write.mode("overwrite").parquet(s"$indexDir/b=$id")
+    } finally rem.unpersist()
   }
+
+  /** The kept corpus restricted to COMMITTED batches — each `b=<id>`
+    * partition counts only once its `_SUCCESS` marker exists, the same
+    * gate [[indexSoFar]] applies to the signature side. A bare
+    * `spark.read.parquet(keptDir)` racing a batch replay can observe a
+    * missing or half-written partition (replays overwrite their own
+    * partition in place); this reader skips any partition that is
+    * mid-rewrite at listing time. Reads that must never race at all
+    * belong after the stream is stopped — the marker gate narrows the
+    * window to Spark's own commit protocol, it does not serialize
+    * against a concurrently-replaying writer. Throws if no batch has
+    * committed yet (there is no schema to return an empty frame with). */
+  def readKeptCorpus(spark: SparkSession, keptDir: String): DataFrame =
+    batchIds(spark, keptDir)._1.sorted match {
+      case Seq() => throw new IllegalStateException(
+        s"no committed kept batches under $keptDir")
+      case vs => vs.map(v => spark.read.parquet(s"$keptDir/b=$v"))
+        .reduce(_.unionByName(_))
+    }
 
   /** Compact the index's committed deltas: merge every delta STRICTLY
     * BELOW the newest committed batch into the OLDEST merged id, then
@@ -114,7 +143,9 @@ object DedupStream {
     * maintenance window, never beside a live reader). Two crash
     * windows, both non-fatal and both convergent:
     *  - DURING the target rewrite: that one delta's rows are invisible
-    *    until the staging dir (which still holds them) is recovered;
+    *    (its `_SUCCESS` is gone) until the heal below replays the
+    *    committed staging copy — which still holds every merged row —
+    *    back over the interrupted target on the next compactIndex;
     *  - AFTER the rewrite, BEFORE the tail deletes: merged rows exist
     *    both in the target and in the not-yet-deleted tails. Harmless
     *    to screening (candidates and hits are distinct'd) and healed
@@ -124,12 +155,30 @@ object DedupStream {
     * this compaction is a transaction — the read protocol here is
     * exactly what those formats' logs implement. */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val f = fs(spark, indexDir)
+    val stagingPath = s"$indexDir/compact_staging"
+    // Heal a prior interrupted run: a COMMITTED staging dir (its own
+    // _SUCCESS — parquet writes emit one) paired with an uncommitted
+    // b=<v> means the crash hit mid-overwrite of the merge target.
+    // Replay the staging→target rewrite so the merged rows rejoin the
+    // committed view; the staging holds the DISTINCT union of every
+    // merged delta, so replaying into any uncommitted partition (at
+    // most the one target under this protocol) restores exactly what
+    // the interrupted run was writing. Without this, those signatures
+    // stay invisible to every future screen until out-of-band recovery
+    // — previously-deduped documents would be re-admitted.
+    if (f.exists(new Path(s"$stagingPath/_SUCCESS"))) {
+      batchIds(spark, indexDir)._2.sorted.headOption.foreach { v =>
+        spark.read.parquet(stagingPath)
+          .write.mode("overwrite").parquet(s"$indexDir/b=$v")
+      }
+      f.delete(new Path(stagingPath), true)
+    }
     val vs = committed(spark, indexDir).sorted
     if (vs.length < 3) return // newest is untouchable; need >= 2 below it
     val mergeIds = vs.dropRight(1)
     val target = mergeIds.head
-    val staging = s"$indexDir/compact_staging" // no b= prefix → invisible
-    val f = fs(spark, indexDir)
+    val staging = stagingPath // no b= prefix → invisible to readers
     mergeIds.map(v => spark.read.parquet(s"$indexDir/b=$v"))
       .reduce(_.unionByName(_))
       .distinct() // heals row duplication from a prior interrupted run
@@ -143,7 +192,10 @@ object DedupStream {
   /** Sink a streaming document feed as a continuously-deduped corpus:
     * kept docs land under `keptDir/b=<batch>`, the signature index
     * grows under `indexDir/b=<batch>`. Read the corpus with
-    * `spark.read.parquet(keptDir)`.
+    * [[readKeptCorpus]] — it gates partitions on their `_SUCCESS`
+    * marker, so a batch replay mid-rewrite is skipped rather than
+    * observed half-written (a bare `spark.read.parquet(keptDir)` has
+    * no such guard).
     *
     * `compactEvery > 0` folds [[compactIndex]] into every Nth batch's
     * foreachBatch step — without it a long-lived stream accrues one

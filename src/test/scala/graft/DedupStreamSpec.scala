@@ -105,6 +105,73 @@ class DedupStreamSpec extends SparkSpec {
       "post-compaction screen must still consult the merged history")
   }
 
+  test("compactIndex heals a crash caught mid-target-rewrite") {
+    val index = java.nio.file.Files.createTempDirectory("ddh_ix").toString + "/ix"
+    val kept = java.nio.file.Files.createTempDirectory("ddh_out").toString + "/kept"
+    // three committed deltas via the normal protocol
+    Seq(baseA, baseB, baseC).zipWithIndex.foreach { case (t, i) =>
+      DedupStream.screenBatch(Seq((i.toLong, t)).toDF("doc_id", "text"),
+        id = i.toLong, index, kept, "doc_id", "text", threshold = 0.7)
+    }
+    val before = spark.read.parquet(index).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(before == Seq(0L, 1L, 2L))
+
+    // simulate the first crash window: staging committed (it holds the
+    // merged b=0 ∪ b=1), target b=0 mid-overwrite (its _SUCCESS gone) —
+    // the exact on-disk state an interrupted compactIndex leaves
+    val staging = s"$index/compact_staging"
+    spark.read.parquet(s"$index/b=0").unionByName(spark.read.parquet(s"$index/b=1"))
+      .write.mode("overwrite").parquet(staging)
+    assert(new java.io.File(s"$staging/_SUCCESS").exists())
+    assert(new java.io.File(s"$index/b=0/_SUCCESS").delete(),
+      "test setup: simulate the interrupted target by removing its marker")
+    // the crashed delta's rows are now invisible to the committed view
+    assert(DedupStream.indexSoFar(spark, index, belowBatch = 99L,
+      spark.read.parquet(s"$index/b=1").filter(lit(false)))
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // one compactIndex call must FIRST replay staging→target (making
+    // doc 0's signatures committed again), then compact as usual
+    DedupStream.compactIndex(spark, index)
+    assert(spark.read.parquet(index).select("doc_id").as[Long]
+      .collect().sorted.toSeq == before,
+      "heal must restore the interrupted delta's rows before merging")
+    assert(!new java.io.File(staging).exists(), "staging must be cleaned up")
+    val dirs = new java.io.File(index).listFiles().map(_.getName)
+      .filter(_.startsWith("b=")).sorted.toSeq
+    assert(dirs == Seq("b=0", "b=2"),
+      s"post-heal compaction must still collapse the tail; got $dirs")
+    // and the healed index still screens: re-ingesting doc 0's text as
+    // a new batch must be dropped by the standing index
+    DedupStream.screenBatch(Seq((10L, baseA)).toDF("doc_id", "text"),
+      id = 3L, index, kept, "doc_id", "text", threshold = 0.7)
+    assert(spark.read.parquet(kept).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L),
+      "a heal-recovered index must screen content from the crashed delta")
+  }
+
+  test("readKeptCorpus skips partitions whose _SUCCESS is missing") {
+    val index = java.nio.file.Files.createTempDirectory("ddr_ix").toString + "/ix"
+    val kept = java.nio.file.Files.createTempDirectory("ddr_out").toString + "/kept"
+    Seq(baseA, baseB).zipWithIndex.foreach { case (t, i) =>
+      DedupStream.screenBatch(Seq((i.toLong, t)).toDF("doc_id", "text"),
+        id = i.toLong, index, kept, "doc_id", "text", threshold = 0.7)
+    }
+    assert(DedupStream.readKeptCorpus(spark, kept).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L))
+    // a replay mid-rewrite has deleted the partition's marker: the
+    // committed reader must exclude it (a bare read would include it)
+    assert(new java.io.File(s"$kept/b=1/_SUCCESS").delete())
+    assert(DedupStream.readKeptCorpus(spark, kept).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(0L),
+      "mid-rewrite partitions must be invisible to the committed reader")
+    assert(new java.io.File(s"$kept/b=0/_SUCCESS").delete())
+    intercept[IllegalStateException] {
+      DedupStream.readKeptCorpus(spark, kept)
+    }
+  }
+
   test("dedupIngestSink auto-compacts: delta count stays bounded on a long stream") {
     val src = java.nio.file.Files.createTempDirectory("ddc_src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ddc_ck").toString
