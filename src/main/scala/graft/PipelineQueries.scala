@@ -2834,5 +2834,51 @@ object PipelineQueries {
              |WHERE op <> 'D'""".stripMargin.replace("\n", " "))),
   )
 
-  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc
+  // ---------------------------------------------------------------------
+  // Graph centrality — corpus quality weighting (operators.Graph). The
+  // graph is the co-purchase graph (parts co-ordered ≥ 2 times, the
+  // q_copurchase_pairs edge rule); ranks are exact integer PageRank, so
+  // the oracle replays the identical arithmetic as an unrolled CTE
+  // chain (the IVF-oracle idiom — DuckDB needs no recursion support).
+  // ---------------------------------------------------------------------
+  private val PrIters = 10
+
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select("pa", "pb")
+  }
+
+  private val pageRankOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "ed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb AS u, pa AS v FROM prs), "
+    sb ++= "dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY u), "
+    sb ++= "r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM dg), "
+    // one CTE per iteration: contribution = r // d (both engines
+    // truncate non-negative integer division), damping in integers;
+    // SUM over BIGINT is HUGEINT in DuckDB → cast back before scaling
+    (1 to PrIters).foreach { i =>
+      sb ++= s"r$i AS (SELECT e.v AS id, 150000 + (85 * CAST(SUM(p.r // dg.d) AS BIGINT)) // 100 AS r " +
+        s"FROM ed e JOIN r${i - 1} p ON p.id = e.u JOIN dg ON dg.u = e.u GROUP BY e.v), "
+    }
+    sb.setLength(sb.length - 2) // trailing ", "
+    sb ++= s" SELECT id AS part_id, r AS rank_micro FROM r$PrIters"
+    sb.result()
+  }
+
+  private val graph = Vector(
+    Q("graph_pagerank",
+      (s, d) => operators.Graph.pageRank(copurchaseEdges(s, d), "pa", "pb",
+        iterations = PrIters)
+        .withColumnRenamed("id", "part_id"),
+      Some(pageRankOracle),
+      bench = true),
+  )
+
+  val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph
 }
