@@ -1505,7 +1505,65 @@ object PipelineQueries {
       (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, nProbe = 4).orderBy("vec_id"),
       Some(semDedupOracleAt(nProbe = 4))),
+    // 64-bit SRP fingerprint of every embedding — the 8-byte/row angle
+    // sketch a lake-scale embedding column carries alongside the
+    // vectors. The oracle re-derives all 64 packed sign bits (same LCG
+    // planes, same left-to-right dots, HUGEINT pack + signed wrap), so
+    // a single hash row pins 640 × 64 plane signs cross-engine.
+    Q("emb_srp_sketch",
+      (s, d) => Similarity.srpSketch(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some(srpSketchOracle)),
+    // Sketch calibration: SRP hamming vs exact cosine over the known
+    // near-pair set (the emb_cosine_pairs rule) — the measurement that
+    // turns a hamming radius into an angle threshold before anyone
+    // trusts the 8-byte screen at scale. This corpus has no pairs
+    // inside hamming 7 (checked: zero pairs at cosine ≥ 0.6), so the
+    // radius-7 pair screen itself ([[Similarity.srpNearPairs]], MIH
+    // candidates) is pinned by SimilaritySpec on planted near-dups —
+    // an empty registered pair query would assert nothing.
+    Q("emb_srp_hamming",
+      (s, d) => {
+        val pairs = Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, bands = CosBands, planesPerBand = CosPlanes,
+          dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
+          planeGen = Similarity.lcgPlanes)
+        val sk = Similarity.srpSketch(t(s, d, "embeddings"), "vec_id", "embedding")
+        pairs
+          .join(sk.select(col("vec_id").as("a"), col("sketch").as("__sa")), "a")
+          .join(sk.select(col("vec_id").as("b"), col("sketch").as("__sb")), "b")
+          .select(col("a"), col("b"), col("cosine"),
+            bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+          .orderBy("a", "b")
+      },
+      Some(srpHammingOracle)),
   )
+
+  /** DuckDB re-derivation of [[Similarity.srpSketch]]'s 64-bit pack:
+    * `sk(vec_id, sketch)`. Sign bits sum in HUGEINT (bit 63 exceeds
+    * BIGINT), then wrap to signed — the Xxh64Sql conversion idiom. */
+  private def srpSketchCtes: String = {
+    val terms = (0 until 64).map { j =>
+      val w = lcgVecSql(300000L + j.toLong * 64, 64)
+      val pow = if (j == 63) "9223372036854775808::HUGEINT"
+        else s"${1L << j}::HUGEINT"
+      s"(CASE WHEN list_dot_product(v, $w) >= 0 THEN $pow ELSE 0::HUGEINT END)"
+    }
+    s"""skv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |skh AS (SELECT vec_id, ${terms.mkString(" + ")} AS hu FROM skv),
+       |sk AS (SELECT vec_id, (CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)::BIGINT AS sketch FROM skh)""".stripMargin
+      .replace("\n", " ")
+  }
+
+  private def srpSketchOracle: String =
+    s"WITH $srpSketchCtes SELECT vec_id, sketch FROM sk"
+
+  private def srpHammingOracle: String =
+    s"""WITH cp AS ($cosinePairsOracle), $srpSketchCtes
+       |SELECT cp.a, cp.b, cp.cosine,
+       |CAST(bit_count(xor(sa.sketch, sb.sketch)) AS INTEGER) AS hamming
+       |FROM cp JOIN sk sa ON sa.vec_id = cp.a JOIN sk sb ON sb.vec_id = cp.b""".stripMargin
+      .replace("\n", " ")
 
   // ---------------------------------------------------------------------
   // Event analytics (batch analogs of the streaming pipelines)

@@ -340,4 +340,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
   }
+
+  /** 64-bit sign-random-projection (SRP) sketch of an embedding
+    * column: bit j is the sign of the dot product with LCG hyperplane
+    * j, packed into one BIGINT — a 32× compression of a 64-float
+    * vector that preserves angle (E[hamming] = 64·θ/π, Charikar '02,
+    * public algorithm). The fingerprint an embedding column carries
+    * ALONGSIDE the vectors at lake scale: near-dup screens and
+    * coarse-angle filters read 8 bytes/row instead of 256, and the
+    * hamming machinery ([[Dedup.hammingNearPairsMih]]) applies to
+    * embeddings exactly as it does to media/simhash fingerprints.
+    *
+    * Determinism: the plane dots are the same left-to-right fold as
+    * [[cosinePairs]] (bit-identical cross-engine), the sign rule is
+    * `>= 0`, and the pack is a sum of distinct powers of two — Java
+    * long addition is modular, so bit 63 (Long.MinValue) wraps to the
+    * correct bit pattern; the SQL oracle sums in HUGEINT and wraps
+    * explicitly (the Xxh64Sql signed-conversion idiom). Map-only: no
+    * shuffle, one scan, codegen'd native dot products. */
+  def srpSketch(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 64, dim: Int = 64, seed: Long = 300000L): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    val planes = lcgPlanes(bits, dim, seed)
+    val v = asDouble(col(vecCol))
+    val sketch = planes.zipWithIndex.map { case (w, j) =>
+      when(dotNative(v, typedLit(w)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), sketch.as("sketch"))
+  }
+
+  /** Embedding near-duplicate pairs via the SRP sketch: sketch both
+    * sides (map-only), then multi-index-hashing candidate generation +
+    * exact hamming verification — never all-pairs. `maxHamming = 7`
+    * over 64 bits keeps only pairs within ~20° of each other
+    * (θ ≈ hamming·π/64); calibrate radius↔angle for a corpus with the
+    * emb_srp_hamming query before trusting a threshold at scale.
+    * Output: (a, b, hamming). */
+  def srpNearPairs(df: DataFrame, idCol: String, vecCol: String,
+      maxHamming: Int = 7, dim: Int = 64, seed: Long = 300000L,
+      persist: Boolean = true): DataFrame =
+    Dedup.hammingNearPairsMih(srpSketch(df, idCol, vecCol, 64, dim, seed),
+      idCol, "sketch", maxHamming, chunks = 4, persist = persist)
 }

@@ -148,4 +148,42 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall > 0.4, s"LSH recall $recall unexpectedly low")
   }
+
+  test("srpSketch packs the 64 plane signs exactly (incl. the bit-63 wrap)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 20)
+    val got = Similarity.srpSketch(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    val planes = Similarity.lcgPlanes(64, 64, 300000L)
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    for ((id, v) <- vecs) {
+      // same left-to-right fold as the native dot product
+      val expect = planes.zipWithIndex.map { case (w, j) =>
+        val dot = v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * w(i))
+        if (dot >= 0) 1L << j else 0L
+      }.sum // modular long addition: bit 63 wraps to the sign bit
+      assert(got(id) == expect, s"vec $id sketch mismatch")
+    }
+    assert(got.values.exists(_ < 0), "no sketch exercises the sign bit")
+  }
+
+  test("srpNearPairs finds planted near-angle replicas, never unrelated vectors") {
+    val rng = new scala.util.Random(7L)
+    val base = Seq.fill(8)(Array.fill(64)(rng.nextGaussian().toFloat))
+    // replica k = base k with 2% relative noise → tiny angle → tiny hamming;
+    // distinct gaussian bases are near-orthogonal (~90°) → hamming ≈ 32
+    val rows = base.zipWithIndex.flatMap { case (v, k) =>
+      val rep = v.map(x => x * (1f + 0.02f * rng.nextGaussian().toFloat))
+      Seq((k.toLong, v.toSeq), (100L + k, rep.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearPairs(df, "vec_id", "embedding",
+      maxHamming = 7, persist = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    for (k <- 0 until 8)
+      assert(pairs.contains((k.toLong, 100L + k)), s"planted pair $k missed")
+    assert(pairs.forall { case (a, b) => b - a == 100L },
+      s"unrelated vectors paired: ${pairs.filter { case (a, b) => b - a != 100L }}")
+  }
 }
