@@ -74,4 +74,67 @@ object Graph {
       ranks
     } finally edgesDeg.unpersist()
   }
+
+  /** Exact per-vertex triangle counts and local clustering coefficient
+    * over the undirected graph `pairs(aCol, bCol)`. Returns one row per
+    * vertex: `(id, degree, n_tri, cc_permille)` with the coefficient in
+    * exact per-mille integers — `(2000·t) div (d·(d−1))`, 0 when
+    * degree < 2 — so any engine re-derives the same longs.
+    *
+    * Scale shape (node-iterator with degree orientation, the standard
+    * distributed-triangle trick — Suri & Vassilvitskii, WWW'11): each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher, so every vertex's oriented out-degree is O(√E)
+    * regardless of raw degree. Wedges are generated only between
+    * out-neighbors (join on the shared source), giving Σ outdeg² ≤
+    * O(E^{3/2}) candidate wedges instead of Σ deg² — the difference
+    * between a bounded shuffle and a quadratic blow-up on a power-law
+    * co-purchase graph. The closing-edge check is a semi-join back on
+    * the oriented edge list; each triangle is produced exactly once
+    * (its vertices appear in orientation-rank order). Everything is
+    * joins + one explode — no driver state, no iteration.
+    *
+    * Reference: /root/reference/sqlengine.py has no graph surface
+    * (extension per the brief's quality-weighting family). */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String,
+      persist: Boolean = true): DataFrame = {
+    // both directions, deduped: ed is the symmetric adjacency list
+    val ed = pairs
+      .select(explode(array(
+        struct(col(aCol).as("__u"), col(bCol).as("__v")),
+        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
+      .distinct()
+    val deg = Caching.maybePersist(
+      ed.groupBy("__u").agg(count(lit(1)).as("__d")), persist)
+    // orient low-(deg, id) → high-(deg, id); keep the dst rank for the
+    // wedge ordering below so the loop joins ONE standing frame
+    val oriented = Caching.maybePersist(
+      ed.join(deg.select(col("__u"), col("__d").as("__du")), "__u")
+        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
+        .filter(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")))
+        .select(col("__u").as("s"), col("__v").as("t"), col("__dv").as("dt")),
+      persist)
+    // wedge (s → x, s → y) with rank(x) < rank(y): the closing edge, if
+    // the triangle exists, is oriented exactly x → y
+    val w1 = oriented.select(col("s"), col("t").as("x"), col("dt").as("dx"))
+    val w2 = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+    val tris = w1.join(w2, Seq("s"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("s").as("x"), col("t").as("y")),
+        Seq("x", "y"), "left_semi")
+      .select(col("s"), col("x"), col("y"))
+    val perVertex = tris
+      .select(explode(array(col("s"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("__u").as("id"), col("__d").as("degree"))
+      .join(perVertex, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("id"), col("degree"), col("n_tri"),
+        when(col("degree") >= 2,
+          expr("(2000 * n_tri) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_permille"))
+  }
 }
