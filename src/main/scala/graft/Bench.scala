@@ -69,6 +69,12 @@ object Bench {
     // could not prove that by itself.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters > 0, s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters")
+    // A query that THROWS must never be recorded as a (fast!) time:
+    // r11 reported 0.05 s for three queries whose "time" was the cost
+    // of an analysis exception — fake-green numbers worse than a
+    // missing row. Failed iterations become JSON null; a query with no
+    // successful iteration reports null in `queries`, its message in
+    // `errors`, and is excluded from the total.
     val results = headline.map { q =>
       // one untimed exec immediately before timing: the global pass
       // above primes classes and the page cache, but by the time the
@@ -77,23 +83,39 @@ object Bench {
       // otherwise spend timed iterations still converging to steady
       // state (measured 17.8 → 7.0 → 4.5 → 3.8 → 3.8 s on repeat-5)
       warmExec(q)
+      var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try exec(q)
+        try { exec(q); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times
+      (q.name, times, err)
     }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }
-      .mkString("{", ",", "}")
-    val iterArrays = results
-      .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    // truncate BEFORE escaping: cutting after could split an escape
+    // sequence and emit invalid JSON
+    def jstr(s: String): String = "\"" + s.take(300).replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
+      .replace("\t", "\\t") + "\""
+    val qs = results.map { case (k, ts, _) =>
+      val ok = ts.flatten
+      "\"" + k + "\":" + (if (ok.isEmpty) "null" else ok.min)
+    }.mkString("{", ",", "}")
+    val iterArrays = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" +
+        ts.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":" + jstr(m)
+    }.mkString("{", ",", "}")
+    val total = results.flatMap { case (_, ts, _) =>
+      val ok = ts.flatten; if (ok.isEmpty) None else Some(ok.min)
+    }.sum
+    val nFailed = results.count(_._2.flatten.isEmpty)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     println(json)
     // Also land the line in files: the driver scrapes stdout through
     // sbt's [info] prefixes and has failed to parse it (BENCH_r07

@@ -836,15 +836,14 @@ object PipelineQueries {
        |SELECT inner_id, outer_id, containment FROM dir WHERE containment >= 0.6""".stripMargin.replace("\n", " ")
   }
 
-  /** The events table ships TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read the physical int64 as nanos
-    * (legacy conf) and derive `ts_s` = epoch seconds. All event queries
-    * work in integer seconds, which also sidesteps engine-specific
-    * timestamp-timezone rendering in the oracle compare. */
-  private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts_s", expr("ts DIV 1000000000"))
-  }
+  /** The events table with `ts_s` = epoch seconds attached. The
+    * physical type of `ts` has drifted across testdata generations
+    * (int64 nanos → timestamp[us]); [[sources.EventsTime]] adapts per
+    * schema so every event query works in integer seconds regardless —
+    * which also sidesteps engine-specific timestamp-timezone rendering
+    * in the oracle compare. */
+  private def events(s: SparkSession, d: String): DataFrame =
+    sources.EventsTime.load(s, d)
 
   /** Per-(process, dataset) scratch directory for the sink-roundtrip
     * queries. The pid keeps concurrent JVMs (a Verify beside an AllTime
@@ -1622,11 +1621,11 @@ object PipelineQueries {
     // As-of join (union+window, one shuffle — see TemporalJoins): each
     // purchase gets the user's latest click at-or-before it. Oracle is
     // DuckDB's native ASOF LEFT JOIN — an independent implementation of
-    // the same semantics. Timestamps compared at microseconds (ts DIV
-    // 1000): DuckDB truncates the parquet NANOS type to μs on read.
+    // the same semantics. Timestamps compared at integer microseconds
+    // (EventsTime.epochMicros), the native resolution of both engines.
     Q("ev_asof_click",
       (s, d) => {
-        val e = events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val e = sources.EventsTime.withEpochMicros(events(s, d))
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("ts_us").as("purchase_ts"))
@@ -1673,7 +1672,7 @@ object PipelineQueries {
     // rides through boundedRangeJoin's right payload, so no join-back.
     Q("ev_stream_join",
       (s, d) => {
-        val e = events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val e = sources.EventsTime.withEpochMicros(events(s, d))
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("ts_us").as("purchase_ts"))
@@ -1701,7 +1700,7 @@ object PipelineQueries {
     // inner boundedRangeJoin result on the unique purchase id.
     Q("ev_stream_join_outer",
       (s, d) => {
-        val e = events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+        val e = sources.EventsTime.withEpochMicros(events(s, d))
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("ts_us").as("purchase_ts"))

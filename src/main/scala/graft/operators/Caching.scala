@@ -16,4 +16,24 @@ import org.apache.spark.storage.StorageLevel
 private[operators] object Caching {
   def maybePersist(df: DataFrame, persist: Boolean): DataFrame =
     if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+
+  /** Free the storage blocks behind a `localCheckpoint(true)`-ed frame.
+    *
+    * `Dataset.unpersist()` only releases catalog-cached plans; a local
+    * checkpoint's blocks are RDD-level storage that otherwise lives
+    * until the JVM garbage-collects the RDD object and the async
+    * ContextCleaner gets around to it. In an iterative loop (connected
+    * components, PageRank) that nondeterministic lag stacks one
+    * checkpoint per round into real storage pressure — measured as
+    * 1.5-2× iteration-time spread on the composed manifest bench and
+    * eviction storms on whatever persists next. Call this on a round's
+    * checkpoint once the NEXT round's checkpoint is materialized (the
+    * frame is unusable afterwards: its lineage was truncated to the
+    * very blocks being freed — never free the loop's final result). */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpointed frame — nothing to free
+    }
 }

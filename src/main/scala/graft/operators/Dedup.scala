@@ -674,6 +674,10 @@ object Dedup {
     var labels = edges.select(col("__u"))
       .distinct().withColumn("__lbl", col("__u"))
       .localCheckpoint(true)
+    // the previous round's checkpoint, freed (Caching.freeLocalCheckpoint)
+    // as soon as the next round is materialized — only the final round's
+    // blocks outlive the loop (the returned frame reads them lazily)
+    var prevCkpt = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -702,6 +706,8 @@ object Dedup {
         .select(col("__u"), col("__plbl").as("__lbl"), col("__old"))
         .localCheckpoint(true)
       converged = next.filter(col("__lbl") =!= col("__old")).isEmpty
+      Caching.freeLocalCheckpoint(prevCkpt)
+      prevCkpt = next
       labels = next.drop("__old")
       iter += 1
     }

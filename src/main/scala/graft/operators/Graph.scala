@@ -61,6 +61,7 @@ object Graph {
       var ranks = deg.select(col("__u").as("id"),
         lit(1000000L).as("rank_micro"))
       for (_ <- 1 to iterations) {
+        val prev = ranks
         ranks = edgesDeg
           .join(ranks, edgesDeg("__u") === ranks("id"))
           .select(col("__v"),
@@ -70,6 +71,10 @@ object Graph {
           .select(col("__v").as("id"),
             (lit(150000L) + expr("(85 * __s) div 100")).as("rank_micro"))
           .localCheckpoint(true)
+        // previous round's blocks are dead once this round materialized
+        // (round 1's `prev` is not a checkpoint — the helper no-ops);
+        // the final round survives for the lazily-returned frame
+        Caching.freeLocalCheckpoint(prev)
       }
       ranks
     } finally edgesDeg.unpersist()

@@ -39,16 +39,17 @@ object EventStreams {
   final case class Trend(window_start: Long, event_type: String,
       n: Long, rank: Int)
 
-  /** The events source as a stream. The table ships TIMESTAMP(NANOS)
-    * parquet → read nanos as long (same conf as the batch path) and
-    * derive a proper timestamp column for watermarking. */
+  /** The events source as a stream. The physical type of `ts` has
+    * drifted across testdata generations (int64 nanos → timestamp[us]);
+    * [[graft.sources.EventsTime]] adapts per schema and derives a
+    * proper timestamp column for watermarking. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory; glob-filter down to the table
-    spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    stream.withColumn("event_time", graft.sources.EventsTime.eventTime(stream))
   }
 
   /** Stream-static enrichment join — the lookup every event pipeline

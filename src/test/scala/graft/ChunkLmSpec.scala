@@ -66,8 +66,7 @@ class ChunkLmSpec extends SparkSpec {
   test("ev_dedup: one row per (user, type), and it is the earliest") {
     val q = PipelineQueries.all.find(_.name == "ev_dedup").get
     val out = q.run(spark, "/root/testdata/sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = sources.EventsTime.load(spark, "/root/testdata/sf0.001")
     assert(out.groupBy("user_id", "event_type").count()
       .filter(col("count") > 1).count() == 0)
     assert(out.count() ==

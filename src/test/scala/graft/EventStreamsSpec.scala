@@ -14,11 +14,8 @@ class EventStreamsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def batchEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_s", expr("ts DIV 1000000000"))
-  }
+  // shared adaptive loader: ts_s derived whatever ts physically is
+  private def batchEvents = sources.EventsTime.load(spark, dir)
 
   test("windowed type counts: streaming result equals batch groupBy") {
     val q = EventStreams.windowedTypeCounts(EventStreams.readEvents(spark, dir))
@@ -96,7 +93,7 @@ class EventStreamsSpec extends SparkSpec {
     try { q.processAllAvailable() } finally q.stop()
     val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
 
-    val e = batchEvents.withColumn("ts_us", expr("ts DIV 1000"))
+    val e = sources.EventsTime.withEpochMicros(batchEvents)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
     val clicks = e.filter(col("event_type") === "click")
@@ -215,8 +212,10 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("incremental sessionize: emits closed sessions plus watermark-expired tails") {
-    val stream = EventStreams.readEvents(spark, dir)
-      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"), col("value"))
+    val raw = EventStreams.readEvents(spark, dir)
+    val stream = raw
+      .select(col("user_id"),
+        sources.EventsTime.epochSeconds(raw).as("ts_s"), col("value"))
       .as[Event]
     val q = EventStreams.sessionize(stream)
       .writeStream.outputMode(OutputMode.Append())
@@ -456,8 +455,9 @@ class EventStreamsSpec extends SparkSpec {
 
   test("native session_window stream: finalized sessions equal the ev_session_native batch query") {
     // same second-floored event time the batch twin uses
-    val stream = EventStreams.readEvents(spark, dir)
-      .withColumn("event_time", timestamp_seconds(expr("ts DIV 1000000000")))
+    val raw = EventStreams.readEvents(spark, dir)
+    val stream = raw.withColumn("event_time",
+      timestamp_seconds(sources.EventsTime.epochSeconds(raw)))
     val q = EventStreams.sessionWindowCounts(stream)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("swin_out").start()

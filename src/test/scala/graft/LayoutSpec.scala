@@ -9,11 +9,9 @@ import graft.operators.Layout
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  private def events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"event_id", $"user_id", expr("ts DIV 1000000000").as("ts_s"))
-  }
+  private def events =
+    sources.EventsTime.load(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"ts_s")
 
   test("zValue interleaves bits (hand-checked Morton codes)") {
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))

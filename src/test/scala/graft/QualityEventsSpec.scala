@@ -15,10 +15,8 @@ class QualityEventsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) =
     SparkEntry.all.find(_.name == name).get.run(spark, dir)
-  private lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  // shared adaptive loader: ts_s derived whatever ts physically is
+  private lazy val events = sources.EventsTime.load(spark, dir)
 
   test("ev_cohort_retention: offset 0 is the full cohort; cells conserve active days") {
     val out = q("ev_cohort_retention").collect()
@@ -28,7 +26,7 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
     // sum of cells = number of distinct (user, day) pairs
     val activeDays = events
-      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400")).distinct().count()
+      .select(col("user_id"), expr("ts_s DIV 86400")).distinct().count()
     assert(out.map(_.getLong(2)).sum == activeDays)
   }
 
@@ -89,7 +87,7 @@ class QualityEventsSpec extends SparkSpec {
     // new + retained + resurrected = active; actives conserve (user, day)
     assert(out.forall(r => r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4)))
     val activeDays = events
-      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400")).distinct().count()
+      .select(col("user_id"), expr("ts_s DIV 86400")).distinct().count()
     assert(out.map(_.getLong(4)).sum == activeDays)
     // on consecutive days: churned(d) = active(d-1) - retained(d)
     out.sliding(2).foreach { case Array(prev, cur) =>
@@ -105,8 +103,8 @@ class QualityEventsSpec extends SparkSpec {
     val out = q("ev_user_daily_gapfill")
     val users = events.select("user_id").distinct().count()
     val Array(d0, d1) = events
-      .select(expr("MIN((ts DIV 1000000000) DIV 86400)"),
-        expr("MAX((ts DIV 1000000000) DIV 86400)")).collect().head
+      .select(expr("MIN(ts_s DIV 86400)"),
+        expr("MAX(ts_s DIV 86400)")).collect().head
       .toSeq.map(_.asInstanceOf[Long]).toArray
     assert(out.count() == users * (d1 - d0 + 1))
     assert(out.agg(sum(col("n"))).head.getLong(0) == events.count())
@@ -193,8 +191,8 @@ class QualityEventsSpec extends SparkSpec {
       .groupBy("event_type").agg(
         count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
-        min(expr("ts DIV 1000000000")).as("min_ts"),
-        max(expr("ts DIV 1000000000")).as("max_ts"))
+        min(col("ts_s")).as("min_ts"),
+        max(col("ts_s")).as("max_ts"))
       .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
     assert(want == parquet && json == parquet)
   }
@@ -236,7 +234,7 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) > 3.0))
     // recompute one flagged minute's z from scratch
     if (out.nonEmpty) {
-      val minutes = events.select(expr("(ts DIV 1000000000) DIV 60").as("m"))
+      val minutes = events.select(expr("ts_s DIV 60").as("m"))
         .groupBy("m").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       val flagged = out.head
@@ -267,7 +265,7 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getBoolean(2)), out.filterNot(_.getBoolean(2)).mkString("; "))
     assert(out.map(_.getLong(1)).sum ==
-      events.select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400"))
+      events.select(col("user_id"), expr("ts_s DIV 86400"))
         .distinct().count())
   }
 
