@@ -951,6 +951,33 @@ object PipelineQueries {
        |ORDER BY priority DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
   }
 
+  /** Oracle for doc_dsir_sample: token-bucket histograms → integer ppm
+    * ratios → per-doc mean → priority race, the SQL mirror of
+    * [[Sampling.importanceResample]]. Buckets = hu % B on the UNSIGNED
+    * hash ≡ Spark's pmod(signed, B) because B is a power of two. */
+  private def dsirSampleOracle(k: Int, buckets: Int): String = {
+    import Xxh64Sql._
+    s"""WITH dstk AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+       |dsvoc AS (SELECT DISTINCT tok FROM dstk),
+       |dssrc AS (SELECT tok AS doc_id, tok FROM dsvoc),
+       |${tokenHashStages("ds")},
+       |dsbkt AS (SELECT doc_id AS tok, hu % $buckets AS b FROM dsh),
+       |dstb AS (SELECT t.doc_id, kk.b, (d.lang = 'en') AS tgt
+       |FROM dstk t JOIN dsbkt kk USING (tok) JOIN documents d ON d.doc_id = t.doc_id),
+       |dshist AS (SELECT b, COUNT(*) AS sc, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc FROM dstb GROUP BY b),
+       |dstot AS (SELECT SUM(sc) AS st, SUM(tc) AS tt FROM dshist),
+       |dsrt AS (SELECT b, (((tc + 1) * 1000000000) // (tt + $buckets) * 1000000)
+       | // greatest((sc + 1) * 1000000000 // (st + $buckets), 1) AS r
+       |FROM dshist CROSS JOIN dstot),
+       |dsw AS (SELECT doc_id, SUM(r) // COUNT(*) AS weight_ppm FROM dstb JOIN dsrt USING (b) GROUP BY doc_id),
+       |dpsrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + $M64 ELSE doc_id::HUGEINT END) AS v FROM dsw),
+       |${longHashStages("dp")},
+       |dpu AS (SELECT doc_id, CAST((hu // 2048) + 1 AS DOUBLE) / 9007199254740992.0::DOUBLE AS u FROM dpf5)
+       |SELECT w.doc_id, CAST(w.weight_ppm AS BIGINT) AS weight_ppm, w.weight_ppm / u.u AS priority
+       |FROM dsw w JOIN dpu u USING (doc_id)
+       |ORDER BY priority DESC, w.doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   private def stratSampleOracle(rates: Map[String, Double], defaultRate: Double): String = {
     val cases = rates.toSeq.sortBy(_._1).map { case (l, r) =>
       s"WHEN lang = '$l' THEN ${Sampling.threshold(r)}"
@@ -1107,6 +1134,18 @@ object PipelineQueries {
         "doc_id", "n_tokens", k = 50)
         .select("doc_id", "n_tokens", "priority"),
       Some(prioritySampleOracle(50))),
+    // DSIR importance resampling (data selection): the 40 docs whose
+    // hashed-unigram distribution is closest to the 'en' slice, via
+    // exact-integer likelihood ratios (log-free — see
+    // Sampling.importanceResample scaladoc) + the deterministic
+    // weight-proportional priority draw. The oracle re-derives the
+    // token xxhash buckets, both smoothed histograms, the ppm ratios,
+    // and the priority race end-to-end in SQL.
+    Q("doc_dsir_sample",
+      (s, d) => Sampling.importanceResample(t(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", k = 40)
+        .select("doc_id", "weight_ppm", "priority"),
+      Some(dsirSampleOracle(k = 40, buckets = 64))),
     Q("doc_split_assign",
       (s, d) => Sampling.assignSplits(t(s, d, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -2798,7 +2837,69 @@ object PipelineQueries {
       // benched: the candidate-generation strategy here has a history
       // (the saturating pigeonhole) — keep the MIH path regression-timed
       bench = true),
+    // The binaryFile SOURCE — how a media corpus actually lands on a
+    // cluster (object-store files → one row per file with
+    // path/length/content) before anyone converts it to parquet. The
+    // query materializes a bounded file fixture (every 5th doc's PGM
+    // payload as its own file — test plumbing, not the measured
+    // operator), ingests it through binaryFile, recovers the id from
+    // the filename, parses the raster header from the actual bytes,
+    // and checksums every content byte. The oracle re-derives file
+    // length, dims, and the byte checksum from the documents table and
+    // the payload layout rule, so a hash match proves the file write →
+    // binaryFile read → decode chain is byte-lossless end to end. At
+    // corpus scale the fixture step disappears (the files already
+    // exist) and binaryFile's per-file rows partition by file — the
+    // scan shape is embarrassingly parallel.
+    Q("mm_ingest_binary",
+      (s, d) => {
+        val tmp = scratchDir("binfiles", d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        withPayload(t(s, d, "documents").filter(col("doc_id") % 5 === 0))
+          .select(col("doc_id"), col("payload"))
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"doc_${r.getLong(0)}%09d.pgm"),
+              r.getAs[Array[Byte]](1))
+            () // Row => Unit overload
+          }
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pgm").load(tmp)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.pgm$", 1)
+              .cast(LongType).as("doc_id"),
+            col("length"), col("content"))
+        val sums = files.select(col("doc_id").as("id"),
+          col("length").as("file_bytes"),
+          // the corpus is pure ASCII (header included), so the UTF-8
+          // string view's codepoints ARE the bytes
+          expr("""aggregate(sequence(1, length(CAST(content AS STRING))),
+                 |0L, (acc, i) ->
+                 |acc + ascii(substring(CAST(content AS STRING), i, 1)))"""
+            .stripMargin.replace("\n", " ")).as("checksum"))
+        operators.Multimodal.describeMedia(files, "doc_id", "content")
+          .join(sums, "id")
+          .select("id", "format", "width", "height", "n_bytes",
+            "file_bytes", "checksum")
+      },
+      Some(mmIngestOracle)),
   )
+
+  /** Oracle for [[mm_ingest_binary]]: byte count, dims, and whole-file
+    * byte checksum re-derived from the documents table under the PGM
+    * layout rule. Header "P5\n24 {h}\n255\n" = 11 constant chars (byte
+    * sum 453) + the digits of h; plane = text bytes then space pad. */
+  private def mmIngestOracle: String =
+    s"""WITH ${pgmGeom("documents WHERE doc_id % 5 = 0")},
+       |ih AS (SELECT doc_id, text, len, hh, n, CAST(hh AS VARCHAR) AS hstr FROM pgn)
+       |SELECT doc_id AS id, 'pgm' AS format, CAST(24 AS INTEGER) AS width,
+       |CAST(hh AS INTEGER) AS height,
+       |CAST(11 + length(hstr) + n AS BIGINT) AS n_bytes,
+       |CAST(11 + length(hstr) + n AS BIGINT) AS file_bytes,
+       |CAST(453
+       | + COALESCE(list_sum(list_transform(generate_series(1, length(hstr)), i -> ascii(hstr[i:i])::BIGINT)), 0)
+       | + COALESCE(list_sum(list_transform(generate_series(1, n), i -> $PixSql)), 0) AS BIGINT) AS checksum
+       |FROM ih""".stripMargin.replace("\n", " ")
 
   // ---------------------------------------------------------------------
   // CDC snapshot maintenance. The change feed is derived

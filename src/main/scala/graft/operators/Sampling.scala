@@ -106,6 +106,60 @@ object Sampling {
     * TakeOrderedAndProject (per-partition heaps, k rows to the
     * driver), so no global sort at any scale. u maps the hash's top
     * 53 bits to (0, 1] — exact double arithmetic, engine-portable. */
+  /** DSIR-style importance resampling (Xie et al., NeurIPS 2023: "Data
+    * Selection for Language Models via Importance Resampling") — pick
+    * the k documents whose hashed-unigram distribution looks most like
+    * a target domain, as a deterministic, log-free integer pipeline:
+    *
+    *  1. every token lands in one of `buckets` xxhash64 buckets
+    *     (buckets must be a power of two so the unsigned-mod bucket is
+    *     the signed hash's low bits in BOTH engines);
+    *  2. per-bucket add-1-smoothed probabilities for the target slice
+    *     and the whole corpus, quantized to parts-per-billion in exact
+    *     integer arithmetic (`(c+1)·1e9 DIV (tot+B)` — logs are
+    *     deliberately avoided: ln() is not bit-stable cross-engine,
+    *     same reason the drift query scores PSI-free);
+    *  3. per-token importance ratio in parts-per-million
+    *     (`pt·1e6 DIV ps`), per-doc weight = mean token ratio;
+    *  4. weight-proportional deterministic draw via [[prioritySample]]
+    *     (xxhash64(id) uniforms — layout-invariant, reproducible).
+    *
+    * Scale shape: the token explode is one scan (persisted, consumed
+    * 2×); the histogram is `buckets` rows broadcast back onto the
+    * stream, so everything but the final top-k is map-side. The ppb
+    * quantization bounds corpora at ~1e9 tokens per slice (beyond
+    * that `(c+1)·1e9` overflows a long) — at true 100 TB scale widen
+    * to DecimalType or split the corpus; the STRUCTURE (bounded
+    * histogram broadcast + one explode scan) is the part that carries.
+    */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 64,
+      persist: Boolean = true): DataFrame = {
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two, got $buckets")
+    val toks = Caching.maybePersist(
+      df.select(col(idCol), isTarget.as("__tgt"),
+          explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+        .withColumn("__b", pmod(xxhash64(col("__tok")), lit(buckets.toLong)))
+        .select(col(idCol), col("__tgt"), col("__b")), persist)
+    val hist = toks.groupBy("__b").agg(
+      count(lit(1)).as("__sc"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
+    // corpus-wide totals: one row, rides along the <=buckets-row frame
+    val ratios = hist
+      .crossJoin(hist.agg(sum("__sc").as("__st"), sum("__tc").as("__tt")))
+      .select(col("__b"), expr(
+        s"""(((__tc + 1) * CAST(1000000000 AS BIGINT) DIV (__tt + $buckets))
+           |* CAST(1000000 AS BIGINT))
+           |DIV greatest((__sc + 1) * CAST(1000000000 AS BIGINT)
+           |DIV (__st + $buckets), CAST(1 AS BIGINT))"""
+          .stripMargin.replace("\n", " ")).as("__r"))
+    val weights = toks.join(broadcast(ratios), "__b")
+      .groupBy(col(idCol))
+      .agg(expr("sum(__r) DIV count(1)").as("weight_ppm"))
+    prioritySample(weights, idCol, "weight_ppm", k)
+  }
+
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame =
     df.withColumn("__u",
