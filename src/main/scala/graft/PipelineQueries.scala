@@ -2294,6 +2294,33 @@ object PipelineQueries {
              | * (CAST(n_late AS DOUBLE) - CAST(tl * (n_early + n_late) AS DOUBLE) / (te + tl))
              | / (CAST(tl * (n_early + n_late) AS DOUBLE) / (te + tl)) AS chi2_term
              |FROM dt""".stripMargin.replace("\n", " "))),
+    // Numeric drift: two-sample KS on the value column between the
+    // early and late time halves (same midpoint split as the chi²
+    // query, which covers the categorical case). CDFs compared on the
+    // unit-value bucket grid in exact integer arithmetic — see
+    // Profiling.ksDrift; the statistic is one double division of two
+    // exact longs, so the row hash-matches cross-engine.
+    Q("ev_drift_ks",
+      (s, d) => {
+        val e = events(s, d).filter(col("value").isNotNull)
+          .select(col("ts_s"), floor(col("value")).cast(LongType).as("bucket"))
+        val mid = e.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2").as("__mid"))
+        operators.Profiling.ksDrift(e.crossJoin(broadcast(mid)),
+          col("bucket"), col("ts_s") <= col("__mid"))
+      },
+      Some("""WITH kse AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |CAST(floor(value) AS BIGINT) AS bucket FROM events WHERE value IS NOT NULL),
+             |ksm AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM kse),
+             |ksc AS (SELECT bucket, SUM(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS ca,
+             |SUM(CASE WHEN t > mid THEN 1 ELSE 0 END) AS cb FROM kse CROSS JOIN ksm GROUP BY bucket),
+             |ksw AS (SELECT bucket,
+             |SUM(ca) OVER (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING) AS cuma,
+             |SUM(cb) OVER (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING) AS cumb,
+             |SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM ksc)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, bucket AS at_bucket,
+             |CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS max_abs_diff,
+             |CAST(abs(cuma * nb - cumb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+             |FROM ksw ORDER BY abs(cuma * nb - cumb * na) DESC, bucket ASC LIMIT 1""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

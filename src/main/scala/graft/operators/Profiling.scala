@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality pass a pipeline runs before
@@ -129,5 +130,45 @@ object Profiling {
           sqrt(col("__ss").cast("double") / col("__n") - col("__mean") * col("__mean")))
       .filter(abs(col("zscore")) > lit(z))
       .drop("__n", "__s", "__ss", "__mean")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift gate over a bucketed numeric
+    * column — the numeric companion to the categorical chi² drift
+    * query. Both sides' CDFs are compared on the bucket grid
+    * (resolution = bucket width), in EXACT integer arithmetic:
+    * `D_scaled = max_b |cumA(b)·N_b − cumB(b)·N_a|`, with the KS
+    * statistic itself (`D_scaled / (N_a·N_b)`) produced by ONE double
+    * division at the end — the established cross-engine idiom, no
+    * intermediate doubles to drift.
+    *
+    * Scale shape: one corpus scan folds into a bucket histogram
+    * bounded by the VALUE RANGE, not the row count; the cumulative
+    * window (global ordering, single partition) runs over that
+    * bounded frame only — never over raw rows. Exactness bound: the
+    * cum·N products stay below 2^63 for side sizes up to ~3e9 rows;
+    * beyond that, widen to decimals.
+    *
+    * Returns one row: (n_a, n_b, at_bucket, max_abs_diff, ks), the
+    * argmax bucket resolving ties to the smallest bucket. */
+  def ksDrift(df: DataFrame, bucket: Column, sideA: Column): DataFrame = {
+    val counts = df.select(bucket.as("bucket"), sideA.as("__a"))
+      .groupBy("bucket").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("cuma", sum("ca").over(cum))
+      .withColumn("cumb", sum("cb").over(cum))
+      .withColumn("na", sum("ca").over(tot))
+      .withColumn("nb", sum("cb").over(tot))
+      .select(col("bucket"), col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("diff"))
+      .orderBy(col("diff").desc, col("bucket").asc).limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("bucket").as("at_bucket"), col("diff").as("max_abs_diff"),
+        (col("diff").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("ks"))
   }
 }

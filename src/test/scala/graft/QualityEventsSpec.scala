@@ -49,6 +49,26 @@ class QualityEventsSpec extends SparkSpec {
     assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == events.count())
   }
 
+  test("ev_drift_ks: one row, sides conserve the stream, ks = D/(na*nb) in [0,1]") {
+    val out = q("ev_drift_ks").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (na, nb, diff, ks) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))
+    assert(na + nb == events.filter(col("value").isNotNull).count())
+    assert(na > 0 && nb > 0)
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(ks == diff.toDouble / (na.toDouble * nb.toDouble))
+    // recompute D at the argmax bucket from scratch
+    val bucket = r.getLong(2)
+    val mid = events.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2")).head.getLong(0)
+    val cumA = events.filter(col("value").isNotNull)
+      .filter(expr(s"floor(value) <= $bucket AND ts_s <= $mid")).count()
+    val cumB = events.filter(col("value").isNotNull)
+      .filter(expr(s"floor(value) <= $bucket AND ts_s > $mid")).count()
+    assert(diff == math.abs(cumA * nb - cumB * na))
+  }
+
   test("dq_expectations: five verdicts, all passing on the clean testdata") {
     val out = q("dq_expectations").collect()
     assert(out.length == 5)
