@@ -1683,6 +1683,56 @@ object PipelineQueries {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
              |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin.replace("\n", " ")),
       bench = true),
+    // Multi-touch (U-shaped) attribution: every click in the 24-hour
+    // lookback before a purchase gets position-based credit in EXACT
+    // integer basis points — 100% to a lone click, 50/50 for two,
+    // otherwise 40/40 to first/last with the middle 20% integer-split
+    // (remainder to the first click, so credits sum to exactly 10000
+    // per purchase). Pair generation reuses the slot-bucketed
+    // boundedRangeJoin (constant replication, no inequality-join
+    // blow-up); the ranking window partitions by purchase — fan-out
+    // bounded by clicks-per-user-per-10-minutes, not corpus size.
+    Q("ev_attribution",
+      (s, d) => {
+        val e = sources.EventsTime.withEpochMicros(events(s, d))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us").as("purchase_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("click_ts"),
+            col("event_id").as("click_id"))
+        val pairs = TemporalJoins.boundedRangeJoin(purchases, clicks,
+            Seq("user_id"), "purchase_ts", "click_ts",
+            lo = -86400L * 1000000, hi = 0, payload = Seq("click_id"))
+          .withColumnRenamed("__rts", "click_ts")
+        val w = Window.partitionBy("purchase_id")
+        val n = col("__n"); val pos = col("pos")
+        pairs
+          .withColumn("pos",
+            row_number().over(w.orderBy(col("click_ts").asc, col("click_id").asc)))
+          .withColumn("__n", count(lit(1)).over(w))
+          .select(col("purchase_id"), col("click_id"),
+            col("pos").cast(LongType).as("pos"),
+            when(n === 1, 10000L)
+              .when(n === 2, 5000L)
+              .when(pos === 1,
+                lit(4000L) + (lit(2000L) - (n - 2) * expr("2000 DIV (__n - 2)")))
+              .when(pos === n, 4000L)
+              .otherwise(expr("2000 DIV (__n - 2)")).as("credit_bps"))
+      },
+      Some("""WITH atp AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase'),
+             |atc AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts FROM events WHERE event_type = 'click'),
+             |atj AS (SELECT p.purchase_id, c.click_id, c.cts FROM atp p JOIN atc c
+             |ON p.user_id = c.user_id AND c.cts >= p.pts - 86400000000 AND c.cts < p.pts),
+             |atw AS (SELECT purchase_id, click_id,
+             |ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY cts ASC, click_id ASC) AS pos,
+             |COUNT(*) OVER (PARTITION BY purchase_id) AS n FROM atj)
+             |SELECT purchase_id, click_id, CAST(pos AS BIGINT) AS pos,
+             |CAST(CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+             |WHEN pos = 1 THEN 4000 + (2000 - (n - 2) * (2000 // (n - 2)))
+             |WHEN pos = n THEN 4000
+             |ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bps
+             |FROM atw""".stripMargin.replace("\n", " "))),
     // Bounded range join (slot-bucketed equi-join, constant replication
     // — see TemporalJoins): events of the same user in the 5 minutes
     // strictly before each event.

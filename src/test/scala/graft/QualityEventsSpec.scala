@@ -69,6 +69,19 @@ class QualityEventsSpec extends SparkSpec {
     assert(diff == math.abs(cumA * nb - cumB * na))
   }
 
+  test("ev_attribution: credits conserve 10000 bps per purchase; positions are 1..n") {
+    val out = q("ev_attribution").collect()
+    assert(out.nonEmpty)
+    val byPurchase = out.groupBy(_.getLong(0))
+    // exact conservation — the integer-split remainder rule must not
+    // leak or double-count a basis point
+    assert(byPurchase.values.forall(_.map(_.getLong(3)).sum == 10000L))
+    // positions are a contiguous 1..n ranking per purchase
+    assert(byPurchase.values.forall { rows =>
+      rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq
+    })
+  }
+
   test("dq_expectations: five verdicts, all passing on the clean testdata") {
     val out = q("dq_expectations").collect()
     assert(out.length == 5)
