@@ -1733,6 +1733,45 @@ object PipelineQueries {
              |WHEN pos = n THEN 4000
              |ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bps
              |FROM atw""".stripMargin.replace("\n", " "))),
+    // Strict-order windowed funnel: users reaching each step of
+    // view → click → purchase, where step k+1 must happen strictly
+    // AFTER the user's first qualifying step-k time and within 24 h of
+    // it (the standard sequential-funnel definition — a click before
+    // any view does not count, a purchase a week later does not
+    // convert). Each step is a user-level min-aggregate joined to the
+    // previous step's frame: per-step frames shrink to user
+    // cardinality immediately, so the three joins are dimension-sized
+    // and the events scan is the only corpus-sized pass.
+    Q("ev_funnel_steps",
+      (s, d) => {
+        val e = sources.EventsTime.withEpochMicros(events(s, d))
+          .select(col("user_id"), col("event_type"), col("ts_us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts_us") > col("t1") &&
+            col("ts_us") <= col("t1") + lit(86400000000L))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts_us") > col("t2") &&
+            col("ts_us") <= col("t2") + lit(86400000000L))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        def cnt(df: DataFrame, i: Long, name: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(i).as("step"), lit(name).as("step_name"),
+              col("n_users"))
+        cnt(v, 1L, "view").unionByName(cnt(c, 2L, "click"))
+          .unionByName(cnt(p, 3L, "purchase"))
+      },
+      Some("""WITH fe AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+             |f1 AS (SELECT user_id, MIN(t) AS t1 FROM fe WHERE event_type = 'view' GROUP BY user_id),
+             |f2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM fe e JOIN f1 USING (user_id)
+             |WHERE e.event_type = 'click' AND e.t > t1 AND e.t <= t1 + 86400000000 GROUP BY e.user_id),
+             |f3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM fe e JOIN f2 USING (user_id)
+             |WHERE e.event_type = 'purchase' AND e.t > t2 AND e.t <= t2 + 86400000000 GROUP BY e.user_id)
+             |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, (SELECT COUNT(*) FROM f1) AS n_users
+             |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM f2)
+             |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM f3)""".stripMargin.replace("\n", " "))),
     // Bounded range join (slot-bucketed equi-join, constant replication
     // — see TemporalJoins): events of the same user in the 5 minutes
     // strictly before each event.

@@ -22,6 +22,14 @@ class AnalysisGuardSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("registered query names are unique") {
+    // SparkEntry.queries/oracleSql are Maps — a duplicate name silently
+    // drops one query from the driver contract (last wins) while both
+    // still run here. Fail loudly instead.
+    val dups = SparkEntry.all.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("all registered queries analyze against the live testdata schemas") {
     val failures = SparkEntry.all.flatMap { q =>
       try {

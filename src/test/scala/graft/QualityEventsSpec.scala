@@ -82,6 +82,17 @@ class QualityEventsSpec extends SparkSpec {
     })
   }
 
+  test("ev_funnel_steps: three monotone steps; step 1 equals distinct view users") {
+    val out = q("ev_funnel_steps").collect().sortBy(_.getLong(0))
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "view"), (2L, "click"), (3L, "purchase")))
+    val ns = out.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.mkString(","))
+    assert(ns(0) == events.filter(col("event_type") === "view")
+      .select("user_id").distinct().count())
+    assert(ns(2) > 0, "no user completes the funnel — window too tight to test the chain")
+  }
+
   test("dq_expectations: five verdicts, all passing on the clean testdata") {
     val out = q("dq_expectations").collect()
     assert(out.length == 5)
