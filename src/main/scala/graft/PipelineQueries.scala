@@ -2410,6 +2410,39 @@ object PipelineQueries {
              |CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS max_abs_diff,
              |CAST(abs(cuma * nb - cumb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
              |FROM ksw ORDER BY abs(cuma * nb - cumb * na) DESC, bucket ASC LIMIT 1""".stripMargin.replace("\n", " "))),
+    // Heavy hitters via the native Misra–Gries aggregate (k=4 counters
+    // over 5 distinct event types, so the evict and merge-reduce paths
+    // actually run): the sketch's candidate set joins back to exact
+    // per-key counts, and the output carries the EXACT count plus the
+    // mergeable-summaries contract verdict for every key whose true
+    // frequency exceeds N/(k+1) — the MG guarantee says those keys are
+    // all tracked with est in [true − N/(k+1), true] REGARDLESS of
+    // partitioning and merge order (the est values themselves are
+    // merge-order-dependent, which is why they stay out of the output).
+    // The oracle re-derives the exact heavy set and pins every verdict.
+    Q("ev_heavy_hitters",
+      (s, d) => {
+        val k = 4
+        val e = events(s, d)
+        val cand = e.agg(functions.MisraGriesAggregate
+            .heavyHitters(col("event_type"), k).as("hh"))
+          .select(explode(col("hh")).as("c"))
+          .select(col("c.key").as("event_type"), col("c.est"))
+        val exact = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val tot = exact.agg(sum("cnt").as("__n"))
+        exact.crossJoin(broadcast(tot))
+          .filter(col("cnt") * (k + 1) > col("__n"))
+          .join(cand, Seq("event_type"), "left")
+          .select(col("event_type"), col("cnt"),
+            (col("est").isNotNull && col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * (k + 1) <= col("__n"))
+              .as("within_bound"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hhc AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type),
+             |hht AS (SELECT SUM(cnt) AS n FROM hhc)
+             |SELECT event_type, CAST(cnt AS BIGINT) AS cnt, TRUE AS within_bound
+             |FROM hhc CROSS JOIN hht WHERE cnt * 5 > n ORDER BY event_type""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------
