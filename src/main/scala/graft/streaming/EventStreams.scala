@@ -98,6 +98,26 @@ object EventStreams {
       .select(col("window.start").cast("long").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-window heavy hitters: the mergeable Misra–Gries summary
+    * ([[graft.functions.MisraGriesAggregate]]) as a streaming
+    * aggregation — each window's state is a ≤ k-counter buffer, NOT a
+    * per-key count map, so state size is bounded by k·windows however
+    * many distinct keys flow through. The estimates are merge-order-
+    * dependent (micro-batch arrival order differs run to run) but the
+    * mergeable-summaries contract — tracked ⊇ true-heavy, no
+    * overcount, undercount ≤ N/(k+1) — holds for every interleaving;
+    * consumers assert the contract, not the raw counters (same rule as
+    * the batch `ev_heavy_hitters` query). */
+  def windowedHeavyHitters(events: DataFrame, k: Int = 4): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(graft.functions.MisraGriesAggregate
+        .heavyHitters(col("event_type"), k).as("hh"))
+      .select(col("window.start").cast("long").as("bucket"),
+        explode(col("hh")).as("c"))
+      .select(col("bucket"), col("c.key").as("event_type"), col("c.est"))
+
   /** Hopping (sliding) 10-minute/5-minute per-type counts with a
     * 10-minute watermark — the streaming analog of the
     * `ev_sliding_window` batch query: the SAME `window()` expression

@@ -33,6 +33,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("windowed heavy hitters: every window satisfies the Misra-Gries contract") {
+    val k = 4
+    val q = EventStreams
+      .windowedHeavyHitters(EventStreams.readEvents(spark, dir), k)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hh_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("hh_out")
+      .select("bucket", "event_type", "est")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (b, rows) =>
+        b -> rows.map(r => r._2 -> r._3).toMap
+      }
+    val exact = batchEvents
+      .groupBy((col("ts_s") - pmod(col("ts_s"), lit(300L))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (b, rows) =>
+        b -> rows.map(r => r._2 -> r._3).toMap
+      }
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (bucket, cnts) =>
+      val n = cnts.values.sum
+      val tracked = got(bucket)
+      assert(tracked.size <= k)
+      // every true-heavy key of the window is tracked
+      cnts.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { key =>
+        assert(tracked.contains(key),
+          s"bucket $bucket: heavy key $key missing from $tracked (exact $cnts)")
+      }
+      // no tracked key overcounts; undercount bounded for all tracked
+      tracked.foreach { case (key, est) =>
+        assert(est <= cnts(key), s"bucket $bucket: overcount for $key")
+        assert((cnts(key) - est) * (k + 1) <= n,
+          s"bucket $bucket: undercount beyond N/(k+1) for $key")
+      }
+    }
+  }
+
   test("hopping window counts: streaming result equals the batch sliding query") {
     val q = EventStreams.hoppingTypeCounts(EventStreams.readEvents(spark, dir))
       .writeStream.outputMode(OutputMode.Complete())
