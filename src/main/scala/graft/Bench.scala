@@ -96,10 +96,19 @@ object Bench {
       (q.name, times, err)
     }
     // truncate BEFORE escaping: cutting after could split an escape
-    // sequence and emit invalid JSON
-    def jstr(s: String): String = "\"" + s.take(300).replace("\\", "\\\\")
-      .replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
-      .replace("\t", "\\t") + "\""
+    // sequence and emit invalid JSON. Escape ALL control chars < 0x20
+    // (same contract as Verify's escaper): Spark exception messages can
+    // embed raw data bytes or ANSI sequences, and one unescaped control
+    // char makes the driver's json.load reject the whole artifact.
+    def jstr(s: String): String = "\"" + s.take(300).flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, ts, _) =>
       val ok = ts.flatten
       "\"" + k + "\":" + (if (ok.isEmpty) "null" else ok.min)

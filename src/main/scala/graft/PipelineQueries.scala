@@ -957,7 +957,8 @@ object PipelineQueries {
     * hash ≡ Spark's pmod(signed, B) because B is a power of two. */
   private def dsirSampleOracle(k: Int, buckets: Int): String = {
     import Xxh64Sql._
-    s"""WITH dstk AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents),
+    s"""WITH dstk0 AS (SELECT doc_id, unnest($ToksSql) AS tok0 FROM documents),
+       |dstk AS (SELECT doc_id, tok0[1:8] AS tok FROM dstk0),
        |dsvoc AS (SELECT DISTINCT tok FROM dstk),
        |dssrc AS (SELECT tok AS doc_id, tok FROM dsvoc),
        |${tokenHashStages("ds")},
@@ -1691,7 +1692,8 @@ object PipelineQueries {
     // per purchase). Pair generation reuses the slot-bucketed
     // boundedRangeJoin (constant replication, no inequality-join
     // blow-up); the ranking window partitions by purchase — fan-out
-    // bounded by clicks-per-user-per-10-minutes, not corpus size.
+    // bounded by clicks-per-user-per-day (the 24 h lookback), not
+    // corpus size.
     Q("ev_attribution",
       (s, d) => {
         val e = sources.EventsTime.withEpochMicros(events(s, d))
@@ -1739,19 +1741,24 @@ object PipelineQueries {
     // it (the standard sequential-funnel definition — a click before
     // any view does not count, a purchase a week later does not
     // convert). Each step is a user-level min-aggregate joined to the
-    // previous step's frame: per-step frames shrink to user
-    // cardinality immediately, so the three joins are dimension-sized
-    // and the events scan is the only corpus-sized pass.
+    // previous step's frame: per-step frames shrink to user cardinality
+    // immediately and are PERSISTED (each is consumed twice — by the
+    // next step's join and by its own count branch; without the persist
+    // the union plan re-derives every upstream subtree and the corpus
+    // is scanned six times instead of one type-pruned scan per step).
+    // Cache ownership per operators/Caching.scala: caller releases via
+    // clearCache after its terminal action, as Verify/Bench do.
     Q("ev_funnel_steps",
       (s, d) => {
         val e = sources.EventsTime.withEpochMicros(events(s, d))
           .select(col("user_id"), col("event_type"), col("ts_us"))
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val v = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts_us").as("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t1")).persist(lvl)
         val c = e.filter(col("event_type") === "click").join(v, "user_id")
           .filter(col("ts_us") > col("t1") &&
             col("ts_us") <= col("t1") + lit(86400000000L))
-          .groupBy("user_id").agg(min("ts_us").as("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t2")).persist(lvl)
         val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
           .filter(col("ts_us") > col("t2") &&
             col("ts_us") <= col("t2") + lit(86400000000L))
@@ -3021,10 +3028,11 @@ object PipelineQueries {
         val sums = files.select(col("doc_id").as("id"),
           col("length").as("file_bytes"),
           // the corpus is pure ASCII (header included), so the UTF-8
-          // string view's codepoints ARE the bytes
-          expr("""aggregate(sequence(1, length(CAST(content AS STRING))),
-                 |0L, (acc, i) ->
-                 |acc + ascii(substring(CAST(content AS STRING), i, 1)))"""
+          // string view's codepoints ARE the bytes; split once and fold
+          // over the char array — linear, where a per-index substring
+          // of the full string would be O(bytes^2) per file
+          expr("""aggregate(transform(split(CAST(content AS STRING), ''),
+                 |ch -> ascii(ch)), 0L, (acc, x) -> acc + x)"""
             .stripMargin.replace("\n", " ")).as("checksum"))
         operators.Multimodal.describeMedia(files, "doc_id", "content")
           .join(sums, "id")

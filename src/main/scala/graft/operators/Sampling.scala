@@ -140,7 +140,14 @@ object Sampling {
     val toks = Caching.maybePersist(
       df.select(col(idCol), isTarget.as("__tgt"),
           explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
-        .withColumn("__b", pmod(xxhash64(col("__tok")), lit(buckets.toLong)))
+        // bucket on the 8-char token PREFIX: the DuckDB oracle's staged
+        // xxh64 SQL only covers <= 8-byte strings, and a > 8-char token
+        // would otherwise hash differently in the two engines the next
+        // time the corpus grows a long word — truncating BOTH sides
+        // makes the bucketing structurally engine-agnostic (a prefix
+        // histogram is just as valid a hashed feature space)
+        .withColumn("__b",
+          pmod(xxhash64(substring(col("__tok"), 1, 8)), lit(buckets.toLong)))
         .select(col(idCol), col("__tgt"), col("__b")), persist)
     val hist = toks.groupBy("__b").agg(
       count(lit(1)).as("__sc"),

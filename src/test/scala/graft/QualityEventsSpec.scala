@@ -59,13 +59,14 @@ class QualityEventsSpec extends SparkSpec {
     assert(na > 0 && nb > 0)
     assert(ks >= 0.0 && ks <= 1.0)
     assert(ks == diff.toDouble / (na.toDouble * nb.toDouble))
-    // recompute D at the argmax bucket from scratch
+    // recompute D at the argmax bucket from scratch — over the SAME
+    // null-filtered frame the query uses for its midpoint, or a null
+    // value at either time extreme would shift the split point
     val bucket = r.getLong(2)
-    val mid = events.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2")).head.getLong(0)
-    val cumA = events.filter(col("value").isNotNull)
-      .filter(expr(s"floor(value) <= $bucket AND ts_s <= $mid")).count()
-    val cumB = events.filter(col("value").isNotNull)
-      .filter(expr(s"floor(value) <= $bucket AND ts_s > $mid")).count()
+    val nn = events.filter(col("value").isNotNull)
+    val mid = nn.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2")).head.getLong(0)
+    val cumA = nn.filter(expr(s"floor(value) <= $bucket AND ts_s <= $mid")).count()
+    val cumB = nn.filter(expr(s"floor(value) <= $bucket AND ts_s > $mid")).count()
     assert(diff == math.abs(cumA * nb - cumB * na))
   }
 
