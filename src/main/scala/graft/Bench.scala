@@ -28,19 +28,47 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = SparkEntry.all.filter(_.bench)
-    def exec(q: Queries.Q): Unit = {
-      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // Caching contract (operators/Caching.scala): operator-internal
-      // persists are released by the CALLER after its terminal action.
-      // Without this, ~85 execs (17 headliners × warmup+pre-exec+iters)
-      // each pin fresh copies of signature/bucket frames — storage
-      // pressure mounts over the run and late iterations degrade into
-      // eviction/GC storms (BENCH_r09: dedup_minhash 1.8→4.8→26.3 s
-      // across its own three iterations).
-      spark.catalog.clearCache()
+    // Contention attribution (BENCH_r12: pipeline_training_manifest
+    // iterations 6.58/40.44/23.40 s on the driver box vs a stable 1.48×
+    // spread on an idle box): each timed iteration also records the
+    // JVM's GC-time delta, process-CPU-time delta, and the storage
+    // bytes pinned at the moment the query finished (before the cache
+    // clear). Reading the artifact: wall ≈ cpu and low gc → the plan
+    // itself got slower; wall ≫ cpu → the process was descheduled or
+    // I/O-starved (external contention); gc ≈ the wall gap → heap
+    // pressure; storage growing across iterations → a persist leak.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    val osBean = ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
     }
+    def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    /** Runs the query to completion and returns the storage bytes in
+      * use right after materialization (operator-internal persists +
+      * checkpoint blocks — what the cache clear is about to release). */
+    def exec(q: Queries.Q): Long =
+      try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        spark.sparkContext.getExecutorMemoryStatus.values
+          .map { case (max, remaining) => max - remaining }.sum
+      } finally {
+        // Caching contract (operators/Caching.scala): operator-internal
+        // persists are released by the CALLER after its terminal action.
+        // Without this, ~85 execs (17 headliners × warmup+pre-exec+iters)
+        // each pin fresh copies of signature/bucket frames — storage
+        // pressure mounts over the run and late iterations degrade into
+        // eviction/GC storms (BENCH_r09: dedup_minhash 1.8→4.8→26.3 s
+        // across its own three iterations). In a finally block so a
+        // deterministically-failing query cannot leak its persists into
+        // every subsequent iteration either.
+        spark.catalog.clearCache()
+      }
     def warmExec(q: Queries.Q): Unit =
-      try exec(q)
+      try { exec(q); () }
       catch { case e: Throwable =>
         // a query that fails deterministically fails iters+1 times; an
         // invisible warm-up failure would make that lengthening silent
@@ -85,8 +113,15 @@ object Bench {
       warmExec(q)
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
+        val g0 = gcMillis
+        val c0 = cpuNanos
         val t0 = System.nanoTime()
-        try { exec(q); Some((System.nanoTime() - t0) / 1e9) }
+        try {
+          val storageBytes = exec(q)
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+          Some((wallSec, gcMillis - g0, cpuSec, storageBytes))
+        }
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
@@ -110,21 +145,28 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = results.map { case (k, ts, _) =>
-      val ok = ts.flatten
+      val ok = ts.flatten.map(_._1)
       "\"" + k + "\":" + (if (ok.isEmpty) "null" else ok.min)
     }.mkString("{", ",", "}")
-    val iterArrays = results.map { case (k, ts, _) =>
-      "\"" + k + "\":" +
-        ts.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    // Per-iteration attribution columns, all aligned with `iters`
+    // (failed iterations are null in every array).
+    def iterObj(f: ((Double, Long, Double, Long)) => String): String =
+      results.map { case (k, ts, _) =>
+        "\"" + k + "\":" +
+          ts.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val iterArrays = iterObj(_._1.toString)
+    val iterGcMs = iterObj(_._2.toString)
+    val iterCpuSec = iterObj(_._3.toString)
+    val iterStorageMb = iterObj(t => (t._4 / (1024.0 * 1024.0)).toString)
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m)
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, ts, _) =>
-      val ok = ts.flatten; if (ok.isEmpty) None else Some(ok.min)
+      val ok = ts.flatten.map(_._1); if (ok.isEmpty) None else Some(ok.min)
     }.sum
     val nFailed = results.count(_._2.flatten.isEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     println(json)
     // Also land the line in files: the driver scrapes stdout through
     // sbt's [info] prefixes and has failed to parse it (BENCH_r07

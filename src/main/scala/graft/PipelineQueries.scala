@@ -2420,13 +2420,19 @@ object PipelineQueries {
     // Heavy hitters via the native Misra–Gries aggregate (k=4 counters
     // over 5 distinct event types, so the evict and merge-reduce paths
     // actually run): the sketch's candidate set joins back to exact
-    // per-key counts, and the output carries the EXACT count plus the
-    // mergeable-summaries contract verdict for every key whose true
-    // frequency exceeds N/(k+1) — the MG guarantee says those keys are
-    // all tracked with est in [true − N/(k+1), true] REGARDLESS of
-    // partitioning and merge order (the est values themselves are
-    // merge-order-dependent, which is why they stay out of the output).
-    // The oracle re-derives the exact heavy set and pins every verdict.
+    // counts of THE CANDIDATES ONLY — a broadcast left-semi join on the
+    // ≤ k-row candidate set, per the MG scaladoc's own prescription —
+    // never a full groupBy over every key (at the cardinality MG exists
+    // for, the full exact side would be the scale cost the sketch was
+    // brought in to avoid). Restricting the exact side to candidates is
+    // lossless for the output: every key with true count > N/(k+1) is
+    // guaranteed present in the candidate set, with est in
+    // [true − N/(k+1), true] REGARDLESS of partitioning and merge order
+    // (the est values themselves are merge-order-dependent, which is
+    // why they stay out of the output). The two candidate references
+    // share one broadcast exchange (ReusedExchange — the subtrees are
+    // canonically identical). The oracle re-derives the exact heavy set
+    // and pins every verdict.
     Q("ev_heavy_hitters",
       (s, d) => {
         val k = 4
@@ -2435,11 +2441,13 @@ object PipelineQueries {
             .heavyHitters(col("event_type"), k).as("hh"))
           .select(explode(col("hh")).as("c"))
           .select(col("c.key").as("event_type"), col("c.est"))
-        val exact = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
-        val tot = exact.agg(sum("cnt").as("__n"))
-        exact.crossJoin(broadcast(tot))
+        val tot = e.agg(count(lit(1)).as("__n"))
+        val exactCand = e
+          .join(broadcast(cand.select("event_type")), Seq("event_type"), "left_semi")
+          .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        exactCand.crossJoin(broadcast(tot))
           .filter(col("cnt") * (k + 1) > col("__n"))
-          .join(cand, Seq("event_type"), "left")
+          .join(broadcast(cand), Seq("event_type"), "left")
           .select(col("event_type"), col("cnt"),
             (col("est").isNotNull && col("est") <= col("cnt") &&
               (col("cnt") - col("est")) * (k + 1) <= col("__n"))
@@ -3011,13 +3019,19 @@ object PipelineQueries {
       (s, d) => {
         val tmp = scratchDir("binfiles", d)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        // The fixture is bounded (1 in 5 docs, ≤ a few hundred files at
+        // verify scale), so collect it and write on the DRIVER: an
+        // executor-side foreach into a driver-local path is only correct
+        // when executors share the driver's filesystem — true in local
+        // mode, silently wrong on a real cluster. Driver-side writing
+        // makes the local-FS assumption structural, not environmental.
         withPayload(t(s, d, "documents").filter(col("doc_id") % 5 === 0))
           .select(col("doc_id"), col("payload"))
+          .collect()
           .foreach { r =>
             java.nio.file.Files.write(
               java.nio.file.Paths.get(tmp, f"doc_${r.getLong(0)}%09d.pgm"),
               r.getAs[Array[Byte]](1))
-            () // Row => Unit overload
           }
         val files = s.read.format("binaryFile")
           .option("pathGlobFilter", "*.pgm").load(tmp)

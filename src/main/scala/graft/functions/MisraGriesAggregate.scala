@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -46,9 +46,18 @@ case class MisraGriesAggregate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with ExpectsInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // update() reads the key as UTF8String; the heavyHitters builder
+  // inserts a cast-to-string, but a caller constructing the case class
+  // directly with e.g. a LongType child must fail AT ANALYSIS, not with
+  // a runtime ClassCastException deep inside an executor task.
+  // (return type inferred: AbstractDataType is private[sql], not
+  // nameable from this package)
+  override def inputTypes = Seq(StringType)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]

@@ -149,16 +149,44 @@ object Profiling {
     * beyond that, widen to decimals.
     *
     * Returns one row: (n_a, n_b, at_bucket, max_abs_diff, ks), the
-    * argmax bucket resolving ties to the smallest bucket. */
-  def ksDrift(df: DataFrame, bucket: Column, sideA: Column): DataFrame = {
+    * argmax bucket resolving ties to the smallest bucket. A one-sided
+    * input (every row on side A, or every row on side B) has an
+    * undefined KS statistic — there is no second sample to drift from —
+    * and reports ks = 0.0 rather than the 0/0 = NaN a bare division
+    * would produce (NaN round-trips differently across engines).
+    *
+    * The "bounded by the value range" contract is ENFORCED, not just
+    * documented: `maxBuckets` (default 2^20) caps the bucket-frame
+    * cardinality, checked in-plan map-side BEFORE the single-partition
+    * cumulative window — a caller who passes an unbucketed micros-scale
+    * column gets a loud error, not a silent one-partition crawl over
+    * billions of frame rows. Callers profiling a genuinely wider grid
+    * can raise the cap deliberately; the check costs one count over the
+    * already-shuffled histogram (the exchange is reused, not re-run). */
+  def ksDrift(df: DataFrame, bucket: Column, sideA: Column,
+      maxBuckets: Long = 1L << 20): DataFrame = {
+    require(maxBuckets > 0, "maxBuckets must be positive")
     val counts = df.select(bucket.as("bucket"), sideA.as("__a"))
       .groupBy("bucket").agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+    // Lazy in-plan guard: count the bucket frame, broadcast the 1-row
+    // result back, and assert_true inside a filter (a bare unused
+    // assert column would be pruned away by Catalyst; assert_true
+    // yields NULL on success so `isNull` keeps every row). The guard
+    // sits upstream of the window's single-partition exchange, so a
+    // violating input fails before the dangerous stage runs.
+    val nBuckets = counts.agg(count(lit(1)).as("__nbuckets"))
+    val guarded = counts.crossJoin(broadcast(nBuckets))
+      .filter(assert_true(col("__nbuckets") <= maxBuckets,
+        concat(lit("ksDrift: bucket frame has "), col("__nbuckets"),
+          lit(s" buckets, exceeding maxBuckets = $maxBuckets — bucket " +
+            "the column coarser or raise the cap deliberately"))).isNull)
+      .drop("__nbuckets")
     val cum = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
-    counts
+    guarded
       .withColumn("cuma", sum("ca").over(cum))
       .withColumn("cumb", sum("cb").over(cum))
       .withColumn("na", sum("ca").over(tot))
@@ -168,7 +196,8 @@ object Profiling {
       .orderBy(col("diff").desc, col("bucket").asc).limit(1)
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         col("bucket").as("at_bucket"), col("diff").as("max_abs_diff"),
-        (col("diff").cast("double") /
-          (col("na") * col("nb")).cast("double")).as("ks"))
+        when(col("na") * col("nb") === 0L, lit(0.0))
+          .otherwise(col("diff").cast("double") /
+            (col("na") * col("nb")).cast("double")).as("ks"))
   }
 }

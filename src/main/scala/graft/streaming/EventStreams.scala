@@ -107,7 +107,12 @@ object EventStreams {
     * mergeable-summaries contract — tracked ⊇ true-heavy, no
     * overcount, undercount ≤ N/(k+1) — holds for every interleaving;
     * consumers assert the contract, not the raw counters (same rule as
-    * the batch `ev_heavy_hitters` query). */
+    * the batch `ev_heavy_hitters` query). This is also why the
+    * stream≡batch pin for this twin (`EventStreamsSpec`) compares the
+    * CONTRACT against a batch exact groupBy rather than pinning rows
+    * equal the way the sessionize/sliding-window twins do: row
+    * equality between two different merge trees is not a property MG
+    * has, so a row-equal test would be pinning noise. */
   def windowedHeavyHitters(events: DataFrame, k: Int = 4): DataFrame =
     events
       .withWatermark("event_time", "10 minutes")

@@ -55,4 +55,20 @@ class MisraGriesSpec extends SparkSpec {
     val got = summary(counts, k = 8, partitions = 5)
     assert(got == counts.map { case (kk, v) => kk -> v.toLong })
   }
+
+  test("non-string key child fails at analysis, not with a runtime CCE") {
+    // the heavyHitters builder casts to string; constructing the
+    // aggregate directly with a LongType child must be an ANALYSIS
+    // error (ExpectsInputTypes), not an executor-side ClassCastException
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq(1L, 2L, 2L).toDF("v")
+    val rawAgg = GraftBridge.column(
+      MisraGriesAggregate(GraftBridge.expression($"v"), 2)
+        .toAggregateExpression())
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(rawAgg.as("hh")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"),
+      s"expected a data-type analysis error, got: ${e.getMessage}")
+  }
 }

@@ -53,6 +53,23 @@ class PlanQualitySpec extends SparkSpec {
       s"expected at least one broadcast join in the multi-join plan:\n$p")
   }
 
+  test("PLANS.md covers every registered query (plan audit freshness)") {
+    // Plans.scala writes one `## <name>` section per registered query;
+    // AnalysisGuardSpec and the cartesian sweep below are TOTAL over the
+    // registry automatically, but the human-readable plan dump is a
+    // committed file that can silently go stale (round 12 shipped it six
+    // queries behind). Pin section count == registry size so registering
+    // a query without re-running `sbt "runMain graft.Plans"` fails CI.
+    val plansFile = Seq("PLANS.md", "/root/repo/PLANS.md")
+      .map(java.nio.file.Paths.get(_)).find(java.nio.file.Files.exists(_))
+      .getOrElse(fail("PLANS.md not found — run `sbt \"runMain graft.Plans\"`"))
+    val sections = java.nio.file.Files.readAllLines(plansFile)
+      .stream().filter(_.startsWith("## ")).count()
+    assert(sections == SparkEntry.all.size,
+      s"PLANS.md has $sections plan sections but the registry has " +
+        s"${SparkEntry.all.size} queries — re-run `sbt \"runMain graft.Plans\"`")
+  }
+
   test("no unintended CartesianProduct in any registered query") {
     // Intentional products: the reference's cross-join surface, and
     // queries that cross 1-row aggregate frames (bounded by design).

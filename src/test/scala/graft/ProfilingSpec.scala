@@ -70,6 +70,42 @@ class ProfilingSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(got("h")._2))
   }
 
+  test("ksDrift: hand-computed statistic, tie to smallest bucket") {
+    // side A buckets [1,1,2], side B buckets [2,3,3]:
+    //   b1: cuma=2 cumb=0 → |2·3 − 0·3| = 6;  b2: cuma=3 cumb=1 → 6;
+    //   b3: 3,3 → 0.  Max 6 ties b1/b2 → smallest bucket wins; ks = 6/9.
+    val df = Seq((1L, true), (1L, true), (2L, true),
+      (2L, false), (3L, false), (3L, false)).toDF("bucket", "a")
+    val got = Profiling.ksDrift(df, col("bucket"), col("a"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 3L, 1L, 6L, 6.0 / 9.0)))
+  }
+
+  test("ksDrift: one-sided input reports ks = 0.0, not NaN") {
+    val df = Seq((1L, true), (2L, true), (3L, true)).toDF("bucket", "a")
+    val got = Profiling.ksDrift(df, col("bucket"), col("a"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._2 == 0L)
+    assert(got._5 == 0.0, s"expected 0.0 for the undefined one-sided KS, got ${got._5}")
+    assert(!got._5.isNaN)
+  }
+
+  test("ksDrift: bucket frame wider than maxBuckets fails loudly, not silently") {
+    // a deliberately wide grid: 50 distinct buckets against a cap of 10
+    val wide = (0L until 50L).map(b => (b, b % 2 == 0)).toDF("bucket", "a")
+    val e = intercept[Throwable] {
+      Profiling.ksDrift(wide, col("bucket"), col("a"), maxBuckets = 10L).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("ksDrift")),
+      s"expected the ksDrift bucket-bound error, got: ${messages.mkString(" | ")}")
+    // and the same input passes when the cap is raised deliberately
+    val ok = Profiling.ksDrift(wide, col("bucket"), col("a"), maxBuckets = 50L)
+      .collect()
+    assert(ok.length == 1)
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,
