@@ -1063,6 +1063,16 @@ object PipelineQueries {
       Some(s"""WITH vt AS (SELECT unnest($ToksSql) AS token FROM documents)
              |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM vt
              |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin.replace("\n", " "))),
+    // one round of BPE merge-candidate counting (the tokenizer-fit
+    // step): adjacent char pairs weighted by DISTINCT-word frequency —
+    // the explode is vocabulary-bounded, not corpus-bounded
+    Q("doc_bpe_pairs",
+      (s, d) => TextAnalysis.bpePairCounts(t(s, d, "documents"), "text", k = 40),
+      Some(s"""WITH bpw AS (SELECT unnest($ToksSql) AS w FROM documents),
+             |bpf AS (SELECT w, COUNT(*) AS freq FROM bpw GROUP BY w),
+             |bpp AS (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i FROM bpf WHERE length(w) >= 2)
+             |SELECT substring(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+             |FROM bpp GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 40""".stripMargin.replace("\n", " "))),
     // RefinedWeb-style duplicated-passage counts: distinct word 3-grams
     // per doc, flagged when shared with ≥1 other document
     Q("doc_dup_passages",
@@ -1076,6 +1086,22 @@ object PipelineQueries {
       (s, d) => TextAnalysis.noveltyStats(t(s, d, "documents"),
         "doc_id", "text", n = 3),
       Some(noveltyOracle)),
+    // CCNet-style corpus segment dedup: 3-token segments shared by ≥2
+    // docs are removed, the rest reassembled in order (at sf0.01 ~34%
+    // of segments are shared and 26 docs empty out entirely, so the
+    // removal, reassembly, and NULL-when-fully-boilerplate paths all
+    // run against real mass)
+    Q("doc_segment_dedup",
+      (s, d) => TextAnalysis.segmentDedup(t(s, d, "documents"),
+        "doc_id", "text", n = 3),
+      Some(s"""WITH sdk AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE len($ToksSql) > 0),
+             |sds AS (SELECT doc_id, unnest(generate_series(0, (len(toks)-1)//3)) AS seg_idx, toks FROM sdk),
+             |sdg AS (SELECT doc_id, seg_idx, array_to_string(list_slice(toks, seg_idx*3+1, seg_idx*3+3), ' ') AS seg FROM sds),
+             |sdf AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM sdg GROUP BY seg)
+             |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+             |CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |string_agg(CASE WHEN f.df = 1 THEN g.seg END, ' ' ORDER BY g.seg_idx) AS text_kept
+             |FROM sdg g JOIN sdf f USING (seg) GROUP BY g.doc_id""".stripMargin.replace("\n", " "))),
     // count-min-sketch token counts (4 x 16 forces real collisions on
     // the 31-token vocab): the oracle re-derives the EXACT sketch —
     // same xxhash64, same Kirsch-Mitzenmacher buckets, same collision
@@ -1453,6 +1479,20 @@ object PipelineQueries {
              |CAST(SUM(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000) AS mean_v
              |FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) j
              |GROUP BY 1, 2""".stripMargin.replace("\n", " "))),
+    // exact corpus gram matrix (the PCA/whitening input): per-partition
+    // long-array fold, shuffle bounded at 2080 rows per partition
+    // regardless of corpus size; the oracle re-derives the identical
+    // rounded-long products via a 64×64 lateral unnest
+    Q("emb_gram_upper",
+      (s, d) => Similarity.gramUpperTriangle(t(s, d, "embeddings"),
+        "embedding", dim = 64),
+      Some("""WITH gv AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS r FROM embeddings),
+             |gp AS (SELECT r, unnest(generate_series(1, 64)) AS i1 FROM gv),
+             |gq AS (SELECT r, i1, unnest(generate_series(i1, 64)) AS j1 FROM gp)
+             |SELECT CAST(i1 - 1 AS BIGINT) AS i, CAST(j1 - 1 AS BIGINT) AS j, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(r[i1] * r[j1]) AS BIGINT) AS sum_xy_scaled,
+             |CAST(SUM(r[i1] * r[j1]) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS mean_xy
+             |FROM gq GROUP BY i1, j1""".stripMargin.replace("\n", " "))),
     // Exact ANN via the native top-k aggregate (map-side bounded heaps;
     // see TopKAggregate) — the window formulation is kept as
     // Similarity.bruteForceTopK and spec-pinned equal.
@@ -2417,6 +2457,69 @@ object PipelineQueries {
              |CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS max_abs_diff,
              |CAST(abs(cuma * nb - cumb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
              |FROM ksw ORDER BY abs(cuma * nb - cumb * na) DESC, bucket ASC LIMIT 1""".stripMargin.replace("\n", " "))),
+    // Total-variation drift between the early and late time halves on
+    // the same fixed deciles as the chi² gate: TV = ½·Σ|p_b − q_b|.
+    // Third member of the transcendental-free drift family (chi² =
+    // categorical, KS = cumulative/numeric, TV = the bounded [0,1]
+    // mass-moved summary PSI is usually quoted for — but PSI's ln() is
+    // not bit-stable cross-engine, TV is). See Profiling.tvDrift for
+    // the cross-multiplied exact-integer contract; here the bins are
+    // the chi² deciles and the sides the midpoint time halves.
+    Q("ev_drift_tv",
+      (s, d) => {
+        val e = events(s, d).filter(col("value").isNotNull)
+          .select(col("ts_s"),
+            least(lit(9L), floor(col("value") / 50).cast(LongType)).as("bin"))
+        val mid = e.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2").as("__mid"))
+        operators.Profiling.tvDrift(e.crossJoin(broadcast(mid)),
+          col("bin"), col("ts_s") <= col("__mid"))
+          .withColumnRenamed("n_a", "n_early")
+          .withColumnRenamed("n_b", "n_late")
+      },
+      Some("""WITH tve AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin FROM events WHERE value IS NOT NULL),
+             |tvm AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM tve),
+             |tvg AS (SELECT bin, SUM(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS ne,
+             |SUM(CASE WHEN t > mid THEN 1 ELSE 0 END) AS nl FROM tve CROSS JOIN tvm GROUP BY bin),
+             |tvt AS (SELECT bin, ne, nl, SUM(ne) OVER () AS te, SUM(nl) OVER () AS tl FROM tvg)
+             |SELECT CAST(MIN(te) AS BIGINT) AS n_early, CAST(MIN(tl) AS BIGINT) AS n_late,
+             |CAST(SUM(abs(ne * tl - nl * te)) AS BIGINT) AS sum_abs,
+             |CASE WHEN MIN(te) * MIN(tl) = 0 THEN 0.0
+             |ELSE CAST(SUM(abs(ne * tl - nl * te)) AS DOUBLE) / (2.0 * CAST(MIN(te) * MIN(tl) AS DOUBLE)) END AS tv
+             |FROM tvt""".stripMargin.replace("\n", " "))),
+    // Per-window drift monitor: every 5-minute window's value-decile
+    // histogram scored by TV distance against the corpus-global
+    // histogram (the "which window went weird" observability view).
+    // The global reference is a bounded 10-row collect shipped back as
+    // literals into streaming.EventStreams.windowedValueDrift — the
+    // SAME code path the streaming monitor runs (watermark no-ops in
+    // batch), so the batch oracle row doubles as the stream twin's
+    // ground truth; EventStreamsSpec pins stream ≡ batch row-equal
+    // (exact integers, deterministic window assignment).
+    Q("ev_window_drift",
+      (s, d) => {
+        val e = events(s, d).filter(col("value").isNotNull)
+          .withColumn("event_time", timestamp_seconds(col("ts_s")))
+        val bin = least(lit(9L), floor(col("value") / 50).cast(LongType))
+        val hist = e.groupBy(bin.as("b")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ref = (0L until 10L).map(b => hist.getOrElse(b, 0L))
+        streaming.EventStreams.windowedValueDrift(e, ref)
+      },
+      Some("""WITH wde AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin FROM events WHERE value IS NOT NULL),
+             |wdsp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+             |wdrf AS (SELECT s.bin, COALESCE(r.r, 0) AS r FROM wdsp s
+             |LEFT JOIN (SELECT bin, COUNT(*) AS r FROM wde GROUP BY bin) r USING (bin)),
+             |wdn AS (SELECT SUM(r) AS nref FROM wdrf),
+             |wdw AS (SELECT (t // 300) * 300 AS ws, bin, COUNT(*) AS c FROM wde GROUP BY 1, 2),
+             |wdx AS (SELECT w.ws, f.bin, COALESCE(c.c, 0) AS c, f.r
+             |FROM (SELECT DISTINCT ws FROM wdw) w CROSS JOIN wdrf f
+             |LEFT JOIN wdw c ON c.ws = w.ws AND c.bin = f.bin),
+             |wdy AS (SELECT ws, bin, c, r, nref, SUM(c) OVER (PARTITION BY ws) AS nwin FROM wdx CROSS JOIN wdn)
+             |SELECT ws AS bucket, CAST(MIN(nwin) AS BIGINT) AS n_window,
+             |CAST(SUM(abs(c * nref - r * nwin)) AS DOUBLE) / (2.0 * CAST(MIN(nwin) * MIN(nref) AS DOUBLE)) AS tv
+             |FROM wdy GROUP BY ws""".stripMargin.replace("\n", " "))),
     // Heavy hitters via the native Misra–Gries aggregate (k=4 counters
     // over 5 distinct event types, so the evict and merge-reduce paths
     // actually run): the sketch's candidate set joins back to exact

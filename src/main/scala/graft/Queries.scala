@@ -676,6 +676,87 @@ object Queries {
              |(vy * (l_quantity - mx) * (l_quantity - mx) - 2.0 * cxy * (l_quantity - mx) * (l_extendedprice - my) + vx * (l_extendedprice - my) * (l_extendedprice - my)) / det AS md2
              |FROM lineitem CROSS JOIN o2d
              |WHERE (vy * (l_quantity - mx) * (l_quantity - mx) - 2.0 * cxy * (l_quantity - mx) * (l_extendedprice - my) + vx * (l_extendedprice - my) * (l_extendedprice - my)) / det > 5.5""".stripMargin.replace("\n", " "))),
+    // TPC-H Q3 (shipping-priority) on the driver's TPC-H-ish schema —
+    // the classic selective-dim → fact-fact join → top-k shape. Filters
+    // sit on each scan (pushed to parquet), the segment-filtered
+    // customer side broadcasts, and the orders↔lineitem join shuffles
+    // on orderkey only after both sides are date-pruned. Revenue is an
+    // exact DECIMAL sum (order-independent) cast to double once; the
+    // top-10 tie-breaks on the unique orderkey so the result SET is
+    // deterministic. Order date is emitted as a yyyy-MM-dd string to
+    // stay out of engine-specific timestamp rendering (UTC session).
+    Q("q_tpch_q3",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+             |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " ")),
+      bench = true),
+    // TPC-H Q5 (local-supplier volume): the 6-table snowflake join.
+    // region→nation prune broadcasts down the dim chain; supplier
+    // broadcasts with the c_nationkey = s_nationkey residual riding the
+    // suppkey equi-join; the only shuffle joins are orders↔customer
+    // (custkey) and orders↔lineitem (orderkey) — at warehouse scale
+    // those are the two genuinely large sides and Catalyst/AQE picks
+    // shuffle vs broadcast per side from stats. Exact DECIMAL revenue,
+    // one cast to double at the end; full result ordered by a unique
+    // group key, so no tie ambiguity.
+    Q("q_tpch_q5",
+      (s, d) => {
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+          .select("r_regionkey")
+        val n = t(s, d, "nation")
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val c = t(s, d, "customer")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_nationkey", "n_name")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey")
+        val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin.replace("\n", " ")),
+      bench = true),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /

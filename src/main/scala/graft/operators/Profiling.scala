@@ -200,4 +200,38 @@ object Profiling {
           .otherwise(col("diff").cast("double") /
             (col("na") * col("nb")).cast("double")).as("ks"))
   }
+
+  /** Two-sample total-variation distance over a bucketed column:
+    * TV = ½·Σ_b |p_b − q_b| — the bounded [0, 1] "mass moved" summary
+    * PSI is usually quoted for, except PSI's ln() has no cross-engine
+    * bit contract and TV is rational in the bin counts. Third member
+    * of the transcendental-free drift family beside the chi² term
+    * (categorical surprise) and [[ksDrift]] (cumulative/numeric).
+    *
+    * Same cross-multiplied exact-integer idiom as ksDrift: the
+    * statistic is Σ|c_a·N_b − c_b·N_a| (exact long for side sizes up
+    * to ~3e9 rows; beyond that, widen to decimals) normalized by ONE
+    * double division 2·N_a·N_b at the end. Shape: one scan → bucket
+    * histogram (bounded by the value range, not the row count) →
+    * window totals over that bounded frame → single-row rollup. A
+    * one-sided input (no second sample to drift from) reports
+    * tv = 0.0, matching the ks convention.
+    *
+    * Returns one row: (n_a, n_b, sum_abs, tv). */
+  def tvDrift(df: DataFrame, bucket: Column, sideA: Column): DataFrame = {
+    val counts = df.select(bucket.as("bucket"), sideA.as("__a"))
+      .groupBy("bucket").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("sum_abs"))
+      .select(col("n_a"), col("n_b"), col("sum_abs"),
+        when(col("n_a") * col("n_b") === 0L, lit(0.0))
+          .otherwise(col("sum_abs").cast("double") /
+            (lit(2.0) * (col("n_a") * col("n_b")).cast("double"))).as("tv"))
+  }
 }

@@ -381,4 +381,73 @@ object Similarity {
       persist: Boolean = true): DataFrame =
     Dedup.hammingNearPairsMih(srpSketch(df, idCol, vecCol, 64, dim, seed),
       idCol, "sketch", maxHamming, chunks = 4, persist = persist)
+
+  /** Exact second-moment (gram) matrix of an embedding column — the
+    * input to corpus-level PCA/whitening (SemDeDup and most embedding
+    * pipelines PCA-reduce before clustering; the d×d gram/covariance
+    * matrix is the one global statistic that pass needs). Upper
+    * triangle only (the matrix is symmetric): rows (i, j, n,
+    * sum_xy_scaled, mean_xy) for 0 ≤ i ≤ j < dim, where each component
+    * is first rounded to `scale` (1e-6 grid by default — the corpus
+    * float convention, see emb_label_centroid), products and sums are
+    * EXACT longs, and the only double op is the final mean division —
+    * so the result hashes identically cross-engine and is independent
+    * of row order and partitioning.
+    *
+    * Shape at 100 TB: one scan; each partition folds its rows into ONE
+    * d(d+1)/2-cell long array (genuine per-partition imperative logic —
+    * a per-row explode would materialize n·d²/2 structs for the same
+    * shuffle), then emits that triangle as d(d+1)/2 rows. The shuffle
+    * carries d(d+1)/2 × partitions rows REGARDLESS of corpus size
+    * (d=64 → 2080/partition), and the final groupBy(i,j) reduces to one
+    * d×d matrix. Driver-side eigen-iteration on the collected 64×64
+    * result is bounded work (see SimilaritySpec's power-iteration
+    * check). Exactness bound: per-partition and global sums stay below
+    * 2^63 for up to ~9e6·(1e6·max|v|)⁻²-scaled rows per side — ~6e8
+    * rows at unit-normalized max|v| ≈ 0.125; beyond that, widen the
+    * global sum to decimals (same remedy note as ksDrift's cum·N
+    * products). */
+  def gramUpperTriangle(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = dim * (dim + 1) / 2
+    val rounded = df.select(expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+      .as("r")).as[Seq[Long]]
+    val partials = rounded.mapPartitions { it =>
+      val acc = new Array[Long](m)
+      var n = 0L
+      it.foreach { v =>
+        require(v.length == dim,
+          s"gramUpperTriangle: expected $dim-dim vectors, got ${v.length}")
+        val a = v.toArray
+        var k = 0
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { acc(k) += a(i) * a(j); j += 1; k += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator.tabulate(m) { k =>
+        // invert the row-major triangle index k -> (i, j)
+        var i = 0
+        var base = 0
+        while (base + (dim - i) <= k) { base += dim - i; i += 1 }
+        (i, i + (k - base), acc(k), n)
+      }
+    }
+    partials.toDF("__i", "__j", "__s", "__n")
+      .groupBy("__i", "__j")
+      .agg(sum(col("__s")).as("sum_xy_scaled"), sum(col("__n")).as("n"))
+      .select(col("__i").cast("long").as("i"), col("__j").cast("long").as("j"),
+        col("n"), col("sum_xy_scaled"),
+        (col("sum_xy_scaled").cast("double") /
+          (col("n").cast("double") * lit(scale.toDouble * scale.toDouble)))
+          .as("mean_xy"))
+  }
 }

@@ -291,6 +291,33 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** One round of BPE merge-candidate statistics (Sennrich et al. '16,
+    * public paper — the vocabulary-induction counting step every
+    * tokenizer fit runs): the corpus-weighted count of every adjacent
+    * character pair, top `k` by count (the k best merge candidates).
+    *
+    * The scale trick is the one production BPE trainers use: pairs are
+    * NOT counted over token occurrences. The corpus collapses to the
+    * distinct-word frequency table first (the only corpus-sized
+    * shuffle, partial-aggregated), and the character-pair explode runs
+    * over DISTINCT words only, weighting each pair by the word's
+    * frequency — vocabulary-bounded work however many trillions of
+    * token occurrences the corpus holds. The final top-k is
+    * TakeOrderedAndProject (per-partition heaps); ties break by pair
+    * ascending so the candidate list is deterministic. A word of
+    * length L contributes its L−1 overlapping pairs, each counted
+    * with multiplicity ("aaa" → "aa" twice). */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+      .filter(length(col("__w")) >= 2)
+      .select(col("__freq"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("__freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   /** The DISTINCT (doc, n-gram) frame both corpus-level gram statistics
     * ([[duplicatedPassageStats]], [[noveltyStats]]) aggregate over —
     * one shared construction so the gram rule (including the
@@ -350,6 +377,60 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+  }
+
+  /** CCNet-style corpus-level duplicated-segment removal (Wenzek et
+    * al. '19 §4.1, public paper — there applied to lines; this corpus
+    * is newline-free, so the unit is the fixed-width `n`-token
+    * segment): split each document into consecutive non-overlapping
+    * n-token segments, drop every segment whose text occurs in MORE
+    * than one document (boilerplate/template mass), and reassemble the
+    * surviving segments in their original order. Unlike document-level
+    * dedup this EDITS documents, removing shared headers/footers while
+    * keeping the unique prose around them.
+    *
+    * Shape at 100 TB: explode (one row per segment) → distinct
+    * (doc, seg) partial-agg groupBy → segment document-frequency
+    * groupBy (one row per distinct segment) → equi-join back on the
+    * segment key (both sides hash-partitioned by segment from their
+    * aggregates, AQE reuses the exchange) → per-doc rollup whose
+    * reassembly sorts only the ≤ ⌈len/n⌉ segments WITHIN one row
+    * (array_sort over a collected list — no window, no global sort).
+    * Same inverted-index join shape as [[duplicatedPassageStats]]; the
+    * df side could also broadcast when the duplicated-segment set is
+    * small.
+    *
+    * Returns (idCol, n_segments, n_kept, text_kept); `text_kept` is
+    * NULL when every segment was shared (fully-boilerplate doc), the
+    * row is retained so the caller sees what was dropped. Documents
+    * with no tokens are dropped (no segments to judge — same contract
+    * as [[chunkTokens]]). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "segment width must be at least 1 token")
+    val segs = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(__toks) - 1) div $n),
+           |  i -> array_join(slice(__toks, i * $n + 1, $n), ' '))"""
+          .stripMargin)).as(Seq("__seg_idx", "__seg")))
+    // document frequency via distinct-then-count (two partial-agg
+    // stages), never a one-stage count-distinct on a skewable text key
+    val segDf = segs.select(col(idCol), col("__seg")).distinct()
+      .groupBy("__seg").agg(count(lit(1)).as("__df"))
+    segs.join(segDf, "__seg")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__df") === 1L, struct(col("__seg_idx"), col("__seg"))))),
+          x => x.getField("__seg"))).as("__kept"))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        when(col("n_kept") === 0L, lit(null))
+          .otherwise(col("__kept")).as("text_kept"))
   }
 
   /** Gopher-style repetition signals (Rae et al. '21 §A1.1, public

@@ -123,6 +123,43 @@ object EventStreams {
         explode(col("hh")).as("c"))
       .select(col("bucket"), col("c.key").as("event_type"), col("c.est"))
 
+  /** Per-window distribution-drift monitor: each 5-minute tumbling
+    * window's value-decile histogram, compared against a REFERENCE
+    * histogram by total-variation distance (see
+    * [[graft.operators.Profiling.tvDrift]] for why TV and not PSI:
+    * rational in the counts, no ln()). The reference arrives as ten
+    * literals — in production, the per-bin counts the last blessed
+    * batch profile published — so the comparison is STATELESS beyond
+    * the single windowed aggregation: the histogram is ten conditional
+    * sums inside one stateful agg (state = 10 longs per window,
+    * watermark-evicted), and the TV arithmetic is a plain per-row
+    * projection on the finalized window row. Exact integers until the
+    * one double division; run on a batch frame (watermark is a no-op
+    * there) it produces bit-identical rows, which is how the
+    * `ev_window_drift` batch query and EventStreamsSpec's stream≡batch
+    * pin both reuse it. */
+  def windowedValueDrift(events: DataFrame, refCounts: Seq[Long]): DataFrame = {
+    require(refCounts.length == 10,
+      s"expected a 10-bin reference histogram, got ${refCounts.length}")
+    val nRef = refCounts.sum
+    require(nRef > 0, "reference histogram must not be empty")
+    val bin = least(lit(9L), floor(col("value") / 50).cast("long"))
+    val binSums = (0 until 10).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val agg = events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(binSums.head, binSums.tail: _*)
+    val cs = (0 until 10).map(b => col(s"__c$b"))
+    val nWin = cs.reduce(_ + _)
+    val sumAbs = (0 until 10).map(b =>
+      abs(cs(b) * lit(nRef) - lit(refCounts(b)) * nWin)).reduce(_ + _)
+    agg.select(col("window.start").cast("long").as("bucket"),
+      nWin.as("n_window"),
+      (sumAbs.cast("double") /
+        (lit(2.0) * (nWin * lit(nRef)).cast("double"))).as("tv"))
+  }
+
   /** Hopping (sliding) 10-minute/5-minute per-type counts with a
     * 10-minute watermark — the streaming analog of the
     * `ev_sliding_window` batch query: the SAME `window()` expression

@@ -33,6 +33,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("windowed value drift: streaming TV rows equal the batch run bit-for-bit") {
+    // reference = the corpus-global decile histogram (what the batch
+    // profile gate would publish); both runs score windows against it
+    val bin = least(lit(9L), floor(col("value") / 50).cast("long"))
+    val hist = batchEvents.filter(col("value").isNotNull)
+      .groupBy(bin.as("b")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val ref = (0L until 10L).map(b => hist.getOrElse(b, 0L))
+
+    val q = EventStreams.windowedValueDrift(
+      EventStreams.readEvents(spark, dir).filter(col("value").isNotNull), ref)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("drift_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("drift_out")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = EventStreams.windowedValueDrift(
+      batchEvents.filter(col("value").isNotNull)
+        .withColumn("event_time", timestamp_seconds(col("ts_s"))), ref)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // exact integer histograms + one shared double formula → row-equal
+    // (unlike the MG twin, where merge-order-dependent estimates make
+    // only the contract comparable)
+    assert(got == want)
+    got.foreach { case (b, n, tv) =>
+      assert(n > 0 && tv >= 0.0 && tv <= 1.0, s"window $b out of contract: n=$n tv=$tv")
+    }
+  }
+
   test("windowed heavy hitters: every window satisfies the Misra-Gries contract") {
     val k = 4
     val q = EventStreams

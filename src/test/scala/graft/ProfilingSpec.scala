@@ -106,6 +106,37 @@ class ProfilingSpec extends SparkSpec {
     assert(ok.length == 1)
   }
 
+  test("tvDrift: hand-computed statistic and partition invariance") {
+    // side A buckets [1,1,2], side B buckets [2,3,3]:
+    //   b1: |2·3 − 0·3| = 6;  b2: |1·3 − 1·3| = 0;  b3: |0·3 − 2·3| = 6
+    //   sum_abs = 12 → tv = 12 / (2·3·3) = 2/3
+    val rows = Seq((1L, true), (1L, true), (2L, true),
+      (2L, false), (3L, false), (3L, false))
+    val got = Profiling.tvDrift(rows.toDF("bucket", "a"),
+      col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 3L, 12L, 2.0 / 3.0)))
+    // exact integers → identical result under any partitioning
+    val got7 = Profiling.tvDrift(rows.reverse.toDF("bucket", "a").repartition(7),
+      col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got7 == got)
+    // identical distributions → zero distance
+    val same = Seq((1L, true), (1L, false), (2L, true), (2L, false))
+    val z = Profiling.tvDrift(same.toDF("bucket", "a"), col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(z == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("tvDrift: one-sided input reports tv = 0.0, not NaN") {
+    val df = Seq((1L, true), (2L, true)).toDF("bucket", "a")
+    val got = Profiling.tvDrift(df, col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got._2 == 0L)
+    assert(got._4 == 0.0 && !got._4.isNaN,
+      s"expected 0.0 for the undefined one-sided TV, got ${got._4}")
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,

@@ -186,4 +186,59 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b - a == 100L },
       s"unrelated vectors paired: ${pairs.filter { case (a, b) => b - a != 100L }}")
   }
+
+  test("gramUpperTriangle: exact hand-computed sums, partition-invariant") {
+    // r0 = [1e6, 2e6], r1 = [3e6, 4e6] (exact on the 1e-6 grid):
+    //   s00 = 1e12 + 9e12 = 1e13;  s01 = 2e12 + 12e12 = 1.4e13;
+    //   s11 = 4e12 + 16e12 = 2e13;  n = 2 → mean00 = 1e13/2e12 = 5.0
+    val df = Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 4f))).toDF("vec_id", "embedding")
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val got = collect(Similarity.gramUpperTriangle(df, "embedding", dim = 2))
+    assert(got.size == 3) // upper triangle of 2×2
+    assert(got((0L, 0L)) == ((2L, 10000000000000L, 5.0)))
+    assert(got((0L, 1L)) == ((2L, 14000000000000L, 7.0)))
+    assert(got((1L, 1L)) == ((2L, 20000000000000L, 10.0)))
+    // exact longs → identical under any partitioning (incl. empty ones)
+    val got7 = collect(Similarity.gramUpperTriangle(df.repartition(7),
+      "embedding", dim = 2))
+    assert(got7 == got)
+  }
+
+  test("gramUpperTriangle feeds driver-side power iteration (the PCA path)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val rows = Similarity.gramUpperTriangle(emb, "embedding", dim)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == dim * (dim + 1) / 2)
+    // densify the symmetric matrix; power-iterate for the top
+    // principal direction — bounded driver work on a 64×64 matrix
+    val a = Array.ofDim[Double](dim, dim)
+    rows.foreach { case (i, j, _, _, m) =>
+      a(i.toInt)(j.toInt) = m; a(j.toInt)(i.toInt) = m
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until 200) {
+      val av = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((s, j) => s + a(i)(j) * v(j)))
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      lambda = norm
+      v = av.map(_ / norm)
+    }
+    // the gram matrix is PSD: its top eigenvalue dominates every
+    // diagonal entry, and the iterate must satisfy A·v ≈ λ·v
+    val maxDiag = (0 until dim).map(i => a(i)(i)).max
+    assert(lambda >= maxDiag - 1e-12,
+      s"top eigenvalue $lambda below max diagonal $maxDiag")
+    val av = Array.tabulate(dim)(i =>
+      (0 until dim).foldLeft(0.0)((s, j) => s + a(i)(j) * v(j)))
+    val resid = math.sqrt(av.zip(v).map { case (x, y) =>
+      (x - lambda * y) * (x - lambda * y) }.sum)
+    // the corpus gram's eigengap is modest, so 200 iterations land at
+    // ~1e-7 relative residual; 1e-5 asserts convergence with margin
+    assert(resid <= 1e-5 * lambda,
+      s"power iteration not converged: residual $resid vs λ $lambda")
+  }
 }

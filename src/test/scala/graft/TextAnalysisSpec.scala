@@ -63,6 +63,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((1L, 2L, 0L)))
   }
 
+  test("bpePairCounts weights pairs by word frequency with multiplicity") {
+    val df = Seq((1L, "aaa bb"), (2L, "aaa cc")).toDF("doc_id", "text")
+    // "aaa" (freq 2) → "aa" twice per occurrence = 4; "bb"/"cc" = 1 each;
+    // the k = 2 cutoff tie (bb vs cc at 1) resolves to bb by pair order
+    val got = TextAnalysis.bpePairCounts(df, "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("aa" -> 4L, "bb" -> 1L))
+    // single-char words contribute no pairs
+    val solo = TextAnalysis.bpePairCounts(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", k = 5)
+    assert(solo.count() == 0L)
+  }
+
+  test("segmentDedup removes cross-doc segments, keeps order, NULLs emptied docs") {
+    val df = Seq(
+      (1L, "a b c d e f x y"),   // segs: "a b c", "d e f", "x y"
+      (2L, "a b c q r s"),       // segs: "a b c", "q r s"
+      (3L, "a b c"),             // single shared seg → fully removed
+      (4L, "m m m m m m"),       // "m m m" twice, but only THIS doc → kept
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2L, Some("d e f x y")))) // order preserved
+    assert(got(2L) == ((2L, 1L, Some("q r s"))))
+    assert(got(3L) == ((1L, 0L, None)))              // fully boilerplate
+    assert(got(4L) == ((2L, 2L, Some("m m m m m m")))) // in-doc repeat ≠ cross-doc
+    // partition invariance: the reassembly sorts within each row only
+    val got7 = TextAnalysis.segmentDedup(df.repartition(7), "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got7 == got)
+  }
+
+  test("segmentDedup drops token-less docs and rejects n < 1") {
+    val df = Seq((1L, "   "), (2L, "u v w")).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(df, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.segmentDedup(df, "doc_id", "text", n = 0)
+    }
+  }
+
   test("fingerprints: deterministic, equal for equal text, disjoint for unrelated") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
