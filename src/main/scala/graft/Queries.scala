@@ -757,6 +757,88 @@ object Queries {
              |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin.replace("\n", " ")),
       bench = true),
+    // TPC-H Q1 (pricing summary), the full eight-aggregate version
+    // (q1_agg is the one-aggregate flagship). Pure scan → partial/final
+    // hash aggregate over a 4-group key space — the canonical
+    // map-side-combine showcase. The discount/tax products are computed
+    // in integer hundredths (price cents × (100−disc) × (100+tax) —
+    // exact longs up to ~7e16 per group, i.e. ~5e10 rows per group at
+    // this price scale) rather than chained DECIMAL multiplies, whose
+    // precision-capped rescaling rounds differently across engines;
+    // each sum leaves integer space through ONE double division, and
+    // the averages divide exact decimal/long sums by the group count.
+    Q("q_tpch_q1",
+      (s, d) => {
+        val pc = (dec(col("l_extendedprice")) * 100).cast(LongType)
+        val discc = (dec(col("l_discount")) * 100).cast(LongType)
+        val taxc = (dec(col("l_tax")) * 100).cast(LongType)
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            (sum(pc * (lit(100L) - discc)).cast(DoubleType) / lit(10000.0))
+              .as("sum_disc_price"),
+            (sum(pc * (lit(100L) - discc) * (lit(100L) + taxc))
+              .cast(DoubleType) / lit(1000000.0)).as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+              .as("avg_qty"),
+            (sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)))
+              .as("avg_price"),
+            (sum(discc).cast(DoubleType) /
+              (count(lit(1)) * lit(100L)).cast(DoubleType)).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""WITH tq1 AS (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+             |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+             |CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS discc,
+             |CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS taxc
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02')
+             |SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(SUM(pc * (100 - discc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |CAST(SUM(pc * (100 - discc) * (100 + taxc)) AS DOUBLE) / 1000000.0 AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |CAST(SUM(discc) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_disc,
+             |COUNT(*) AS count_order
+             |FROM tq1 GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")),
+      bench = true),
+    // TPC-H Q18 (large-volume customer): the aggregate-derived filter
+    // shape. The textbook SQL reads lineitem twice (an IN-subquery
+    // HAVING plus the outer join re-aggregating the same quantities);
+    // here the single partial-agg groupBy BOTH qualifies the orders
+    // (sum > 200) and carries the sum the output needs, so lineitem is
+    // scanned once and the post-filter frame is one row per qualifying
+    // order (~1.5% of orders at any sf — quantity is per-row uniform,
+    // so the fraction is sf-invariant) — small enough that the orders/
+    // customer joins broadcast it. Top-100 tie-breaks on the unique
+    // orderkey; quantities are exact DECIMAL sums.
+    Q("q_tpch_q18",
+      (s, d) => {
+        val big = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+          .groupBy("l_orderkey")
+          .agg(sum(dec(col("l_quantity"))).as("__sq"))
+          .filter(col("__sq") > 200)
+          .withColumnRenamed("l_orderkey", "o_orderkey")
+        big.join(t(s, d, "orders"), Seq("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_totalprice"),
+            col("__sq").cast(DoubleType).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+             |GROUP BY c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin.replace("\n", " "))),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /
