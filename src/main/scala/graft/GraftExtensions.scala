@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, TopKAggregate}
+import graft.functions.{ArrayDotProduct, MisraGriesAggregate, TopKAggregate}
 
 /** Session extensions registering graft's native expressions for SQL
   * use — activate with
@@ -39,6 +39,15 @@ object GraftExtensions {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
             s"graft_top_k: k must be an integer literal, got $other")
+        })),
+    // graft_heavy_hitters(key, k) — Misra–Gries candidate summary;
+    // k must be an int literal (it sizes the bounded state)
+    ("graft_heavy_hitters", info("graft_heavy_hitters", classOf[MisraGriesAggregate]),
+      args => MisraGriesAggregate(args.head,
+        args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters: k must be an integer literal, got $other")
         })))
 
   /** Late registration into an already-built session (e.g. one handed

@@ -71,6 +71,14 @@ object PipelineQueries {
        |WHERE cosine >= 0.4""".stripMargin.replace("\n", " ")
   }
 
+  /** Density-prune over the cosinePairs graph: wraps the full LSH
+    * pair re-derivation, then degree + the keep decision. */
+  private def densityPruneOracle: String =
+    s"""WITH cp AS ($cosinePairsOracle),
+       |deg AS (SELECT vid, COUNT(*) AS degree FROM (SELECT a AS vid FROM cp UNION ALL SELECT b AS vid FROM cp) GROUP BY vid)
+       |SELECT e.vec_id, COALESCE(deg.degree, 0) AS degree, COALESCE(deg.degree, 0) <= 1 AS keep
+       |FROM embeddings e LEFT JOIN deg ON deg.vid = e.vec_id ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
   private val LshPlanes = 6
   private val LshSeed = 100000L
 
@@ -1394,6 +1402,22 @@ object PipelineQueries {
           .orderBy("doc_id", "bench_id")
       },
       Some(contaminationOracle)),
+    // same contamination check, Bloom-prefiltered: the corpus-gram
+    // majority is dropped map-side by a broadcast bitmap of the
+    // benchmark's grams before any shuffle — the 100 TB shape. The
+    // bloom pass has no false negatives and the exact gram join
+    // confirms survivors, so the OUTPUT is identical row-for-row to
+    // dedup_decontaminate and the same oracle SQL pins both.
+    Q("dedup_decontaminate_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.ngramContaminationBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 5, threshold = 0.3)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(contaminationOracle)),
   )
 
   // ---------------------------------------------------------------------
@@ -1553,6 +1577,15 @@ object PipelineQueries {
         dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
         planeGen = Similarity.lcgPlanes).orderBy("a", "b"),
       Some(cosinePairsOracle)),
+    // D4-style density pruning: degree in the 0.4-cosine graph, keep
+    // iff ≤ 1 near-neighbor — the oracle wraps the full cosinePairs
+    // re-derivation, so the hash pins LSH + degree count + decision.
+    Q("emb_density_prune",
+      (s, d) => Similarity.densityPrune(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, maxDegree = 1L, bands = CosBands, planesPerBand = CosPlanes,
+        dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
+        planeGen = Similarity.lcgPlanes).orderBy("vec_id"),
+      Some(densityPruneOracle)),
     // SemDeDup: k-means cells → within-cell cosine pairs → connected
     // components, one keeper per semantic cluster (oracle re-derives
     // the whole thing: Lloyd's in SQL + recursive-CTE closure).

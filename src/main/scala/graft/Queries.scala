@@ -839,6 +839,326 @@ object Queries {
              |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
              |GROUP BY c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin.replace("\n", " "))),
+    // TPC-H Q6 (forecast revenue change): the pure pushdown showcase —
+    // every predicate (date range, discount band, quantity cap) sits on
+    // base columns, so all four reach the parquet scan as PushedFilters
+    // and the whole query is one map-side-combined single-row aggregate
+    // over the surviving rows. Revenue = Σ price·discount in exact
+    // integer 10^-4 units (cents × discount-hundredths, longs), one
+    // double division at the end. The discount literals compare fine as
+    // doubles: 0.05/0.07 parse to the identical nearest-double in both
+    // engines and the stored values ARE those doubles.
+    Q("q_tpch_q6",
+      (s, d) => {
+        val pc = (dec(col("l_extendedprice")) * 100).cast(LongType)
+        val discc = (dec(col("l_discount")) * 100).cast(LongType)
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg((sum(pc * discc).cast(DoubleType) / lit(10000.0)).as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " ")),
+      bench = true),
+    // TPC-H Q7 (volume shipping between two nations): the two-role
+    // dimension pattern — nation joins the fact chain TWICE (supplier's
+    // nation and customer's nation). Both nation frames are pre-filtered
+    // to the two names of interest BEFORE joining, so supplier prunes to
+    // ~2/25 broadcast-side and the (A,A)/(B,B) combos are the only rows
+    // the residual disjunction removes. lineitem→orders is the one real
+    // shuffle; supplier broadcasts. Exact DECIMAL revenue per
+    // (supp, cust, year) group; unique group key ⇒ deterministic order.
+    Q("q_tpch_q7",
+      (s, d) => {
+        val nn = t(s, d, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        val sup = t(s, d, "supplier")
+          .join(broadcast(nn.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cus = t(s, d, "customer")
+          .join(broadcast(nn.select(col("n_nationkey").as("__n2k"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("__n2k"))
+          .select("c_custkey", "cust_nation")
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("l_shipdate") <= to_timestamp(lit("1996-12-31")))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"),
+            col("l_extendedprice"), col("l_discount"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cus, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
+    // TPC-H Q8 (national market share): the conditional-share-of-total
+    // shape over the full 7-table join graph. Volume is carried as an
+    // exact long in 10^-4 currency units (cents × (100−disc)); both the
+    // NATION_1 numerator and the total denominator stay integer until
+    // ONE double division per year — exact while each year's volume sum
+    // is < 2^53 of those units (~9e8 full-price rows/year; salt or
+    // widen to DECIMAL far beyond that). part is filtered before the
+    // fact join and broadcasts; the customer→nation→region chain prunes
+    // to one region before the orders join.
+    Q("q_tpch_q8",
+      (s, d) => {
+        val pc = (dec(col("l_extendedprice")) * 100).cast(LongType)
+        val discc = (dec(col("l_discount")) * 100).cast(LongType)
+        val pa = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val amCust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation").select(col("n_nationkey").as("__nk"),
+              col("n_regionkey"))
+            .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")
+              .select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("__nk")),
+            col("c_nationkey") === col("__nk"))
+          .select("c_custkey")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("o_orderdate") <= to_timestamp(lit("1996-12-31")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"))
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (pc * (lit(100L) - discc)).as("__vol"))
+          .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(amCust, col("o_custkey") === col("c_custkey"))
+          .groupBy("o_year")
+          .agg((sum(when(col("supp_nation") === "NATION_1", col("__vol"))
+            .otherwise(0L)).cast(DoubleType) /
+            sum(col("__vol")).cast(DoubleType)).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH vol AS (SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+             |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS volume,
+             |n1.n_name AS supp_nation
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |JOIN region ON n2.n_regionkey = r_regionkey
+             |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+             |AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31')
+             |SELECT o_year,
+             |CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+             |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", " "))),
+    // TPC-H Q10 (returned-item reporting): quarter-filtered orders join
+    // the 'R'-flagged lineitems on orderkey (the one big shuffle — both
+    // sides are date/flag-pruned first), then the customer+nation
+    // dimension chain rides in broadcast-size. Top-20 by exact DECIMAL
+    // revenue, tie-broken on the unique custkey.
+    Q("q_tpch_q10",
+      (s, d) => {
+        val cus = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_name", "c_acctbal", "n_name")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cus, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin.replace("\n", " ")),
+      bench = true),
+    // TPC-H Q13 (customer distribution): the filtered OUTER join — the
+    // priority predicate lives on the orders side BEFORE the left join
+    // (equivalently, in the join's ON clause: customers keep their row
+    // even when every order is filtered away), then two exact-count
+    // aggregations build the orders-per-customer histogram. Counts are
+    // longs end to end — nothing to stabilize.
+    Q("q_tpch_q13",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        t(s, d, "customer").select("c_custkey")
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |GROUP BY c_custkey) GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "))),
+    // TPC-H Q14 (promo revenue share): month-filtered lineitem joins
+    // the broadcast part dimension; the promo numerator and the total
+    // denominator are ONE conditional aggregate pass in exact long
+    // 10^-4 units, leaving integer space through a single double
+    // division (numerator exact ≤ 2^53 units ≈ 9e8 full-price rows in
+    // the month window).
+    Q("q_tpch_q14",
+      (s, d) => {
+        val pc = (dec(col("l_extendedprice")) * 100).cast(LongType)
+        val discc = (dec(col("l_discount")) * 100).cast(LongType)
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-10-01")))
+          .select(col("l_partkey"), (pc * (lit(100L) - discc)).as("__vol"))
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("__vol")).otherwise(0L))
+              .cast(DoubleType) /
+            sum(col("__vol")).cast(DoubleType)).as("promo_revenue"))
+      },
+      Some("""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+             |ELSE 0 END) AS DOUBLE) /
+             |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin.replace("\n", " "))),
+    // TPC-H Q15 (top supplier): aggregate → global max → equality join
+    // back. The max rides a broadcast ONE-ROW frame joined on exact
+    // DECIMAL equality (no unpartitioned window, no second lineitem
+    // scan — the quarter aggregate is computed once and reused for both
+    // the max and the final select; Spark dedups the shared subplan via
+    // exchange reuse). Ties (multiple max-revenue suppliers) all
+    // surface, ordered by suppkey.
+    Q("q_tpch_q15",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("__rev"))
+        rev.join(broadcast(rev.agg(max(col("__rev")).as("__mx"))),
+            col("__rev") === col("__mx"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("__rev").cast(DoubleType).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+             |GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE r = (SELECT MAX(r) FROM rev) ORDER BY s_suppkey""".stripMargin.replace("\n", " "))),
+    // TPC-H Q17 (small-quantity-order revenue): the correlated-average
+    // shape — each lineitem compares against 20% of ITS part's average
+    // quantity. The brand/size part filter broadcasts; the per-part
+    // (Σqty, count) stats over the filtered lineitems are a second
+    // broadcast (bounded by the filtered part count); and the
+    // qty < 0.2·avg comparison is cross-multiplied into exact integer
+    // cents (5·qc·cnt < Σqc) so no engine ever divides. One shuffle
+    // total (the stats groupBy) — the textbook correlated subquery
+    // would rescan lineitem.
+    Q("q_tpch_q17",
+      (s, d) => {
+        val qc = (dec(col("l_quantity")) * 100).cast(LongType)
+        val pa = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#23" && col("p_size") <= 5)
+          .select("p_partkey")
+        val lif = t(s, d, "lineitem")
+          .select(col("l_partkey"), qc.as("__qc"), col("l_extendedprice"))
+          .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "__qc", "l_extendedprice")
+        val stats = lif.groupBy(col("l_partkey").as("__pk"))
+          .agg(sum(col("__qc")).as("__sum"), count(lit(1)).as("__cnt"))
+        lif.join(broadcast(stats), col("l_partkey") === col("__pk"))
+          .filter(col("__qc") * lit(5L) * col("__cnt") < col("__sum"))
+          .agg((sum(dec(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
+            .as("avg_yearly"))
+      },
+      Some("""WITH pa AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 5),
+             |lif AS (SELECT l_partkey, CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc, l_extendedprice
+             |FROM lineitem JOIN pa ON l_partkey = p_partkey),
+             |st AS (SELECT l_partkey AS pk, SUM(qc) AS s, COUNT(*) AS c FROM lif GROUP BY 1)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lif JOIN st ON l_partkey = pk WHERE qc * 5 * c < s""".stripMargin.replace("\n", " "))),
+    // TPC-H Q22 (global sales opportunity), adapted to the available
+    // columns: country code = c_nationkey % 10 (the synthetic schema
+    // has no phone column) and the NOT-EXISTS probes "no URGENT order"
+    // instead of "no order at all" (every synthetic custkey is
+    // referenced by ~10 orders, so the literal form is vacuous — the
+    // adapted predicate keeps the anti-join shape AND a real result).
+    // Composition showcase: scalar subquery (broadcast one-row avg) ×
+    // anti join × aggregate. The average-balance threshold divides an
+    // exact DECIMAL sum by the count ONCE, so the > comparison sees the
+    // identical double in both engines.
+    Q("q_tpch_q22",
+      (s, d) => {
+        val inScope = t(s, d, "customer")
+          .filter((col("c_nationkey") % 10).isin(1, 2, 3))
+          .select(col("c_custkey"), col("c_acctbal"),
+            (col("c_nationkey") % 10).cast(LongType).as("cntrycode"))
+        val avgBal = inScope.filter(col("c_acctbal") > 0)
+          .agg((sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1)))
+            .as("__avg"))
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        inScope.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("__avg"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""WITH inscope AS (SELECT c_custkey, c_acctbal, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode
+             |FROM customer WHERE c_nationkey % 10 IN (1, 2, 3))
+             |SELECT cntrycode, COUNT(*) AS numcust,
+             |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM inscope
+             |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM inscope WHERE c_acctbal > 0)
+             |AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin.replace("\n", " "))),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /

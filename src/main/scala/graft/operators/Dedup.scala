@@ -616,6 +616,58 @@ object Dedup {
       .select(idCol, "bench_id", "jaccard")
   }
 
+  /** Bloom-prefiltered decontamination — identical OUTPUT to
+    * [[ngramContamination]], different 100 TB shape: instead of
+    * shuffling every corpus gram into the stop-gram df aggregate and
+    * the benchmark join, a Bloom filter of the benchmark's distinct
+    * grams ([[RuntimeFilter]] — broadcast one-row bitmap, codegen'd
+    * xxhash64 probes) drops the non-overlapping corpus-gram majority
+    * map-side, BEFORE any shuffle. Against a test-set-sized benchmark
+    * the overwhelming majority of a pretraining corpus's grams match
+    * nothing; at 100 TB that majority never leaves its scan partition.
+    *
+    * Output equivalence is structural, not approximate:
+    *  - no false negatives — every gram actually in the benchmark
+    *    survives the prefilter, and ALL of its corpus occurrences do
+    *    (membership depends only on the gram), so the surviving grams'
+    *    document frequencies equal their full-corpus df and the
+    *    stop-gram cap (> maxDf) fires for exactly the same grams;
+    *  - false positives survive the prefilter but match nothing in the
+    *    exact benchmark equi-join that follows — they cost shuffle
+    *    volume (~fpp of the pruned majority), never correctness.
+    * Size mBits for the benchmark's distinct gram count (~10-15
+    * bits/gram; the 2^20 default covers ~100k grams at ~1% fpp). */
+  def ngramContaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, threshold: Double = 0.5,
+      maxDf: Int = 200, mBits: Int = 1 << 20, k: Int = 3,
+      persist: Boolean = true): DataFrame = {
+    val cg = Caching.maybePersist(
+      corpus.select(col(idCol), charNgrams(col(textCol), n).as("__g")), persist)
+    val bg = benchmark.select(col(idCol).as("bench_id"),
+      charNgrams(col(textCol), n).as("__g"))
+    val benchGrams = bg.select(col("bench_id"), explode(col("__g")).as("g"))
+    val words = RuntimeFilter.buildBloom(
+      benchGrams.select("g").distinct(), "g", mBits, k)
+    val pruned = RuntimeFilter.prune(
+      cg.select(col(idCol), explode(col("__g")).as("g")), "g", words, mBits, k)
+    // df over the PRUNED grams: for any gram that can reach the join
+    // (i.e. is in the benchmark) pruned-df == full-df, so the cap is
+    // unchanged; for bloom false positives the cap only drops rows the
+    // exact join would discard anyway.
+    val stopGrams = pruned.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("g")
+    val kept = pruned.join(stopGrams, Seq("g"), "left_anti")
+    val shared = kept.join(benchGrams, "g")
+      .groupBy(idCol, "bench_id").agg(count(lit(1)).as("common"))
+    shared
+      .join(cg.select(col(idCol), size(col("__g")).as("sz_c")), idCol)
+      .join(bg.select(col("bench_id"), size(col("__g")).as("sz_b")), "bench_id")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("sz_c") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(idCol, "bench_id", "jaccard")
+  }
+
   // =====================================================================
   // Cluster resolution (connected components)
   // =====================================================================

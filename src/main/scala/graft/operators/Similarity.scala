@@ -341,6 +341,35 @@ object Similarity {
       .select("a", "b", "cosine").distinct()
   }
 
+  /** Density-based pruning (the D4 / SemDeDup family — Tirumala et
+    * al. 2023, arXiv:2308.12284: dense regions of embedding space are
+    * redundant and over-trained on): a document's density is its
+    * DEGREE in the cosine near-neighbor graph at `threshold`, and
+    * pruning caps that degree — `keep = degree <= maxDegree`. Emits
+    * one row per corpus id (degree 0 for isolated points) so the
+    * decision column joins straight back onto the corpus.
+    *
+    * Scale shape: the pair generation IS [[cosinePairs]] — banded LSH
+    * with capped buckets, never all-pairs — and the degree count adds
+    * one groupBy over the (sparse) pair list plus a left join back to
+    * the id column; both shuffle O(pairs + N), nothing quadratic. */
+  def densityPrune(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxDegree: Long, bands: Int = 8,
+      planesPerBand: Int = 8, dim: Int = 64, seed: Long = 42L,
+      maxBucket: Long = 10000L,
+      planeGen: (Int, Int, Long) => Seq[Seq[Double]] = randomPlanes,
+      persist: Boolean = true): DataFrame = {
+    val pairs = cosinePairs(df, idCol, vecCol, threshold, bands,
+      planesPerBand, dim, seed, maxBucket, planeGen, persist)
+    val deg = pairs.select(col("a").as(idCol))
+      .unionAll(pairs.select(col("b").as(idCol)))
+      .groupBy(idCol).agg(count(lit(1)).as("degree"))
+    df.select(col(idCol))
+      .join(deg, Seq(idCol), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("keep", col("degree") <= maxDegree)
+  }
+
   /** 64-bit sign-random-projection (SRP) sketch of an embedding
     * column: bit j is the sign of the dot product with LCG hyperplane
     * j, packed into one BIGINT — a 32× compression of a 64-float

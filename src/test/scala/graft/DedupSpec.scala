@@ -94,6 +94,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - expect) < 1e-12)
   }
 
+  test("ngramContaminationBloom is row-identical to ngramContamination") {
+    val corpus = docs.filter($"doc_id".isin(0L, 3L))
+    val bench = docs.filter($"doc_id".isin(1L, 2L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench_id").select("doc_id", "bench_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+    val plain = rows(Dedup.ngramContamination(corpus, bench, "doc_id", "text",
+      n = 5, threshold = 0.3))
+    val bloom = rows(Dedup.ngramContaminationBloom(corpus, bench, "doc_id", "text",
+      n = 5, threshold = 0.3))
+    assert(bloom == plain)
+    assert(plain.nonEmpty) // fixture has real overlap — not vacuous
+  }
+
+  test("ngramContaminationBloom honors the stop-gram cap identically") {
+    // maxDf = 1: every gram of the duplicated base doc appears twice in
+    // a corpus holding both copies, so the cap kills all of doc 0/1's
+    // grams — both variants must agree that nothing survives from them
+    val corpus = docs.filter($"doc_id".isin(0L, 1L, 3L))
+    val bench = docs.filter($"doc_id" === 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench_id").select("doc_id", "bench_id")
+        .as[(Long, Long)].collect().toSeq
+    val plain = rows(Dedup.ngramContamination(corpus, bench, "doc_id", "text",
+      n = 5, threshold = 0.01, maxDf = 1))
+    val bloom = rows(Dedup.ngramContaminationBloom(corpus, bench, "doc_id", "text",
+      n = 5, threshold = 0.01, maxDf = 1))
+    assert(bloom == plain)
+  }
+
   test("simhashNearPairs equals the quadratic model (template-heavy corpus)") {
     val templates = Seq(
       "the quick brown fox jumps over the lazy dog",

@@ -71,4 +71,15 @@ class MisraGriesSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("type"),
       s"expected a data-type analysis error, got: ${e.getMessage}")
   }
+
+  test("graft_heavy_hitters is SQL-callable after registration, same summary") {
+    GraftExtensions.register(spark)
+    val counts = Map("a" -> 50, "b" -> 30, "c" -> 3)
+    skewed(counts, 3).createOrReplaceTempView("__mg")
+    val viaSql = spark.sql(
+      "SELECT explode(graft_heavy_hitters(k, 2)) AS c FROM __mg")
+      .select($"c.key", $"c.est").as[(String, Long)].collect().toMap
+    // exact fixture: 3 keys, k=2 — both true-heavy keys tracked
+    assert(viaSql.keySet == Set("a", "b"))
+  }
 }

@@ -44,6 +44,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((0L, 1L)))
   }
 
+  test("densityPrune: degree = near-neighbor count at threshold, keep = degree <= cap") {
+    // clones of one vector plus an orthogonal singleton: the 3 clones
+    // form a 0.9-cosine triangle (degree 2 each), the singleton is
+    // isolated (degree 0) — with maxDegree = 1 only the singleton keeps
+    val d = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(2f, 0f, 0f, 0f)),
+      (2L, Seq(3f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.densityPrune(d, "vec_id", "embedding",
+      threshold = 0.9, maxDegree = 1L, bands = 2, planesPerBand = 2, dim = 4)
+      .orderBy("vec_id").select("vec_id", "degree", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 2L, false), (1L, 2L, false), (2L, 2L, false),
+      (3L, 0L, true)))
+  }
+
   test("cosinePairs bucket cap drops degenerate buckets instead of self-joining them") {
     // 50 identical vectors → every band hashes them into ONE bucket of
     // 50 rows; with maxBucket = 10 the cap must drop that bucket, so no
