@@ -625,6 +625,12 @@ object Dedup {
     * map-side, BEFORE any shuffle. Against a test-set-sized benchmark
     * the overwhelming majority of a pretraining corpus's grams match
     * nothing; at 100 TB that majority never leaves its scan partition.
+    * The prefilter's selectivity IS 1 − (corpus∩benchmark gram-
+    * occurrence fraction): on a benchmark drawn from the corpus's own
+    * distribution (e.g. the synthetic fixture, 99.7% overlap) there is
+    * no prunable majority and the bloom build+probe is pure overhead —
+    * use the plain [[ngramContamination]] there; the bloom form is for
+    * the real decontamination setting (mostly-disjoint held-out text).
     *
     * Output equivalence is structural, not approximate:
     *  - no false negatives — every gram actually in the benchmark
