@@ -71,6 +71,27 @@ object PipelineQueries {
        |WHERE cosine >= 0.4""".stripMargin.replace("\n", " ")
   }
 
+  /** The ENTIRE PCA chain re-derived in DuckDB: exact-long gram matrix
+    * (corpus sum of scaled-component products), 100 power iterations as
+    * a recursive CTE whose matvec/norm are the same ascending-index
+    * sequential folds the driver loop runs (list_sum over
+    * list_transform(generate_series) — verified bit-identical), then
+    * the per-row projection fold. The seed MUST be CAST AS DOUBLE: a
+    * bare 0.125 literal is DECIMAL in DuckDB and poisons the whole
+    * iteration's type. */
+  private def pcaProjectOracle: String =
+    s"""WITH RECURSIVE r AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS r FROM embeddings),
+       |ge AS (SELECT i, j, CAST(SUM(r[i] * r[j]) AS DOUBLE) AS g FROM r, generate_series(1, 64) AS gi(i), generate_series(1, 64) AS gj(j) GROUP BY i, j),
+       |arow AS (SELECT i, list(g ORDER BY j) AS row FROM ge GROUP BY i),
+       |amat AS (SELECT list(row ORDER BY i) AS a FROM arow),
+       |it AS (SELECT 0 AS t, list_transform(generate_series(1, 64), x -> CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))) AS v
+       |UNION ALL SELECT t + 1, list_transform(av, x -> x / sqrt(list_sum(list_transform(av, y -> y * y))))
+       |FROM (SELECT t, list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a[i][j] * v[j]))) AS av
+       |FROM it, amat WHERE t < 100)),
+       |vfin AS (SELECT v FROM it WHERE t = 100)
+       |SELECT vec_id, list_sum(list_transform(generate_series(1, 64), j -> r[j] * v[j])) AS pc1
+       |FROM r, vfin ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
   /** Density-prune over the cosinePairs graph: wraps the full LSH
     * pair re-derivation, then degree + the keep decision. */
   private def densityPruneOracle: String =
@@ -319,6 +340,31 @@ object PipelineQueries {
     * TextAnalysis.tokens, so the oracles hold even if the corpus ever
     * gains leading/double spaces. */
   private val ToksSql = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+
+  /** Three BPE merge rounds chained as CTEs — each round splits the
+    * guarded words back to symbols, counts adjacent pairs weighted by
+    * word frequency, argmaxes (cnt desc, pair asc), and rewrites the
+    * word table with DuckDB's greedy left-to-right replace(). */
+  private def bpeMergesOracle: String = {
+    def round(n: Int, src: String): String =
+      s"""bta$n AS (SELECT s, freq, string_split(substr(s, 2, length(s) - 2), '}{') AS a FROM $src),
+         |bti$n AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i FROM bta$n WHERE len(a) >= 2),
+         |btp$n AS (SELECT a[i] AS l, a[i + 1] AS r, SUM(freq) AS cnt FROM bti$n GROUP BY 1, 2),
+         |btb$n AS (SELECT l, r, cnt FROM btp$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |bts$n AS (SELECT replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s, freq
+         |FROM $src, btb$n b)""".stripMargin
+    s"""WITH btw AS (SELECT unnest($ToksSql) AS w FROM documents),
+       |btf AS (SELECT w, COUNT(*) AS freq FROM btw GROUP BY w),
+       |bts0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS s, freq FROM btf),
+       |${round(1, "bts0")},
+       |${round(2, "bts1")},
+       |${round(3, "bts2")}
+       |SELECT * FROM (
+       |SELECT CAST(1 AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM btb1
+       |UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, CAST(cnt AS BIGINT) FROM btb2
+       |UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, CAST(cnt AS BIGINT) FROM btb3)
+       |ORDER BY rank""".stripMargin.replace("\n", " ")
+  }
 
   private val Bm25Terms = Seq("vector", "merge", "stream")
 
@@ -1081,6 +1127,13 @@ object PipelineQueries {
              |bpp AS (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i FROM bpf WHERE length(w) >= 2)
              |SELECT substring(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
              |FROM bpp GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 40""".stripMargin.replace("\n", " "))),
+    // the full BPE merge loop (3 rounds): count → argmax → merge over
+    // the guarded-symbol word table; the oracle chains the same three
+    // rounds in SQL (replace() ≡ java replaceAll: greedy left-to-right
+    // non-overlapping), so the hash pins the learned merge table
+    Q("doc_bpe_merges",
+      (s, d) => TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 3),
+      Some(bpeMergesOracle)),
     // RefinedWeb-style duplicated-passage counts: distinct word 3-grams
     // per doc, flagged when shared with ≥1 other document
     Q("doc_dup_passages",
@@ -1577,6 +1630,13 @@ object PipelineQueries {
         dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
         planeGen = Similarity.lcgPlanes).orderBy("a", "b"),
       Some(cosinePairsOracle)),
+    // PCA apply: gram → driver power iteration → map-only projection;
+    // the oracle re-runs all 100 iterations in a recursive CTE and the
+    // hash pins the projection doubles BIT-FOR-BIT cross-engine.
+    Q("emb_pca_project",
+      (s, d) => Similarity.pcaProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64).orderBy("vec_id"),
+      Some(pcaProjectOracle)),
     // D4-style density pruning: degree in the 0.4-cosine graph, keep
     // iff ≤ 1 near-neighbor — the oracle wraps the full cosinePairs
     // re-derivation, so the hash pins LSH + degree count + decision.

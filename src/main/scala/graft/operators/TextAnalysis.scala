@@ -318,6 +318,75 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** The full BPE merge LOOP (Sennrich '16): `merges` rounds of
+    * count → argmax → merge over the distinct-word frequency table,
+    * returning the learned merge table (rank, left_sym, right_sym,
+    * merged, cnt) — the artifact a tokenizer fit ships.
+    *
+    * This is the production trainer's shape end to end: the corpus
+    * collapses ONCE to word frequencies (the only corpus-sized
+    * shuffle); every round's pair count explodes over distinct words
+    * weighted by frequency (vocabulary-bounded); the argmax is a
+    * 1-row `TakeOrderedAndProject` collect (ties: count desc, then
+    * pair ascending); and the merge itself is a map-only rewrite of
+    * the word table. At 100 TB the merge table is then broadcast to
+    * tokenize the corpus — the loop's cost never depends on token
+    * occurrences, only on vocabulary size × rounds.
+    *
+    * Words are carried in a guarded symbol encoding — every symbol
+    * wrapped `{sym}` (the corpus alphabet is `[a-z0-9 .,!?]`, so the
+    * guards cannot collide) — which makes the merge a plain string
+    * replace of `{l}{r}` with `{lr}`: greedy, left-to-right,
+    * non-overlapping in BOTH engines (java replaceAll ≡ DuckDB
+    * replace), i.e. exactly BPE's merge rule ("aaaa" + (a,a) →
+    * "{aa}{aa}"). A token containing a guard character fails the run
+    * with `raise_error` rather than silently miscounting. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+      persist: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(merges >= 1, s"merges must be positive, got $merges")
+    var words = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+      .select(when(col("__w").rlike("[{}]"),
+          raise_error(concat(lit("bpeTrain: guard character in token: "),
+            col("__w"))))
+        .otherwise(regexp_replace(col("__w"), "(.)", "{$1}")).as("__s"),
+        col("__freq"))
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val cached = Caching.maybePersist(words, persist)
+      val best = cached
+        .withColumn("__a",
+          split(expr("substring(__s, 2, length(__s) - 2)"), "\\}\\{"))
+        .filter(size(col("__a")) >= 2)
+        .select(col("__freq"), explode(expr(
+          "transform(sequence(1, size(__a) - 1), " +
+            "i -> struct(element_at(__a, i) AS l, element_at(__a, i + 1) AS r))"))
+          .as("__p"))
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__freq")).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r.toLong, l, rr, l + rr, cnt))
+        words = cached.select(
+          regexp_replace(col("__s"),
+            lit(java.util.regex.Pattern.quote(s"{$l}{$rr}")),
+            lit(s"{$l$rr}")).as("__s"),
+          col("__freq"))
+        r += 1
+      }
+    }
+    out.result().toDF("rank", "left_sym", "right_sym", "merged", "cnt")
+  }
+
   /** The DISTINCT (doc, n-gram) frame both corpus-level gram statistics
     * ([[duplicatedPassageStats]], [[noveltyStats]]) aggregate over —
     * one shared construction so the gram rule (including the

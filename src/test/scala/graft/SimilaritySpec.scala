@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((0L, 1L)))
   }
 
+  test("pcaProject: exact collinear scaling and partition invariance") {
+    val got = Similarity.pcaProject(vecs, "vec_id", "embedding", dim = 4)
+      .orderBy("vec_id").select("vec_id", "pc1")
+      .as[(Long, Double)].collect().toMap
+    // v1 = 2·v0 → the projection fold scales by exactly 2 (power-of-two
+    // double scaling is bitwise-exact through products and sums)
+    assert(got(1L) == 2.0 * got(0L))
+    assert(got(0L) != 0.0)
+    // gram sums are exact longs and the iteration is driver-side, so
+    // the projection is invariant under repartitioning
+    val re = Similarity.pcaProject(vecs.repartition(7), "vec_id", "embedding", dim = 4)
+      .orderBy("vec_id").select("vec_id", "pc1")
+      .as[(Long, Double)].collect().toMap
+    assert(re == got)
+  }
+
   test("densityPrune: degree = near-neighbor count at threshold, keep = degree <= cap") {
     // clones of one vector plus an orthogonal singleton: the 3 clones
     // form a 0.9-cosine triangle (degree 2 each), the singleton is

@@ -76,6 +76,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(solo.count() == 0L)
   }
 
+  test("bpeTrain: greedy non-overlapping merges, multi-round symbol growth") {
+    val df = Seq((1L, "aaaa aaaa ab ab ab")).toDF("doc_id", "text")
+    // round 1: "aaaa"(2) gives (a,a)x3 overlapping = 6, "ab"(3) gives
+    // (a,b) = 3 → merge (a,a); the merge is GREEDY non-overlapping so
+    // "aaaa" becomes {aa}{aa} (two symbols), not three
+    // round 2: (aa,aa) weight 2 < (a,b) weight 3 → merge (a,b)
+    // round 3: only (aa,aa) remains → merge
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("bpeTrain stops when no pairs remain") {
+    val got = TextAnalysis.bpeTrain(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", merges = 5)
+    assert(got.count() == 0L)
+  }
+
   test("segmentDedup removes cross-doc segments, keeps order, NULLs emptied docs") {
     val df = Seq(
       (1L, "a b c d e f x y"),   // segs: "a b c", "d e f", "x y"
