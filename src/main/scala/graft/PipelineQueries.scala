@@ -366,6 +366,32 @@ object PipelineQueries {
        |ORDER BY rank""".stripMargin.replace("\n", " ")
   }
 
+  /** Apply the three learned merges (same CTE chain as
+    * [[bpeMergesOracle]]) to every document's words in learned order,
+    * then count the surviving symbols per document. */
+  private def bpeTokenizeOracle: String = {
+    def round(n: Int, src: String): String =
+      s"""bta$n AS (SELECT s, freq, string_split(substr(s, 2, length(s) - 2), '}{') AS a FROM $src),
+         |bti$n AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i FROM bta$n WHERE len(a) >= 2),
+         |btp$n AS (SELECT a[i] AS l, a[i + 1] AS r, SUM(freq) AS cnt FROM bti$n GROUP BY 1, 2),
+         |btb$n AS (SELECT l, r, cnt FROM btp$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |bts$n AS (SELECT replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s, freq
+         |FROM $src, btb$n b)""".stripMargin
+    s"""WITH btw AS (SELECT unnest($ToksSql) AS w FROM documents),
+       |btf AS (SELECT w, COUNT(*) AS freq FROM btw GROUP BY w),
+       |bts0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS s, freq FROM btf),
+       |${round(1, "bts0")},
+       |${round(2, "bts1")},
+       |${round(3, "bts2")},
+       |btd AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
+       |btg AS (SELECT doc_id, regexp_replace(w, '(.)', '{\\1}', 'g') AS s FROM btd),
+       |btz1 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btg, btb1 b),
+       |btz2 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btz1, btb2 b),
+       |btz3 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btz2, btb3 b)
+       |SELECT doc_id, CAST(SUM(len(string_split(substr(s, 2, length(s) - 2), '}{'))) AS BIGINT) AS n_bpe_tokens
+       |FROM btz3 GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   private val Bm25Terms = Seq("vector", "merge", "stream")
 
   /** BM25 (rational idf) re-derived in SQL — the same expression tree
@@ -1134,6 +1160,13 @@ object PipelineQueries {
     Q("doc_bpe_merges",
       (s, d) => TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 3),
       Some(bpeMergesOracle)),
+    // the tokenizer APPLY step: per-doc token counts under the learned
+    // merge table — fit (bounded driver collect of 3 merges) compiled
+    // into a map-only replace chain over every word, one rollup shuffle
+    Q("doc_bpe_tokenize",
+      (s, d) => TextAnalysis.bpeTokenCounts(t(s, d, "documents"), "doc_id",
+        "text", merges = 3).orderBy("doc_id"),
+      Some(bpeTokenizeOracle)),
     // RefinedWeb-style duplicated-passage counts: distinct word 3-grams
     // per doc, flagged when shared with ≥1 other document
     Q("doc_dup_passages",
@@ -3396,6 +3429,24 @@ object PipelineQueries {
     sb.result()
   }
 
+  /** Per-vertex triangle participation + integer clustering
+    * coefficient, re-derived via the id-ordered 3-way self-join
+    * (a < b < c — each triangle once) and the same `div` per-mille
+    * arithmetic. */
+  private val triangleOracle: String =
+    """WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ted AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+      |tdg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ted GROUP BY u),
+      |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c FROM prs e1
+      |JOIN prs e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+      |JOIN prs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+      |tpv AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+      |(SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY id)
+      |SELECT tdg.u AS part_id, tdg.d AS degree, COALESCE(tpv.n_tri, 0) AS n_tri,
+      |CASE WHEN tdg.d >= 2 THEN (2000 * COALESCE(tpv.n_tri, 0)) // (tdg.d * (tdg.d - 1)) ELSE 0 END AS cc_permille
+      |FROM tdg LEFT JOIN tpv ON tpv.id = tdg.u ORDER BY part_id""".stripMargin.replace("\n", " ")
+
   private val graph = Vector(
     Q("graph_pagerank",
       (s, d) => operators.Graph.pageRank(copurchaseEdges(s, d), "pa", "pb",
@@ -3403,6 +3454,13 @@ object PipelineQueries {
         .withColumnRenamed("id", "part_id"),
       Some(pageRankOracle),
       bench = true),
+    // degree-ordered exact triangle counting + integer clustering
+    // coefficient — the wedge join is bounded by the orientation
+    // (O(E^{3/2}) candidates), never Σ deg²
+    Q("graph_triangles",
+      (s, d) => operators.Graph.triangleCounts(copurchaseEdges(s, d), "pa", "pb")
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(triangleOracle)),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

@@ -1123,6 +1123,37 @@ object Queries {
              |st AS (SELECT l_partkey AS pk, SUM(qc) AS s, COUNT(*) AS c FROM lif GROUP BY 1)
              |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
              |FROM lif JOIN st ON l_partkey = pk WHERE qc * 5 * c < s""".stripMargin.replace("\n", " "))),
+    // TPC-H Q19 (discounted revenue), adapted: the OR-of-ANDs predicate
+    // that straddles the join — each branch couples part-side conjuncts
+    // (brand, size) to a lineitem-side quantity band, so neither scan
+    // can evaluate the disjunction alone (the ref schema's shipmode/
+    // shipinstruct conjuncts don't exist here; divergence documented).
+    // The Catalyst showcase: PushExtraPredicateThroughJoin derives each
+    // side's UNION-of-branches residual and pushes it into BOTH parquet
+    // scans (the part scan sees the brand/size disjunction, the
+    // lineitem scan the quantity envelope) before the broadcast join
+    // evaluates the exact cross-table predicate.
+    Q("q_tpch_q19",
+      (s, d) => {
+        val j = t(s, d, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+        j.filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "))),
     // TPC-H Q22 (global sales opportunity), adapted to the available
     // columns: country code = c_nationkey % 10 (the synthetic schema
     // has no phone column) and the NOT-EXISTS probes "no URGENT order"

@@ -387,6 +387,33 @@ object TextAnalysis {
     out.result().toDF("rank", "left_sym", "right_sym", "merged", "cnt")
   }
 
+  /** The tokenizer APPLY step: per-document token counts under the
+    * merge table [[bpeTrain]] learns — the number a token-budget
+    * accountant actually needs (how many BPE tokens will this corpus
+    * cost after fitting?). The merge table is collected (`merges`
+    * rows, bounded driver state) and compiled into a chain of `merges`
+    * replace expressions applied IN LEARNED ORDER to every guarded
+    * word — at 100 TB this is one map-only codegen'd scan; nothing
+    * shuffles except the final per-doc count rollup. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val table = bpeTrain(df, textCol, merges).orderBy("rank")
+      .select("left_sym", "right_sym").collect()
+    val guarded = regexp_replace(col("__w"), "(.)", "{$1}")
+    val applied = table.foldLeft(guarded) { (c, row) =>
+      val (l, r) = (row.getString(0), row.getString(1))
+      regexp_replace(c,
+        lit(java.util.regex.Pattern.quote(s"{$l}{$r}")), lit(s"{$l$r}"))
+    }
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .withColumn("__s", applied)
+      .withColumn("__n",
+        size(split(expr("substring(__s, 2, length(__s) - 2)"), "\\}\\{"))
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(sum(col("__n")).as("n_bpe_tokens"))
+  }
+
   /** The DISTINCT (doc, n-gram) frame both corpus-level gram statistics
     * ([[duplicatedPassageStats]], [[noveltyStats]]) aggregate over —
     * one shared construction so the gram rule (including the

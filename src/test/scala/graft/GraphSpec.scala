@@ -59,4 +59,20 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) == expect(1L, 2L, 4L))
     assert(r(4L) == expect(3L))
   }
+
+  test("triangleCounts: hand-computed participation and clustering coefficient") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "degree", "n_tri", "cc_permille")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = rows(Graph.triangleCounts(edges, "pa", "pb"))
+    // one triangle {1,2,3}; pendant 4 closes nothing.
+    // cc = 2000·tri div (d·(d−1)): 1,2 → 1000‰; 3 → 333‰; 4 → 0
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000L), (2L, 2L, 1L, 1000L),
+      (3L, 3L, 1L, 333L), (4L, 1L, 0L, 0L)))
+    // orientation/partitioning must not change the exact counts
+    val re = rows(Graph.triangleCounts(
+      edges.repartition(7, col("pb")).sortWithinPartitions(desc("pa")), "pa", "pb"))
+    assert(re == got)
+  }
 }

@@ -98,6 +98,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count() == 0L)
   }
 
+  test("bpeTokenCounts applies the learned merges in order per document") {
+    val df = Seq((1L, "aaaa aaaa ab ab ab"), (2L, "ab c")).toDF("doc_id", "text")
+    // merges learned on the corpus: (a,a) then (a,b) then (aa,aa).
+    // doc 1: "aaaa" → {aa}{aa} → {aaaa} = 1 symbol (×2); "ab" → {ab} =
+    // 1 (×3) → 5. doc 2: "ab" → 1, "c" → 1 → 2.
+    val got = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L), (2L, 2L)))
+  }
+
   test("segmentDedup removes cross-doc segments, keeps order, NULLs emptied docs") {
     val df = Seq(
       (1L, "a b c d e f x y"),   // segs: "a b c", "d e f", "x y"
