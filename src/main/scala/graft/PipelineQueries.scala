@@ -341,11 +341,16 @@ object PipelineQueries {
     * gains leading/double spaces. */
   private val ToksSql = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
 
-  /** Three BPE merge rounds chained as CTEs — each round splits the
-    * guarded words back to symbols, counts adjacent pairs weighted by
-    * word frequency, argmaxes (cnt desc, pair asc), and rewrites the
-    * word table with DuckDB's greedy left-to-right replace(). */
-  private def bpeMergesOracle: String = {
+  /** The three BPE merge rounds as a shared CTE chain — each round
+    * splits the guarded words back to symbols, counts adjacent pairs
+    * weighted by word frequency, argmaxes (cnt desc, pair asc), and
+    * rewrites the word table with DuckDB's greedy left-to-right
+    * replace(). ONE builder feeds both the merge-table oracle and the
+    * tokenize oracle, so a future change to the round SQL (tie-break,
+    * guard encoding, replace semantics) cannot silently diverge them.
+    * Ends with btb1..btb3 (the learned merges) and bts3 (the rewritten
+    * word table). */
+  private def bpeRoundCtes: String = {
     def round(n: Int, src: String): String =
       s"""bta$n AS (SELECT s, freq, string_split(substr(s, 2, length(s) - 2), '}{') AS a FROM $src),
          |bti$n AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i FROM bta$n WHERE len(a) >= 2),
@@ -353,36 +358,27 @@ object PipelineQueries {
          |btb$n AS (SELECT l, r, cnt FROM btp$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
          |bts$n AS (SELECT replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s, freq
          |FROM $src, btb$n b)""".stripMargin
-    s"""WITH btw AS (SELECT unnest($ToksSql) AS w FROM documents),
+    s"""btw AS (SELECT unnest($ToksSql) AS w FROM documents),
        |btf AS (SELECT w, COUNT(*) AS freq FROM btw GROUP BY w),
        |bts0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS s, freq FROM btf),
        |${round(1, "bts0")},
        |${round(2, "bts1")},
-       |${round(3, "bts2")}
+       |${round(3, "bts2")}""".stripMargin
+  }
+
+  private def bpeMergesOracle: String =
+    s"""WITH $bpeRoundCtes
        |SELECT * FROM (
        |SELECT CAST(1 AS BIGINT) AS rank, l AS left_sym, r AS right_sym, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM btb1
        |UNION ALL SELECT CAST(2 AS BIGINT), l, r, l || r, CAST(cnt AS BIGINT) FROM btb2
        |UNION ALL SELECT CAST(3 AS BIGINT), l, r, l || r, CAST(cnt AS BIGINT) FROM btb3)
        |ORDER BY rank""".stripMargin.replace("\n", " ")
-  }
 
-  /** Apply the three learned merges (same CTE chain as
-    * [[bpeMergesOracle]]) to every document's words in learned order,
-    * then count the surviving symbols per document. */
-  private def bpeTokenizeOracle: String = {
-    def round(n: Int, src: String): String =
-      s"""bta$n AS (SELECT s, freq, string_split(substr(s, 2, length(s) - 2), '}{') AS a FROM $src),
-         |bti$n AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i FROM bta$n WHERE len(a) >= 2),
-         |btp$n AS (SELECT a[i] AS l, a[i + 1] AS r, SUM(freq) AS cnt FROM bti$n GROUP BY 1, 2),
-         |btb$n AS (SELECT l, r, cnt FROM btp$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |bts$n AS (SELECT replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s, freq
-         |FROM $src, btb$n b)""".stripMargin
-    s"""WITH btw AS (SELECT unnest($ToksSql) AS w FROM documents),
-       |btf AS (SELECT w, COUNT(*) AS freq FROM btw GROUP BY w),
-       |bts0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS s, freq FROM btf),
-       |${round(1, "bts0")},
-       |${round(2, "bts1")},
-       |${round(3, "bts2")},
+  /** Apply the three learned merges (the SHARED [[bpeRoundCtes]]
+    * chain) to every document's words in learned order, then count the
+    * surviving symbols per document. */
+  private def bpeTokenizeOracle: String =
+    s"""WITH $bpeRoundCtes,
        |btd AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
        |btg AS (SELECT doc_id, regexp_replace(w, '(.)', '{\\1}', 'g') AS s FROM btd),
        |btz1 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btg, btb1 b),
@@ -390,7 +386,6 @@ object PipelineQueries {
        |btz3 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btz2, btb3 b)
        |SELECT doc_id, CAST(SUM(len(string_split(substr(s, 2, length(s) - 2), '}{'))) AS BIGINT) AS n_bpe_tokens
        |FROM btz3 GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
-  }
 
   private val Bm25Terms = Seq("vector", "merge", "stream")
 
@@ -2581,7 +2576,8 @@ object PipelineQueries {
              |SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM ksc)
              |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, bucket AS at_bucket,
              |CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS max_abs_diff,
-             |CAST(abs(cuma * nb - cumb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+             |CASE WHEN na * nb = 0 THEN 0.0
+             |ELSE CAST(abs(cuma * nb - cumb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) END AS ks
              |FROM ksw ORDER BY abs(cuma * nb - cumb * na) DESC, bucket ASC LIMIT 1""".stripMargin.replace("\n", " "))),
     // Total-variation drift between the early and late time halves on
     // the same fixed deciles as the chi² gate: TV = ½·Σ|p_b − q_b|.
@@ -2626,14 +2622,16 @@ object PipelineQueries {
       (s, d) => {
         val e = events(s, d).filter(col("value").isNotNull)
           .withColumn("event_time", timestamp_seconds(col("ts_s")))
-        val bin = least(lit(9L), floor(col("value") / 50).cast(LongType))
+        // same double-ended clamp as windowedValueDrift's bin rule
+        val bin = greatest(lit(0L),
+          least(lit(9L), floor(col("value") / 50).cast(LongType)))
         val hist = e.groupBy(bin.as("b")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val ref = (0L until 10L).map(b => hist.getOrElse(b, 0L))
         streaming.EventStreams.windowedValueDrift(e, ref)
       },
       Some("""WITH wde AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
-             |LEAST(9, CAST(floor(value / 50) AS BIGINT)) AS bin FROM events WHERE value IS NOT NULL),
+             |GREATEST(0, LEAST(9, CAST(floor(value / 50) AS BIGINT))) AS bin FROM events WHERE value IS NOT NULL),
              |wdsp AS (SELECT unnest(generate_series(0, 9)) AS bin),
              |wdrf AS (SELECT s.bin, COALESCE(r.r, 0) AS r FROM wdsp s
              |LEFT JOIN (SELECT bin, COUNT(*) AS r FROM wde GROUP BY bin) r USING (bin)),
@@ -2658,10 +2656,8 @@ object PipelineQueries {
     // guaranteed present in the candidate set, with est in
     // [true − N/(k+1), true] REGARDLESS of partitioning and merge order
     // (the est values themselves are merge-order-dependent, which is
-    // why they stay out of the output). The two candidate references
-    // share one broadcast exchange (ReusedExchange — the subtrees are
-    // canonically identical). The oracle re-derives the exact heavy set
-    // and pins every verdict.
+    // why they stay out of the output). The oracle re-derives the exact
+    // heavy set and pins every verdict.
     Q("ev_heavy_hitters",
       (s, d) => {
         val k = 4
@@ -2671,12 +2667,18 @@ object PipelineQueries {
           .select(explode(col("hh")).as("c"))
           .select(col("c.key").as("event_type"), col("c.est"))
         val tot = e.agg(count(lit(1)).as("__n"))
+        // ONE inner broadcast join against the ≤ k-row candidate set
+        // both restricts the exact count to candidates AND carries est
+        // onto every surviving row — a single reference to `cand`, so
+        // the global MG aggregation structurally runs once (the earlier
+        // semi-join + left-join pair referenced it twice, and the two
+        // build sides canonicalized differently after column pruning,
+        // so ReuseExchange could not deduplicate the dominant scan)
         val exactCand = e
-          .join(broadcast(cand.select("event_type")), Seq("event_type"), "left_semi")
-          .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(cand), Seq("event_type"))
+          .groupBy("event_type", "est").agg(count(lit(1)).as("cnt"))
         exactCand.crossJoin(broadcast(tot))
           .filter(col("cnt") * (k + 1) > col("__n"))
-          .join(broadcast(cand), Seq("event_type"), "left")
           .select(col("event_type"), col("cnt"),
             (col("est").isNotNull && col("est") <= col("cnt") &&
               (col("cnt") - col("est")) * (k + 1) <= col("__n"))

@@ -601,6 +601,18 @@ object Dedup {
     val bg = benchmark.select(col(idCol).as("bench_id"),
       charNgrams(col(textCol), n).as("__g"))
     val corpusGrams = cg.select(col(idCol), explode(col("__g")).as("g"))
+    contaminationFinish(corpusGrams, cg, bg, idCol, threshold, maxDf)
+  }
+
+  /** The shared tail of BOTH contamination pipelines — stop-gram df
+    * cap over the (possibly Bloom-pruned) corpus grams, exact
+    * benchmark gram equi-join, jaccard from the full set sizes,
+    * threshold. ONE implementation on purpose: the bloom variant's
+    * whole contract is output-identity with the plain form, and a
+    * formula or cap change applied to a duplicated tail in only one
+    * of them would break that silently. */
+  private def contaminationFinish(corpusGrams: DataFrame, cg: DataFrame,
+      bg: DataFrame, idCol: String, threshold: Double, maxDf: Int): DataFrame = {
     val benchGrams = bg.select(col("bench_id"), explode(col("__g")).as("g"))
     val stopGrams = corpusGrams.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select("g")
@@ -651,27 +663,16 @@ object Dedup {
       corpus.select(col(idCol), charNgrams(col(textCol), n).as("__g")), persist)
     val bg = benchmark.select(col(idCol).as("bench_id"),
       charNgrams(col(textCol), n).as("__g"))
-    val benchGrams = bg.select(col("bench_id"), explode(col("__g")).as("g"))
     val words = RuntimeFilter.buildBloom(
-      benchGrams.select("g").distinct(), "g", mBits, k)
+      bg.select(explode(col("__g")).as("g")).distinct(), "g", mBits, k)
     val pruned = RuntimeFilter.prune(
       cg.select(col(idCol), explode(col("__g")).as("g")), "g", words, mBits, k)
-    // df over the PRUNED grams: for any gram that can reach the join
-    // (i.e. is in the benchmark) pruned-df == full-df, so the cap is
-    // unchanged; for bloom false positives the cap only drops rows the
-    // exact join would discard anyway.
-    val stopGrams = pruned.groupBy("g").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf).select("g")
-    val kept = pruned.join(stopGrams, Seq("g"), "left_anti")
-    val shared = kept.join(benchGrams, "g")
-      .groupBy(idCol, "bench_id").agg(count(lit(1)).as("common"))
-    shared
-      .join(cg.select(col(idCol), size(col("__g")).as("sz_c")), idCol)
-      .join(bg.select(col("bench_id"), size(col("__g")).as("sz_b")), "bench_id")
-      .withColumn("jaccard", col("common").cast(DoubleType) /
-        (col("sz_c") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(idCol, "bench_id", "jaccard")
+    // the shared tail computes the stop-gram df over the PRUNED grams:
+    // for any gram that can reach the join (i.e. is in the benchmark)
+    // pruned-df == full-df, so the cap fires identically; for bloom
+    // false positives the cap only drops rows the exact join would
+    // discard anyway.
+    contaminationFinish(pruned, cg, bg, idCol, threshold, maxDf)
   }
 
   // =====================================================================

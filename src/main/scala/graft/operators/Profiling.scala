@@ -163,26 +163,34 @@ object Profiling {
     * billions of frame rows. Callers profiling a genuinely wider grid
     * can raise the cap deliberately; the check costs one count over the
     * already-shuffled histogram (the exchange is reused, not re-run). */
-  def ksDrift(df: DataFrame, bucket: Column, sideA: Column,
-      maxBuckets: Long = 1L << 20): DataFrame = {
+  /** The side-split bucket histogram BOTH drift statistics window
+    * over, with the bounded-frame contract ENFORCED in-plan: count the
+    * bucket frame, broadcast the 1-row result back, and assert_true
+    * inside a filter (a bare unused assert column would be pruned away
+    * by Catalyst; assert_true yields NULL on success so `isNull` keeps
+    * every row). The guard sits upstream of the consumers'
+    * single-partition window exchanges, so a violating input fails
+    * before the dangerous stage runs — shared so the cap cannot be
+    * special-cased into one statistic and forgotten in the other. */
+  private def guardedSideHistogram(df: DataFrame, bucket: Column,
+      sideA: Column, maxBuckets: Long, op: String): DataFrame = {
     require(maxBuckets > 0, "maxBuckets must be positive")
     val counts = df.select(bucket.as("bucket"), sideA.as("__a"))
       .groupBy("bucket").agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
-    // Lazy in-plan guard: count the bucket frame, broadcast the 1-row
-    // result back, and assert_true inside a filter (a bare unused
-    // assert column would be pruned away by Catalyst; assert_true
-    // yields NULL on success so `isNull` keeps every row). The guard
-    // sits upstream of the window's single-partition exchange, so a
-    // violating input fails before the dangerous stage runs.
     val nBuckets = counts.agg(count(lit(1)).as("__nbuckets"))
-    val guarded = counts.crossJoin(broadcast(nBuckets))
+    counts.crossJoin(broadcast(nBuckets))
       .filter(assert_true(col("__nbuckets") <= maxBuckets,
-        concat(lit("ksDrift: bucket frame has "), col("__nbuckets"),
+        concat(lit(s"$op: bucket frame has "), col("__nbuckets"),
           lit(s" buckets, exceeding maxBuckets = $maxBuckets — bucket " +
             "the column coarser or raise the cap deliberately"))).isNull)
       .drop("__nbuckets")
+  }
+
+  def ksDrift(df: DataFrame, bucket: Column, sideA: Column,
+      maxBuckets: Long = 1L << 20): DataFrame = {
+    val guarded = guardedSideHistogram(df, bucket, sideA, maxBuckets, "ksDrift")
     val cum = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
@@ -215,20 +223,28 @@ object Profiling {
     * histogram (bounded by the value range, not the row count) →
     * window totals over that bounded frame → single-row rollup. A
     * one-sided input (no second sample to drift from) reports
-    * tv = 0.0, matching the ks convention.
+    * tv = 0.0, matching the ks convention; an EMPTY input reports the
+    * same convention as one all-zero row (0, 0, 0, 0.0) — the global
+    * aggregate always emits a row, so the counts are coalesced rather
+    * than left NULL (ksDrift's top-1-bucket shape returns zero rows on
+    * empty input instead: there is no at_bucket to name).
+    *
+    * Shares [[guardedSideHistogram]]'s in-plan maxBuckets enforcement —
+    * the single-partition totals window here has exactly the hazard
+    * ksDrift's cap exists for.
     *
     * Returns one row: (n_a, n_b, sum_abs, tv). */
-  def tvDrift(df: DataFrame, bucket: Column, sideA: Column): DataFrame = {
-    val counts = df.select(bucket.as("bucket"), sideA.as("__a"))
-      .groupBy("bucket").agg(
-        sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+  def tvDrift(df: DataFrame, bucket: Column, sideA: Column,
+      maxBuckets: Long = 1L << 20): DataFrame = {
+    val counts = guardedSideHistogram(df, bucket, sideA, maxBuckets, "tvDrift")
     val tot = Window.partitionBy()
     counts
       .withColumn("na", sum(col("ca")).over(tot))
       .withColumn("nb", sum(col("cb")).over(tot))
-      .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
-        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("sum_abs"))
+      .agg(coalesce(first(col("na")), lit(0L)).as("n_a"),
+        coalesce(first(col("nb")), lit(0L)).as("n_b"),
+        coalesce(sum(abs(col("ca") * col("nb") - col("cb") * col("na"))),
+          lit(0L)).as("sum_abs"))
       .select(col("n_a"), col("n_b"), col("sum_abs"),
         when(col("n_a") * col("n_b") === 0L, lit(0.0))
           .otherwise(col("sum_abs").cast("double") /

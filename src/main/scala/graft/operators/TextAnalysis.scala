@@ -357,6 +357,12 @@ object TextAnalysis {
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
+    // round r's cached word table feeds round r+1's rewrite; once the
+    // NEXT round's argmax collect has materialized the rewritten table,
+    // the superseded frame is dead weight — freed here so storage stays
+    // one word-table wide however many merge rounds run (a thousands-
+    // round vocabulary induction would otherwise pin every generation)
+    var prevCached: DataFrame = null
     while (r <= merges && !exhausted) {
       val cached = Caching.maybePersist(words, persist)
       val best = cached
@@ -371,6 +377,10 @@ object TextAnalysis {
         .agg(sum(col("__freq")).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
         .limit(1).collect()
+      // this round's collect has materialized `cached`; the previous
+      // generation can go
+      if (prevCached != null) prevCached.unpersist(false)
+      prevCached = cached
       if (best.isEmpty) exhausted = true
       else {
         val (l, rr, cnt) =

@@ -143,7 +143,12 @@ object EventStreams {
       s"expected a 10-bin reference histogram, got ${refCounts.length}")
     val nRef = refCounts.sum
     require(nRef > 0, "reference histogram must not be empty")
-    val bin = least(lit(9L), floor(col("value") / 50).cast("long"))
+    // clamp BOTH ends into the edge bins: a value below 0 lands in bin
+    // 0 exactly as an outlier above 450 lands in bin 9 — without the
+    // lower clamp a negative-drifting stream silently vanishes from
+    // n_window and the monitor built to catch drift under-reports it
+    val bin = greatest(lit(0L),
+      least(lit(9L), floor(col("value") / 50).cast("long")))
     val binSums = (0 until 10).map(b =>
       sum(when(bin === b, 1L).otherwise(0L)).as(s"__c$b"))
     val agg = events

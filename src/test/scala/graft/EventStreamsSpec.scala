@@ -64,6 +64,22 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("windowed value drift counts negative values in bin 0, not nowhere") {
+    // batch mode (watermark no-op): two negatives clamp into bin 0 and
+    // MUST appear in n_window — before the lower clamp they matched no
+    // conditional sum and a negative-drifting window under-reported
+    val df = Seq((0L, -75.0), (10L, -1.0), (20L, 25.0), (30L, 9999.0))
+      .toDF("ts_s", "value")
+      .withColumn("event_time", timestamp_seconds(col("ts_s")))
+    val ref = Seq.fill(10)(1L) // uniform reference, nRef = 10
+    val got = EventStreams.windowedValueDrift(df, ref)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 4L,
+      // bins: c0 = 3 (−75, −1 clamped + 25), c9 = 1 (9999 clamped);
+      // sum_abs = |30−4| + 8·|0−4| + |10−4| = 64 → tv = 64/(2·4·10)
+      64.0 / 80.0)))
+  }
+
   test("windowed heavy hitters: every window satisfies the Misra-Gries contract") {
     val k = 4
     val q = EventStreams

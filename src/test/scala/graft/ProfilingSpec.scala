@@ -128,6 +128,24 @@ class ProfilingSpec extends SparkSpec {
     assert(z == ((2L, 2L, 0L, 0.0)))
   }
 
+  test("tvDrift: empty input reports the all-zero row, not NULLs") {
+    val empty = Seq.empty[(Long, Boolean)].toDF("bucket", "a")
+    val got = Profiling.tvDrift(empty, col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0L, 0L, 0.0)))
+  }
+
+  test("tvDrift: bucket frame wider than maxBuckets fails loudly (shared guard)") {
+    val wide = (0L until 50L).map(b => (b, b % 2 == 0)).toDF("bucket", "a")
+    val e = intercept[Throwable] {
+      Profiling.tvDrift(wide, col("bucket"), col("a"), maxBuckets = 10L).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("tvDrift")),
+      s"expected the tvDrift bucket-bound error, got: ${messages.mkString(" | ")}")
+  }
+
   test("tvDrift: one-sided input reports tv = 0.0, not NaN") {
     val df = Seq((1L, true), (2L, true)).toDF("bucket", "a")
     val got = Profiling.tvDrift(df, col("bucket"), col("a"))
