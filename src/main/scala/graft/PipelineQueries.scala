@@ -2436,6 +2436,28 @@ object PipelineQueries {
       Some("""SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
              |COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_2pct
              |FROM events GROUP BY 1""".stripMargin.replace("\n", " "))),
+    // the per-5-min-window twin, running the STREAMING code path
+    // (EventStreams.windowedApproxUniques — watermark no-ops in batch);
+    // same contract oracle shape: exact uniques per window + the ≤2%
+    // error verdict (the sketch value itself is engine-specific).
+    // Unlike the MG twin, HLL's register-max merges are order-free, so
+    // EventStreamsSpec pins stream ≡ batch row-equal on the estimates.
+    Q("ev_window_uniques",
+      (s, d) => {
+        val e = events(s, d)
+          .withColumn("event_time", timestamp_seconds(col("ts_s")))
+        val approx = streaming.EventStreams.windowedApproxUniques(e)
+        val exact = e.select(expr("(ts_s DIV 300) * 300").as("bucket"),
+            col("user_id"))
+          .distinct().groupBy("bucket").agg(count(lit(1)).as("exact_users"))
+        exact.join(approx, Seq("bucket"))
+          .select(col("bucket"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) / col("exact_users")
+              <= 0.02).as("within_2pct"))
+      },
+      Some("""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
+             |COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_2pct
+             |FROM events GROUP BY 1""".stripMargin.replace("\n", " "))),
     // Rate-spike anomaly flags: each observed minute's count z-scored
     // against its trailing 60-observed-minute window (ROWS frame on the
     // POST-AGG minute series — same observed-minute semantics as

@@ -165,6 +165,23 @@ object EventStreams {
         (lit(2.0) * (nWin * lit(nRef)).cast("double"))).as("tv"))
   }
 
+  /** Per-window approximate unique users — the streaming twin of the
+    * daily HLL rollup (`ev_daily_uniques_approx`): one HLL++ sketch of
+    * state per open window (2^p registers at the given rsd),
+    * watermark-evicted. HLL registers merge by MAX — commutative and
+    * associative — so partial merges across partitions/micro-batches
+    * produce the IDENTICAL estimate a batch run computes over the same
+    * input set: stream ≡ batch is row-equal here (pinned in
+    * EventStreamsSpec), not merely contract-equal like the
+    * Misra–Gries twin whose merges are order-dependent. */
+  def windowedApproxUniques(events: DataFrame, rsd: Double = 0.005): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").cast("long").as("bucket"),
+        col("approx_users"))
+
   /** Hopping (sliding) 10-minute/5-minute per-type counts with a
     * 10-minute watermark — the streaming analog of the
     * `ev_sliding_window` batch query: the SAME `window()` expression

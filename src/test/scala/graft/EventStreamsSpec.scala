@@ -64,6 +64,23 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("windowed approx uniques: streaming estimates equal the batch run exactly") {
+    // HLL registers merge by MAX (order-free), so the micro-batched
+    // stream and the one-shot batch run land on the SAME estimate per
+    // window — row-equality, not just the ≤2% contract
+    val q = EventStreams.windowedApproxUniques(
+      EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("uniq_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("uniq_out").as[(Long, Long)].collect().toSet
+    val want = EventStreams.windowedApproxUniques(
+      batchEvents.withColumn("event_time", timestamp_seconds(col("ts_s"))))
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("windowed value drift counts negative values in bin 0, not nowhere") {
     // batch mode (watermark no-op): two negatives clamp into bin 0 and
     // MUST appear in n_window — before the lower clamp they matched no

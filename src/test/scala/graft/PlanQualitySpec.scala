@@ -70,6 +70,20 @@ class PlanQualitySpec extends SparkSpec {
         s"${SparkEntry.all.size} queries — re-run `sbt \"runMain graft.Plans\"`")
   }
 
+  test("ev_heavy_hitters runs the global Misra-Gries aggregation exactly once") {
+    // the candidate frame is referenced through ONE inner broadcast
+    // join precisely so the dominant full-events MG scan cannot run
+    // twice (a semi-join + left-join pair canonicalized into two
+    // non-reusable broadcast builds before this was pinned); each MG
+    // execution shows as a partial + final ObjectHashAggregate pair
+    val p = physicalPlan("ev_heavy_hitters")
+    val mgAggs = p.linesIterator.count(l =>
+      l.contains("graft_heavy_hitters") && l.contains("Functions"))
+    assert(mgAggs == 2,
+      s"expected exactly one MG aggregation (2 partial/final nodes), " +
+        s"found $mgAggs:\n$p")
+  }
+
   test("no unintended CartesianProduct in any registered query") {
     // Intentional products: the reference's cross-join surface, and
     // queries that cross 1-row aggregate frames (bounded by design).
