@@ -162,6 +162,63 @@ class PropertySpec extends SparkSpec {
     }, cases = 10)
   }
 
+  test("triangleCounts equals the brute-force triple model on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 20)
+      m <- Gen.chooseNum(0, 35)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    check("triangles", Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        // model: brute-force — every vertex triple with all three edges
+        val es = edges.toSet
+        val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        def has(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+        val triples = for {
+          i <- vs.indices; j <- (i + 1) until vs.length
+          k <- (j + 1) until vs.length
+          if has(vs(i), vs(j)) && has(vs(i), vs(k)) && has(vs(j), vs(k))
+        } yield (vs(i), vs(j), vs(k))
+        val wantTri = vs.map(v =>
+          v -> triples.count(t => t._1 == v || t._2 == v || t._3 == v).toLong).toMap
+        val deg = vs.map(v =>
+          v -> edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+        val got = graft.operators.Graph
+          .triangleCounts(edges.toDF("pa", "pb"), "pa", "pb")
+          .as[(Long, Long, Long, Long)].collect()
+        got.length == vs.length && got.forall { case (id, d, t, cc) =>
+          d == deg(id) && t == wantTri(id) &&
+            cc == (if (d >= 2) 2000L * t / (d * (d - 1)) else 0L)
+        }
+      }
+    }, cases = 10)
+  }
+
+  test("densityPrune equals the brute-force degree model (uncapped buckets)") {
+    // deterministic fake embeddings: angle clusters on the unit circle
+    // padded to 4 dims — vectors in the same cluster have cosine 1
+    val clusterGen = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 2)))
+    check("density", Prop.forAll(clusterGen, Gen.chooseNum(0L, 3L)) { (cls, cap) =>
+      val vecs = cls.zipWithIndex.map { case (c, i) =>
+        val ang = c * (math.Pi / 2) // orthogonal clusters: cos 1 in, 0 across
+        (i.toLong, Seq(math.cos(ang).toFloat, math.sin(ang).toFloat, 0f, 0f))
+      }
+      // model: degree = same-cluster size − 1 (cosine 1 within, 0 across)
+      val sizes = cls.groupBy(identity).view.mapValues(_.size).toMap
+      val got = graft.operators.Similarity
+        .densityPrune(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, maxDegree = cap, bands = 2, planesPerBand = 2, dim = 4)
+        .as[(Long, Long, Boolean)].collect()
+      got.length == vecs.length && got.forall { case (id, deg, keep) =>
+        val want = sizes(cls(id.toInt)) - 1L
+        deg == want && keep == (deg <= cap)
+      }
+    }, cases = 10)
+  }
+
   test("hash samples nest and are stratum-consistent for random rates") {
     val rateGen = Gen.chooseNum(0, 1000000).map(_ / 1000000.0)
     check("sampling", Prop.forAll(rateGen, rateGen) { (r1, r2) =>
