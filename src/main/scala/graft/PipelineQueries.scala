@@ -1499,6 +1499,39 @@ object PipelineQueries {
           .orderBy("doc_id", "bench_id")
       },
       Some(contaminationOracle)),
+    // the report a contamination run actually publishes: per-SOURCE
+    // flagged-document rates over the whole corpus (flagged = overlaps
+    // ANY benchmark doc at the threshold), exact counts + one double
+    // division per source. Left join keeps zero-contamination sources
+    // in the report — absence of a source line would read as "not
+    // checked", not "clean".
+    Q("dedup_contamination_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        val flagged = Dedup.ngramContamination(
+            corpus, docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", n = 5, threshold = 0.3)
+          .select("doc_id").distinct()
+          .withColumn("__flag", lit(1L))
+        corpus.select("doc_id", "source")
+          .join(flagged, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__flag"), lit(0L))).as("n_flagged"))
+          .withColumn("flagged_pct",
+            col("n_flagged").cast(DoubleType) * 100.0 /
+              col("n_docs").cast(DoubleType))
+          .orderBy("source")
+      },
+      Some(s"""WITH cflags AS ($contaminationOracle),
+             |cfd AS (SELECT DISTINCT doc_id FROM cflags)
+             |SELECT source, COUNT(*) AS n_docs,
+             |CAST(COALESCE(SUM(CASE WHEN cfd.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+             |CAST(COALESCE(SUM(CASE WHEN cfd.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE) AS flagged_pct
+             |FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) c
+             |LEFT JOIN cfd ON cfd.doc_id = c.doc_id
+             |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------
