@@ -71,16 +71,17 @@ object PipelineQueries {
        |WHERE cosine >= 0.4""".stripMargin.replace("\n", " ")
   }
 
-  /** The ENTIRE PCA chain re-derived in DuckDB: exact-long gram matrix
-    * (corpus sum of scaled-component products), 100 power iterations as
-    * a recursive CTE whose matvec/norm are the same ascending-index
+  /** The PCA power iteration re-derived in DuckDB — ONE builder feeds
+    * both the projection and the variance oracles: exact-long gram
+    * matrix (corpus sum of scaled-component products), 100 iterations
+    * as a recursive CTE whose matvec/norm are the same ascending-index
     * sequential folds the driver loop runs (list_sum over
-    * list_transform(generate_series) — verified bit-identical), then
-    * the per-row projection fold. The seed MUST be CAST AS DOUBLE: a
-    * bare 0.125 literal is DECIMAL in DuckDB and poisons the whole
-    * iteration's type. */
-  private def pcaProjectOracle: String =
-    s"""WITH RECURSIVE r AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS r FROM embeddings),
+    * list_transform(generate_series) — verified bit-identical). The
+    * seed MUST be CAST AS DOUBLE: a bare 0.125 literal is DECIMAL in
+    * DuckDB and poisons the whole iteration's type. Ends with `r`
+    * (scaled vectors), `amat` (the matrix), `vfin` (the eigenvector). */
+  private def pcaIterCtes: String =
+    s"""r AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS r FROM embeddings),
        |ge AS (SELECT i, j, CAST(SUM(r[i] * r[j]) AS DOUBLE) AS g FROM r, generate_series(1, 64) AS gi(i), generate_series(1, 64) AS gj(j) GROUP BY i, j),
        |arow AS (SELECT i, list(g ORDER BY j) AS row FROM ge GROUP BY i),
        |amat AS (SELECT list(row ORDER BY i) AS a FROM arow),
@@ -88,9 +89,22 @@ object PipelineQueries {
        |UNION ALL SELECT t + 1, list_transform(av, x -> x / sqrt(list_sum(list_transform(av, y -> y * y))))
        |FROM (SELECT t, list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a[i][j] * v[j]))) AS av
        |FROM it, amat WHERE t < 100)),
-       |vfin AS (SELECT v FROM it WHERE t = 100)
+       |vfin AS (SELECT v FROM it WHERE t = 100)""".stripMargin
+
+  private def pcaProjectOracle: String =
+    s"""WITH RECURSIVE $pcaIterCtes
        |SELECT vec_id, list_sum(list_transform(generate_series(1, 64), j -> r[j] * v[j])) AS pc1
        |FROM r, vfin ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
+  /** λ = the sequenced norm of one extra matvec on the final iterate;
+    * trace = exact long Σ r_i² (order-free); ratio = one division. */
+  private def pcaVarianceOracle: String =
+    s"""WITH RECURSIVE $pcaIterCtes,
+       |avf AS (SELECT list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a[i][j] * v[j]))) AS av FROM vfin, amat),
+       |lam AS (SELECT sqrt(list_sum(list_transform(av, y -> y * y))) AS lambda FROM avf),
+       |tr AS (SELECT CAST(SUM(r[i] * r[i]) AS BIGINT) AS trace_scaled FROM r, generate_series(1, 64) AS gi(i))
+       |SELECT lambda, trace_scaled, lambda / CAST(trace_scaled AS DOUBLE) AS var_explained
+       |FROM lam, tr""".stripMargin.replace("\n", " ")
 
   /** Density-prune over the cosinePairs graph: wraps the full LSH
     * pair re-derivation, then degree + the keep decision. */
@@ -1698,6 +1712,13 @@ object PipelineQueries {
       (s, d) => Similarity.pcaProject(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64).orderBy("vec_id"),
       Some(pcaProjectOracle)),
+    // the fit diagnostic: top eigenvalue, exact gram trace, and
+    // variance-explained — the number that decides how many components
+    // a reduction keeps; single row, cross-engine exact
+    Q("emb_pca_variance",
+      (s, d) => Similarity.pcaVariance(t(s, d, "embeddings"), "embedding",
+        dim = 64),
+      Some(pcaVarianceOracle)),
     // D4-style density pruning: degree in the 0.4-cosine graph, keep
     // iff ≤ 1 near-neighbor — the oracle wraps the full cosinePairs
     // re-derivation, so the hash pins LSH + degree count + decision.

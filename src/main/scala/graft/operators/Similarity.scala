@@ -501,35 +501,58 @@ object Similarity {
     * bounded-driver contract as [[fitCentroids]]); the corpus never
     * moves — one gram pass (shuffle = d(d+1)/2 rows/partition) and
     * one projection scan. */
-  def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      scale: Long = 1000000L, iters: Int = 100): DataFrame = {
+  /** Driver-side top-eigenpair fit over the exact gram triangle —
+    * the shared core of [[pcaProject]] and [[pcaVariance]], factored
+    * so the sequenced-double contract both oracles re-derive lives in
+    * exactly one place. Returns (eigenvector, λ, trace) with λ and the
+    * trace in the SCALED units of the long gram (λ/trace is the
+    * unit-free variance-explained ratio either way). λ is the norm of
+    * ONE extra sequenced matvec on the final iterate. */
+  private def fitTopEigen(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long, iters: Int): (Array[Double], Double, Long) = {
     val tri = gramUpperTriangle(df, vecCol, dim, scale)
       .select("i", "j", "sum_xy_scaled").collect()
     val a = Array.ofDim[Double](dim, dim)
+    var trace = 0L
     tri.foreach { r =>
       val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
-      val g = r.getLong(2).toDouble
+      val gl = r.getLong(2)
+      val g = gl.toDouble
       a(i)(j) = g; a(j)(i) = g
+      if (i == j) trace += gl
     }
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    var t = 0
-    while (t < iters) {
+    def matvec(x: Array[Double]): Array[Double] = {
       val av = new Array[Double](dim)
       var i = 0
       while (i < dim) {
         var s = 0.0
         var j = 0
-        while (j < dim) { s += a(i)(j) * v(j); j += 1 }
+        while (j < dim) { s += a(i)(j) * x(j); j += 1 }
         av(i) = s
         i += 1
       }
+      av
+    }
+    def norm(x: Array[Double]): Double = {
       var n2 = 0.0
       var k = 0
-      while (k < dim) { n2 += av(k) * av(k); k += 1 }
-      val nrm = math.sqrt(n2)
+      while (k < dim) { n2 += x(k) * x(k); k += 1 }
+      math.sqrt(n2)
+    }
+    var t = 0
+    while (t < iters) {
+      val av = matvec(v)
+      val nrm = norm(av)
       v = av.map(_ / nrm)
       t += 1
     }
+    (v, norm(matvec(v)), trace)
+  }
+
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      scale: Long = 1000000L, iters: Int = 100): DataFrame = {
+    val (v, _, _) = fitTopEigen(df, vecCol, dim, scale, iters)
     val vlit = array(v.map(lit): _*)
     df.select(col(idCol), expr(
         s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
@@ -538,5 +561,22 @@ object Similarity {
         aggregate(zip_with(col("__r"), vlit, (r, w) => r * w),
           lit(0.0), (acc, x) => acc + x))
       .select(col(idCol), col("pc1"))
+  }
+
+  /** The PCA fit diagnostic every dimensionality-reduction decision
+    * reads first: the top eigenvalue λ, the gram trace (= Σ of all
+    * eigenvalues for a PSD matrix — exact long, order-free), and
+    * variance-explained λ/trace ∈ (0, 1]. One corpus gram pass +
+    * bounded driver iteration ([[fitTopEigen]]); the single-row result
+    * is cross-engine exact: trace is integer arithmetic and λ rides
+    * the same sequenced-double contract the projection oracle already
+    * re-derives bit-for-bit. */
+  def pcaVariance(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long = 1000000L, iters: Int = 100): DataFrame = {
+    val (_, lambda, trace) = fitTopEigen(df, vecCol, dim, scale, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((lambda, trace, lambda / trace.toDouble))
+      .toDF("lambda", "trace_scaled", "var_explained")
   }
 }

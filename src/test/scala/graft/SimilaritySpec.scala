@@ -60,6 +60,19 @@ class SimilaritySpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("pcaVariance: PSD spectrum bounds and x-dominated fixture share") {
+    val got = Similarity.pcaVariance(vecs, "embedding", dim = 4)
+      .as[(Double, Long, Double)].collect().head
+    val (lambda, trace, ve) = got
+    // PSD gram: trace = Σ eigenvalues, so λ1 ∈ [trace/dim, trace]
+    assert(lambda <= trace.toDouble * (1 + 1e-12))
+    assert(lambda >= trace.toDouble / 4.0)
+    assert(ve == lambda / trace.toDouble)
+    // the fixture's mass is overwhelmingly on the x axis (1,2,3 of 4
+    // vectors) — the top component must carry most of the variance
+    assert(ve > 0.5, s"expected x-dominated spectrum, got $ve")
+  }
+
   test("densityPrune: degree = near-neighbor count at threshold, keep = degree <= cap") {
     // clones of one vector plus an orthogonal singleton: the 3 clones
     // form a 0.9-cosine triangle (degree 2 each), the singleton is
