@@ -29,26 +29,40 @@ object GraftExtensions {
   private def info(name: String, clazz: Class[_]) =
     new ExpressionInfo(clazz.getName, name)
 
+  /** Wrong-arity SQL calls must surface as a function-signature error
+    * naming the expected shape, not a raw IndexOutOfBoundsException
+    * from `args(i)` inside the builder. */
+  private def arity(name: String, signature: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments: $name($signature); got ${args.length}")
+      build(args)
+    }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", info("graft_dot", classOf[ArrayDotProduct]),
-      args => ArrayDotProduct(args.head, args(1))),
+      arity("graft_dot", "vec_a, vec_b", 2)(
+        args => ArrayDotProduct(args.head, args(1)))),
     // graft_top_k(score, tiebreak, payload, k) — k must be an int literal
     ("graft_top_k", info("graft_top_k", classOf[TopKAggregate]),
-      args => TopKAggregate(args.head, args(1), args(2),
-        args(3) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_top_k: k must be an integer literal, got $other")
-        })),
+      arity("graft_top_k", "score, tiebreak, payload, k-int-literal", 4)(
+        args => TopKAggregate(args.head, args(1), args(2),
+          args(3) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_top_k: k must be an integer literal, got $other")
+          }))),
     // graft_heavy_hitters(key, k) — Misra–Gries candidate summary;
     // k must be an int literal (it sizes the bounded state)
     ("graft_heavy_hitters", info("graft_heavy_hitters", classOf[MisraGriesAggregate]),
-      args => MisraGriesAggregate(args.head,
-        args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_heavy_hitters: k must be an integer literal, got $other")
-        })))
+      arity("graft_heavy_hitters", "key, k-int-literal", 2)(
+        args => MisraGriesAggregate(args.head,
+          args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_heavy_hitters: k must be an integer literal, got $other")
+          }))))
 
   /** Late registration into an already-built session (e.g. one handed
     * to us by a host process that didn't set spark.sql.extensions). */

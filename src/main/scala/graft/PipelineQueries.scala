@@ -370,8 +370,8 @@ object PipelineQueries {
          |bti$n AS (SELECT a, freq, unnest(generate_series(1, len(a) - 1)) AS i FROM bta$n WHERE len(a) >= 2),
          |btp$n AS (SELECT a[i] AS l, a[i + 1] AS r, SUM(freq) AS cnt FROM bti$n GROUP BY 1, 2),
          |btb$n AS (SELECT l, r, cnt FROM btp$n ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |bts$n AS (SELECT replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s, freq
-         |FROM $src, btb$n b)""".stripMargin
+         |bts$n AS (SELECT COALESCE(replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}'), s) AS s, freq
+         |FROM $src LEFT JOIN btb$n b ON TRUE)""".stripMargin
     s"""btw AS (SELECT unnest($ToksSql) AS w FROM documents),
        |btf AS (SELECT w, COUNT(*) AS freq FROM btw GROUP BY w),
        |bts0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS s, freq FROM btf),
@@ -395,9 +395,9 @@ object PipelineQueries {
     s"""WITH $bpeRoundCtes,
        |btd AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
        |btg AS (SELECT doc_id, regexp_replace(w, '(.)', '{\\1}', 'g') AS s FROM btd),
-       |btz1 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btg, btb1 b),
-       |btz2 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btz1, btb2 b),
-       |btz3 AS (SELECT doc_id, replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}') AS s FROM btz2, btb3 b)
+       |btz1 AS (SELECT doc_id, COALESCE(replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}'), s) AS s FROM btg LEFT JOIN btb1 b ON TRUE),
+       |btz2 AS (SELECT doc_id, COALESCE(replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}'), s) AS s FROM btz1 LEFT JOIN btb2 b ON TRUE),
+       |btz3 AS (SELECT doc_id, COALESCE(replace(s, '{' || b.l || '}{' || b.r || '}', '{' || b.l || b.r || '}'), s) AS s FROM btz2 LEFT JOIN btb3 b ON TRUE)
        |SELECT doc_id, CAST(SUM(len(string_split(substr(s, 2, length(s) - 2), '}{'))) AS BIGINT) AS n_bpe_tokens
        |FROM btz3 GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
@@ -2522,26 +2522,13 @@ object PipelineQueries {
     // Rate-spike anomaly flags: each observed minute's count z-scored
     // against its trailing 60-observed-minute window (ROWS frame on the
     // POST-AGG minute series — same observed-minute semantics as
-    // ev_autocorr_lag1). Mean/variance come from exact integer window
-    // sums; z is rational + one IEEE-exact sqrt, so flags are
-    // cross-engine bit-stable. np >= 30 suppresses the cold start,
-    // var > 0 the constant-window degenerate case.
+    // ev_autocorr_lag1). Moved into Profiling.rateSpikes, which bounds
+    // the single-partition minute frame with the same in-plan
+    // assert_true guard ksDrift/tvDrift carry (maxMinutes, default
+    // 2^20 ≈ two years of minutes) — see its scaladoc; ProfilingSpec
+    // drives a deliberately wide series into the guard.
     Q("ev_rate_spikes",
-      (s, d) => {
-        val m = events(s, d)
-          .groupBy(expr("ts_s DIV 60").as("minute"))
-          .agg(count(lit(1)).as("c"))
-        val w = Window.orderBy(col("minute")).rowsBetween(-60, -1)
-        val mean = col("sp").cast(DoubleType) / col("np")
-        val vr = col("sq").cast(DoubleType) / col("np") - mean * mean
-        m.withColumn("np", count(col("c")).over(w))
-          .withColumn("sp", sum(col("c")).over(w))
-          .withColumn("sq", sum(col("c") * col("c")).over(w))
-          .filter(col("np") >= 30 && vr > 0)
-          .withColumn("z", (col("c") - mean) / sqrt(vr))
-          .filter(col("z") > 3.0)
-          .select("minute", "c", "z")
-      },
+      (s, d) => operators.Profiling.rateSpikes(events(s, d), col("ts_s")),
       Some("""WITH rsm AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute, COUNT(*) AS c FROM events GROUP BY 1),
              |rsw AS (SELECT minute, c,
              |COUNT(c) OVER win AS np, CAST(SUM(c) OVER win AS BIGINT) AS sp, CAST(SUM(c * c) OVER win AS BIGINT) AS sq
@@ -2701,6 +2688,11 @@ object PipelineQueries {
     // batch), so the batch oracle row doubles as the stream twin's
     // ground truth; EventStreamsSpec pins stream ≡ batch row-equal
     // (exact integers, deterministic window assignment).
+    // NOTE: this DEMO derives the reference from the same events frame
+    // it scores (self-drift) purely so the oracle is self-contained; a
+    // production monitor takes the reference histogram as an argument
+    // (the last blessed profile's published counts) — do not copy the
+    // collect-from-the-monitored-stream shape into a deployment.
     Q("ev_window_drift",
       (s, d) => {
         val e = events(s, d).filter(col("value").isNotNull)

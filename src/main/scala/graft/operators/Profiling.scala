@@ -250,4 +250,52 @@ object Profiling {
           .otherwise(col("sum_abs").cast("double") /
             (lit(2.0) * (col("n_a") * col("n_b")).cast("double"))).as("tv"))
   }
+
+  /** Rate-spike anomaly flags: each observed minute's event count
+    * z-scored against its trailing `lookback`-observed-minute window
+    * (ROWS frame on the POST-AGG minute series). Mean/variance come
+    * from exact integer window sums; z is rational + one IEEE-exact
+    * sqrt, so flags are cross-engine bit-stable. `minObs` suppresses
+    * the cold start, var > 0 the constant-window degenerate case.
+    *
+    * The trailing window orders the WHOLE minute series in one
+    * partition — bounded by the corpus TIME RANGE (minutes, not rows:
+    * a year is ~5·10⁵ frame rows whatever the event volume), which is
+    * the same bounded-frame contract [[ksDrift]]/[[tvDrift]] enforce,
+    * so it gets the same in-plan guard: the minute-frame cardinality
+    * is counted map-side and assert_true'd against `maxMinutes`
+    * BEFORE the single-partition window runs. A caller z-scoring a
+    * decades-wide (or microsecond-bucketed) series fails loudly
+    * instead of crawling one partition; a genuinely wider grid raises
+    * the cap deliberately — or restructures to a two-level
+    * (day, minute) frame. Returns (minute, c, z) for minutes with
+    * z > `zThreshold`. */
+  def rateSpikes(df: DataFrame, tsSec: Column, lookback: Int = 60,
+      minObs: Int = 30, zThreshold: Double = 3.0,
+      maxMinutes: Long = 1L << 20): DataFrame = {
+    require(lookback >= 2 && minObs >= 2 && maxMinutes > 0,
+      s"rateSpikes: need lookback/minObs >= 2 and maxMinutes > 0, " +
+        s"got $lookback/$minObs/$maxMinutes")
+    // floor division (DuckDB `// 60` semantics; exact for |ts| < 2^53)
+    val m = df.groupBy(floor(tsSec.cast("long") / 60).cast("long").as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val nMinutes = m.agg(count(lit(1)).as("__nminutes"))
+    val guarded = m.crossJoin(broadcast(nMinutes))
+      .filter(assert_true(col("__nminutes") <= maxMinutes,
+        concat(lit("rateSpikes: minute frame has "), col("__nminutes"),
+          lit(s" rows, exceeding maxMinutes = $maxMinutes — bucket the " +
+            "series coarser or raise the cap deliberately"))).isNull)
+      .drop("__nminutes")
+    val w = Window.orderBy(col("minute")).rowsBetween(-lookback, -1)
+    val mean = col("sp").cast("double") / col("np")
+    val vr = col("sq").cast("double") / col("np") - mean * mean
+    guarded
+      .withColumn("np", count(col("c")).over(w))
+      .withColumn("sp", sum(col("c")).over(w))
+      .withColumn("sq", sum(col("c") * col("c")).over(w))
+      .filter(col("np") >= minObs && vr > 0)
+      .withColumn("z", (col("c") - mean) / sqrt(vr))
+      .filter(col("z") > zThreshold)
+      .select("minute", "c", "z")
+  }
 }

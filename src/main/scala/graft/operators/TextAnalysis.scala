@@ -341,6 +341,22 @@ object TextAnalysis {
     * replace), i.e. exactly BPE's merge rule ("aaaa" + (a,a) →
     * "{aa}{aa}"). A token containing a guard character fails the run
     * with `raise_error` rather than silently miscounting. */
+  /** Guarded symbol encoding of one word — every char wrapped `{c}` —
+    * with the loud-failure guard shared by the trainer and the
+    * tokenizer apply: a token containing `{`/`}` would collide with
+    * the guard encoding, and one containing `$`/`\` would be read by
+    * Spark's Java-regex regexp_replace REPLACEMENT as a group
+    * reference/escape while DuckDB's plain replace() treats it
+    * literally — silently breaking the cross-engine replace
+    * equivalence the whole design relies on. Both fail the run
+    * (raise_error) rather than miscount; the documented corpus
+    * alphabet is `[a-z0-9 .,!?]`, so neither fires on real fixtures. */
+  private def guardedSyms(w: Column, op: String): Column =
+    when(w.rlike("[{}$\\\\]"),
+        raise_error(concat(
+          lit(s"$op: guard or replacement metacharacter in token: "), w)))
+      .otherwise(regexp_replace(w, "(.)", "{$1}"))
+
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
       persist: Boolean = true): DataFrame = {
     val spark = df.sparkSession
@@ -349,11 +365,7 @@ object TextAnalysis {
     var words = df
       .select(explode(tokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__freq"))
-      .select(when(col("__w").rlike("[{}]"),
-          raise_error(concat(lit("bpeTrain: guard character in token: "),
-            col("__w"))))
-        .otherwise(regexp_replace(col("__w"), "(.)", "{$1}")).as("__s"),
-        col("__freq"))
+      .select(guardedSyms(col("__w"), "bpeTrain").as("__s"), col("__freq"))
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -394,6 +406,11 @@ object TextAnalysis {
         r += 1
       }
     }
+    // the merge table is fully collected into `out`; the last round's
+    // cached word table is dead weight — without this, every
+    // bpeTrain/bpeTokenCounts call leaked one persisted frame for the
+    // session lifetime, contrary to the one-word-table-wide contract
+    if (prevCached != null) prevCached.unpersist(false)
     out.result().toDF("rank", "left_sym", "right_sym", "merged", "cnt")
   }
 
@@ -409,7 +426,9 @@ object TextAnalysis {
       merges: Int): DataFrame = {
     val table = bpeTrain(df, textCol, merges).orderBy("rank")
       .select("left_sym", "right_sym").collect()
-    val guarded = regexp_replace(col("__w"), "(.)", "{$1}")
+    // same metacharacter guard as the trainer: the corpus being
+    // TOKENIZED may contain words the training corpus never saw
+    val guarded = guardedSyms(col("__w"), "bpeTokenCounts")
     val applied = table.foldLeft(guarded) { (c, row) =>
       val (l, r) = (row.getString(0), row.getString(1))
       regexp_replace(c,

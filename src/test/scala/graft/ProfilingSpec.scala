@@ -155,6 +155,37 @@ class ProfilingSpec extends SparkSpec {
       s"expected 0.0 for the undefined one-sided TV, got ${got._4}")
   }
 
+  test("rateSpikes: exact z on a hand-built series, only the spike flagged") {
+    // minutes 0..39 alternate 9/11 events (mean 10, var 1 over any
+    // even-length trailing window); minute 40 has 100 events. At the
+    // spike: np=40, sp=400 → mean 10.0, sq=4040 → var 1.0, z = 90.0
+    // exactly (integer window sums, one division, IEEE-exact sqrt).
+    val rows = (0 until 40).flatMap { m =>
+      val c = if (m % 2 == 0) 9 else 11
+      (0 until c).map(i => m * 60L + i)
+    } ++ (0 until 100).map(i => 40 * 60L + (i % 60)) // all inside minute 40
+    val got = Profiling.rateSpikes(rows.toDF("ts_s"), col("ts_s"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((40L, 100L, 90.0)),
+      s"expected exactly the minute-40 spike at z = 90.0; got $got")
+  }
+
+  test("rateSpikes: minute frame wider than maxMinutes fails loudly (guarded window)") {
+    // a deliberately wide time range: 50 observed minutes vs a cap of
+    // 10 — the guard must fire BEFORE the single-partition window runs
+    val wide = (0L until 50L).map(m => m * 60L).toDF("ts_s")
+    val e = intercept[Throwable] {
+      Profiling.rateSpikes(wide, col("ts_s"), maxMinutes = 10L).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("rateSpikes")),
+      s"expected the rateSpikes minute-bound error, got: ${messages.mkString(" | ")}")
+    // the same series passes when the cap is raised deliberately
+    assert(Profiling.rateSpikes(wide, col("ts_s"), maxMinutes = 50L)
+      .collect().isEmpty) // constant series: var = 0 everywhere
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,
