@@ -47,6 +47,26 @@ object Bench {
       case _ => None
     }
     def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // Self-calibration sentinel: a fixed-work single-thread spin timed
+    // immediately before every timed iteration. Its wall time depends
+    // ONLY on how fast this box runs one thread right now — never on
+    // the plan, the data, or Spark — so a bench artifact whose
+    // iter_calib_sec column inflates 4-8× over its own minimum proves
+    // frequency throttling / CPU contention INSIDE the JSON, with no
+    // second machine needed (rounds 11-13 needed an idle-box re-run to
+    // attribute exactly that). ~100 ms of xorshift per spin: cheap
+    // enough to run 70+ times per bench untimed, long enough that a
+    // descheduled or down-clocked core shows up as a multiple, not
+    // jitter.
+    @volatile var calibSink = 0L
+    def calibSec: Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      calibSink = x // observable sink so the JIT cannot elide the loop
+      (System.nanoTime() - t0) / 1e9
+    }
     /** Runs the query to completion and returns the storage bytes in
       * use right after materialization (operator-internal persists +
       * checkpoint blocks — what the cache clear is about to release). */
@@ -113,6 +133,7 @@ object Bench {
       warmExec(q)
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
+        val calib = calibSec
         val g0 = gcMillis
         val c0 = cpuNanos
         val t0 = System.nanoTime()
@@ -120,7 +141,7 @@ object Bench {
           val storageBytes = exec(q)
           val wallSec = (System.nanoTime() - t0) / 1e9
           val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
-          Some((wallSec, gcMillis - g0, cpuSec, storageBytes))
+          Some((wallSec, gcMillis - g0, cpuSec, storageBytes, calib))
         }
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -150,7 +171,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // Per-iteration attribution columns, all aligned with `iters`
     // (failed iterations are null in every array).
-    def iterObj(f: ((Double, Long, Double, Long)) => String): String =
+    def iterObj(f: ((Double, Long, Double, Long, Double)) => String): String =
       results.map { case (k, ts, _) =>
         "\"" + k + "\":" +
           ts.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
@@ -159,6 +180,12 @@ object Bench {
     val iterGcMs = iterObj(_._2.toString)
     val iterCpuSec = iterObj(_._3.toString)
     val iterStorageMb = iterObj(t => (t._4 / (1024.0 * 1024.0)).toString)
+    val iterCalibSec = iterObj(_._5.toString)
+    // the box's best observed single-thread spin this run: the
+    // denominator for reading iter_calib_sec ratios at a glance
+    val calibMin = results.flatMap(_._2.flatten.map(_._5)) match {
+      case Seq() => "null"; case vs => vs.min.toString
+    }
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":" + jstr(m)
     }.mkString("{", ",", "}")
@@ -166,7 +193,7 @@ object Bench {
       val ok = ts.flatten.map(_._1); if (ok.isEmpty) None else Some(ok.min)
     }.sum
     val nFailed = results.count(_._2.flatten.isEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"calib_min_sec":$calibMin,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     println(json)
     // Also land the line in files: the driver scrapes stdout through
     // sbt's [info] prefixes and has failed to parse it (BENCH_r07

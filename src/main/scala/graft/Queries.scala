@@ -1190,6 +1190,124 @@ object Queries {
              |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM inscope WHERE c_acctbal > 0)
              |AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
              |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin.replace("\n", " "))),
+    // TPC-H Q4 (order priority checking), adapted: the reference's
+    // "line delivered late" EXISTS probe is l_commitdate < l_receiptdate
+    // (tpch spec Q4); the driver schema has neither column, so lateness
+    // is proxied as l_shipdate > o_orderdate + 90 days — the same
+    // shipdate-vs-orderdate adaptation family as Q19/Q22 (divergence:
+    // the proxy correlates on BOTH o_orderkey and o_orderdate, which
+    // only strengthens the shape: a semi join with an equi key plus a
+    // cross-table residual). Quarter filter pushed to the orders scan;
+    // lineitem pruned to 2 columns; the LEFT SEMI join shuffles both
+    // sides on orderkey (at 100 TB neither side broadcasts — a quarter
+    // of orders is still fact-sized; AQE may still demote to broadcast
+    // at small SF). Exact integer counts, deterministic order.
+    Q("q_tpch_q4",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+             |AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "))),
+    // TPC-H Q12 (shipping modes and order priority), adapted: the
+    // driver schema has no l_shipmode/l_commitdate/l_receiptdate, so
+    // the two-mode IN filter + per-mode rollup runs on l_returnflag
+    // ('A','R' standing in for 'MAIL','SHIP') and the
+    // commit<receipt ∧ ship<commit lateness chain collapses to the
+    // shipdate-vs-orderdate proxy (> 60 days), with the reference's
+    // one-year receipt window kept as a one-year l_shipdate window.
+    // The high/low conditional counts on o_orderpriority are verbatim
+    // reference semantics. Both scans pre-filtered and pruned; the
+    // orderkey join carries a cross-table date residual; conditional
+    // sums are exact integers (partial-aggregated map-side).
+    Q("q_tpch_q12",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val li = t(s, d, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R") &&
+            col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .select("l_orderkey", "l_returnflag", "l_shipdate")
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li.join(o, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_returnflag IN ('A','R')
+             |AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: lateness
+    // is the shipdate-vs-orderdate proxy (> 90 days; the reference's
+    // l_receiptdate > l_commitdate needs columns the driver schema
+    // lacks) and the nation filter names two synthetic nations (the
+    // reference's 'SAUDI ARABIA'). The reference's correlated
+    // EXISTS/NOT-EXISTS pair ("another supplier on the order" / "no
+    // OTHER supplier was late") is evaluated in ONE pass: after the
+    // F-orders join, a window over l_orderkey counts distinct suppliers
+    // and distinct LATE suppliers per order — the join's output is
+    // already hash-partitioned on the order key, so the window adds no
+    // exchange (vs the textbook triple self-scan of lineitem). A late
+    // line then qualifies iff ns >= 2 (EXISTS) and nls = 1 (its own
+    // supplier is late, so NOT EXISTS other-late ⟺ exactly one). The
+    // supplier×nation dimension broadcasts; per-order supplier sets
+    // are bounded by lines-per-order, so window state is small.
+    Q("q_tpch_q21",
+      (s, d) => {
+        val fl = t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+              .select("o_orderkey", "o_orderdate"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .as("late"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        val sn = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name").isin("NATION_1", "NATION_3"))
+              .select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name")
+        fl
+          .withColumn("__ns", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("__nls",
+            size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+          .filter(col("late") && col("__ns") >= 2 && col("__nls") === 1)
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(100)
+      },
+      Some("""WITH fl AS (SELECT l_orderkey, l_suppkey, (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F'),
+             |st AS (SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS ns,
+             |COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nls FROM fl GROUP BY 1)
+             |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             |FROM fl JOIN st ON l_orderkey = ok
+             |JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey
+             |WHERE late AND ns >= 2 AND nls = 1 AND n_name IN ('NATION_1','NATION_3')
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin.replace("\n", " "))),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /

@@ -6,7 +6,16 @@ import org.apache.spark.sql.functions._
 /** Builds a `factor`× copy of a testdata scale dir for cost-curve
   * sweeps (the README two-scale table; AllTime runs against the
   * output). Usage:
-  *   sbt "runMain graft.ScaleUp [srcDir] [outDir] [factor]"
+  *   sbt "runMain graft.ScaleUp [srcDir] [outDir] [factor] [zipf]"
+  *
+  * With the optional 4th arg `zipf`, the EVENTS replicas additionally
+  * remap user_id onto a Zipf(s≈1.5) key distribution over a
+  * `factor`× user space (continuous inverse-CDF approximation,
+  * r = (1 − u·(1 − 1/√N))^−2 on a deterministic per-event uniform u
+  * from xxhash64(event_id)) — the head user holds ~29% of all events,
+  * the shape that tips user-keyed shuffles onto one reducer. The
+  * SkewSweep main runs the heavy event queries against a uniform and
+  * a zipf dir side by side; all other tables are written unchanged.
   *
   * Replicas must be DISTINCT content, not byte copies: unioning
   * identical documents would multiply near-dup candidate pairs
@@ -41,6 +50,7 @@ object ScaleUp {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("scaledata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val zipf = args.lift(3).contains("zipf")
     require(factor >= 1)
 
     val spark = SparkSession.builder().master("local[32]")
@@ -70,9 +80,26 @@ object ScaleUp {
       d.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
         .withColumn("embedding", e)
     }
-    replicate("events") { (d, r) =>
-      d.withColumn("event_id", col("event_id") + lit(r * 10000000L))
-        .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+    if (!zipf) {
+      replicate("events") { (d, r) =>
+        d.withColumn("event_id", col("event_id") + lit(r * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+      }
+    } else {
+      // zipf mode: same replication, but user_id is re-drawn from a
+      // Zipf(s≈1.5) over factor× the source user space. u is uniform
+      // in [0, 1) from the (replica-shifted) event id, so replicas
+      // draw independently; rank 1 (user 0) absorbs ~29% of events.
+      val nUsers = (read("events").agg(countDistinct(col("user_id")))
+        .head().getLong(0) * factor).toDouble
+      replicate("events") { (d, r) =>
+        val shifted = d.withColumn("event_id", col("event_id") + lit(r * 10000000L))
+        val u = pmod(xxhash64(col("event_id")), lit(1000000000L))
+          .cast("double") / lit(1e9)
+        val rank = least(lit(nUsers),
+          pow(lit(1.0) - u * lit(1.0 - 1.0 / math.sqrt(nUsers)), lit(-2.0)))
+        shifted.withColumn("user_id", (floor(rank) - 1).cast("long"))
+      }
     }
     replicate("lineitem") { (d, r) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * 10000000L))

@@ -358,26 +358,60 @@ object TextAnalysis {
       .otherwise(regexp_replace(w, "(.)", "{$1}"))
 
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
-      persist: Boolean = true): DataFrame = {
+      persist: Boolean = true, batch: Int = 1): DataFrame =
+    bpeTrainWithRounds(df, textCol, merges, persist, batch)._1
+
+  /** [[bpeTrain]] plus the number of count→select→rewrite ROUNDS it
+    * ran — the cost driver a caller sizing a tokenizer fit cares
+    * about (each round is one Spark job over the word table; the
+    * merge count alone hides the batching win).
+    *
+    * `batch = 1` (the default, and what the registered
+    * `doc_bpe_merges` oracle pins) is exact classic BPE: one argmax,
+    * one merge, one rewrite per round. `batch > 1` is the standard
+    * batched approximation a tokenizer-scale fit needs — thousands of
+    * sequential 1-merge jobs is the round-13 review's scale gap —
+    * selecting per round, in (cnt DESC, l ASC, r ASC) order, up to
+    * `batch` candidates whose symbols are MUTUALLY DISJOINT (a pair
+    * touching an already-selected symbol is deferred to a later
+    * round, because applying the earlier merge changes its count),
+    * then applying them in selection order as one chained map-only
+    * rewrite. Ranks record that same order, so the merge table stays
+    * an ordered learned artifact. Divergence contract: disjointness
+    * keeps every selected pair's round-start count exact, but a pair
+    * CREATED by an earlier merge in the same round only becomes
+    * visible next round — so a batched table can order ties/near-ties
+    * differently than batch = 1 where a mid-round recount would have
+    * promoted a new pair; TextAnalysisSpec pins both the equivalence
+    * on a disjoint-pair corpus and the ≤-rounds batching win. */
+  def bpeTrainWithRounds(df: DataFrame, textCol: String, merges: Int,
+      persist: Boolean = true, batch: Int = 1): (DataFrame, Int) = {
     val spark = df.sparkSession
     import spark.implicits._
     require(merges >= 1, s"merges must be positive, got $merges")
+    require(batch >= 1, s"batch must be positive, got $batch")
     var words = df
       .select(explode(tokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__freq"))
       .select(guardedSyms(col("__w"), "bpeTrain").as("__s"), col("__freq"))
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
-    var r = 1
+    var learned = 0
+    var rounds = 0
     var exhausted = false
     // round r's cached word table feeds round r+1's rewrite; once the
-    // NEXT round's argmax collect has materialized the rewritten table,
-    // the superseded frame is dead weight — freed here so storage stays
-    // one word-table wide however many merge rounds run (a thousands-
-    // round vocabulary induction would otherwise pin every generation)
+    // NEXT round's candidate collect has materialized the rewritten
+    // table, the superseded frame is dead weight — freed here so
+    // storage stays one word-table wide however many merge rounds run
+    // (a thousands-round vocabulary induction would otherwise pin
+    // every generation)
     var prevCached: DataFrame = null
-    while (r <= merges && !exhausted) {
+    while (learned < merges && !exhausted) {
+      val take = math.min(batch, merges - learned)
       val cached = Caching.maybePersist(words, persist)
-      val best = cached
+      // over-collect 4× the batch (bounded driver state): candidates
+      // skipped for symbol overlap still leave enough to fill the
+      // round in the common case; anything beyond waits a round
+      val cands = cached
         .withColumn("__a",
           split(expr("substring(__s, 2, length(__s) - 2)"), "\\}\\{"))
         .filter(size(col("__a")) >= 2)
@@ -388,22 +422,40 @@ object TextAnalysis {
         .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
         .agg(sum(col("__freq")).as("__cnt"))
         .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
-        .limit(1).collect()
+        .limit(math.max(4 * take, 16)).collect()
       // this round's collect has materialized `cached`; the previous
       // generation can go
       if (prevCached != null) prevCached.unpersist(false)
       prevCached = cached
-      if (best.isEmpty) exhausted = true
+      if (cands.isEmpty) exhausted = true
       else {
-        val (l, rr, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        out += ((r.toLong, l, rr, l + rr, cnt))
+        rounds += 1
+        val touched = scala.collection.mutable.Set.empty[String]
+        val selected = Vector.newBuilder[(String, String, Long)]
+        var n = 0
+        cands.foreach { row =>
+          val (l, rr) = (row.getString(0), row.getString(1))
+          if (n < take && !touched(l) && !touched(rr)) {
+            selected += ((l, rr, row.getLong(2)))
+            touched += l; touched += rr
+            n += 1
+          }
+        }
+        val sel = selected.result()
+        sel.foreach { case (l, rr, cnt) =>
+          learned += 1
+          out += ((learned.toLong, l, rr, l + rr, cnt))
+        }
+        // one chained map-only rewrite applies the round's merges in
+        // selection order (disjoint symbols ⇒ order within the round
+        // cannot change the result, but learned order is the contract)
         words = cached.select(
-          regexp_replace(col("__s"),
-            lit(java.util.regex.Pattern.quote(s"{$l}{$rr}")),
-            lit(s"{$l$rr}")).as("__s"),
+          sel.foldLeft(col("__s")) { case (c, (l, rr, _)) =>
+            regexp_replace(c,
+              lit(java.util.regex.Pattern.quote(s"{$l}{$rr}")),
+              lit(s"{$l$rr}"))
+          }.as("__s"),
           col("__freq"))
-        r += 1
       }
     }
     // the merge table is fully collected into `out`; the last round's
@@ -411,7 +463,8 @@ object TextAnalysis {
     // bpeTrain/bpeTokenCounts call leaked one persisted frame for the
     // session lifetime, contrary to the one-word-table-wide contract
     if (prevCached != null) prevCached.unpersist(false)
-    out.result().toDF("rank", "left_sym", "right_sym", "merged", "cnt")
+    (out.result().toDF("rank", "left_sym", "right_sym", "merged", "cnt"),
+      rounds)
   }
 
   /** The tokenizer APPLY step: per-document token counts under the

@@ -98,6 +98,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count() == 0L)
   }
 
+  test("bpeTrain batched: equals the sequential table on a disjoint-pair corpus") {
+    // word frequencies 8/4/2/1 force a known learned order; all four
+    // pairs are symbol-disjoint, so one batch=4 round must reproduce
+    // the sequential (batch=1) table rank for rank — the regime where
+    // the batched approximation is EXACT
+    val text = (Seq.fill(8)("ab") ++ Seq.fill(4)("cd") ++
+      Seq.fill(2)("ef") ++ Seq("gh")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val (seqTable, seqRounds) =
+      TextAnalysis.bpeTrainWithRounds(df, "text", merges = 4, batch = 1)
+    val (batTable, batRounds) =
+      TextAnalysis.bpeTrainWithRounds(df, "text", merges = 4, batch = 4)
+    val want = Seq((1L, "a", "b", "ab", 8L), (2L, "c", "d", "cd", 4L),
+      (3L, "e", "f", "ef", 2L), (4L, "g", "h", "gh", 1L))
+    assert(seqTable.orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq == want)
+    assert(batTable.orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq == want)
+    assert(seqRounds == 4 && batRounds == 1,
+      s"batching must collapse 4 jobs into 1; got $seqRounds vs $batRounds")
+  }
+
+  test("bpeTrain batched: 64 merges fit in <= 8 rounds; overlapping pairs defer") {
+    // 18 words on disjoint 2-letter alphabets, each the pattern
+    // repeated 8 times ("abababab…" 16 chars): every round offers 18
+    // mutually disjoint top pairs — (a,b) cnt 8, then (ab,ab) 7, then
+    // (abab,abab) 3, then the final halves — while the overlapping
+    // runner-up (b,a) must be DEFERRED (selecting it would double-use
+    // b) and disappears once (a,b) merges. 72 merges reachable in 4
+    // rounds at batch=18; asking for 64 stops mid-round-4.
+    val pairs = "abcdefghijklmnopqrstuvwxyz0123456789".grouped(2).toSeq
+    val text = pairs.map(p => p * 8).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val (table, rounds) =
+      TextAnalysis.bpeTrainWithRounds(df, "text", merges = 64, batch = 18)
+    val rows = table.orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect()
+    assert(rows.length == 64, s"expected all 64 merges learned, got ${rows.length}")
+    assert(rounds == 4, s"expected 18+18+18+10 across 4 rounds, got $rounds")
+    assert(rounds <= 8) // the tokenizer-scale contract from the review
+    // no (y,x) reversal ever selected: each one overlaps its (x,y)
+    // better in-round, and is gone after the merge applies
+    assert(!rows.exists { case (_, l, r, _, _) =>
+      pairs.exists(p => l == p.substring(1, 2) && r == p.substring(0, 1)) })
+    // round-1 ranks are the 18 distinct alphabet pairs at cnt 8, in
+    // lex order (deterministic tie-break)
+    assert(rows.take(18).map(t => (t._2, t._3, t._5)).toSeq ==
+      pairs.sorted.map(p => (p.substring(0, 1), p.substring(1, 2), 8L)))
+    // the 1-merge-per-round baseline really pays one round per merge
+    assert(TextAnalysis.bpeTrainWithRounds(df, "text", merges = 8, batch = 1)._2 == 8)
+  }
+
   test("bpeTokenCounts applies the learned merges in order per document") {
     val df = Seq((1L, "aaaa aaaa ab ab ab"), (2L, "ab c")).toDF("doc_id", "text")
     // merges learned on the corpus: (a,a) then (a,b) then (aa,aa).
