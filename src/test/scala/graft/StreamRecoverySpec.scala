@@ -114,6 +114,54 @@ class StreamRecoverySpec extends SparkSpec {
       s"recovered bin sums must complete to the batch TV rows; diff ${(got -- want) ++ (want -- got)}")
   }
 
+  test("windowedHeavyHitters: kill + restart keeps every window inside the MG contract") {
+    // the Misra-Gries buffers are ORDER-DEPENDENT state (unlike HLL),
+    // so recovery cannot be pinned row-equal against batch — what a
+    // restart must preserve is the mergeable-summaries contract per
+    // window: tracked ⊇ true-heavy, no overcount, undercount bounded.
+    // A corrupted restored buffer would break one of the three.
+    val k = 4
+    val (src, addFile) = eventFiles()
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_mg_ck").toString
+    addFile(0); addFile(1)
+    def startQuery() = EventStreams.windowedHeavyHitters(streamFrom(src), k)
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("rec_mg_out").start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("rec_mg_out").count() > 0,
+      "at least one batch must commit before the kill")
+    addFile(2); addFile(3)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.table("rec_mg_out").as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
+    val exact = batchEvents
+      .groupBy((col("ts_s") - pmod(col("ts_s"), lit(300L))).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (b, rows) => b -> rows.map(r => r._2 -> r._3).toMap }
+    assert(got.keySet == exact.keySet,
+      "every window must survive the restart with a summary")
+    exact.foreach { case (bucket, cnts) =>
+      val n = cnts.values.sum
+      val tracked = got(bucket)
+      assert(tracked.size <= k)
+      cnts.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { key =>
+        assert(tracked.contains(key),
+          s"bucket $bucket: heavy key $key lost across the restart; tracked $tracked")
+      }
+      tracked.foreach { case (key, est) =>
+        assert(est <= cnts(key), s"bucket $bucket: restored buffer overcounts $key")
+        assert((cnts(key) - est) * (k + 1) <= n,
+          s"bucket $bucket: undercount beyond N/(k+1) for $key after restart")
+      }
+    }
+  }
+
   test("dedup ingest: a crash AFTER a batch's writes but BEFORE its commit replays exactly-once") {
     val baseA = "the quick brown fox jumps over the lazy dog again and again"
     val baseB = "completely different subject matter about spark shuffles and joins"
