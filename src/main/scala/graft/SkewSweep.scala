@@ -55,8 +55,11 @@ object SkewSweep {
 
     // the five heaviest USER-KEYED registered event queries: per-user
     // windows (sessionize, paths), a per-user range join (asof), and
-    // two per-user-day rollup joins (cohort, growth)
-    val heavy = Seq("ev_sessionize", "ev_session_paths", "ev_asof_click",
+    // two per-user-day rollup joins (cohort, growth) — plus the
+    // two-level skew-resistant sessionize twin, so the artifact shows
+    // the mitigation next to the shape it mitigates
+    val heavy = Seq("ev_sessionize", "ev_sessionize_skew",
+      "ev_session_paths", "ev_session_paths_skew", "ev_asof_click",
       "ev_cohort_retention", "ev_growth_accounting")
     val queries = heavy.map(n => SparkEntry.all.find(_.name == n)
       .getOrElse(sys.error(s"unknown query $n")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{DedupStream, EventStreams}
+import graft.streaming.{CdcStream, DedupStream, EventStreams}
 
 /** Crash-recovery for the streaming twins: each test commits at least
   * one batch, kills the query, restarts from the SAME checkpoint with
@@ -48,6 +48,22 @@ class StreamRecoverySpec extends SparkSpec {
     val events = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     events.withColumn("event_time", timestamp_micros(expr("(ts_s * 1000000)")))
+  }
+
+  /** Like [[eventFiles]] but split by TIME QUARTILE, not id hash: an
+    * Append-mode query drops rows behind the recovered watermark, so a
+    * restart test must feed time-forward (the id-mod split would make
+    * run 2's first half "late" and silently vanish — a test artifact,
+    * not a recovery property). */
+  private def timeOrderedEventFiles(): (String, Int => Unit) = {
+    val src = java.nio.file.Files.createTempDirectory("rec_tsrc").toString
+    val (lo, hi) = batchEvents.agg(min("ts_s"), max("ts_s"))
+      .as[(Long, Long)].head()
+    val width = (hi - lo) / 4 + 1
+    val all = batchEvents.withColumn("part",
+      floor((col("ts_s") - lo) / width).cast("int"))
+    (src, p => all.filter(col("part") === p).drop("part")
+      .coalesce(1).write.mode("append").parquet(src))
   }
 
   test("windowedApproxUniques: kill + restart restores the HLL window state") {
@@ -160,6 +176,94 @@ class StreamRecoverySpec extends SparkSpec {
           s"bucket $bucket: undercount beyond N/(k+1) for $key after restart")
       }
     }
+  }
+
+  test("sessionWindowCounts: kill + restart restores native session-window merge state") {
+    // the fourth state-store shape: Spark's session-window store
+    // (merging windows, watermark-finalized Append output). The split
+    // is time-ordered, so sessions OPEN at the kill must be restored
+    // and merged with run 2's events — a lost merge would emit two
+    // partial rows that the batch result does not contain (caught by
+    // the subset assertion), a lost window would miss mustEmit.
+    val (src, addFile) = timeOrderedEventFiles()
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_swin_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("rec_swin_out").toString
+    addFile(0); addFile(1)
+    def startQuery() = EventStreams.sessionWindowCounts(streamFrom(src))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    addFile(2); addFile(3)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, session_start BIGINT, session_end BIGINT, n_events BIGINT")
+    val got = spark.read.schema(outSchema).parquet(out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.all.find(_.name == "ev_session_native").get
+      .run(spark, dir).as[(Long, Long, Long, Long)].collect().toSet
+    val wmS = batchEvents.agg(max("ts_s")).as[Long].head() - 600
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch),
+      s"restart emitted a session the batch run does not have (lost merge state): ${got -- batch}")
+    val mustEmit = batch.filter { case (_, _, end, _) => end + 1800 < wmS }
+    assert(mustEmit.subsetOf(got),
+      s"finalized sessions missing after the restart: ${mustEmit -- got}")
+    val mayHold = batch.filter { case (_, _, end, _) => end + 1800 >= wmS }
+    assert((batch -- got).subsetOf(mayHold),
+      s"withheld a session the watermark already finalized: ${(batch -- got) -- mayHold}")
+  }
+
+  test("cdc snapshot: a crash AFTER a merge but BEFORE its commit replays exactly-once") {
+    // same crash window as the dedup test, on the OTHER stateful sink:
+    // batch 1's snapshot version is fully written when the query dies,
+    // its checkpoint commit is not — the restart must replay the merge
+    // onto a snapshot that already contains it, and the version-by-
+    // batch-id protocol must absorb the duplicate apply.
+    val src = java.nio.file.Files.createTempDirectory("rec_cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_cdc_ck").toString
+    val dir = java.nio.file.Files.createTempDirectory("rec_cdc_snap").toString
+    val initial = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "val")
+    def addFile(rows: (Long, String, Long, String)*): Unit =
+      rows.toDF("id", "val", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(src)
+    addFile((2L, "b", 10L, "U"), (3L, "", 11L, "D")) // batch 0
+    addFile((4L, "d", 20L, "I"))                     // batch 1 — crashes
+
+    val schema = spark.read.parquet(src).schema
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQuery(inject: Boolean) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          CdcStream.mergeBatch(batch, id, dir, initial, "id", "seq", "op")
+          if (inject && id == 1L && failOnce.getAndSet(false))
+            throw new RuntimeException(
+              "injected crash between batch 1's merge and its commit")
+        }
+        .start()
+    val q1 = startQuery(inject = true)
+    intercept[Throwable] { try q1.processAllAvailable() finally q1.stop() }
+    assert(!failOnce.get(), "the injection must actually have fired")
+    // batch 0 committed; batch 1's merged version exists but is
+    // uncommitted in the CHECKPOINT (the snapshot's own version commit
+    // is what makes the replay idempotent)
+    assert(CdcStream.currentSnapshot(spark, dir, initial)
+      .as[(Long, String)].collect().toSet
+      .contains((4L, "d")), "batch 1's merge landed before the crash")
+
+    addFile((5L, "e", 30L, "I"), (1L, "", 31L, "D")) // batch 2
+    val q2 = startQuery(inject = false)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CdcStream.currentSnapshot(spark, dir, initial)
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (4L, "d"), (5L, "e")),
+      "replayed merge + new batch must converge to the no-crash snapshot")
   }
 
   test("dedup ingest: a crash AFTER a batch's writes but BEFORE its commit replays exactly-once") {
