@@ -1822,6 +1822,40 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   // Event analytics (batch analogs of the streaming pipelines)
   // ---------------------------------------------------------------------
+  /** Shared by `ev_sessionize` AND its skew twin `ev_sessionize_skew`:
+    * the twin's output-identity claim ("same oracle verbatim") is true
+    * by construction — an edit to the gap or tie-break here changes
+    * BOTH registrations, so the twins cannot silently drift apart
+    * while each keeps passing its own oracle. */
+  private val sessionizeOracle =
+    """SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
+      |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " ")
+
+  /** Shared by `ev_session_paths` AND `ev_session_paths_skew` — same
+    * by-construction identity contract as [[sessionizeOracle]]. */
+  private val sessionPathsOracle =
+    """WITH spb AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |  CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
+      |       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
+      |       THEN 1 ELSE 0 END AS new_session FROM events),
+      |sps AS (SELECT user_id, ts, event_id, event_type,
+      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM spb),
+      |spp AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS path
+      |FROM sps GROUP BY user_id, session_idx)
+      |SELECT path, COUNT(*) AS n_sessions FROM spp GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin.replace("\n", " ")
+
   private val eventQueries = Vector(
     // Tumbling 5-minute window: bucket emitted as epoch seconds (BIGINT)
     // to dodge timestamp-timezone representation skew between engines.
@@ -1853,22 +1887,11 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_events"),
             (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
       },
-      Some("""SELECT user_id, session_idx, COUNT(*) AS n_events,
-             |MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
-             |FROM (
-             |  SELECT user_id, ts, event_id,
-             |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-             |  FROM (
-             |    SELECT user_id, ts, event_id,
-             |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
-             |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
-             |         THEN 1 ELSE 0 END AS new_session
-             |    FROM events))
-             |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " ")),
+      Some(sessionizeOracle),
       bench = true),
     // The SKEW-RESISTANT twin of ev_sessionize: identical output (the
-    // oracle below is ev_sessionize's VERBATIM — same rows, schema,
-    // hash), different shuffle shape. The single per-user window above
+    // two registrations share the ONE sessionizeOracle val — same
+    // rows, schema, hash by construction), different shuffle shape. The single per-user window above
     // puts a hot user's every event on one task (measured 1.9× under
     // the round-14 zipf sweep); Skew.sessionizeTwoLevel sessionizes
     // within (user, hour bucket) first — spreading the event-level
@@ -1879,18 +1902,7 @@ object PipelineQueries {
       (s, d) => operators.Skew.sessionizeTwoLevel(
         events(s, d), "user_id", "ts_s", "event_id",
         gapSeconds = 1800L, bucketSeconds = 3600L),
-      Some("""SELECT user_id, session_idx, COUNT(*) AS n_events,
-             |MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
-             |FROM (
-             |  SELECT user_id, ts, event_id,
-             |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-             |  FROM (
-             |    SELECT user_id, ts, event_id,
-             |    CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
-             |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
-             |         THEN 1 ELSE 0 END AS new_session
-             |    FROM events))
-             |GROUP BY user_id, session_idx""".stripMargin.replace("\n", " "))),
+      Some(sessionizeOracle)),
     Q("ev_top_users",
       (s, d) => events(s, d).groupBy("user_id")
         .agg(sum(col("value").cast(D4)).cast(DoubleType).as("total_value"),
@@ -2591,41 +2603,22 @@ object PipelineQueries {
           .groupBy("path").agg(count(lit(1)).as("n_sessions"))
           .orderBy(col("n_sessions").desc, col("path").asc).limit(20)
       },
-      Some("""WITH spb AS (
-             |  SELECT user_id, ts, event_id, event_type,
-             |  CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
-             |       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
-             |       THEN 1 ELSE 0 END AS new_session FROM events),
-             |sps AS (SELECT user_id, ts, event_id, event_type,
-             |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM spb),
-             |spp AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS path
-             |FROM sps GROUP BY user_id, session_idx)
-             |SELECT path, COUNT(*) AS n_sessions FROM spp GROUP BY path
-             |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin.replace("\n", " "))),
+      Some(sessionPathsOracle)),
     // Skew-resistant twin of ev_session_paths — the WORST degrader in
     // the round-14 zipf sweep (2.8×: the hot user's one-task window
     // carries whole event structs). Skew.sessionPathsTwoLevel builds
     // each (user, hour-bucket) run's sorted payload segment locally,
     // then concatenates segments in run order during the boundary
-    // merge; the top-20 rollup tail is identical. Oracle VERBATIM
-    // ev_session_paths' — rows, schema, hash equal by construction.
+    // merge; the top-20 rollup tail is identical. Both registrations
+    // share the ONE sessionPathsOracle val — rows, schema, hash equal
+    // by construction.
     Q("ev_session_paths_skew",
       (s, d) => operators.Skew.sessionPathsTwoLevel(
         events(s, d), "user_id", "ts_s", "event_id", "event_type",
         gapSeconds = 1800L, bucketSeconds = 3600L)
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path").asc).limit(20),
-      Some("""WITH spb AS (
-             |  SELECT user_id, ts, event_id, event_type,
-             |  CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) IS NULL
-             |       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC))) AS BIGINT) > 1800
-             |       THEN 1 ELSE 0 END AS new_session FROM events),
-             |sps AS (SELECT user_id, ts, event_id, event_type,
-             |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS session_idx FROM spb),
-             |spp AS (SELECT user_id, session_idx, string_agg(event_type, '>' ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) AS path
-             |FROM sps GROUP BY user_id, session_idx)
-             |SELECT path, COUNT(*) AS n_sessions FROM spp GROUP BY path
-             |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin.replace("\n", " "))),
+      Some(sessionPathsOracle)),
     // Two-sample chi-squared drift between the early and late half of
     // the stream over fixed value deciles — the scheduled data-quality
     // gate that catches upstream distribution shifts. Transcendental-

@@ -163,29 +163,39 @@ object Profiling {
     * billions of frame rows. Callers profiling a genuinely wider grid
     * can raise the cap deliberately; the check costs one count over the
     * already-shuffled histogram (the exchange is reused, not re-run). */
+  /** In-plan bounded-cardinality contract, shared by every statistic
+    * that windows over a post-agg frame: count `df`'s rows, broadcast
+    * the 1-row result back, and assert_true inside a filter (a bare
+    * unused assert column would be pruned away by Catalyst;
+    * assert_true yields NULL on success so `isNull` keeps every row).
+    * The guard sits upstream of the consumers' single-partition window
+    * exchanges, so a violating input fails before the dangerous stage
+    * runs — ONE implementation so a fix to the guard (message, pruning
+    * workaround) cannot land in ksDrift/tvDrift and be forgotten in
+    * rateSpikes or vice versa. `unit` names the frame rows in the
+    * error ("bucket"/"minute"), `capName` the knob to raise. */
+  private def guardedCardinality(df: DataFrame, maxRows: Long, op: String,
+      unit: String, capName: String): DataFrame = {
+    require(maxRows > 0, s"$capName must be positive")
+    val n = df.agg(count(lit(1)).as("__nframe"))
+    df.crossJoin(broadcast(n))
+      .filter(assert_true(col("__nframe") <= maxRows,
+        concat(lit(s"$op: $unit frame has "), col("__nframe"),
+          lit(s" rows, exceeding $capName = $maxRows — bucket " +
+            s"the $unit column coarser or raise the cap deliberately"))).isNull)
+      .drop("__nframe")
+  }
+
   /** The side-split bucket histogram BOTH drift statistics window
-    * over, with the bounded-frame contract ENFORCED in-plan: count the
-    * bucket frame, broadcast the 1-row result back, and assert_true
-    * inside a filter (a bare unused assert column would be pruned away
-    * by Catalyst; assert_true yields NULL on success so `isNull` keeps
-    * every row). The guard sits upstream of the consumers'
-    * single-partition window exchanges, so a violating input fails
-    * before the dangerous stage runs — shared so the cap cannot be
-    * special-cased into one statistic and forgotten in the other. */
+    * over, its bounded-frame contract enforced by
+    * [[guardedCardinality]]. */
   private def guardedSideHistogram(df: DataFrame, bucket: Column,
       sideA: Column, maxBuckets: Long, op: String): DataFrame = {
-    require(maxBuckets > 0, "maxBuckets must be positive")
     val counts = df.select(bucket.as("bucket"), sideA.as("__a"))
       .groupBy("bucket").agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
-    val nBuckets = counts.agg(count(lit(1)).as("__nbuckets"))
-    counts.crossJoin(broadcast(nBuckets))
-      .filter(assert_true(col("__nbuckets") <= maxBuckets,
-        concat(lit(s"$op: bucket frame has "), col("__nbuckets"),
-          lit(s" buckets, exceeding maxBuckets = $maxBuckets — bucket " +
-            "the column coarser or raise the cap deliberately"))).isNull)
-      .drop("__nbuckets")
+    guardedCardinality(counts, maxBuckets, op, "bucket", "maxBuckets")
   }
 
   def ksDrift(df: DataFrame, bucket: Column, sideA: Column,
@@ -279,13 +289,8 @@ object Profiling {
     // floor division (DuckDB `// 60` semantics; exact for |ts| < 2^53)
     val m = df.groupBy(floor(tsSec.cast("long") / 60).cast("long").as("minute"))
       .agg(count(lit(1)).as("c"))
-    val nMinutes = m.agg(count(lit(1)).as("__nminutes"))
-    val guarded = m.crossJoin(broadcast(nMinutes))
-      .filter(assert_true(col("__nminutes") <= maxMinutes,
-        concat(lit("rateSpikes: minute frame has "), col("__nminutes"),
-          lit(s" rows, exceeding maxMinutes = $maxMinutes — bucket the " +
-            "series coarser or raise the cap deliberately"))).isNull)
-      .drop("__nminutes")
+    val guarded = guardedCardinality(m, maxMinutes, "rateSpikes",
+      "minute", "maxMinutes")
     val w = Window.orderBy(col("minute")).rowsBetween(-lookback, -1)
     val mean = col("sp").cast("double") / col("np")
     val vr = col("sq").cast("double") / col("np") - mean * mean

@@ -318,29 +318,6 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
-  /** The full BPE merge LOOP (Sennrich '16): `merges` rounds of
-    * count → argmax → merge over the distinct-word frequency table,
-    * returning the learned merge table (rank, left_sym, right_sym,
-    * merged, cnt) — the artifact a tokenizer fit ships.
-    *
-    * This is the production trainer's shape end to end: the corpus
-    * collapses ONCE to word frequencies (the only corpus-sized
-    * shuffle); every round's pair count explodes over distinct words
-    * weighted by frequency (vocabulary-bounded); the argmax is a
-    * 1-row `TakeOrderedAndProject` collect (ties: count desc, then
-    * pair ascending); and the merge itself is a map-only rewrite of
-    * the word table. At 100 TB the merge table is then broadcast to
-    * tokenize the corpus — the loop's cost never depends on token
-    * occurrences, only on vocabulary size × rounds.
-    *
-    * Words are carried in a guarded symbol encoding — every symbol
-    * wrapped `{sym}` (the corpus alphabet is `[a-z0-9 .,!?]`, so the
-    * guards cannot collide) — which makes the merge a plain string
-    * replace of `{l}{r}` with `{lr}`: greedy, left-to-right,
-    * non-overlapping in BOTH engines (java replaceAll ≡ DuckDB
-    * replace), i.e. exactly BPE's merge rule ("aaaa" + (a,a) →
-    * "{aa}{aa}"). A token containing a guard character fails the run
-    * with `raise_error` rather than silently miscounting. */
   /** Guarded symbol encoding of one word — every char wrapped `{c}` —
     * with the loud-failure guard shared by the trainer and the
     * tokenizer apply: a token containing `{`/`}` would collide with
@@ -357,6 +334,27 @@ object TextAnalysis {
           lit(s"$op: guard or replacement metacharacter in token: "), w)))
       .otherwise(regexp_replace(w, "(.)", "{$1}"))
 
+  /** The full BPE merge LOOP (Sennrich '16): `merges` rounds of
+    * count → argmax → merge over the distinct-word frequency table,
+    * returning the learned merge table (rank, left_sym, right_sym,
+    * merged, cnt) — the artifact a tokenizer fit ships.
+    *
+    * This is the production trainer's shape end to end: the corpus
+    * collapses ONCE to word frequencies (the only corpus-sized
+    * shuffle); every round's pair count explodes over distinct words
+    * weighted by frequency (vocabulary-bounded); the argmax is a
+    * bounded `TakeOrderedAndProject` collect (ties: count desc, then
+    * pair ascending); and the merge itself is a map-only rewrite of
+    * the word table. At 100 TB the merge table is then broadcast to
+    * tokenize the corpus — the loop's cost never depends on token
+    * occurrences, only on vocabulary size × rounds.
+    *
+    * Words are carried in the [[guardedSyms]] encoding, which makes
+    * the merge a plain string replace of `{l}{r}` with `{lr}`:
+    * greedy, left-to-right, non-overlapping in BOTH engines (java
+    * replaceAll ≡ DuckDB replace), i.e. exactly BPE's merge rule
+    * ("aaaa" + (a,a) → "{aa}{aa}"). See [[bpeTrainWithRounds]] for
+    * the `batch` contract. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
       persist: Boolean = true, batch: Int = 1): DataFrame =
     bpeTrainWithRounds(df, textCol, merges, persist, batch)._1

@@ -14,19 +14,28 @@ import graft.streaming.{CdcStream, DedupStream, EventStreams}
   * deliberately do not: those prove the arithmetic, these prove the
   * state store restores it.
   *
-  * Three state shapes, per the round-13 review's ranked ask:
+  * Six state shapes (the first three are the round-13 review's ranked
+  * ask; the rest complete the matrix over every stateful operator and
+  * sink in the repo):
   *  - windowedApproxUniques — HLL register buffers per open window
   *    (recovery must restore the sketch BYTES: a lost register can
   *    only lower the estimate, so row-equality with the batch run is
   *    a real restore proof, not a smoke test);
   *  - windowedValueDrift — ten integer bin sums per window (bit-exact
   *    TV doubles after recovery);
-  *  - the DedupStream ingest — cross-batch signature index + Spark's
-  *    own offset log, killed MID-BATCH (after the batch's sink writes,
-  *    before its checkpoint commit) so the restart REPLAYS a batch the
-  *    sink already wrote — the exactly-once overwrite protocol's
-  *    actual crash window, driven through a real streaming restart
-  *    rather than DedupStreamSpec's direct screenBatch replay call.
+  *  - windowedHeavyHitters — ORDER-DEPENDENT Misra–Gries buffers:
+  *    row-equality is not a property MG has, so the restart is pinned
+  *    to the mergeable-summaries contract per window;
+  *  - sessionWindowCounts — Spark's native merging session-window
+  *    store, Append mode, time-ordered feed (subset/mustEmit
+  *    watermark contract);
+  *  - the DedupStream ingest and the CDC snapshot sink — cross-batch
+  *    on-disk state + Spark's offset log, killed MID-BATCH (after the
+  *    batch's sink writes, before its checkpoint commit) so the
+  *    restart REPLAYS a batch the sink already wrote — the
+  *    exactly-once overwrite/version-by-batch-id protocols' actual
+  *    crash window, driven through real streaming restarts rather
+  *    than the direct replay calls their own suites use.
   */
 class StreamRecoverySpec extends SparkSpec {
   import spark.implicits._
