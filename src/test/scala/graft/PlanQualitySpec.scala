@@ -84,6 +84,24 @@ class PlanQualitySpec extends SparkSpec {
         s"found $mgAggs:\n$p")
   }
 
+  test("ev_sessionize_skew shuffles exactly twice: events by (user, bucket), runs by user") {
+    // the two-level design's whole point is its exchange structure:
+    // ONE event-level shuffle on (user_id, __b) — the spread that
+    // fixes the hot-user straggler — then ONE run-level shuffle on
+    // user_id whose rows are local sessions, not events. The local-run
+    // aggregate between them must REUSE the (user, bucket)
+    // partitioning (grouping on a superset of the partition keys), and
+    // the final (user, session_idx) aggregate must reuse the user
+    // partitioning. A third exchange means a refactor broke the reuse
+    // and the hot key is back on one task.
+    val p = physicalPlan("ev_sessionize_skew")
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Arguments: hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected exactly 2 hash exchanges in the two-level plan, got $exchanges:\n$p")
+    assert(p.contains("__b"), "the first exchange must key on the time bucket")
+  }
+
   test("no unintended CartesianProduct in any registered query") {
     // Intentional products: the reference's cross-join surface, and
     // queries that cross 1-row aggregate frames (bounded by design).
