@@ -474,8 +474,11 @@ object TextAnalysis {
     * word — at 100 TB this is one map-only codegen'd scan; nothing
     * shuffles except the final per-doc count rollup. */
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame = {
-    val table = bpeTrain(df, textCol, merges).orderBy("rank")
+      merges: Int, batch: Int = 1): DataFrame = {
+    // `batch` passes through to the trainer (see [[bpeTrainWithRounds]]
+    // for the contract); the apply chain below is identical either way
+    // — it replays whatever merge table the fit produced, in rank order
+    val table = bpeTrain(df, textCol, merges, batch = batch).orderBy("rank")
       .select("left_sym", "right_sym").collect()
     // same metacharacter guard as the trainer: the corpus being
     // TOKENIZED may contain words the training corpus never saw

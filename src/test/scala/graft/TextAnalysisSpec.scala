@@ -148,6 +148,13 @@ class TextAnalysisSpec extends SparkSpec {
       pairs.sorted.map(p => (p.substring(0, 1), p.substring(1, 2), 8L)))
     // the 1-merge-per-round baseline really pays one round per merge
     assert(TextAnalysis.bpeTrainWithRounds(df, "text", merges = 8, batch = 1)._2 == 8)
+    // the tokenizer apply is training-mode-agnostic: on a corpus where
+    // batched ≡ sequential (disjoint top pairs), per-doc counts match
+    val counts1 = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges = 18)
+      .as[(Long, Long)].collect().toSet
+    val counts18 = TextAnalysis.bpeTokenCounts(df, "doc_id", "text",
+      merges = 18, batch = 18).as[(Long, Long)].collect().toSet
+    assert(counts1 == counts18)
   }
 
   test("bpeTokenCounts applies the learned merges in order per document") {
