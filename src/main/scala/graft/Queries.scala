@@ -1308,6 +1308,48 @@ object Queries {
              |JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey
              |WHERE late AND ns >= 2 AND nls = 1 AND n_name IN ('NATION_1','NATION_3')
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin.replace("\n", " "))),
+    // TPC-H Q16 (parts/supplier relationship), adapted: the reference
+    // reads the partsupp CATALOG; the driver schema lacks it, but the
+    // RELATIONSHIP (which suppliers supply which parts) is exactly
+    // what realized shipments encode — DISTINCT (l_partkey, l_suppkey)
+    // stands in for partsupp (divergence: realized vs offered supply;
+    // the remaining partsupp queries Q2/Q9/Q11/Q20 need partsupp
+    // MEASURES — supplycost/availqty — which nothing proxies, and stay
+    // declared-impossible). The complaints exclusion (reference:
+    // s_comment LIKE '%Customer%Complaints%'; no comment column here)
+    // becomes s_acctbal < 0 — same anti-join shape, same "exclude a
+    // small flagged supplier set" semantics. Plan: the distinct pair
+    // table is the ONLY fact-sized shuffle; the filtered part dim and
+    // the flagged-supplier set both broadcast; the final rollup is a
+    // countDistinct over pre-distinct pairs (a supplier reachable via
+    // several parts of one (brand,type,size) group must count once).
+    Q("q_tpch_q16",
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val pa = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#23" &&
+            !col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        val flagged = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        ps.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+            col("p_type").asc, col("p_size").asc)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM ps JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#23' AND p_type NOT LIKE 'PROMO%'
+             |AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+             |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin.replace("\n", " "))),
   )
 
   /** Relational core: everything above. Extensions (dedup / similarity /
