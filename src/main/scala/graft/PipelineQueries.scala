@@ -327,6 +327,31 @@ object PipelineQueries {
        |SELECT u AS vec_id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
        |FROM sdr GROUP BY u""".stripMargin.replace("\n", " ")
 
+  /** Shared one-cell assignment over the k-means chain: `kfa(vec_id,
+    * cell, d)` — the rn = 1 ranking of `ivd` (ties to the lowest cell,
+    * the Spark argmin contract). */
+  private def kmeansAssignCte: String =
+    "kfa AS (SELECT vec_id, cell, d FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd) WHERE rn = 1)"
+
+  /** Per-cell size + inertia on the 1e-6 long grid — the identical
+    * round-then-exact-sum scheme as emb_label_centroid, over the same
+    * `d` doubles the IVF oracle already ranks bit-equal. */
+  private def kmeansFitOracle: String =
+    s"""WITH $kmeansCellCtes, $kmeansAssignCte
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |CAST(SUM(CAST(round(d * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_d2_micro,
+       |CAST(SUM(CAST(round(d * 1000000.0) AS BIGINT)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_d2
+       |FROM kfa GROUP BY cell""".stripMargin.replace("\n", " ")
+
+  /** Per-cell (xxh64(vec_id), vec_id)-ranked top-8: the `ivh` hash CTE
+    * the sample ordering already re-derives, ranked within the
+    * assignment cells instead of globally. */
+  private def clusterSampleOracle: String =
+    s"""WITH $kmeansCellCtes, $kmeansAssignCte,
+       |ksr AS (SELECT a.cell, a.vec_id, row_number() OVER (PARTITION BY a.cell ORDER BY h.hs ASC, a.vec_id ASC) AS rk FROM kfa a JOIN ivh h ON h.vec_id = a.vec_id)
+       |SELECT CAST(cell AS BIGINT) AS cell, vec_id, CAST(rk AS BIGINT) AS rk
+       |FROM ksr WHERE rk <= 8""".stripMargin.replace("\n", " ")
+
   private def annBruteOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 10),
@@ -1719,6 +1744,23 @@ object PipelineQueries {
       (s, d) => Similarity.pcaVariance(t(s, d, "embeddings"), "embedding",
         dim = 64),
       Some(pcaVarianceOracle)),
+    // Standalone k-means fit diagnostics: per-cell size + exact-long
+    // inertia (1e-6 grid) over the same trainer/assignment contract
+    // IVF and SemDeDup embed — the oracle re-runs Lloyd's in SQL
+    // (kmeansCellCtes), so the hash pins train + assign + scatter.
+    Q("emb_kmeans_fit",
+      (s, d) => Similarity.kmeansFitStats(t(s, d, "embeddings"), "vec_id",
+        "embedding").orderBy("cell"),
+      Some(kmeansFitOracle)),
+    // Cluster-balanced sampling (uniform over semantic clusters, not
+    // rows): perCell=8 per k-means cell by (xxhash64, id) order, via
+    // the bounded-heap top-k aggregate at constant score — shuffle
+    // ≤ perCell·nlist·partitions rows, never the corpus. The oracle
+    // re-derives assignment AND the xxh64 ranking.
+    Q("emb_cluster_sample",
+      (s, d) => Similarity.clusterBalancedSample(t(s, d, "embeddings"),
+        "vec_id", "embedding").orderBy("cell", "rk"),
+      Some(clusterSampleOracle)),
     // D4-style density pruning: degree in the 0.4-cosine graph, keep
     // iff ≤ 1 near-neighbor — the oracle wraps the full cosinePairs
     // re-derivation, so the hash pins LSH + degree count + decision.
@@ -2575,6 +2617,25 @@ object PipelineQueries {
              |(c - CAST(sp AS DOUBLE) / np) / sqrt(CAST(sq AS DOUBLE) / np - (CAST(sp AS DOUBLE) / np) * (CAST(sp AS DOUBLE) / np)) AS z
              |FROM rsw WHERE np >= 30 AND CAST(sq AS DOUBLE) / np - (CAST(sp AS DOUBLE) / np) * (CAST(sp AS DOUBLE) / np) > 0)
              |WHERE z > 3.0""".stripMargin.replace("\n", " "))),
+    // EWMA of the hourly rate, one series per event type — the
+    // geometric-decay counterpart of ev_rate_spikes' windowed z
+    // (hourly grid: at this corpus density per-minute counts are
+    // almost surely 1, which would make the fold a tautology). The
+    // fold is SEQUENCED over the bucket-sorted counts (α = 0.25,
+    // exactly representable), so DuckDB's list_reduce replays the
+    // identical double chain bit-for-bit; the (key, bucket) frame is
+    // counted map-side and assert_true'd against maxPoints before any
+    // collect_list runs (the rateSpikes guard contract —
+    // ProfilingSpec drives the guard).
+    Q("ev_ewma",
+      (s, d) => operators.Profiling.ewmaRate(events(s, d), col("ts_s"),
+          col("event_type"), bucketSec = 3600)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"),
+      Some("""WITH ewm AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |ewl AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY bucket ASC) AS l FROM ewm GROUP BY event_type)
+             |SELECT event_type, CAST(len(l) AS BIGINT) AS n_buckets,
+             |CAST(list_reduce(l, (s, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * s) AS DOUBLE) AS ewma
+             |FROM ewl""".stripMargin.replace("\n", " "))),
     // Top session paths (the product-analytics "user journey" rollup):
     // the ev_sessionize segmentation, each session's ordered type
     // sequence folded to a path string (array_sort on (ts_s, id, type)
@@ -3566,6 +3627,49 @@ object PipelineQueries {
       |CASE WHEN tdg.d >= 2 THEN (2000 * COALESCE(tpv.n_tri, 0)) // (tdg.d * (tdg.d - 1)) ELSE 0 END AS cc_permille
       |FROM tdg LEFT JOIN tpv ON tpv.id = tdg.u ORDER BY part_id""".stripMargin.replace("\n", " ")
 
+  private val KhopHops = 3
+
+  /** Personalized-PageRank oracle: the [[pageRankOracle]] unrolled-CTE
+    * chain with the teleport base gated on the seed predicate (the
+    * same part_id ≡ 0 mod 50 set graph_khop expands) — r0 is 1e6 on
+    * seeds / 0 elsewhere, each round adds 150000 only on seeds. */
+  private val pprOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "ed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb AS u, pa AS v FROM prs), "
+    sb ++= "dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY u), "
+    sb ++= "r0 AS (SELECT u AS id, CAST(CASE WHEN u % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM dg), "
+    (1 to PrIters).foreach { i =>
+      sb ++= s"r$i AS (SELECT e.v AS id, CAST(CASE WHEN e.v % 50 = 0 THEN 150000 ELSE 0 END AS BIGINT) + (85 * CAST(SUM(p.r // dg.d) AS BIGINT)) // 100 AS r " +
+        s"FROM ed e JOIN r${i - 1} p ON p.id = e.u JOIN dg ON dg.u = e.u GROUP BY e.v), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT id AS part_id, r AS rank_micro FROM r$PrIters"
+    sb.result()
+  }
+
+  /** Connected-components oracle: min reachable id per vertex via the
+    * recursive closure (the semDedup `sdr` idiom over the co-purchase
+    * edges). */
+  private val componentsOracle: String =
+    """WITH RECURSIVE bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ged AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+      |gvv AS (SELECT DISTINCT u FROM ged),
+      |gcr(u, r) AS (SELECT u, u FROM gvv UNION SELECT e.u, p.r FROM ged e JOIN gcr p ON p.u = e.v)
+      |SELECT u AS part_id, MIN(r) AS component_id, (MIN(r) = u) AS is_min
+      |FROM gcr GROUP BY u""".stripMargin.replace("\n", " ")
+
+  private val bfsOracle: String =
+    s"""WITH RECURSIVE bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+       |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |bed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+       |bsd AS (SELECT DISTINCT u FROM bed WHERE u % 50 = 0),
+       |bfs(u, h) AS (SELECT u, 0 FROM bsd
+       |UNION SELECT e.v, p.h + 1 FROM bed e JOIN bfs p ON p.u = e.u WHERE p.h < $KhopHops)
+       |SELECT u AS part_id, CAST(MIN(h) AS BIGINT) AS hops FROM bfs GROUP BY u""".stripMargin.replace("\n", " ")
+
   private val graph = Vector(
     Q("graph_pagerank",
       (s, d) => operators.Graph.pageRank(copurchaseEdges(s, d), "pa", "pb",
@@ -3580,6 +3684,41 @@ object PipelineQueries {
       (s, d) => operators.Graph.triangleCounts(copurchaseEdges(s, d), "pa", "pb")
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(triangleOracle)),
+    // Multi-source BFS: hop distance from the seed set (part_id ≡ 0
+    // mod 50) within 3 hops — level-synchronous frontier expansion
+    // (one edge equi-join + anti-join per round, integer hops), the
+    // blast-radius query of contamination tracing. The oracle is the
+    // textbook recursive CTE over the same co-purchase edges; MIN(h)
+    // ≡ the BFS layer a vertex first enters the frontier.
+    Q("graph_khop",
+      (s, d) => operators.Graph.bfsHops(copurchaseEdges(s, d), "pa", "pb",
+        id => id % 50 === 0, maxHops = KhopHops)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(bfsOracle)),
+    // Personalized PageRank from the SAME seed set graph_khop expands:
+    // the soft blast radius (0.85-per-hop decay summed over all paths)
+    // beside the hard 3-hop horizon — exact integer micro-units, so
+    // the oracle replays all 10 rounds as unrolled CTEs.
+    Q("graph_ppr",
+      (s, d) => operators.Graph.personalizedPageRank(copurchaseEdges(s, d),
+        "pa", "pb", id => id % 50 === 0, iterations = PrIters)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(pprOracle)),
+    // Connected components of the co-purchase graph as first-class
+    // surface (the same pointer-jumping resolution dedup_clusters
+    // applies to near-dup pairs, here over relational edges): min
+    // member id as the component label, log-diameter rounds.
+    Q("graph_components",
+      (s, d) => {
+        val e = copurchaseEdges(s, d)
+        val verts = e.select(col("pa").as("part_id"))
+          .union(e.select(col("pb").as("part_id"))).distinct()
+        operators.Dedup.connectedComponents(verts, "part_id", e, "pa", "pb")
+          .withColumnRenamed("cluster_id", "component_id")
+          .withColumnRenamed("keep", "is_min")
+          .orderBy("part_id")
+      },
+      Some(componentsOracle)),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

@@ -303,4 +303,51 @@ object Profiling {
       .filter(col("z") > zThreshold)
       .select("minute", "c", "z")
   }
+
+  /** Exponentially-weighted moving average of the per-bucket event
+    * rate, one series per `keyCol`: `(key, n_buckets, ewma)` where
+    * ewma = the EWMA of the OBSERVED-bucket counts in time order
+    * (s₁ = x₁; sₜ = α·xₜ + (1−α)·sₜ₋₁) — the smoothed current-rate
+    * estimate an alerting threshold compares against (the
+    * counterpart of [[rateSpikes]]' windowed z: EWMA weights decay
+    * geometrically instead of cutting off at a lookback edge).
+    * `bucketSec` sets the grid (60 = per-minute spikes-style series;
+    * 3600 = the hourly rate a capacity dashboard smooths).
+    *
+    * Determinism: the fold is SEQUENCED over the bucket-sorted count
+    * array (ascending-index `aggregate`), so with α exactly
+    * representable (default 0.25) the doubles are bit-identical on
+    * any partitioning and reproducible by any engine folding the same
+    * order (DuckDB `list_reduce` — the sequenced-fold contract the
+    * PCA oracle established).
+    *
+    * Bounds: the per-key series is collected into one array, bounded
+    * by the corpus TIME RANGE (buckets, not rows) × one entry per
+    * observed bucket — the [[rateSpikes]] frame contract, enforced by
+    * the same in-plan guard: the TOTAL (key, bucket) frame is counted
+    * map-side and assert_true'd against `maxPoints` before any
+    * collect_list runs. A decades-wide or per-millisecond series
+    * fails loudly; a genuinely wider grid raises the cap
+    * deliberately. */
+  def ewmaRate(df: DataFrame, tsSec: Column, keyCol: Column,
+      alpha: Double = 0.25, bucketSec: Int = 60,
+      maxPoints: Long = 1L << 20): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"ewmaRate: alpha must be in (0, 1), got $alpha")
+    require(bucketSec >= 1, s"ewmaRate: bucketSec must be >= 1, got $bucketSec")
+    require(maxPoints > 0, "ewmaRate: maxPoints must be positive")
+    val m = df.groupBy(keyCol.as("key"),
+        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val guarded = guardedCardinality(m, maxPoints, "ewmaRate",
+      "(key, bucket)", "maxPoints")
+    guarded.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
+        .as("__pts"))
+      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
+      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
+        expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), __l[0], " +
+          s"(s, x) -> CAST($alpha AS DOUBLE) * x + CAST(${1.0 - alpha} AS DOUBLE) * s)")
+          .as("ewma"))
+  }
 }

@@ -184,21 +184,30 @@ object Similarity {
     * O(n²). Exact cosine re-ranks candidates through the native top-k
     * aggregate. Recall/cost tune via nlist (cell size ≈ N/nlist) and
     * nProbe, independent of corpus scale. */
+  /** Corpus-trained centroids on the deterministic UNIFORM sample:
+    * order by a content hash of the id and take the first
+    * `trainSample` — TakeOrderedAndProject keeps only trainSample rows
+    * per partition before the driver merge, so this scales like
+    * limit() but samples the whole corpus instead of a file-prefix (a
+    * limit() sample is biased toward whatever happens to sort first on
+    * disk — e.g. one source's documents). Shared by [[ivfTopK]],
+    * [[semanticDedup]], and the standalone k-means fit/sample
+    * operators so all four ride ONE trainer contract (and one oracle
+    * re-derivation, the kmeansCellCtes chain in PipelineQueries). */
+  def trainedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, trainSample: Int): Array[Array[Double]] = {
+    val train = corpus.select(asDouble(col(vecCol)), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+    fitCentroids(train, nlist)
+  }
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
       trainSample: Int = 4096): DataFrame = {
     import graft.functions.TopKAggregate.topK
     require(nProbe <= nlist)
-    // Deterministic UNIFORM sample: order by a content hash of the id
-    // and take the first trainSample — TakeOrderedAndProject keeps only
-    // trainSample rows per partition before the driver merge, so this
-    // scales like limit() but samples the whole corpus instead of a
-    // file-prefix (a limit() sample is biased toward whatever happens
-    // to sort first on disk — e.g. one source's documents).
-    val train = corpus.select(asDouble(col(vecCol)), col(idCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = fitCentroids(train, nlist)
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nlist, trainSample)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("__d", centroidDists(col("cv"), centroids))
@@ -250,10 +259,7 @@ object Similarity {
       threshold: Double, nlist: Int = 16, trainSample: Int = 4096,
       nProbe: Int = 1): DataFrame = {
     require(nProbe >= 1 && nProbe <= nlist, s"nProbe must be in [1, $nlist]")
-    val train = corpus.select(asDouble(col(vecCol)), col(idCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSample)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = fitCentroids(train, nlist)
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nlist, trainSample)
     val withD = corpus
       .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__d", centroidDists(col("__v"), centroids))
@@ -578,5 +584,80 @@ object Similarity {
     import spark.implicits._
     Seq((lambda, trace, lambda / trace.toDouble))
       .toDF("lambda", "trace_scaled", "var_explained")
+  }
+
+  // =====================================================================
+  // Standalone k-means: corpus assignment, fit diagnostics, and
+  // cluster-balanced sampling (the curation ops SemDeDup/IVF embed)
+  // =====================================================================
+
+  /** Every corpus row's k-means cell and squared distance to its
+    * centroid: `(idCol, cell, d2)` with cells 0-based (ties break to
+    * the lowest cell — the same ranked-argmin contract IVF and
+    * SemDeDup assign with). The trainer is [[trainedCentroids]] —
+    * bounded driver sample, centroids shipped as literals — so the
+    * assignment itself is a map-only, codegen'd argmin over `nlist`
+    * dots: one corpus scan, NO shuffle, at any corpus scale. */
+  def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, trainSample: Int = 4096): DataFrame = {
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nlist, trainSample)
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__d", centroidDists(col("__v"), centroids))
+      .select(col(idCol),
+        (array_position(col("__d"), array_min(col("__d"))) - 1L)
+          .cast("long").as("cell"),
+        array_min(col("__d")).as("d2"))
+  }
+
+  /** K-means fit diagnostics per cell: `(cell, n, sum_d2_micro,
+    * mean_d2)` — the cluster-size balance and within-cluster scatter
+    * (inertia) every curation decision reads before trusting cell
+    * boundaries (skewed cells ⇒ retrain with more centroids; a huge
+    * mean_d2 cell is "everything else" noise). Distances are rounded
+    * to the 1e-6 grid and summed as EXACT longs (the
+    * emb_label_centroid convention), so the per-cell inertia is
+    * order- and partition-invariant and hashes identically
+    * cross-engine; mean_d2 is the single final double division.
+    * Shape: one map-only assignment scan + one `nlist`-row groupBy —
+    * the shuffle carries nlist×partitions rows regardless of corpus
+    * size. */
+  def kmeansFitStats(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, trainSample: Int = 4096,
+      scale: Long = 1000000L): DataFrame =
+    kmeansCells(corpus, idCol, vecCol, nlist, trainSample)
+      .withColumn("__d2m", round(col("d2") * scale).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("__d2m")).as("sum_d2_micro"))
+      .select(col("cell"), col("n"), col("sum_d2_micro"),
+        (col("sum_d2_micro").cast("double") /
+          (col("n").cast("double") * lit(scale.toDouble))).as("mean_d2"))
+
+  /** Cluster-balanced sample: `perCell` rows from EVERY k-means cell,
+    * chosen by content hash — the diversity-sampling primitive
+    * (uniform over semantic clusters, not over rows, so a corpus that
+    * is 90% one topic contributes that topic's share of clusters, not
+    * 90% of the sample). Output `(cell, idCol, rk)`, rk 1-based in
+    * (xxhash64(id), id) order within the cell.
+    *
+    * Scale shape: selection rides [[graft.functions.TopKAggregate]]
+    * at CONSTANT score with the (hash, id) struct as the tie-break —
+    * each partition keeps a bounded perCell-element heap per cell, so
+    * the shuffle carries ≤ perCell×nlist×partitions rows instead of
+    * the whole corpus (the row_number-window formulation would ship
+    * every row to nlist reducers — exactly the skew the aggregate
+    * exists to avoid; SimilaritySpec pins the two formulations
+    * equal). */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      perCell: Int = 8, nlist: Int = 16, trainSample: Int = 4096): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    kmeansCells(corpus, idCol, vecCol, nlist, trainSample)
+      .groupBy("cell")
+      .agg(topK(lit(0.0),
+        struct(xxhash64(col(idCol)), col(idCol)), col(idCol), perCell).as("__top"))
+      .select(col("cell"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("cell"), col("__e.payload").as(idCol),
+        (col("__pos") + 1L).cast("long").as("rk"))
   }
 }

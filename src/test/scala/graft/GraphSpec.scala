@@ -75,4 +75,71 @@ class GraphSpec extends SparkSpec {
       edges.repartition(7, col("pb")).sortWithinPartitions(desc("pa")), "pa", "pb"))
     assert(re == got)
   }
+
+  test("personalizedPageRank: single iteration matches the hand-computed update") {
+    // seed {3}: r0 = (0, 0, 1e6, 0); contrib(3) = 1e6 div 3 = 333333;
+    // r1(1) = r1(2) = r1(4) = 0 + 85·333333 div 100 = 283333;
+    // r1(3) = 150000 + 85·0 div 100 = 150000 (its neighbors hold 0)
+    val r = ranks(Graph.personalizedPageRank(edges, "pa", "pb",
+      id => id === 3L, iterations = 1))
+    assert(r == Map(1L -> 283333L, 2L -> 283333L, 3L -> 150000L, 4L -> 283333L),
+      s"hand-computed PPR round mismatch: $r")
+  }
+
+  test("personalizedPageRank: seed-proximity order and partitioning invariance") {
+    val r = ranks(Graph.personalizedPageRank(edges, "pa", "pb", id => id === 3L))
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r(3L) > r(1L) && r(3L) > r(4L), "the seed holds the most mass")
+    assert(r(1L) == r(2L), "automorphic spokes tie exactly")
+    assert(r(1L) > r(4L),
+      "two-path spokes outrank the single-path pendant under seed teleport")
+    val re = ranks(Graph.personalizedPageRank(
+      edges.repartition(5, col("pa")).sortWithinPartitions(desc("pb")),
+      "pa", "pb", id => id === 3L))
+    assert(re == r, "integer PPR must be partitioning-invariant")
+  }
+
+  test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
+    // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val got = Graph.bfsHops(path, "pa", "pb", id => id === 1L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"expected the path layering without vertex 5, got $got")
+  }
+
+  test("bfsHops: minimum hop wins on a diamond, seeds stay at 0") {
+    // diamond 1-2, 1-3, 2-4, 3-4 plus a long detour 2-5, 5-4: vertex 4
+    // is reachable in 2 (via 2 or 3) and in 3 (via 5) — MUST report 2
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (2L, 5L), (5L, 4L))
+      .toDF("pa", "pb")
+    val got = Graph.bfsHops(g, "pa", "pb", id => id === 1L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops: randomized model check against driver-side BFS") {
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val es = (0 until 60).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val maxHops = 1 + rng.nextInt(3)
+      val got = Graph.bfsHops(es.toDF("pa", "pb"), "pa", "pb",
+        id => id % 7 === 0, maxHops).as[(Long, Long)].collect().toMap
+      // reference: plain queue BFS over the adjacency map
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = scala.collection.mutable.Map[Long, Long]()
+      var frontier = verts.filter(_ % 7 == 0).toSet
+      frontier.foreach(v => want(v) = 0L)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+          .filterNot(want.contains)
+        frontier.foreach(v => want(v) = h.toLong)
+      }
+      assert(got == want.toMap,
+        s"trial $trial (maxHops=$maxHops): got $got, want $want")
+    }
+  }
 }

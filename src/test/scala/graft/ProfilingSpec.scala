@@ -186,6 +186,39 @@ class ProfilingSpec extends SparkSpec {
       .collect().isEmpty) // constant series: var = 0 everywhere
   }
 
+  test("ewmaRate: hand-computed sequenced fold, partition invariance") {
+    // key "a": minutes 0,1,2 with counts 2,4,8 →
+    // s1=2, s2=.25·4+.75·2=2.5, s3=.25·8+.75·2.5=3.875 (all exact
+    // binary); key "b": one minute with 3 events → ewma = 3.0
+    val rows = Seq.tabulate(2)(i => ("a", 0L + i)) ++
+      Seq.tabulate(4)(i => ("a", 60L + i)) ++
+      Seq.tabulate(8)(i => ("a", 120L + i)) ++
+      Seq.tabulate(3)(i => ("b", 0L + i))
+    val df = rows.toDF("k", "ts_s")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profiling.ewmaRate(d, col("ts_s"), col("k"))
+        .as[(String, Long, Double)].collect().toSet
+    val got = run(df)
+    assert(got == Set(("a", 3L, 3.875), ("b", 1L, 3.0)), s"got $got")
+    assert(run(df.repartition(7, col("ts_s"))) == got,
+      "EWMA must not depend on partitioning")
+  }
+
+  test("ewmaRate: point frame wider than maxPoints fails loudly (guarded collect)") {
+    val wide = (0L until 50L).map(m => m * 60L).toDF("ts_s")
+    val e = intercept[Throwable] {
+      Profiling.ewmaRate(wide, col("ts_s"), lit("all"), maxPoints = 10L).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("ewmaRate")),
+      s"expected the ewmaRate point-bound error, got: ${messages.mkString(" | ")}")
+    // a constant series folds to its constant once the cap is raised
+    val ok = Profiling.ewmaRate(wide, col("ts_s"), lit("all"), maxPoints = 50L)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(ok == Seq(("all", 50L, 1.0)))
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,

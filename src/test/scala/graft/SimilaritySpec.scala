@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Similarity
 
 /** Pins for the ANN operators (rows-only at the driver): cosine math
@@ -287,5 +289,45 @@ class SimilaritySpec extends SparkSpec {
     // ~1e-7 relative residual; 1e-5 asserts convergence with margin
     assert(resid <= 1e-5 * lambda,
       s"power iteration not converged: residual $resid vs λ $lambda")
+  }
+
+  test("kmeansFitStats: sizes partition the corpus, inertia is exact and partition-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stats = Similarity.kmeansFitStats(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stats.map(_._2).sum == emb.count(),
+      "cell sizes must partition the corpus")
+    assert(stats.forall(s => s._1 >= 0 && s._1 < 16), "cells are 0-based < nlist")
+    assert(stats.forall(s => s._4 == s._3.toDouble / (s._2.toDouble * 1e6)),
+      "mean_d2 must be the single final division of the exact long sum")
+    val re = Similarity.kmeansFitStats(
+      emb.repartition(7, col("vec_id")), "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(re.sortBy(_._1) == stats.sortBy(_._1),
+      "exact-long inertia must be partition-invariant")
+  }
+
+  test("clusterBalancedSample: per-cell cap, assignment-consistent, equals the window formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val perCell = 5
+    val got = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      perCell = perCell).as[(Long, Long, Long)].collect().toSeq
+    val byCell = got.groupBy(_._1)
+    assert(byCell.values.forall(_.size <= perCell), "per-cell cap respected")
+    assert(byCell.values.forall(g => g.map(_._3).sorted == (1 to g.size).map(_.toLong)),
+      "ranks are dense 1..n within each cell")
+    // every sampled row carries its true k-means cell
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got.forall(r => cells(r._2) == r._1), "sample rows keep their cell")
+    // the bounded-heap aggregate must equal the row_number formulation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+    val want = Similarity.kmeansCells(emb, "vec_id", "embedding")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select("cell", "vec_id", "rk").as[(Long, Long, Long)].collect().toSeq
+    assert(got.sorted == want.sorted,
+      "topK-aggregate sample must equal the window formulation")
   }
 }
