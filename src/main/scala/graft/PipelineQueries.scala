@@ -1177,6 +1177,21 @@ object PipelineQueries {
       Some(s"""WITH vt AS (SELECT unnest($ToksSql) AS token FROM documents)
              |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM vt
              |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin.replace("\n", " "))),
+    // per-document top-5 TF-IDF terms (keyword extraction — the
+    // document side of bm25TopK's query side): rational log-free idf
+    // (N+1)/(df+1), exact integer counts with one divide + one
+    // multiply in the same order both engines, ranks via the
+    // bounded-heap top-k aggregate (map-side ≤ k rows per doc)
+    Q("doc_tfidf_topk",
+      (s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id",
+        "text", k = 5).orderBy("doc_id", "rank"),
+      Some(s"""WITH tft AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest($ToksSql) AS w FROM documents) GROUP BY 1, 2),
+             |tdf AS (SELECT term, COUNT(*) AS df FROM tft GROUP BY term),
+             |tn AS (SELECT COUNT(*) AS n FROM documents),
+             |tsc AS (SELECT f.doc_id, f.term, CAST(f.tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf FROM tft f JOIN tdf USING (term) CROSS JOIN tn)
+             |SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rank FROM (
+             |SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk FROM tsc)
+             |WHERE rnk <= 5""".stripMargin.replace("\n", " "))),
     // one round of BPE merge-candidate counting (the tokenizer-fit
     // step): adjacent char pairs weighted by DISTINCT-word frequency —
     // the explode is vocabulary-bounded, not corpus-bounded
@@ -3649,6 +3664,26 @@ object PipelineQueries {
     sb.result()
   }
 
+  private val LpaRounds = 3
+
+  /** Synchronous label-propagation oracle: `LpaRounds` unrolled rounds
+    * of (vertex, neighbor-label) counts + the (count DESC, label ASC)
+    * argmax — the pageRankOracle unrolling idiom applied to LPA. */
+  private val lpaOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "led AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb AS u, pa AS v FROM prs), "
+    sb ++= "l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM led), "
+    (1 to LpaRounds).foreach { i =>
+      sb ++= s"c$i AS (SELECT e.u, p.lbl, COUNT(*) AS c FROM led e JOIN l${i - 1} p ON p.id = e.v GROUP BY e.u, p.lbl), "
+      sb ++= s"l$i AS (SELECT u AS id, lbl FROM (SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT id AS part_id, lbl AS community_id FROM l$LpaRounds"
+    sb.result()
+  }
+
   /** Connected-components oracle: min reachable id per vertex via the
     * recursive closure (the semDedup `sdr` idiom over the co-purchase
     * edges). */
@@ -3719,6 +3754,18 @@ object PipelineQueries {
           .orderBy("part_id")
       },
       Some(componentsOracle)),
+    // Synchronous label-propagation communities (3 fixed rounds,
+    // most-frequent neighbor label, ties to smallest): density-local
+    // structure where components only see reachability — one bridge
+    // edge merges two CC components but LPA keeps knit sides apart.
+    // Deterministic by construction (fixed rounds, total argmax), so
+    // the oracle unrolls the identical rounds.
+    Q("graph_labelprop",
+      (s, d) => operators.Graph.labelPropagation(copurchaseEdges(s, d),
+        "pa", "pb", rounds = LpaRounds)
+        .select(col("id").as("part_id"), col("__lbl").as("community_id"))
+        .orderBy("part_id"),
+      Some(lpaOracle)),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

@@ -189,6 +189,57 @@ object Graph {
     } finally edgesDeg.unpersist()
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
+    * fixed iterations: every vertex starts labeled with its own id
+    * and each round adopts the MOST FREQUENT label among its
+    * neighbors, ties to the smallest label — community detection by
+    * local density, vs [[graft.operators.Dedup.connectedComponents]]
+    * which only sees reachability (one bridge edge merges two CC
+    * components; LPA keeps densely-knit sides apart). Fixed rounds +
+    * integer labels + a total (count DESC, label ASC) argmax make the
+    * result deterministic and partitioning-invariant — free-running
+    * LPA is famously order-sensitive; this is the synchronous
+    * derandomization, re-derivable round-by-round by any engine.
+    *
+    * Scale shape: each round is one edge⋈labels join and TWO
+    * aggregations — (vertex, label) counts, then a per-vertex argmax
+    * via ONE `max(struct(count, −label))` (no window: the argmax
+    * rides hash aggregation with map-side partials, so the shuffle
+    * carries candidate labels, not neighbor lists). Per-round
+    * localCheckpoint with previous-round freeing, the [[pageRank]]
+    * lineage discipline. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("__u"), col(bCol).as("__v")),
+        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("__u").as("id")).distinct()
+        .withColumn("__lbl", col("id"))
+        .localCheckpoint(true)
+      var prev = labels
+      for (_ <- 1 to rounds) {
+        val next = edges
+          .join(labels, edges("__v") === labels("id"))
+          .groupBy(col("__u"), col("__lbl"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("__u"))
+          .agg(max(struct(col("__c"), (-col("__lbl")).as("__nl"))).as("__m"))
+          .select(col("__u").as("id"), (-col("__m.__nl")).as("__lbl"))
+          .localCheckpoint(true)
+        Caching.freeLocalCheckpoint(prev)
+        prev = next
+        labels = next
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** Multi-source BFS hop distance over the undirected graph
     * `pairs(aCol, bCol)`: every vertex reachable within `maxHops` of a
     * seed gets `(id, hops)` with hops = its MINIMUM hop count (seeds

@@ -775,4 +775,42 @@ object TextAnalysis {
           .as("mean_tok_freq"),
         sum(when(col("__cnt") <= rareMax, col("__tf")).otherwise(0L)).as("n_rare"))
   }
+
+  /** Per-document top-k TF-IDF terms — keyword extraction, the
+    * per-doc topical summary a curation pipeline indexes or clusters
+    * on (bm25TopK is the QUERY side: given terms, rank docs; this is
+    * the DOCUMENT side: given a doc, rank its terms). Output:
+    * `(idCol, term, tfidf, rank)`, k rows per document.
+    *
+    * Scoring is the rational log-free idf the BM25 operator
+    * established: `tfidf = tf · ((N+1)/(df+1))` — exact integer
+    * counts, ONE double divide and ONE multiply in the same order in
+    * any engine, so scores (and the (score DESC, term ASC)
+    * tie-break) are cross-engine bit-stable.
+    *
+    * Scale shape: explode → (doc, term) counts; document frequency
+    * is the one vocabulary-wide shuffle (term-keyed — the vocabulary
+    * is Heaps-law sublinear in the corpus); N is a 1-row broadcast.
+    * The per-doc top-k rides [[graft.functions.TopKAggregate]]'s
+    * bounded heaps: a document's terms are colocated after its
+    * explode, so the map-side partial pass reduces each doc to ≤ k
+    * rows before the doc-keyed shuffle — never the full posting
+    * list. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    require(k >= 1, s"tfidfTopTerms: k must be >= 1, got $k")
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("__tfidf", col("__tf").cast(DoubleType) *
+        ((col("__n") + 1L).cast(DoubleType) / (col("__df") + 1L).cast(DoubleType)))
+      .groupBy(col(idCol))
+      .agg(topK(col("__tfidf"), col("term"), col("term"), k).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__e.payload").as("term"),
+        col("__e.score").as("tfidf"), (col("__pos") + 1L).cast(LongType).as("rank"))
+  }
 }

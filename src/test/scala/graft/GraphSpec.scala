@@ -99,6 +99,44 @@ class GraphSpec extends SparkSpec {
     assert(re == r, "integer PPR must be partitioning-invariant")
   }
 
+  test("labelPropagation: one round on a star adopts the min neighbor label") {
+    // star 0-1, 0-2, 0-3: after one round the center sees labels
+    // {1,2,3} all at count 1 → tie to min = 1; each leaf sees only {0}
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("pa", "pb")
+    val got = Graph.labelPropagation(star, "pa", "pb", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $got")
+  }
+
+  test("labelPropagation: randomized model check and partitioning invariance") {
+    val rng = new scala.util.Random(31415L)
+    for (trial <- 1 to 3) {
+      val n = 20
+      val es = (0 until 45).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val rounds = 1 + rng.nextInt(3)
+      val df = es.toDF("pa", "pb")
+      val got = Graph.labelPropagation(df, "pa", "pb", rounds)
+        .as[(Long, Long)].collect().toMap
+      // driver-side synchronous LPA: most frequent neighbor label,
+      // ties to the smallest label
+      val adj = (es ++ es.map(_.swap)).distinct.groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = adj.map { case (v, nbrs) =>
+          val counts = nbrs.map(lbl).groupBy(identity).view.mapValues(_.size)
+          v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      assert(got == lbl, s"trial $trial (rounds=$rounds): got $got want $lbl")
+      val re = Graph.labelPropagation(
+        df.repartition(5, col("pb")).sortWithinPartitions(desc("pa")),
+        "pa", "pb", rounds).as[(Long, Long)].collect().toMap
+      assert(re == got, "LPA must be partitioning-invariant")
+    }
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")

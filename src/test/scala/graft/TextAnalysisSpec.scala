@@ -330,4 +330,21 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(shuffles.isEmpty, s"scan side must not shuffle:\n$planned")
   }
+
+  test("tfidfTopTerms: hand-computed rational idf, rank order, per-doc cap") {
+    // N = 2. tf: d1 {a:2, b:1}; d2 {a:1, c:1}. df: a:2, b:1, c:1.
+    // idf = (N+1)/(df+1): a → 1.0, b/c → 1.5.
+    // scores: d1 a = 2.0, b = 1.5; d2 c = 1.5, a = 1.0.
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 2.0, 1L), (1L, "b", 1.5, 2L),
+      (2L, "c", 1.5, 1L), (2L, "a", 1.0, 2L)), s"got $got")
+    // k caps per doc, and score ties break term-ascending
+    val tie = Seq((1L, "x y")).toDF("doc_id", "text")
+    val t2 = TextAnalysis.tfidfTopTerms(tie, "doc_id", "text", k = 1)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    assert(t2 == Seq((1L, "x", 1.0, 1L)), s"tie must break to 'x': $t2")
+  }
 }
