@@ -96,6 +96,25 @@ object PipelineQueries {
        |SELECT vec_id, list_sum(list_transform(generate_series(1, 64), j -> r[j] * v[j])) AS pc1
        |FROM r, vfin ORDER BY vec_id""".stripMargin.replace("\n", " ")
 
+  /** Two-component deflation oracle: λ₁ from the pinned first fit, the
+    * deflated matrix a₂[i][j] = a[i][j] − λ·v[i]·v[j] as one
+    * left-assoc expression per cell, a SECOND recursive power
+    * iteration on a₂ (identical chain), and both sequenced projection
+    * folds. */
+  private def pcaProject2Oracle: String =
+    s"""WITH RECURSIVE $pcaIterCtes,
+       |avf AS MATERIALIZED (SELECT list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a[i][j] * v[j]))) AS av FROM vfin, amat),
+       |lam AS MATERIALIZED (SELECT sqrt(list_sum(list_transform(av, y -> y * y))) AS lambda FROM avf),
+       |amat2 AS MATERIALIZED (SELECT list_transform(generate_series(1, 64), i -> list_transform(generate_series(1, 64), j -> a[i][j] - lambda * v[i] * v[j])) AS a2 FROM amat, vfin, lam),
+       |it2 AS (SELECT 0 AS t, list_transform(generate_series(1, 64), x -> CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE))) AS v
+       |UNION ALL SELECT t + 1, list_transform(av, x -> x / sqrt(list_sum(list_transform(av, y -> y * y))))
+       |FROM (SELECT t, list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a2[i][j] * v[j]))) AS av
+       |FROM it2, amat2 WHERE t < 100)),
+       |vfin2 AS MATERIALIZED (SELECT v AS w FROM it2 WHERE t = 100)
+       |SELECT vec_id, list_sum(list_transform(generate_series(1, 64), j -> r[j] * v[j])) AS pc1,
+       |list_sum(list_transform(generate_series(1, 64), j -> r[j] * w[j])) AS pc2
+       |FROM r, vfin, vfin2 ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
   /** λ = the sequenced norm of one extra matvec on the final iterate;
     * trace = exact long Σ r_i² (order-free); ratio = one division. */
   private def pcaVarianceOracle: String =
@@ -1752,6 +1771,14 @@ object PipelineQueries {
       (s, d) => Similarity.pcaProject(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64).orderBy("vec_id"),
       Some(pcaProjectOracle)),
+    // two-component projection via Hotelling deflation: A₂ = A −
+    // λ₁v₁v₁ᵀ on the driver, a second sequenced power iteration, both
+    // folds in one scan — the oracle runs the SECOND recursive CTE on
+    // the deflated matrix and the hash pins (pc1, pc2) bit-for-bit
+    Q("emb_pca_project2",
+      (s, d) => Similarity.pcaProject2(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64).orderBy("vec_id"),
+      Some(pcaProject2Oracle)),
     // the fit diagnostic: top eigenvalue, exact gram trace, and
     // variance-explained — the number that decides how many components
     // a reduction keeps; single row, cross-engine exact

