@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming EWMA of the per-bucket event rate — the continuous twin
+  * of the batch [[graft.operators.Profiling.ewmaRate]] fold, and the
+  * one streaming shape none of the window twins cover: CUMULATIVE
+  * sequential state (sₜ depends on every prior bucket, not a
+  * watermark-bounded window), carried across micro-batches in a
+  * versioned state snapshot.
+  *
+  * Why stream ≡ batch holds: the windowed count stage emits a bucket
+  * only when the watermark passes its end (Append mode), and the
+  * watermark is monotone — so batches finalize disjoint,
+  * non-decreasing bucket ranges. Folding each batch's buckets in
+  * (key, bucket) order on top of the carried state therefore replays
+  * EXACTLY the batch fold's order, and the doubles are bit-identical
+  * (same α literals, same sequenced `aggregate`). The monotonicity
+  * that argument rests on is asserted IN-PLAN, not assumed: a batch
+  * whose minimum new bucket does not exceed the carried last_bucket
+  * fails loudly (it would mean out-of-contract reordering, and a
+  * silent mis-fold).
+  *
+  * Exactly-once protocol (the [[DedupStream]]/[[CdcStream]] family,
+  * applied to a SNAPSHOT instead of an append-only index): each batch
+  * writes the FULL state — one small row per key — to
+  * `stateDir/b=<id>` (overwrite-by-batch-id), reading the newest
+  * COMMITTED version strictly below its own id, so the at-least-once
+  * replay of checkpoint recovery recomputes the identical snapshot
+  * and rewrites the same files. Versions below id−1 are pruned after
+  * the write — id−1 itself must survive because the crash window
+  * (sink written, checkpoint not committed) replays batch id, which
+  * reads id−1. State size is one row per key — a capacity dashboard's
+  * key space, not the event volume.
+  *
+  * The reference engine is batch-only over static CSVs
+  * (/root/reference/sqlengine.py; SURVEY.md §2.9); extension
+  * surface. */
+object EwmaStream {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed state versions (`b=<id>` with `_SUCCESS`) under `dir`. */
+  private def committed(spark: SparkSession, dir: String): Seq[Long] = {
+    val path = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(path)) Seq.empty
+    else f.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("b="))
+      .flatMap(_.stripPrefix("b=").toLongOption)
+      .filter(v => f.exists(new Path(s"$dir/b=$v/_SUCCESS")))
+  }
+
+  private def emptyState(batch: DataFrame): DataFrame =
+    batch.select(col("key")).filter(lit(false))
+      .withColumn("last_bucket", lit(0L))
+      .withColumn("n_buckets", lit(0L))
+      .withColumn("ewma", lit(0.0))
+
+  /** The standing state as of versions STRICTLY BELOW `belowBatch` —
+    * the replay-safe view (a replayed batch never reads its own
+    * earlier half-written snapshot). */
+  def stateSoFar(spark: SparkSession, stateDir: String, belowBatch: Long,
+      empty: DataFrame): DataFrame =
+    committed(spark, stateDir).filter(_ < belowBatch).maxOption match {
+      case None => empty
+      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
+    }
+
+  /** The latest committed state — the consumer read. Throws when no
+    * batch has committed (no schema to fabricate). */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    committed(spark, stateDir).maxOption match {
+      case None => throw new IllegalStateException(
+        s"no committed EWMA state under $stateDir")
+      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
+    }
+
+  /** Finalized per-(key, bucket) counts: tumbling `bucketSec` windows
+    * in Append mode behind a watermark — rows reach the fold only
+    * once their bucket can no longer change. `bucket` is the same
+    * epoch-seconds-div-bucketSec grid the batch
+    * [[graft.operators.Profiling.ewmaRate]] groups on (tumbling
+    * windows align to epoch multiples of the width, so the division
+    * is exact). */
+  def bucketCounts(events: DataFrame, keyCol: String,
+      bucketSec: Int = 3600, delay: String = "10 minutes"): DataFrame = {
+    require(bucketSec >= 1, s"bucketSec must be >= 1, got $bucketSec")
+    events
+      .withWatermark("event_time", delay)
+      .groupBy(col(keyCol).as("key"),
+        window(col("event_time"), s"$bucketSec seconds"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("key"),
+        (col("window.start").cast("long") / bucketSec).cast("long").as("bucket"),
+        col("c"))
+  }
+
+  /** One foreachBatch step, public so a spec can drive replay and
+    * crash injection directly: fold batch `id`'s finalized buckets
+    * onto the carried state and commit snapshot `b=<id>`. Idempotent
+    * by construction — see the object doc. */
+  def foldBatch(batch: DataFrame, id: Long, stateDir: String,
+      alpha: Double = 0.25): Unit = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"EwmaStream: alpha must be in (0, 1), got $alpha")
+    val spark = batch.sparkSession
+    val prev = stateSoFar(spark, stateDir, id, emptyState(batch))
+    val a = alpha
+    val b = 1.0 - alpha
+    val pts = batch.groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
+        .as("__pts"))
+      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
+      .withColumn("__minb", expr("__pts[0].bucket"))
+      .withColumn("__maxb", expr("__pts[size(__pts) - 1].bucket"))
+      .withColumn("__m", size(col("__pts")).cast("long"))
+    val folded = pts.join(prev, Seq("key"), "full_outer")
+      // the ordering contract the bit-equality argument rests on:
+      // every new bucket must land after the carried frontier
+      .filter(assert_true(
+        col("__minb").isNull || col("last_bucket").isNull ||
+          col("__minb") > col("last_bucket"),
+        concat(lit("EwmaStream: batch bucket "), col("__minb"),
+          lit(" not after carried last_bucket "), col("last_bucket"),
+          lit(" for key "), col("key"),
+          lit(" — finalized windows regressed; state would mis-fold")))
+        .isNull)
+      .select(
+        col("key"),
+        coalesce(col("__maxb"), col("last_bucket")).as("last_bucket"),
+        (coalesce(col("n_buckets"), lit(0L)) + coalesce(col("__m"), lit(0L)))
+          .as("n_buckets"),
+        when(col("__m").isNull, col("ewma"))
+          .when(col("n_buckets").isNull,
+            expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), __l[0], " +
+              s"(s, x) -> CAST($a AS DOUBLE) * x + CAST($b AS DOUBLE) * s)"))
+          .otherwise(
+            expr(s"aggregate(__l, ewma, " +
+              s"(s, x) -> CAST($a AS DOUBLE) * x + CAST($b AS DOUBLE) * s)"))
+          .as("ewma"))
+    folded.write.mode("overwrite").parquet(s"$stateDir/b=$id")
+    // prune versions the protocol can no longer need: a replay of THIS
+    // batch reads id−1, so only versions below id−1 are dead
+    val f = fs(spark, stateDir)
+    committed(spark, stateDir).filter(_ < id - 1)
+      .foreach(v => f.delete(new Path(s"$stateDir/b=$v"), true))
+  }
+
+  /** Sink a finalized-bucket count stream ([[bucketCounts]]) as a
+    * continuously-maintained EWMA state snapshot under `stateDir`. */
+  def ewmaSink(counts: DataFrame, stateDir: String, checkpoint: String,
+      alpha: Double = 0.25): StreamingQuery =
+    counts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldBatch(batch, id, stateDir, alpha)
+      }
+      .start()
+}
