@@ -3790,7 +3790,7 @@ object PipelineQueries {
     Q("graph_labelprop",
       (s, d) => operators.Graph.labelPropagation(copurchaseEdges(s, d),
         "pa", "pb", rounds = LpaRounds)
-        .select(col("id").as("part_id"), col("__lbl").as("community_id"))
+        .select(col("id").as("part_id"), col("label").as("community_id"))
         .orderBy("part_id"),
       Some(lpaOracle)),
   )

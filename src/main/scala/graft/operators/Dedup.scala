@@ -715,15 +715,9 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 20): DataFrame = {
-    // both edge directions in ONE pass over `pairs` — a union of two
-    // selects would execute the (possibly expensive) upstream pair
-    // pipeline twice when the edge frame first materializes
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("__u"), col(bCol).as("__v")),
-        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
-      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
-      .distinct()
+    // both edge directions in ONE pass over `pairs` (the shared
+    // [[Graph.symmetricEdges]] construction)
+    val edges = Graph.symmetricEdges(pairs, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // iterate ONLY over edge endpoints: in a real corpus the near-dup
     // graph touches a small fraction of documents, and dragging every

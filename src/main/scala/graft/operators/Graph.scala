@@ -39,46 +39,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Fixed-`iterations` integer PageRank over the undirected graph
-    * `pairs(aCol, bCol)`. Returns one row per vertex:
-    * `(id, rank_micro)` with ranks in micro-units (1e6 = 1.0). */
-  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
-      iterations: Int = 10): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    // both directions in one pass over `pairs` (one execution of the
-    // upstream pair pipeline), then attach each source's outdegree so
-    // the loop below joins ONE standing frame per round
-    val edges = pairs
+  /** The symmetric (both-directions, deduped) edge list of an
+    * undirected pair frame — both directions generated in ONE pass
+    * over `pairs` (a union of two selects would execute the possibly
+    * expensive upstream pair pipeline twice when the frame first
+    * materializes). Shared by every graph operator here and by
+    * [[Dedup.connectedComponents]]'s edge step; any future edge-level
+    * policy (null ids, self-loops) lives in exactly one place. */
+  private[graft] def symmetricEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    pairs
       .select(explode(array(
         struct(col(aCol).as("__u"), col(bCol).as("__v")),
         struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
       .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
       .distinct()
-    val deg = edges.groupBy("__u").agg(count(lit(1)).as("__deg"))
-    val edgesDeg = edges.join(deg, "__u")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var ranks = deg.select(col("__u").as("id"),
-        lit(1000000L).as("rank_micro"))
-      for (_ <- 1 to iterations) {
-        val prev = ranks
-        ranks = edgesDeg
-          .join(ranks, edgesDeg("__u") === ranks("id"))
-          .select(col("__v"),
-            expr("rank_micro div __deg").as("__contrib"))
-          .groupBy(col("__v"))
-          .agg(sum(col("__contrib")).as("__s"))
-          .select(col("__v").as("id"),
-            (lit(150000L) + expr("(85 * __s) div 100")).as("rank_micro"))
-          .localCheckpoint(true)
-        // previous round's blocks are dead once this round materialized
-        // (round 1's `prev` is not a checkpoint — the helper no-ops);
-        // the final round survives for the lazily-returned frame
-        Caching.freeLocalCheckpoint(prev)
-      }
-      ranks
-    } finally edgesDeg.unpersist()
-  }
+
+  /** Fixed-`iterations` integer PageRank over the undirected graph
+    * `pairs(aCol, bCol)`. Returns one row per vertex:
+    * `(id, rank_micro)` with ranks in micro-units (1e6 = 1.0).
+    * Exactly [[personalizedPageRank]] with every vertex in the seed
+    * set (the teleport term degenerates to the global constant), so
+    * the iteration loop lives there once. */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 10): DataFrame =
+    personalizedPageRank(pairs, aCol, bCol, _ => lit(true), iterations)
 
   /** Exact per-vertex triangle counts and local clustering coefficient
     * over the undirected graph `pairs(aCol, bCol)`. Returns one row per
@@ -103,13 +88,8 @@ object Graph {
     * (extension per the brief's quality-weighting family). */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String,
       persist: Boolean = true): DataFrame = {
-    // both directions, deduped: ed is the symmetric adjacency list
-    val ed = pairs
-      .select(explode(array(
-        struct(col(aCol).as("__u"), col(bCol).as("__v")),
-        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
-      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
-      .distinct()
+    // ed is the symmetric adjacency list
+    val ed = symmetricEdges(pairs, aCol, bCol)
     val deg = Caching.maybePersist(
       ed.groupBy("__u").agg(count(lit(1)).as("__d")), persist)
     // orient low-(deg, id) → high-(deg, id); keep the dst rank for the
@@ -158,12 +138,7 @@ object Graph {
   def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
       seedFilter: Column => Column, iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("__u"), col(bCol).as("__v")),
-        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
-      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
-      .distinct()
+    val edges = symmetricEdges(pairs, aCol, bCol)
     val deg = edges.groupBy("__u").agg(count(lit(1)).as("__deg"))
     val edgesDeg = edges.join(deg, "__u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -203,20 +178,17 @@ object Graph {
     *
     * Scale shape: each round is one edge⋈labels join and TWO
     * aggregations — (vertex, label) counts, then a per-vertex argmax
-    * via ONE `max(struct(count, −label))` (no window: the argmax
+    * via ONE `min(struct(−count, label))` (no window: the argmax
     * rides hash aggregation with map-side partials, so the shuffle
-    * carries candidate labels, not neighbor lists). Per-round
-    * localCheckpoint with previous-round freeing, the [[pageRank]]
-    * lineage discipline. */
+    * carries candidate labels, not neighbor lists; negating the
+    * always-long count keeps the label free to be any orderable
+    * type). Per-round localCheckpoint with previous-round freeing,
+    * the [[personalizedPageRank]] lineage discipline. Output:
+    * `(id, label)`. */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("__u"), col(bCol).as("__v")),
-        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
-      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
-      .distinct()
+    val edges = symmetricEdges(pairs, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = edges.select(col("__u").as("id")).distinct()
@@ -224,19 +196,23 @@ object Graph {
         .localCheckpoint(true)
       var prev = labels
       for (_ <- 1 to rounds) {
+        // (count DESC, label ASC) argmax as ONE min(struct): negate the
+        // COUNT — always a long — never the label, which may be any
+        // orderable type (a negated string id would null-collapse)
         val next = edges
           .join(labels, edges("__v") === labels("id"))
           .groupBy(col("__u"), col("__lbl"))
           .agg(count(lit(1)).as("__c"))
           .groupBy(col("__u"))
-          .agg(max(struct(col("__c"), (-col("__lbl")).as("__nl"))).as("__m"))
-          .select(col("__u").as("id"), (-col("__m.__nl")).as("__lbl"))
+          .agg(min(struct((-col("__c")).as("__nc"), col("__lbl").as("__l")))
+            .as("__m"))
+          .select(col("__u").as("id"), col("__m.__l").as("__lbl"))
           .localCheckpoint(true)
         Caching.freeLocalCheckpoint(prev)
         prev = next
         labels = next
       }
-      labels
+      labels.select(col("id"), col("__lbl").as("label"))
     } finally edges.unpersist()
   }
 
@@ -270,12 +246,7 @@ object Graph {
   def bfsHops(pairs: DataFrame, aCol: String, bCol: String,
       seedFilter: Column => Column, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).as("__u"), col(bCol).as("__v")),
-        struct(col(bCol).as("__u"), col(aCol).as("__v")))).as("__e"))
-      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
-      .distinct()
+    val edges = symmetricEdges(pairs, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // every vertex appears as a __u of the symmetric edge list
@@ -285,7 +256,9 @@ object Graph {
         .localCheckpoint(true)
       var frontier = dist.select("id")
       var lastRound: Seq[DataFrame] = Seq(dist)
-      for (h <- 1 to maxHops) {
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
         val next = edges.join(frontier, edges("__u") === frontier("id"))
           .select(col("__v").as("id")).distinct()
           .join(dist, Seq("id"), "left_anti")
@@ -298,6 +271,12 @@ object Graph {
         lastRound = Seq(next, settled)
         dist = settled
         frontier = next.select("id")
+        // an empty frontier can never repopulate — skip the dead
+        // rounds a generous maxHops would otherwise still pay (each
+        // an O(E) join plus two checkpoint jobs); isEmpty is a cheap
+        // scan of the just-materialized checkpoint
+        exhausted = next.isEmpty
+        h += 1
       }
       Caching.freeLocalCheckpoint(lastRound.head) // final frontier
       dist

@@ -74,7 +74,15 @@ object EwmaStream {
     }
 
   /** The latest committed state — the consumer read. Throws when no
-    * batch has committed (no schema to fabricate). */
+    * batch has committed (no schema to fabricate). Read contract: the
+    * returned frame is LAZY over a snapshot directory that
+    * [[foldBatch]]'s pruning eventually deletes — a consumer must
+    * materialize it within `retainBelow` further batches (the default
+    * keeps one predecessor, enough for any prompt read), or run with
+    * a larger `retainBelow`, or read after the stream is stopped. The
+    * same boundary [[DedupStream.readKeptCorpus]] documents: the
+    * marker gate narrows the race to the prune window, it does not
+    * serialize against a concurrent writer. */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     committed(spark, stateDir).maxOption match {
       case None => throw new IllegalStateException(
@@ -107,9 +115,12 @@ object EwmaStream {
     * onto the carried state and commit snapshot `b=<id>`. Idempotent
     * by construction — see the object doc. */
   def foldBatch(batch: DataFrame, id: Long, stateDir: String,
-      alpha: Double = 0.25): Unit = {
+      alpha: Double = 0.25, retainBelow: Int = 1): Unit = {
     require(alpha > 0.0 && alpha < 1.0,
       s"EwmaStream: alpha must be in (0, 1), got $alpha")
+    require(retainBelow >= 1,
+      s"EwmaStream: retainBelow must be >= 1 (the replay of batch id " +
+        s"reads id-1), got $retainBelow")
     val spark = batch.sparkSession
     val prev = stateSoFar(spark, stateDir, id, emptyState(batch))
     val a = alpha
@@ -147,21 +158,23 @@ object EwmaStream {
           .as("ewma"))
     folded.write.mode("overwrite").parquet(s"$stateDir/b=$id")
     // prune versions the protocol can no longer need: a replay of THIS
-    // batch reads id−1, so only versions below id−1 are dead
+    // batch reads id−1, so versions below id−retainBelow are dead for
+    // the writer; retainBelow > 1 widens the grace window for lazy
+    // [[readState]] consumers (see its read contract)
     val f = fs(spark, stateDir)
-    committed(spark, stateDir).filter(_ < id - 1)
+    committed(spark, stateDir).filter(_ < id - retainBelow)
       .foreach(v => f.delete(new Path(s"$stateDir/b=$v"), true))
   }
 
   /** Sink a finalized-bucket count stream ([[bucketCounts]]) as a
     * continuously-maintained EWMA state snapshot under `stateDir`. */
   def ewmaSink(counts: DataFrame, stateDir: String, checkpoint: String,
-      alpha: Double = 0.25): StreamingQuery =
+      alpha: Double = 0.25, retainBelow: Int = 1): StreamingQuery =
     counts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        foldBatch(batch, id, stateDir, alpha)
+        foldBatch(batch, id, stateDir, alpha, retainBelow)
       }
       .start()
 }

@@ -137,6 +137,17 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: string vertex ids keep their labels (tie-break never negates the label)") {
+    // the (count DESC, label ASC) argmax must work for ANY orderable
+    // label type — an arithmetic negation of the label would null out
+    // string ids silently
+    val star = Seq(("hub", "a"), ("hub", "b"), ("hub", "c")).toDF("pa", "pb")
+    val got = Graph.labelPropagation(star, "pa", "pb", rounds = 1)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("hub" -> "a", "a" -> "hub", "b" -> "hub", "c" -> "hub"),
+      s"string-labeled LPA round mismatch: $got")
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
@@ -144,6 +155,12 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
       s"expected the path layering without vertex 5, got $got")
+    // a generous horizon early-exits once the frontier drains and
+    // returns the identical full reachability
+    val wide = Graph.bfsHops(path, "pa", "pb", id => id === 1L, maxHops = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(wide == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+      s"expected full reachability under the wide horizon, got $wide")
   }
 
   test("bfsHops: minimum hop wins on a diamond, seeds stay at 0") {
