@@ -784,6 +784,27 @@ object PipelineQueries {
   private def minhashOracle: String =
     s"WITH $minhashPairCtes SELECT ida AS a, idb AS b, est_jaccard, jaccard FROM mres WHERE jaccard >= 0.7"
 
+  /** LSH-recall eval oracle: exhaustive truth via the shared-shingle
+    * inverted index (`msh` — jaccard > 0 ⟹ ≥ 1 shared shingle, so
+    * the equi-join IS exhaustive), the same exact-jaccard expression
+    * `mres` verifies with, then the one-row confusion counts.
+    * MATERIALIZED on the multiply-referenced sets (the kcore/pca2
+    * lesson — scalar-subquery counts would re-derive them). */
+  private def lshRecallOracle: String =
+    s"""WITH $minhashPairCtes,
+       |rtc AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM msh x JOIN msh y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+       |rtt AS MATERIALIZED (SELECT ida, idb FROM rtc JOIN msets pa ON pa.doc_id = ida JOIN msets pb ON pb.doc_id = idb
+       |WHERE CAST(len(list_intersect(pa.shs, pb.shs)) AS DOUBLE) / len(list_distinct(list_concat(pa.shs, pb.shs))) >= 0.7),
+       |rtf AS MATERIALIZED (SELECT ida, idb FROM mres WHERE jaccard >= 0.7),
+       |rth AS MATERIALIZED (SELECT t.ida, t.idb FROM rtt t SEMI JOIN rtf f ON f.ida = t.ida AND f.idb = t.idb),
+       |rtx AS MATERIALIZED (SELECT f.ida, f.idb FROM rtf f ANTI JOIN rtt t ON t.ida = f.ida AND t.idb = f.idb)
+       |SELECT CAST((SELECT COUNT(*) FROM rtt) AS BIGINT) AS n_truth,
+       |CAST((SELECT COUNT(*) FROM rtf) AS BIGINT) AS n_found,
+       |CAST((SELECT COUNT(*) FROM rth) AS BIGINT) AS n_hit,
+       |CAST((SELECT COUNT(*) FROM rtx) AS BIGINT) AS n_extra,
+       |CAST(CASE WHEN (SELECT COUNT(*) FROM rtt) = 0 THEN 1000
+       |ELSE (1000 * (SELECT COUNT(*) FROM rth)) // (SELECT COUNT(*) FROM rtt) END AS BIGINT) AS recall_permille""".stripMargin.replace("\n", " ")
+
   /** End-to-end dedup pipeline oracle: the same minhash pairs, then the
     * transitive closure via a RECURSIVE CTE (min reachable id = the
     * component keeper — the fixpoint the Spark side reaches by label
@@ -1402,6 +1423,14 @@ object PipelineQueries {
       (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.7).orderBy("a", "b"),
       Some(minhashOracle), bench = true),
+    // LSH recall vs exhaustive ground truth (inverted-index all-pairs
+    // — never a cartesian; doc count assert_true'd against maxDocs):
+    // the before-you-trust-the-settings eval as a first-class op, its
+    // confusion counts and found⊆truth containment hash-pinned
+    Q("dedup_lsh_recall",
+      (s, d) => Dedup.lshRecallEval(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.7),
+      Some(lshRecallOracle)),
     Q("dedup_simhash",
       (s, d) => Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3).orderBy("a", "b"),
@@ -3711,6 +3740,35 @@ object PipelineQueries {
     sb.result()
   }
 
+  private val KcoreK = 2
+  private val KcoreRounds = 8
+
+  /** k-core oracle: `KcoreRounds` unrolled peel rounds (degree among
+    * survivors < k drops), plus the first-stable-round diagnostic from
+    * the survivor-count sequence (the set only shrinks, so the first
+    * count equality IS the fixpoint). */
+  private val kcoreOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    // MATERIALIZED is load-bearing: each s_t is referenced twice by
+    // d_{t+1} (both endpoints), so the un-hinted chain re-evaluates
+    // exponentially (2^rounds) — the emb_pca_project2 lesson
+    sb ++= "ked AS MATERIALIZED (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb AS u, pa AS v FROM prs), "
+    sb ++= "s0 AS MATERIALIZED (SELECT DISTINCT u FROM ked), "
+    (1 to KcoreRounds).foreach { t =>
+      sb ++= s"d$t AS (SELECT e.u, COUNT(*) AS d FROM ked e JOIN s${t - 1} a ON a.u = e.u JOIN s${t - 1} b ON b.u = e.v GROUP BY e.u), "
+      sb ++= s"s$t AS MATERIALIZED (SELECT u FROM d$t WHERE d >= $KcoreK), "
+    }
+    sb ++= (0 to KcoreRounds).map(t =>
+      s"SELECT $t AS t, (SELECT COUNT(*) FROM s$t) AS c").mkString(
+      "cs AS (", " UNION ALL ", "), ")
+    sb ++= s"rs AS (SELECT COALESCE(MIN(a.t), $KcoreRounds) AS rounds_stable FROM cs a JOIN cs b ON b.t = a.t + 1 AND b.c = a.c) "
+    sb ++= s"SELECT v.u AS part_id, (s.u IS NOT NULL) AS in_core, CAST(rs.rounds_stable AS BIGINT) AS rounds_stable " +
+      s"FROM s0 v LEFT JOIN s$KcoreRounds s ON s.u = v.u CROSS JOIN rs"
+    sb.result()
+  }
+
   /** Connected-components oracle: min reachable id per vertex via the
     * recursive closure (the semDedup `sdr` idiom over the co-purchase
     * edges). */
@@ -3793,6 +3851,15 @@ object PipelineQueries {
         .select(col("id").as("part_id"), col("label").as("community_id"))
         .orderBy("part_id"),
       Some(lpaOracle)),
+    // 2-core of the co-purchase graph: the mutually-supported body
+    // after fixed synchronous peel rounds (the density filter of
+    // graph curation); rounds_stable reports where the peel reached
+    // its fixpoint, so the fixed budget is self-auditing.
+    Q("graph_kcore",
+      (s, d) => operators.Graph.kCore(copurchaseEdges(s, d), "pa", "pb",
+        k = KcoreK, rounds = KcoreRounds)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(kcoreOracle)),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

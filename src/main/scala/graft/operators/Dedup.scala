@@ -169,6 +169,68 @@ object Dedup {
     * `spark.catalog.clearCache()` (or `unpersist` the blocks via the
     * storage API), or pass `persist = false` and manage caching of its
     * own, wider plan. Same contract for [[simhashNearPairs]]. */
+  /** LSH recall against EXHAUSTIVE ground truth — the measurement a
+    * pipeline runs on a bounded sample before trusting banded-LSH
+    * settings at corpus scale (README's measured-recall protocol as a
+    * first-class, oracle-verified operator). One row:
+    * `(n_truth, n_found, n_hit, n_extra, recall_permille)` where
+    * truth = ALL pairs with exact shingle-jaccard ≥ `threshold` and
+    * found = [[minhashNearDuplicates]] at the same threshold. The
+    * LSH pipeline verifies exact jaccard on the SAME shingle sets, so
+    * found ⊆ truth by construction — `n_extra` pins that at 0
+    * cross-engine instead of assuming it; `recall_permille` is the
+    * integer (1000·hit) div truth (1000 when truth is empty).
+    *
+    * Exhaustiveness without a cartesian: jaccard ≥ t > 0 implies at
+    * least one SHARED shingle, so the all-pairs search is an
+    * inverted-index equi-join on the shingle (hence
+    * `require(threshold > 0)`), never an n² cross product. Cost rides
+    * Σ df² over shingle document-frequencies — quadratic in the
+    * sample's hot-shingle df, which is why the doc count is
+    * assert_true'd against `maxDocs` IN-PLAN: this is an EVAL on a
+    * bounded sample, and a caller pointing it at a full corpus fails
+    * loudly. Cache ownership: same contract as
+    * [[minhashNearDuplicates]]. */
+  def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, p: MinHashParams = MinHashParams(),
+      maxDocs: Long = 100000L, persist: Boolean = true): DataFrame = {
+    require(threshold > 0.0,
+      s"lshRecallEval: threshold must be > 0 (the shared-shingle " +
+        s"exhaustiveness argument needs it), got $threshold")
+    require(maxDocs > 0, "lshRecallEval: maxDocs must be positive")
+    val nd = df.agg(count(lit(1)).as("__ndocs"))
+    val guarded = df.crossJoin(broadcast(nd))
+      .filter(assert_true(col("__ndocs") <= maxDocs,
+        concat(lit("lshRecallEval: "), col("__ndocs"),
+          lit(s" docs exceed maxDocs = $maxDocs — run the eval on a " +
+            "bounded sample"))).isNull)
+      .drop("__ndocs")
+    val sh = Caching.maybePersist(
+      shingleSets(guarded, idCol, textCol, p), persist)
+    val inv = sh.select(col(idCol), explode(col("__sh")).as("__s"))
+    val cand = inv.toDF("a", "__s").join(inv.toDF("b", "__s"), "__s")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val truth = Caching.maybePersist(cand
+      .join(sh.select(col(idCol).as("a"), col("__sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("__sh").as("sh_b")), "b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
+      .select("a", "b"), persist)
+    val found = Caching.maybePersist(
+      minhashNearDuplicates(guarded, idCol, textCol, threshold, p, persist)
+        .select("a", "b"), persist)
+    val hit = truth.join(found, Seq("a", "b"), "left_semi")
+    val extra = found.join(truth, Seq("a", "b"), "left_anti")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .crossJoin(broadcast(extra.agg(count(lit(1)).as("n_extra"))))
+      .select(col("n_truth"), col("n_found"), col("n_hit"), col("n_extra"),
+        when(col("n_truth") === 0L, lit(1000L))
+          .otherwise(expr("(1000 * n_hit) div n_truth"))
+          .as("recall_permille"))
+  }
+
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, p: MinHashParams = MinHashParams(),
       persist: Boolean = true): DataFrame = {

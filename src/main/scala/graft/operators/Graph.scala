@@ -216,6 +216,73 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Fixed-round k-core peel: `rounds` synchronous rounds of "drop
+    * every vertex whose degree AMONG SURVIVORS is < k", the classic
+    * density filter of graph curation (a co-occurrence or link graph's
+    * k-core is its mutually-supported body; the periphery peeled away
+    * is the long tail one bad join away from noise). Returns every
+    * vertex of the graph with `(id, in_core)` — survivors of round
+    * `rounds` — plus `rounds_stable`, the FIRST round after which the
+    * survivor set stopped changing (0 when nothing was ever peeled),
+    * so a caller can see whether the fixed budget actually reached the
+    * fixpoint (if `rounds_stable == rounds` the peel was still moving
+    * and the true k-core may be smaller — raise `rounds`).
+    *
+    * Fixed rounds, not peel-to-fixpoint, for the same reason LPA is
+    * synchronous: the result is a pure function of (graph, k, rounds)
+    * that a single-threaded SQL engine re-derives by unrolling — and
+    * on real graphs the peel stabilizes in a handful of rounds (the
+    * spec pins fixpoint-reached on the registered corpus). Each round
+    * is one self-join degree count over the surviving edge set +
+    * one filter — O(E) per round, localCheckpoint'ed with
+    * previous-round freeing.
+    *
+    * Reference: /root/reference/sqlengine.py has no graph surface
+    * (extension per the brief's quality-weighting family). */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1,
+      s"kCore: need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verts = edges.select(col("__u").as("id")).distinct()
+        .localCheckpoint(true)
+      var survivors = verts
+      var prevFree: DataFrame = null
+      var stableAt = rounds
+      var stopped = false
+      var r = 1
+      while (r <= rounds && !stopped) {
+        val deg = edges
+          .join(survivors.select(col("id").as("__u")), Seq("__u"))
+          .join(survivors.select(col("id").as("__v")), Seq("__v"))
+          .groupBy("__u").agg(count(lit(1)).as("__d"))
+        val next = deg.filter(col("__d") >= k)
+          .select(col("__u").as("id"))
+          .localCheckpoint(true)
+        // fixpoint probe on materialized frames: same size ⇒ same set
+        // (the survivor set only ever shrinks)
+        if (next.count() == survivors.count()) {
+          stableAt = r - 1
+          stopped = true
+        }
+        // never free `verts` — the final outer join still reads it
+        if ((prevFree ne null) && (prevFree ne verts))
+          Caching.freeLocalCheckpoint(prevFree)
+        prevFree = survivors
+        survivors = next
+        r += 1
+      }
+      if ((prevFree ne null) && (prevFree ne verts))
+        Caching.freeLocalCheckpoint(prevFree)
+      verts
+        .join(survivors.withColumn("__in", lit(true)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__in"), lit(false)).as("in_core"),
+          lit(stableAt.toLong).as("rounds_stable"))
+    } finally edges.unpersist()
+  }
+
   /** Multi-source BFS hop distance over the undirected graph
     * `pairs(aCol, bCol)`: every vertex reachable within `maxHops` of a
     * seed gets `(id, hops)` with hops = its MINIMUM hop count (seeds

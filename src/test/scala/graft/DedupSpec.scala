@@ -50,6 +50,30 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(2)._3 - expectJ) < 1e-12)
   }
 
+  test("lshRecallEval: full recall on the planted fixture, containment holds, guard trips") {
+    // truth at 0.5 on this fixture = the three pairs the minhash test
+    // pins; the banded index finds them all → recall 1000, extra 0
+    val got = Dedup.lshRecallEval(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 3L, 3L, 0L, 1000L)), s"got $got")
+    // truth-empty corner: unrelated docs → no qualifying pair, recall
+    // reports 1000 (nothing to miss), not a division error
+    val none = Dedup.lshRecallEval(
+      docs.filter(col("doc_id") === 0L || col("doc_id") === 3L),
+      "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(none == Seq((0L, 0L, 0L, 0L, 1000L)), s"got $none")
+    // the bounded-sample contract is enforced in-plan, not assumed
+    val e = intercept[Throwable] {
+      Dedup.lshRecallEval(docs, "doc_id", "text", threshold = 0.5,
+        maxDocs = 2L).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("lshRecallEval")),
+      s"expected the maxDocs guard, got: ${messages.mkString(" | ")}")
+  }
+
   test("minhash signature: identical docs agree on every component") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       .orderBy("doc_id").select("signature").as[Seq[Long]].collect()

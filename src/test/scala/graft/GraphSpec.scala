@@ -148,6 +148,55 @@ class GraphSpec extends SparkSpec {
       s"string-labeled LPA round mismatch: $got")
   }
 
+  test("kCore: hand-computed peel on a path plus a triangle, stability round reported") {
+    // path 1-2-3-4-5 peels endpoint-inward over 3 rounds; the triangle
+    // {6,7,8} is the 2-core. Rounds: s1 drops {1,5}, s2 drops {2,4},
+    // s3 drops {3}, s4 unchanged → rounds_stable = 3
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L)).toDF("pa", "pb")
+    val got = Graph.kCore(g, "pa", "pb", k = 2, rounds = 8)
+      .as[(Long, Boolean, Long)].collect().toSet
+    val want = (1L to 5L).map(v => (v, false, 3L)).toSet ++
+      (6L to 8L).map(v => (v, true, 3L)).toSet
+    assert(got == want, s"got $got")
+    // an insufficient budget reports rounds_stable == rounds (still
+    // moving) and the not-yet-peeled middle survives
+    val early = Graph.kCore(g, "pa", "pb", k = 2, rounds = 2)
+      .as[(Long, Boolean, Long)].collect().toSet
+    assert(early.forall(_._3 == 2L), s"truncated peel must self-report: $early")
+    assert(early.filter(_._2).map(_._1) == Set(3L, 6L, 7L, 8L), s"got $early")
+  }
+
+  test("kCore: randomized model check against driver-side peeling") {
+    val rng = new scala.util.Random(2718L)
+    for (trial <- 1 to 3) {
+      val n = 18
+      val es = (0 until 40).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val k = 2 + rng.nextInt(2)
+      val got = Graph.kCore(es.toDF("pa", "pb"), "pa", "pb", k, rounds = 12)
+        .as[(Long, Boolean, Long)].collect()
+      // driver model: synchronous peel to fixpoint
+      val sym = (es ++ es.map(_.swap)).distinct
+      var surv = sym.map(_._1).toSet
+      var changed = true
+      var roundsUsed = 0
+      while (changed) {
+        val deg = sym.filter(e => surv(e._1) && surv(e._2))
+          .groupBy(_._1).view.mapValues(_.size).toMap
+        val next = surv.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != surv
+        if (changed) roundsUsed += 1
+        surv = next
+      }
+      assert(roundsUsed < 12, s"trial $trial: fixture needs more rounds")
+      val gotCore = got.filter(_._2).map(_._1).toSet
+      assert(gotCore == surv, s"trial $trial (k=$k): got $gotCore want $surv")
+      assert(got.forall(_._3 == roundsUsed.toLong),
+        s"trial $trial: rounds_stable ${got.head._3} want $roundsUsed")
+    }
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
