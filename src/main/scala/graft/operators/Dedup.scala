@@ -184,20 +184,25 @@ object Dedup {
     * Exhaustiveness without a cartesian: jaccard ≥ t > 0 implies at
     * least one SHARED shingle, so the all-pairs search is an
     * inverted-index equi-join on the shingle (hence
-    * `require(threshold > 0)`), never an n² cross product. Cost rides
-    * Σ df² over shingle document-frequencies — quadratic in the
-    * sample's hot-shingle df, which is why the doc count is
-    * assert_true'd against `maxDocs` IN-PLAN: this is an EVAL on a
-    * bounded sample, and a caller pointing it at a full corpus fails
-    * loudly. Cache ownership: same contract as
-    * [[minhashNearDuplicates]]. */
+    * `require(threshold > 0)`), never an n² cross product. The cost
+    * driver is Σ df·(df−1)/2 over shingle document-frequencies — a
+    * hot boilerplate shingle, not the doc count, is what blows an
+    * inverted self-join up — so THAT quantity is what the in-plan
+    * guard bounds (`maxCandPairs`, asserted from the df rollup BEFORE
+    * the self-join runs), alongside the `maxDocs` sample-size cap:
+    * this is an EVAL on a bounded sample and fails loudly otherwise.
+    * Shingles are derived ONCE — the found side reuses the same
+    * persisted sets via [[nearDuplicatesFromShingleSets]]. Cache
+    * ownership: same contract as [[minhashNearDuplicates]]. */
   def lshRecallEval(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, p: MinHashParams = MinHashParams(),
-      maxDocs: Long = 100000L, persist: Boolean = true): DataFrame = {
+      maxDocs: Long = 100000L, maxCandPairs: Long = 100000000L,
+      persist: Boolean = true): DataFrame = {
     require(threshold > 0.0,
       s"lshRecallEval: threshold must be > 0 (the shared-shingle " +
         s"exhaustiveness argument needs it), got $threshold")
-    require(maxDocs > 0, "lshRecallEval: maxDocs must be positive")
+    require(maxDocs > 0 && maxCandPairs > 0,
+      "lshRecallEval: maxDocs and maxCandPairs must be positive")
     val nd = df.agg(count(lit(1)).as("__ndocs"))
     val guarded = df.crossJoin(broadcast(nd))
       .filter(assert_true(col("__ndocs") <= maxDocs,
@@ -208,7 +213,19 @@ object Dedup {
     val sh = Caching.maybePersist(
       shingleSets(guarded, idCol, textCol, p), persist)
     val inv = sh.select(col(idCol), explode(col("__sh")).as("__s"))
-    val cand = inv.toDF("a", "__s").join(inv.toDF("b", "__s"), "__s")
+    // the actual cost quantity, asserted before the self-join pays it
+    val cost = inv.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .agg(coalesce(sum(expr("__df * (__df - 1) div 2")), lit(0L))
+        .as("__cand"))
+    val invG = inv.crossJoin(broadcast(cost))
+      .filter(assert_true(col("__cand") <= maxCandPairs,
+        concat(lit("lshRecallEval: inverted-index candidate pairs "),
+          col("__cand"),
+          lit(s" exceed maxCandPairs = $maxCandPairs — a hot shingle " +
+            "dominates; sample smaller or raise the cap deliberately")))
+        .isNull)
+      .drop("__cand")
+    val cand = invG.toDF("a", "__s").join(inv.toDF("b", "__s"), "__s")
       .filter(col("a") < col("b")).select("a", "b").distinct()
     val truth = Caching.maybePersist(cand
       .join(sh.select(col(idCol).as("a"), col("__sh").as("sh_a")), "a")
@@ -217,7 +234,7 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
       .select("a", "b"), persist)
     val found = Caching.maybePersist(
-      minhashNearDuplicates(guarded, idCol, textCol, threshold, p, persist)
+      nearDuplicatesFromShingleSets(sh, idCol, threshold, p, persist)
         .select("a", "b"), persist)
     val hit = truth.join(found, Seq("a", "b"), "left_semi")
     val extra = found.join(truth, Seq("a", "b"), "left_anti")
@@ -235,6 +252,15 @@ object Dedup {
       threshold: Double, p: MinHashParams = MinHashParams(),
       persist: Boolean = true): DataFrame = {
     val sh = Caching.maybePersist(shingleSets(df, idCol, textCol, p), persist)
+    nearDuplicatesFromShingleSets(sh, idCol, threshold, p, persist)
+  }
+
+  /** The sign → candidates → verify pipeline from a precomputed
+    * `(id, __sh)` shingle frame — the factoring that lets
+    * [[lshRecallEval]] shingle the corpus ONCE for both its truth and
+    * found sides instead of re-deriving the sets per branch. */
+  private def nearDuplicatesFromShingleSets(sh: DataFrame, idCol: String,
+      threshold: Double, p: MinHashParams, persist: Boolean): DataFrame = {
     val sigs = Caching.maybePersist(signaturesFromShingleSets(sh, idCol, p), persist)
     val cands = lshCandidates(sigs, idCol, p)
     val withEst = cands

@@ -223,10 +223,13 @@ object Graph {
     * is the long tail one bad join away from noise). Returns every
     * vertex of the graph with `(id, in_core)` — survivors of round
     * `rounds` — plus `rounds_stable`, the FIRST round after which the
-    * survivor set stopped changing (0 when nothing was ever peeled),
-    * so a caller can see whether the fixed budget actually reached the
-    * fixpoint (if `rounds_stable == rounds` the peel was still moving
-    * and the true k-core may be smaller — raise `rounds`).
+    * survivor set was OBSERVED unchanged (0 when nothing was ever
+    * peeled), so a caller can see whether the fixed budget reached
+    * the fixpoint. `rounds_stable == rounds` means the probe never
+    * observed a stable round within the budget — the peel was either
+    * still moving OR stabilized exactly at the last round (telling
+    * them apart needs the never-run round rounds+1); raise `rounds`
+    * to disambiguate, and an unchanged core confirms the latter.
     *
     * Fixed rounds, not peel-to-fixpoint, for the same reason LPA is
     * synchronous: the result is a pure function of (graph, k, rounds)

@@ -72,6 +72,33 @@ class DedupSpec extends SparkSpec {
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(messages.exists(_.contains("lshRecallEval")),
       s"expected the maxDocs guard, got: ${messages.mkString(" | ")}")
+    // the COST guard bounds the real quantity (Σ df·(df−1)/2), not
+    // just the doc count — the 4-doc fixture has 3 same-shingle pairs
+    // from the base/base/near trio, so a cap of 1 trips it
+    val e2 = intercept[Throwable] {
+      Dedup.lshRecallEval(docs, "doc_id", "text", threshold = 0.5,
+        maxCandPairs = 1L).collect()
+    }
+    val m2 = Iterator.iterate[Throwable](e2)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(m2.exists(_.contains("maxCandPairs")),
+      s"expected the candidate-pair guard, got: ${m2.mkString(" | ")}")
+  }
+
+  test("lshRecallEval: a deterministic banded miss surfaces as recall < 1000") {
+    // one band of all 4 minhashes ⇒ candidate only when every
+    // component agrees (P ≈ j⁴); this fixed pair at jaccard 6/14 is
+    // (deterministically, fixed seeds) NOT a candidate, so the eval
+    // must report the miss — the one scenario it exists to measure
+    val p = Dedup.MinHashParams(shingleSize = 3, numHashes = 4,
+      bands = 1, rowsPerBand = 4)
+    val pair = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "a b c d e f g h x y z w")).toDF("doc_id", "text")
+    val got = Dedup.lshRecallEval(pair, "doc_id", "text", threshold = 0.4,
+      p = p).as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L, 0L)),
+      s"expected the planted miss (truth 1, found 0, recall 0), got $got")
   }
 
   test("minhash signature: identical docs agree on every component") {

@@ -159,8 +159,8 @@ class GraphSpec extends SparkSpec {
     val want = (1L to 5L).map(v => (v, false, 3L)).toSet ++
       (6L to 8L).map(v => (v, true, 3L)).toSet
     assert(got == want, s"got $got")
-    // an insufficient budget reports rounds_stable == rounds (still
-    // moving) and the not-yet-peeled middle survives
+    // a truncated budget reports rounds_stable == rounds (no stable
+    // round observed) and the not-yet-peeled middle survives
     val early = Graph.kCore(g, "pa", "pb", k = 2, rounds = 2)
       .as[(Long, Boolean, Long)].collect().toSet
     assert(early.forall(_._3 == 2L), s"truncated peel must self-report: $early")
