@@ -101,8 +101,11 @@ object PipelineQueries {
     * left-assoc expression per cell, a SECOND recursive power
     * iteration on a₂ (identical chain), and both sequenced projection
     * folds. */
-  private def pcaProject2Oracle: String =
-    s"""WITH RECURSIVE $pcaIterCtes,
+  /** The deflation chain shared by the project2 and variance2
+    * oracles: λ₁ from the pinned first fit, a₂ = a − λ·v·vᵀ, the
+    * second recursive iteration, ending in `vfin2(w)`. */
+  private def pcaDeflateCtes: String =
+    s"""$pcaIterCtes,
        |avf AS MATERIALIZED (SELECT list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a[i][j] * v[j]))) AS av FROM vfin, amat),
        |lam AS MATERIALIZED (SELECT sqrt(list_sum(list_transform(av, y -> y * y))) AS lambda FROM avf),
        |amat2 AS MATERIALIZED (SELECT list_transform(generate_series(1, 64), i -> list_transform(generate_series(1, 64), j -> a[i][j] - lambda * v[i] * v[j])) AS a2 FROM amat, vfin, lam),
@@ -110,10 +113,25 @@ object PipelineQueries {
        |UNION ALL SELECT t + 1, list_transform(av, x -> x / sqrt(list_sum(list_transform(av, y -> y * y))))
        |FROM (SELECT t, list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a2[i][j] * v[j]))) AS av
        |FROM it2, amat2 WHERE t < 100)),
-       |vfin2 AS MATERIALIZED (SELECT v AS w FROM it2 WHERE t = 100)
+       |vfin2 AS MATERIALIZED (SELECT v AS w FROM it2 WHERE t = 100)""".stripMargin
+
+  private def pcaProject2Oracle: String =
+    s"""WITH RECURSIVE $pcaDeflateCtes
        |SELECT vec_id, list_sum(list_transform(generate_series(1, 64), j -> r[j] * v[j])) AS pc1,
        |list_sum(list_transform(generate_series(1, 64), j -> r[j] * w[j])) AS pc2
        |FROM r, vfin, vfin2 ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
+  /** λ₂ = the sequenced norm of one matvec of the DEFLATED matrix on
+    * the second iterate — mirroring λ₁'s `lam`; cumulative ratio is
+    * one addition + one division. */
+  private def pcaVariance2Oracle: String =
+    s"""WITH RECURSIVE $pcaDeflateCtes,
+       |avf2 AS MATERIALIZED (SELECT list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> a2[i][j] * w[j]))) AS av FROM vfin2, amat2),
+       |lam2 AS MATERIALIZED (SELECT sqrt(list_sum(list_transform(av, y -> y * y))) AS lambda2 FROM avf2),
+       |tr2 AS (SELECT CAST(SUM(r[i] * r[i]) AS BIGINT) AS trace_scaled FROM r, generate_series(1, 64) AS gi(i))
+       |SELECT lam.lambda AS lambda1, lam2.lambda2, tr2.trace_scaled,
+       |(lam.lambda + lam2.lambda2) / CAST(tr2.trace_scaled AS DOUBLE) AS var2_explained
+       |FROM lam, lam2, tr2""".stripMargin.replace("\n", " ")
 
   /** λ = the sequenced norm of one extra matvec on the final iterate;
     * trace = exact long Σ r_i² (order-free); ratio = one division. */
@@ -1815,6 +1833,13 @@ object PipelineQueries {
       (s, d) => Similarity.pcaVariance(t(s, d, "embeddings"), "embedding",
         dim = 64),
       Some(pcaVarianceOracle)),
+    // the two-eigenvalue extension: λ₂ from the deflated matrix (the
+    // "is one component enough" answer λ₁ alone can't give) + the
+    // cumulative (λ₁+λ₂)/trace — single row, both λ bit-exact
+    Q("emb_pca_variance2",
+      (s, d) => Similarity.pcaVariance2(t(s, d, "embeddings"), "embedding",
+        dim = 64),
+      Some(pcaVariance2Oracle)),
     // Standalone k-means fit diagnostics: per-cell size + exact-long
     // inertia (1e-6 grid) over the same trainer/assignment contract
     // IVF and SemDeDup embed — the oracle re-runs Lloyd's in SQL

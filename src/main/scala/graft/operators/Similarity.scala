@@ -648,6 +648,27 @@ object Similarity {
       .toDF("lambda", "trace_scaled", "var_explained")
   }
 
+  /** Two-eigenvalue fit diagnostic — the "is one component enough"
+    * question [[pcaVariance]] cannot answer alone: λ₁, λ₂ (from the
+    * same Hotelling deflation [[pcaProject2]] projects with), the
+    * exact gram trace, and the cumulative two-component
+    * variance-explained (λ₁+λ₂)/trace. A λ₂ ≈ λ₁ says the top
+    * direction is not special (rotate/whiten before thresholding on
+    * pc1); a collapsing λ₂ says one component carries the corpus.
+    * Single row, cross-engine exact under the same sequenced-double
+    * contract as the projections. */
+  def pcaVariance2(df: DataFrame, vecCol: String, dim: Int,
+      scale: Long = 1000000L, iters: Int = 100): DataFrame = {
+    val (a, trace) = collectGram(df, vecCol, dim, scale)
+    val (v1, l1) = powerIterate(a, dim, iters)
+    val a2 = Array.tabulate(dim, dim)((i, j) => a(i)(j) - l1 * v1(i) * v1(j))
+    val (_, l2) = powerIterate(a2, dim, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((l1, l2, trace, (l1 + l2) / trace.toDouble))
+      .toDF("lambda1", "lambda2", "trace_scaled", "var2_explained")
+  }
+
   // =====================================================================
   // Standalone k-means: corpus assignment, fit diagnostics, and
   // cluster-balanced sampling (the curation ops SemDeDup/IVF embed)

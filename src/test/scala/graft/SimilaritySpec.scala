@@ -315,6 +315,21 @@ class SimilaritySpec extends SparkSpec {
     assert(re == two, "projections must be partition-invariant")
   }
 
+  test("pcaVariance2: spectrum ordering, PSD bound, and lambda1 identity with the single fit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (l1, l2, trace, v2) = Similarity.pcaVariance2(emb, "embedding", dim = 64)
+      .as[(Double, Double, Long, Double)].head()
+    val (l1single, traceSingle, v1) = Similarity.pcaVariance(emb, "embedding", dim = 64)
+      .as[(Double, Long, Double)].head()
+    assert(l1 == l1single && trace == traceSingle,
+      "the two-eigen fit must reuse the single fit bit-for-bit")
+    assert(l1 >= l2 && l2 > 0.0, s"spectrum out of order: λ1=$l1 λ2=$l2")
+    assert(l1 + l2 <= trace.toDouble * (1 + 1e-12),
+      "PSD: leading eigenvalues cannot exceed the trace")
+    assert(v2 == (l1 + l2) / trace.toDouble && v2 > v1,
+      "cumulative ratio must be the declared arithmetic and exceed one component's")
+  }
+
   test("kmeansFitStats: sizes partition the corpus, inertia is exact and partition-invariant") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val stats = Similarity.kmeansFitStats(emb, "vec_id", "embedding")
