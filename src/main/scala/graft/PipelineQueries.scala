@@ -389,6 +389,40 @@ object PipelineQueries {
        |SELECT CAST(cell AS BIGINT) AS cell, vec_id, CAST(rk AS BIGINT) AS rk
        |FROM ksr WHERE rk <= 8""".stripMargin.replace("\n", " ")
 
+  // fixed-reference CUSUM constants (micro-units): μ = 20 events/hour,
+  // κ = μ/4 slack, h = 2μ threshold — a trained-baseline stand-in; the
+  // monitor is deliberately scale-sensitive (a 10× corpus alarms more,
+  // as a real fixed-reference monitor would)
+  private val CusumMu = 20000000L
+  private val CusumKappa = 5000000L
+  private val CusumH = 40000000L
+
+  private val RrfLexK = 50
+  private val RrfSemK = 50
+  private val RrfK0 = 60
+  private val RrfTopK = 20
+
+  /** Hybrid-retrieval RRF oracle: the [[bm25ScoredCtes]] lexical chain
+    * ranked to its top-`RrfLexK`, the annBruteOracle cosine chain for
+    * probe 0 ranked to its top-`RrfSemK`, fused by
+    * 1/(k0+rank) + 1/(k0+rank) in the same lex-then-sem add order the
+    * Spark expression tree uses — doubles bit-equal. */
+  private def hybridRrfOracle: String = {
+    def term(r: String) =
+      s"CASE WHEN $r IS NOT NULL THEN 1.0::DOUBLE / ($RrfK0.0::DOUBLE + CAST($r AS DOUBLE)) ELSE 0.0::DOUBLE END"
+    s"""WITH ${bm25ScoredCtes(Bm25Terms, "hb")},
+       |hlx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM
+       |(SELECT doc_id, score FROM hbsc ORDER BY score DESC, doc_id ASC LIMIT $RrfLexK)),
+       |hv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |hpp AS (SELECT v AS pv FROM hv WHERE vec_id = 0),
+       |hcs AS (SELECT c.vec_id AS doc_id, ${cosSql("pv", "c.v")} AS cosine FROM hv c CROSS JOIN hpp WHERE c.vec_id <> 0),
+       |hsm AS (SELECT doc_id, sem_rank FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS sem_rank FROM hcs) WHERE sem_rank <= $RrfSemK)
+       |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank AS lex_rank, s.sem_rank AS sem_rank,
+       |${term("l.lex_rank")} + ${term("s.sem_rank")} AS rrf_score
+       |FROM hlx l FULL OUTER JOIN hsm s ON s.doc_id = l.doc_id
+       |ORDER BY rrf_score DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin.replace("\n", " ")
+  }
+
   private def annBruteOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 10),
@@ -465,10 +499,13 @@ object PipelineQueries {
 
   private val Bm25Terms = Seq("vector", "merge", "stream")
 
-  /** BM25 (rational idf) re-derived in SQL — the same expression tree
-    * TextAnalysis.bm25TopK builds, so the doubles are bit-equal:
-    * idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) summed in term order. */
-  private def bm25Oracle(terms: Seq[String], k: Int): String = {
+  /** BM25 (rational idf) CTE chain, prefix-parameterized — the same
+    * expression tree TextAnalysis.bm25TopK builds, so the doubles are
+    * bit-equal: idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) summed in
+    * term order. Written ONCE and shared by the standalone bm25 oracle
+    * and the hybrid-RRF oracle (the batteryStatsCtes idiom); ends in
+    * `<p>sc(doc_id, score)`. */
+  private def bm25ScoredCtes(terms: Seq[String], p: String): String = {
     val tfDefs = terms.zipWithIndex.map { case (tm, i) =>
       s"len(list_filter($ToksSql, w -> w = '$tm')) AS tf$i"
     }.mkString(", ")
@@ -481,11 +518,15 @@ object PipelineQueries {
     val scoreTerms = terms.indices.map { i =>
       s"((n - df$i + 0.5::DOUBLE) / (df$i + 0.5::DOUBLE)) * ((tf$i * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (CAST(sdl AS DOUBLE) / n)))))"
     }.mkString(" + ")
-    s"""WITH bmd AS (SELECT doc_id, len($ToksSql) AS dl, $tfDefs FROM documents),
-       |bms AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfDefs FROM bmd)
-       |SELECT doc_id, $scoreTerms AS score FROM bmd CROSS JOIN bms
-       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+    s"""${p}d AS (SELECT doc_id, len($ToksSql) AS dl, $tfDefs FROM documents),
+       |${p}s AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfDefs FROM ${p}d),
+       |${p}sc AS (SELECT doc_id, $scoreTerms AS score FROM ${p}d CROSS JOIN ${p}s)""".stripMargin
   }
+
+  private def bm25Oracle(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25ScoredCtes(terms, "bm")}
+       |SELECT doc_id, score FROM bmsc
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
   /** The quality-score formula as DuckDB SQL (same arithmetic order as
     * TextAnalysis.qualityScore — doubles come out bit-identical). */
@@ -1347,6 +1388,25 @@ object PipelineQueries {
              |CAST(SUM(tf * cnt) AS DOUBLE) / SUM(tf) AS mean_tok_freq,
              |CAST(SUM(CASE WHEN cnt <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
              |FROM tf JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin.replace("\n", " "))),
+    // bigram LM scoring (sequence-aware quality gate): mean corpus
+    // conditional probability of the doc's adjacent bigrams in exact
+    // integer micro-units — q = (1e6·c2) div c1 per bigram, integer
+    // sums, ONE double division at the end (the log-free idiom)
+    Q("doc_bigram_lm",
+      (s, d) => TextAnalysis.bigramLmScore(t(s, d, "documents"),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH blk AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE len($ToksSql) >= 2),
+             |blg AS (SELECT doc_id, unnest(generate_series(2, len(toks))) AS i, toks FROM blk),
+             |blp AS (SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2 FROM blg),
+             |blt AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM blp GROUP BY 1, 2, 3),
+             |bl2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM blt GROUP BY 1, 2),
+             |bl1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bl2 GROUP BY 1),
+             |blq AS (SELECT w1, w2, (1000000 * c2) // c1 AS q FROM bl2 JOIN bl1 USING (w1))
+             |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             |CAST(SUM(tf * q) AS BIGINT) AS sum_cond_micro,
+             |CAST(SUM(tf * q) AS DOUBLE) / SUM(tf) AS mean_cond_micro
+             |FROM blt JOIN blq USING (w1, w2) GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
     // deterministic hash-gated sampling: stratified per-language rates,
     // and the disjoint train/val/test split assignment
     Q("doc_sample_strat",
@@ -1800,6 +1860,31 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       Some(pqOracle)),
+    // Hybrid retrieval: BM25 top-50 (lexical) and exact-cosine top-50
+    // for probe 0 (semantic) fused by reciprocal-rank fusion — only
+    // RANKS enter the fused score, so no cross-list calibration is
+    // needed (the production RAG default). Both retrievers are the
+    // already-scale-shaped ops (bm25TopK's single aggregate pass,
+    // bruteForceTopKAgg's map-side bounded heaps); the fusion joins
+    // two ≤50-row lists. The lexical rank window is unpartitioned but
+    // runs POST-limit (≤ RrfLexK rows by construction).
+    Q("ann_hybrid_rrf",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val lex = TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id",
+            "text", Bm25Terms, RrfLexK)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc))
+            .cast(LongType))
+          .select("doc_id", "rank")
+        val sem = Similarity.bruteForceTopKAgg(e,
+            e.filter(col("vec_id") === 0), "vec_id", "embedding",
+            k = RrfSemK)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id",
+          "rank", k0 = RrfK0, topK = RrfTopK)
+      },
+      Some(hybridRrfOracle)),
     // Banded LSH with LCG hyperplanes: the plane generation is exact
     // integer arithmetic both engines can reproduce, so bucket
     // assignment AND the exact-cosine verification are independently
@@ -2732,6 +2817,39 @@ object PipelineQueries {
              |SELECT event_type, CAST(len(l) AS BIGINT) AS n_buckets,
              |CAST(list_reduce(l, (s, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * s) AS DOUBLE) AS ewma
              |FROM ewl""".stripMargin.replace("\n", " "))),
+    // CUSUM change-point monitor on the hourly per-type rate: the
+    // SUSTAINED-shift alarm beside ev_rate_spikes' single-bucket z and
+    // ev_ewma's smoothed level. Everything is integer (the statistic
+    // scaled by 4n; see Profiling.cusum) and the sequential recurrence
+    // is computed by its prefix-sum closed form — two ordered windows,
+    // no fold, bit-equal on any partitioning and any engine.
+    Q("ev_cusum",
+      (s, d) => operators.Profiling.cusum(events(s, d), col("ts_s"),
+          col("event_type"), bucketSec = 3600)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "bucket"),
+      Some("""WITH cuf AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+             |cug AS (SELECT event_type, bucket, c, CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t FROM cuf),
+             |cup AS (SELECT event_type, bucket, c, t, CAST(SUM(4 * n * c - 5 * t) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p FROM cug),
+             |cus AS (SELECT event_type, bucket, c, t, p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_scaled FROM cup)
+             |SELECT event_type, bucket, c, cusum_scaled, (cusum_scaled > 8 * t) AS alarm FROM cus
+             |ORDER BY event_type, bucket""".stripMargin.replace("\n", " "))),
+    // the FIXED-reference CUSUM — μ/κ/h as micro-unit constants from a
+    // trained baseline, the deployable and ONLY streamable form (the
+    // self-mean variant's term rescales history every bucket); the
+    // CusumStream snapshot is pinned against this query's p_micro
+    // prefix column in CusumStreamSpec
+    Q("ev_cusum_ref",
+      (s, d) => operators.Profiling.cusumFixed(events(s, d), col("ts_s"),
+          col("event_type"), muMicro = CusumMu, kappaMicro = CusumKappa,
+          hMicro = CusumH, bucketSec = 3600)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "bucket"),
+      Some(s"""WITH crf AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+             |crp AS (SELECT event_type, bucket, c, CAST(SUM(1000000 * c - ${CusumMu + CusumKappa}) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p_micro FROM crf),
+             |crs AS (SELECT event_type, bucket, c, p_micro, p_micro - LEAST(CAST(0 AS BIGINT), CAST(MIN(p_micro) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_micro FROM crp)
+             |SELECT event_type, bucket, c, p_micro, cusum_micro, (cusum_micro > $CusumH) AS alarm FROM crs
+             |ORDER BY event_type, bucket""".stripMargin.replace("\n", " "))),
     // Top session paths (the product-analytics "user journey" rollup):
     // the ev_sessionize segmentation, each session's ordered type
     // sequence folded to a path string (array_sort on (ts_s, id, type)
@@ -3618,6 +3736,76 @@ object PipelineQueries {
       |UNION ALL SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_custkey, 'Y', o_totalprice + 2000.0 FROM orders WHERE o_orderkey % 10 = 1
       |UNION ALL SELECT o_orderkey + 1000000, CAST(1 AS BIGINT), 'I', o_custkey, 'N', o_totalprice FROM orders WHERE o_orderkey % 10 = 5)""".stripMargin.replace("\n", " ")
 
+  /** Customer dimension trimmed to the join-view payload, with the
+    * join column pre-named to the fact side's FK (maintainJoinView
+    * joins both inputs on ONE shared column name). */
+  private def cdcCustSnapshot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+      col("c_name"), col("c_mktsegment"))
+
+  /** Extra order changes for the join view: keys ≡7 (mod 10) are
+    * re-pointed to the NEXT customer (o_custkey + 1) — the MOVE case
+    * whose old-FK retraction is the delta-join algebra's whole
+    * subtlety. Kept out of [[cdcChanges]] so the snapshot-maintenance
+    * oracles (cdc_apply/scd2/ivm_agg) stay untouched; ≡7 collides with
+    * none of that feed's key classes. */
+  private def cdcOrderMoves(s: SparkSession, d: String): DataFrame =
+    cdcSnapshot(s, d).filter(col("o_orderkey") % 10 === 7)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+        (col("o_custkey") + 1L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+
+  /** Deterministic change feed on the CUSTOMER side (B of the join
+    * view): deletes ≡3 (their orders vanish from the view), a segment
+    * update ≡4, inserts of fresh keys ≡6 (+1e6 — referenced by no
+    * order, so the B-insert path is exercised with zero view rows). */
+  private def cdcCustChanges(s: SparkSession, d: String): DataFrame = {
+    val c = cdcCustSnapshot(s, d)
+    val del = c.filter(col("o_custkey") % 10 === 3)
+      .select(col("o_custkey"), lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("string").as("c_mktsegment"))
+    val upd = c.filter(col("o_custkey") % 10 === 4)
+      .select(col("o_custkey"), lit(1L).as("seq"), lit("U").as("op"),
+        col("c_name"), lit("MOVED").as("c_mktsegment"))
+    val ins = c.filter(col("o_custkey") % 10 === 6)
+      .select((col("o_custkey") + 1000000L).as("o_custkey"),
+        lit(1L).as("seq"), lit("I").as("op"),
+        col("c_name"), lit("NEW").as("c_mktsegment"))
+    del.unionByName(upd).unionByName(ins)
+  }
+
+  /** Join-IVM oracle: FULL recompute — merge both change feeds into
+    * their snapshots independently (the cdc_apply latest-wins shape on
+    * each side), then join. The registered query maintains the view
+    * incrementally from the previous materialization; hash equality
+    * proves delta maintenance ≡ recompute, including the ≡7 FK moves
+    * and the ≡3 customer deletes. */
+  private val ivmJoinOracle: String =
+    s"""WITH $cdcChangesSql,
+       |civch AS (SELECT * FROM cdcch UNION ALL SELECT o_orderkey, CAST(1 AS BIGINT), 'U', o_custkey + 1, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 7),
+       |civl AS (SELECT k, op, c, st, tp FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM civch) WHERE rn = 1),
+       |civa AS (SELECT COALESCE(l.k, s.o_orderkey) AS o_orderkey,
+       |CASE WHEN l.k IS NOT NULL THEN l.c ELSE s.o_custkey END AS o_custkey,
+       |CASE WHEN l.k IS NOT NULL THEN l.st ELSE s.o_orderstatus END AS o_orderstatus,
+       |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS o_totalprice
+       |FROM orders s FULL OUTER JOIN civl l ON s.o_orderkey = l.k
+       |WHERE l.op IS NULL OR l.op <> 'D'),
+       |civbch AS (SELECT c_custkey AS bk, CAST(1 AS BIGINT) AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS nm, CAST(NULL AS VARCHAR) AS seg FROM customer WHERE c_custkey % 10 = 3
+       |UNION ALL SELECT c_custkey, CAST(1 AS BIGINT), 'U', c_name, 'MOVED' FROM customer WHERE c_custkey % 10 = 4
+       |UNION ALL SELECT c_custkey + 1000000, CAST(1 AS BIGINT), 'I', c_name, 'NEW' FROM customer WHERE c_custkey % 10 = 6),
+       |civbl AS (SELECT bk, op, nm, seg FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY bk ORDER BY seq DESC, op DESC) AS rn FROM civbch) WHERE rn = 1),
+       |civb AS (SELECT COALESCE(l.bk, s.c_custkey) AS c_custkey,
+       |CASE WHEN l.bk IS NOT NULL THEN l.nm ELSE s.c_name END AS c_name,
+       |CASE WHEN l.bk IS NOT NULL THEN l.seg ELSE s.c_mktsegment END AS c_mktsegment
+       |FROM customer s FULL OUTER JOIN civbl l ON s.c_custkey = l.bk
+       |WHERE l.op IS NULL OR l.op <> 'D')
+       |SELECT a.o_orderkey, a.o_custkey, a.o_orderstatus, a.o_totalprice, b.c_name, b.c_mktsegment
+       |FROM civa a JOIN civb b ON b.c_custkey = a.o_custkey
+       |ORDER BY a.o_orderkey""".stripMargin.replace("\n", " ")
+
   private val cdc = Vector(
     // next-snapshot merge: latest change per key wins; D drops, I/U
     // replace-or-append. Oracle merges independently via window rank +
@@ -3653,6 +3841,26 @@ object PipelineQueries {
              |WHERE l.op IS NULL OR l.op <> 'D')
              |SELECT o_orderstatus, count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM cdcm GROUP BY o_orderstatus""".stripMargin.replace("\n", " "))),
+    // Incremental JOIN-view maintenance (delta-join algebra): the
+    // denormalized orders⋈customer view kept fresh under change feeds
+    // on BOTH sides — affected join keys only (old FK ∪ new FK ∪
+    // changed customers), so the base is touched through key-pruned
+    // semi/anti joins, never rescanned. Includes FK moves (≡7 orders
+    // re-pointed) and dimension deletes (≡3 customers). The oracle
+    // recomputes the view from both fully-merged snapshots.
+    Q("cdc_ivm_join",
+      (s, d) => {
+        val a = cdcSnapshot(s, d)
+        val b = cdcCustSnapshot(s, d)
+        val viewPrev = a.join(b, "o_custkey")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "c_name", "c_mktsegment")
+        operators.Cdc.maintainJoinView(viewPrev, a,
+          cdcChanges(s, d).unionByName(cdcOrderMoves(s, d)), "o_orderkey",
+          b, cdcCustChanges(s, d), "o_custkey", "seq", "op")
+          .orderBy("o_orderkey")
+      },
+      Some(ivmJoinOracle)),
     // SCD2 expansion of the same feed: per-key version chain with
     // [valid_from, valid_to) sequence ranges; a D closes its
     // predecessor and emits nothing.
@@ -3722,6 +3930,25 @@ object PipelineQueries {
       |SELECT tdg.u AS part_id, tdg.d AS degree, COALESCE(tpv.n_tri, 0) AS n_tri,
       |CASE WHEN tdg.d >= 2 THEN (2000 * COALESCE(tpv.n_tri, 0)) // (tdg.d * (tdg.d - 1)) ELSE 0 END AS cc_permille
       |FROM tdg LEFT JOIN tpv ON tpv.id = tdg.u ORDER BY part_id""".stripMargin.replace("\n", " ")
+
+  private val RaMaxDeg = 64L
+  private val RaTopK = 20
+
+  /** Resource-allocation link-prediction oracle: capped-center wedges
+    * (the same `maxCenterDegree` exclusion the operator defines),
+    * exact `1e9 // deg` nano-weights, absent-edge anti-join, top-20 by
+    * (ra_nano DESC, a, b). */
+  private val raOracle: String =
+    s"""WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+       |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |red AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+       |rdg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM red GROUP BY u),
+       |rcn AS (SELECT e.u AS w, e.v AS n, 1000000000 // g.d AS wt FROM red e JOIN rdg g ON g.u = e.u WHERE g.d <= $RaMaxDeg),
+       |rwg AS (SELECT x.n AS a, y.n AS b, x.wt AS wt FROM rcn x JOIN rcn y ON y.w = x.w AND x.n < y.n),
+       |rag AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common, CAST(SUM(wt) AS BIGINT) AS ra_nano FROM rwg GROUP BY a, b),
+       |rne AS (SELECT g.a, g.b, g.common, g.ra_nano FROM rag g LEFT JOIN prs p ON p.pa = g.a AND p.pb = g.b WHERE p.pa IS NULL)
+       |SELECT a, b, common, ra_nano, CAST(ra_nano AS DOUBLE) / 1000000000.0 AS ra_score FROM rne
+       |ORDER BY ra_nano DESC, a ASC, b ASC LIMIT $RaTopK""".stripMargin.replace("\n", " ")
 
   private val KhopHops = 3
 
@@ -3829,6 +4056,18 @@ object PipelineQueries {
       (s, d) => operators.Graph.triangleCounts(copurchaseEdges(s, d), "pa", "pb")
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(triangleOracle)),
+    // Resource-allocation link prediction (which absent edges the
+    // graph most implies): Σ 1/deg over common neighbors in exact
+    // nano-units — RA instead of Adamic–Adar's 1/log(deg) precisely
+    // so NO transcendental enters the score (log ulps differ across
+    // libm builds; integer division doesn't). The center-degree cap
+    // is part of the definition (superhub centers contribute the
+    // least weight and the most wedges) and the oracle applies it
+    // identically.
+    Q("graph_linkpred_ra",
+      (s, d) => operators.Graph.linkPredictionRA(copurchaseEdges(s, d),
+        "pa", "pb", maxCenterDegree = RaMaxDeg, topK = RaTopK),
+      Some(raOracle)),
     // Multi-source BFS: hop distance from the seed set (part_id ≡ 0
     // mod 50) within 3 hops — level-synchronous frontier expansion
     // (one edge equi-join + anti-join per round, integer hops), the

@@ -102,6 +102,80 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Incrementally maintain a JOIN view under change logs on BOTH
+    * inputs — the other half of incremental view maintenance
+    * ([[maintainGroupAgg]] keeps aggregates fresh; this keeps a
+    * denormalized join table fresh), the delta-join algebra every
+    * stream-warehouse materialization engine implements. The view is
+    * `aSnap ⋈_joinCol bSnap` (inner equi-join); A is keyed by `aKey`
+    * and carries `joinCol` as a foreign key (so an A-update can MOVE a
+    * row between join keys), B is keyed by `joinCol` itself.
+    *
+    * Affected-key recompute, the standard IVM strategy for key-equi
+    * joins: the set of join keys any change can touch is
+    *   affected = π_join(aSnap ⋉ keys(ΔA))   -- OLD fk of changed A rows
+    *            ∪ π_join(ΔA non-delete)      -- NEW fk (covers moves)
+    *            ∪ keys(ΔB),
+    * and the next view is
+    *   V′ = (V anti⋉ affected) ∪ (A′|affected ⋈ B′|affected)
+    * where A′|affected / B′|affected are the merged-next-state rows
+    * restricted to affected join keys (unchanged snapshot rows
+    * semi-joined in, changed keys replaced by their latest-wins
+    * version, deletes dropped — the [[applyChanges]] reduction). The
+    * move case is why the OLD fk term exists: an order re-pointed to a
+    * new customer must retract its row under the old customer, which
+    * keys(ΔA)'s new image alone would never touch.
+    *
+    * Scale shape: `affected` is bounded by the FEED size (≤ |ΔA| +
+    * |ΔB| keys, persisted once, broadcast to every consumer), so the
+    * 100 TB base is touched only through key-pruned semi/anti joins —
+    * maintaining the view costs the day's feed, not the base; a feed
+    * too large to broadcast degrades to shuffled semi-joins, never to
+    * a rescan. Every change row is reduced map-side by the same
+    * `max_by` partial aggregation as [[applyChanges]]. The output
+    * equals a full recompute over both merged snapshots — what the
+    * oracle pins. */
+  def maintainJoinView(viewPrev: DataFrame, aSnap: DataFrame,
+      aChanges: DataFrame, aKey: String, bSnap: DataFrame,
+      bChanges: DataFrame, joinCol: String, seqCol: String,
+      opCol: String, persist: Boolean = true): DataFrame = {
+    val aPayload = aSnap.columns.filter(_ != aKey) // includes joinCol
+    val bPayload = bSnap.columns.filter(_ != joinCol)
+    require(aPayload.contains(joinCol),
+      s"maintainJoinView: A must carry join column $joinCol")
+    val ord = struct(col(seqCol), col(opCol))
+    val aLatest = aChanges.groupBy(col(aKey)).agg(
+      max_by(col(opCol), ord).as("__op"),
+      aPayload.map(c => max_by(col(c), ord).as(c)): _*)
+    val bLatest = bChanges.groupBy(col(joinCol)).agg(
+      max_by(col(opCol), ord).as("__op"),
+      bPayload.map(c => max_by(col(c), ord).as(c)): _*)
+    val affected = Caching.maybePersist(
+      aSnap.join(aLatest.select(col(aKey)), Seq(aKey), "left_semi")
+        .select(col(joinCol))
+        .unionByName(aLatest.filter(col("__op") =!= "D").select(col(joinCol)))
+        .unionByName(bLatest.select(col(joinCol)))
+        .distinct(), persist)
+    val aCols = (aKey +: aPayload).map(col(_))
+    val aAff = aSnap
+      .join(broadcast(affected), Seq(joinCol), "left_semi")
+      .join(aLatest.select(col(aKey)), Seq(aKey), "left_anti")
+      .select(aCols: _*)
+      .unionByName(aLatest.filter(col("__op") =!= "D").select(aCols: _*))
+    val bCols = (joinCol +: bPayload).map(col(_))
+    val bAff = bSnap
+      .join(broadcast(affected), Seq(joinCol), "left_semi")
+      .join(bLatest.select(col(joinCol)), Seq(joinCol), "left_anti")
+      .select(bCols: _*)
+      .unionByName(bLatest.filter(col("__op") =!= "D").select(bCols: _*))
+    val delta = aAff.join(bAff, Seq(joinCol))
+    // the using-column anti-join moves joinCol to the front — project
+    // back so the maintained view keeps viewPrev's column order
+    viewPrev.join(broadcast(affected), Seq(joinCol), "left_anti")
+      .unionByName(delta.select(viewPrev.columns.map(col(_)): _*))
+      .select(viewPrev.columns.map(col(_)): _*)
+  }
+
   /** Expand a change log into SCD2 history rows: (key, payload...,
     * valid_from, valid_to, is_current). `valid_to` is the next
     * version's sequence (exclusive) or NULL while current; a `D` op

@@ -352,4 +352,58 @@ object Graph {
       dist
     } finally edges.unpersist()
   }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang, Eur. Phys.
+    * J. B 2009): for every NON-adjacent pair (a, b), score
+    * RA(a,b) = Σ_{w ∈ Γ(a) ∩ Γ(b)} 1/deg(w) — each shared neighbor
+    * votes for the missing edge with weight inverse to its degree (a
+    * hub that neighbors everything says nothing; an exclusive mutual
+    * contact says a lot). The classic Adamic–Adar index is the same
+    * sum with 1/log deg(w); RA's rational weight is chosen here
+    * because it needs NO transcendental function — `10⁹ div deg(w)`
+    * nano-units are exact integers any engine reproduces bit-for-bit
+    * (log doubles differ by ulps across libm implementations), and
+    * the two indices rank near-identically in the published
+    * evaluations. Returns the `topK` highest-scoring absent edges:
+    * `(a, b, common, ra_nano, ra_score)` with a < b, ties broken by
+    * (a, b), score = nano / 1e9 in ONE final double division.
+    *
+    * Scale shape: wedges are generated per CENTER (the shared
+    * neighbor) by self-joining its adjacency rows, so the candidate
+    * count is Σ_w deg(w)² — quadratic in hub degree. The
+    * `maxCenterDegree` cap makes that bound linear: centers above the
+    * cap are excluded BEFORE the self-join, so candidates ≤
+    * cap · Σ deg = 2·cap·E. That exclusion is part of the algorithm's
+    * definition here, not an approximation knob left implicit: a
+    * super-hub center contributes ≤ 10⁹/cap per pair — the pairs it
+    * votes for are exactly the ones RA is designed to discount — and
+    * the oracle applies the identical cap. Aggregation runs BEFORE
+    * the absent-edge anti-join (pairs, not wedges, hit the join), and
+    * the final top-k is a bounded TakeOrdered, never a full sort. */
+  def linkPredictionRA(pairs: DataFrame, aCol: String, bCol: String,
+      maxCenterDegree: Long = 64L, topK: Int = 20): DataFrame = {
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2 (a degree-1 center forms no wedge), " +
+        s"got $maxCenterDegree")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ed = symmetricEdges(pairs, aCol, bCol)
+    val deg = ed.groupBy("__u").agg(count(lit(1)).as("__d"))
+    // adjacency rows of capped centers, each carrying the center's
+    // exact nano-weight (truncating div — both engines agree)
+    val centers = ed.join(deg.filter(col("__d") <= maxCenterDegree), "__u")
+      .select(col("__u").as("w"), col("__v").as("n"),
+        expr("1000000000 div __d").as("wt"))
+    val wedges = centers.select(col("w"), col("n").as("a"), col("wt"))
+      .join(centers.select(col("w"), col("n").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy("a", "b").agg(
+      count(lit(1)).as("common"), sum(col("wt")).as("ra_nano"))
+    val existing = ed.filter(col("__u") < col("__v"))
+      .select(col("__u").as("a"), col("__v").as("b"))
+    scored.join(existing, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("common"), col("ra_nano"),
+        (col("ra_nano").cast("double") / lit(1.0e9)).as("ra_score"))
+      .orderBy(col("ra_nano").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
 }

@@ -350,4 +350,93 @@ object Profiling {
           s"(s, x) -> CAST($alpha AS DOUBLE) * x + CAST(${1.0 - alpha} AS DOUBLE) * s)")
           .as("ewma"))
   }
+
+  /** One-sided CUSUM change-point monitor (Page, Biometrika 1954) over
+    * the per-bucket event counts, one series per `keyCol`: the
+    * sequential statistic S₀ = 0, Sₜ = max(0, Sₜ₋₁ + xₜ − μ − κ),
+    * alarmed when Sₜ > h — the detector that catches a SUSTAINED rate
+    * shift ([[rateSpikes]]' windowed z catches one loud bucket;
+    * CUSUM's memory accumulates many quiet ones, the canonical
+    * drift-onset alarm for an ingest monitor). μ is the key's observed
+    * mean bucket count, slack κ = μ/4, threshold h = 2μ.
+    *
+    * Exactness: everything is INTEGER. With n = the key's observed
+    * buckets and T = its total events (so μ = T/n), the recurrence is
+    * scaled by 4n: Sₜ = max(0, Sₜ₋₁ + 4n·xₜ − 5T) — 4n·(xₜ − μ − κ)
+    * with no division anywhere — and the alarm test is Sₜ > 8T
+    * (= 4n·2μ). Rather than a sequential fold, the scaled statistic
+    * uses its prefix-sum closed form: with Pₜ = Σ_{i≤t}(4n·xᵢ − 5T)
+    * and P₀ = 0, Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ) — two ordered window
+    * aggregates over longs, bit-equal on any engine and any
+    * partitioning, no collect_list.
+    *
+    * Bounds: the (key, bucket) frame is the [[rateSpikes]]/[[ewmaRate]]
+    * contract, enforced by the same in-plan `maxPoints` guard before
+    * the windows run; the windows are per-key and carry one row per
+    * OBSERVED bucket (time-range-bounded, never row-bounded).
+    * Output: (key, bucket, c, cusum_scaled, alarm) for every observed
+    * bucket — cusum_scaled is in the 4n·count units above (divide by
+    * 4n·1 for count units; kept scaled so the column stays exact). */
+  /** [[cusum]] against a FIXED reference rate — the deployable form: μ
+    * and κ are micro-unit constants from a trained baseline instead of
+    * the observed series' own mean. This is also the only form a
+    * STREAMING twin can exist for ([[graft.streaming.CusumStream]]):
+    * the self-mean variant's scaled term 4n·x − 5T depends on the
+    * complete series (n and T grow with every bucket, retroactively
+    * rescaling history), while the fixed-reference term
+    * tᵢ = 10⁶·xᵢ − (muMicro + kappaMicro) is per-bucket-local, so the
+    * prefix state (Pₜ, min Pⱼ) folds forward exactly-once.
+    *
+    * Same closed form as [[cusum]]: Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ)
+    * over integer micro-units; alarm when Sₜ > hMicro. Output:
+    * (key, bucket, c, p_micro, cusum_micro, alarm) — p_micro is the
+    * raw prefix, surfaced so the streaming snapshot can be pinned
+    * against the batch run row-for-row. */
+  def cusumFixed(df: DataFrame, tsSec: Column, keyCol: Column,
+      muMicro: Long, kappaMicro: Long, hMicro: Long,
+      bucketSec: Int = 3600, maxPoints: Long = 1L << 20): DataFrame = {
+    require(bucketSec >= 1, s"cusumFixed: bucketSec must be >= 1, got $bucketSec")
+    require(muMicro > 0 && kappaMicro >= 0 && hMicro > 0,
+      s"cusumFixed: need muMicro > 0, kappaMicro >= 0, hMicro > 0; " +
+        s"got $muMicro/$kappaMicro/$hMicro")
+    val m = df.groupBy(keyCol.as("key"),
+        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val guarded = guardedCardinality(m, maxPoints, "cusumFixed",
+      "(key, bucket)", "maxPoints")
+    val ordered = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    guarded
+      .withColumn("p_micro",
+        sum(lit(1000000L) * col("c") - lit(muMicro + kappaMicro))
+          .over(ordered))
+      .withColumn("cusum_micro",
+        col("p_micro") - least(lit(0L), min(col("p_micro")).over(ordered)))
+      .select(col("key"), col("bucket"), col("c"), col("p_micro"),
+        col("cusum_micro"), (col("cusum_micro") > lit(hMicro)).as("alarm"))
+  }
+
+  def cusum(df: DataFrame, tsSec: Column, keyCol: Column,
+      bucketSec: Int = 3600, maxPoints: Long = 1L << 20): DataFrame = {
+    require(bucketSec >= 1, s"cusum: bucketSec must be >= 1, got $bucketSec")
+    val m = df.groupBy(keyCol.as("key"),
+        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val guarded = guardedCardinality(m, maxPoints, "cusum",
+      "(key, bucket)", "maxPoints")
+    val perKey = Window.partitionBy(col("key"))
+    val ordered = perKey.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    guarded
+      .withColumn("__n", count(lit(1)).over(perKey))
+      .withColumn("__t", sum(col("c")).over(perKey))
+      .withColumn("__p",
+        sum(lit(4L) * col("__n") * col("c") - lit(5L) * col("__t"))
+          .over(ordered))
+      .withColumn("cusum_scaled",
+        col("__p") - least(lit(0L), min(col("__p")).over(ordered)))
+      .select(col("key"), col("bucket"), col("c"),
+        col("cusum_scaled"),
+        (col("cusum_scaled") > lit(8L) * col("__t")).as("alarm"))
+  }
 }

@@ -743,4 +743,46 @@ object Similarity {
       .select(col("cell"), col("__e.payload").as(idCol),
         (col("__pos") + 1L).cast("long").as("rk"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * merge N ranked retrieval lists into one by
+    * score(d) = Σ_lists 1/(k0 + rank_list(d)), the standard way a
+    * hybrid retriever combines a lexical (BM25) and a semantic
+    * (embedding top-k) list — RRF needs no score calibration between
+    * the lists because only RANKS enter the sum, which is exactly why
+    * it is the default fusion in production RAG stacks. `rankings`
+    * maps a list name to a DataFrame carrying (`idCol`, `rankCol`)
+    * with rank 1 = best; a document absent from a list contributes 0
+    * for it. Output: (`idCol`, `<name>_rank`... one per list,
+    * `rrf_score`), the `topK` best by (score desc, id asc).
+    *
+    * Determinism: each term is one double division and the terms are
+    * added LEFT-TO-RIGHT in the caller's list order — a fixed-shape
+    * expression tree any engine replays bit-for-bit (the sequenced-
+    * fold contract, degenerate N-term case).
+    *
+    * Scale shape: the inputs are already top-k-bounded lists (the
+    * expensive corpus-scale work happened inside the retrievers —
+    * bm25TopK's one aggregate pass, bruteForceTopKAgg's map-side
+    * heaps), so the fusion's full-outer joins and the final
+    * TakeOrdered run on ≤ Σ kᵢ rows regardless of corpus size. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.size >= 2, s"rrfFuse needs >= 2 lists, got ${rankings.size}")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "rrfFuse list names must be distinct")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val prepared = rankings.map { case (nm, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"${nm}_rank"))
+    }
+    val joined = prepared.reduce((l, r) => l.join(r, Seq(idCol), "full_outer"))
+    val score = rankings.map { case (nm, _) =>
+      when(col(s"${nm}_rank").isNotNull,
+        lit(1.0) / (lit(k0.toDouble) + col(s"${nm}_rank").cast("double")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf_score", score)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

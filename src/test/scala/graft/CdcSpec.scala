@@ -68,4 +68,56 @@ class CdcSpec extends SparkSpec {
       // k=2: the D at seq 1 closed a key with no prior version → no row
       (4L, "d", 1L, None, true)))
   }
+
+  test("maintainJoinView: delta maintenance equals full recompute across both feeds, including FK moves") {
+    // A keyed by k with FK g; B keyed by g
+    val aSnap = Seq((1L, 10L, "x1"), (2L, 10L, "x2"), (3L, 20L, "x3"),
+      (4L, 30L, "x4"), (5L, 40L, "x5")).toDF("k", "g", "pay")
+    val bSnap = Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"),
+      (40L, "forty")).toDF("g", "bname")
+    val aCh = Seq(
+      (1L, 1L, "U", 20L, "x1m"), // MOVE 10 → 20: retract under old FK
+      (3L, 1L, "D", 0L, null.asInstanceOf[String]), // fact delete
+      (6L, 1L, "I", 30L, "x6"), // fact insert
+      (2L, 1L, "U", 10L, "x2u"), (2L, 2L, "U", 10L, "x2v") // latest wins
+    ).toDF("k", "seq", "op", "g", "pay")
+    val bCh = Seq(
+      (40L, 1L, "D", null.asInstanceOf[String]), // dim delete → k=5 row vanishes
+      (30L, 1L, "U", "THIRTY"), // dim update reaches k=4 and k=6
+      (50L, 1L, "I", "fifty") // dim insert, referenced by nothing
+    ).toDF("g", "seq", "op", "bname")
+    val viewPrev = aSnap.join(bSnap, "g").select("k", "g", "pay", "bname")
+    val got = Cdc.maintainJoinView(viewPrev, aSnap, aCh, "k",
+        bSnap, bCh, "g", "seq", "op", persist = false)
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    val recomputed = Cdc.applyChanges(aSnap, aCh, "k", "seq", "op")
+      .join(Cdc.applyChanges(bSnap, bCh, "g", "seq", "op"), "g")
+      .select("k", "g", "pay", "bname")
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    assert(got == recomputed)
+    assert(got == Seq(
+      (1L, 20L, "x1m", "twenty"), // moved row joins its NEW customer
+      (2L, 10L, "x2v", "ten"), // seq-2 payload won
+      (4L, 30L, "x4", "THIRTY"), // untouched fact, updated dim
+      (6L, 30L, "x6", "THIRTY"))) // inserted fact, updated dim
+    // k=3 deleted, k=5's customer deleted, g=50 referenced by nothing
+  }
+
+  test("maintainJoinView: untouched join keys ride the previous view, not a recompute") {
+    // a feed touching ONLY g=10 must leave the g=20 view row flowing
+    // from viewPrev — pinned by poisoning viewPrev's g=20 row: if the
+    // operator recomputed it from the snapshots, the poison would heal
+    val aSnap = Seq((1L, 10L, "x1"), (3L, 20L, "x3")).toDF("k", "g", "pay")
+    val bSnap = Seq((10L, "ten"), (20L, "twenty")).toDF("g", "bname")
+    val aCh = Seq((1L, 1L, "U", 10L, "x1u")).toDF("k", "seq", "op", "g", "pay")
+    val bCh = Seq((99L, 1L, "I", "nine9")).toDF("g", "seq", "op", "bname")
+    val poisoned = Seq((1L, 10L, "x1", "ten"), (3L, 20L, "POISON", "POISON"))
+      .toDF("k", "g", "pay", "bname")
+    val got = Cdc.maintainJoinView(poisoned, aSnap, aCh, "k",
+        bSnap, bCh, "g", "seq", "op", persist = false)
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, 10L, "x1u", "ten"),
+      (3L, 20L, "POISON", "POISON")),
+      s"unaffected keys must pass through untouched: $got")
+  }
 }

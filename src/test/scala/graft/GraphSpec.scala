@@ -246,4 +246,57 @@ class GraphSpec extends SparkSpec {
         s"trial $trial (maxHops=$maxHops): got $got, want $want")
     }
   }
+
+  test("linkPredictionRA: hand wedge on a path, hub center excluded by the cap") {
+    // path 1-2-3: center 2 (deg 2) implies the absent edge (1,3) with
+    // weight 1e9 div 2; hub 100 (deg 4 > cap 3) is excluded as a
+    // center, so none of its leaf pairs appear at all
+    val edges = Seq((1L, 2L), (2L, 3L), (100L, 4L), (100L, 5L),
+      (100L, 6L), (100L, 7L)).toDF("a", "b")
+    val got = Graph.linkPredictionRA(edges, "a", "b",
+      maxCenterDegree = 3, topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 500000000L, 0.5)))
+  }
+
+  test("linkPredictionRA: existing edges never predicted (anti-join)") {
+    // triangle 1-2-3 plus tail 3-4: centers imply (1,4),(2,4) [via 3]
+    // and (1,3)/(2,3)/(1,2) — but the latter three EXIST and must not
+    // appear
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.linkPredictionRA(edges, "a", "b",
+      maxCenterDegree = 10, topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // center 3 has degree 3 → each wedge contributes 1e9 div 3
+    assert(got == Seq((1L, 4L, 1L, 333333333L, 0.333333333),
+      (2L, 4L, 1L, 333333333L, 0.333333333)))
+  }
+
+  test("linkPredictionRA: randomized model check against driver-side brute force") {
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val cap = 2L + rng.nextInt(8)
+      val es = (0 until 50).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      // ask for every candidate so the whole scored set is compared
+      val got = Graph.linkPredictionRA(es.toDF("pa", "pb"), "pa", "pb",
+        maxCenterDegree = cap, topK = 10000)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        .map(r => (r._1, r._2, r._3, r._4))
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val edgeSet = es.toSet
+      val want = (for {
+        (w, nbrs) <- adj.toSeq if nbrs.size <= cap
+        a <- nbrs; b <- nbrs if a < b
+        if !edgeSet.contains((a, b))
+      } yield ((a, b), 1000000000L / nbrs.size))
+        .groupBy(_._1).toSeq
+        .map { case ((a, b), ws) => (a, b, ws.size.toLong, ws.map(_._2).sum) }
+        .sortBy { case (a, b, _, ra) => (-ra, a, b) }
+      assert(got == want, s"trial $trial (cap=$cap): got $got, want $want")
+    }
+  }
 }

@@ -219,6 +219,60 @@ class ProfilingSpec extends SparkSpec {
     assert(ok == Seq(("all", 50L, 1.0)))
   }
 
+  test("cusum: hand-computed integer statistic, sustained shift alarms, dip pins at zero") {
+    // one key: 20 quiet buckets of 10 then a 5-bucket burst of 60 —
+    // n = 25, T = 500, μ = 20, κ = 5 → scaled term 100·x − 2500
+    // (quiet −1500, burst +3500), threshold 8T = 4000 (= 2μ unscaled).
+    // The quiet prefix pins at 0 (max-with-zero discards the negative
+    // drift); burst bucket 1 reaches 3500 (NO alarm — one loud bucket
+    // is rateSpikes' job), bucket 2 reaches 7000 and alarms.
+    val counts = Seq.fill(20)(10) ++ Seq.fill(5)(60)
+    val rows = counts.zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val got = Profiling.cusum(rows.toDF("ts_s", "key2"), col("ts_s"),
+      col("key2"), bucketSec = 3600)
+      .orderBy("bucket").as[(String, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    // driver replay of the recurrence Sₜ = max(0, Sₜ₋₁ + 36·xₜ − 660)
+    val n = counts.size.toLong
+    val t = counts.map(_.toLong).sum
+    var s = 0L
+    val want = counts.zipWithIndex.map { case (c, b) =>
+      s = math.max(0L, s + 4L * n * c - 5L * t)
+      ("k", b.toLong, c.toLong, s, s > 8L * t)
+    }
+    assert(got == want, s"got $got, want $want")
+    assert(got.take(20).forall(_._4 == 0L), "the quiet prefix must pin at 0")
+    assert(!got(20)._5, "one burst bucket alone must not alarm")
+    assert(got.drop(21).forall(_._5), "the sustained burst must alarm")
+  }
+
+  test("cusum: bit-identical under repartitioning (closed-form windows, no fold)") {
+    val rows = (0 until 5000).map(i => (i.toLong * 37L % 86400L, s"t${i % 3}"))
+    val a = Profiling.cusum(rows.toDF("ts_s", "key2"), col("ts_s"),
+      col("key2"), bucketSec = 3600)
+      .orderBy("key", "bucket").collect().toSeq
+    val b = Profiling.cusum(rows.toDF("ts_s", "key2").repartition(17),
+      col("ts_s"), col("key2"), bucketSec = 3600)
+      .orderBy("key", "bucket").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cusum: point frame wider than maxPoints fails loudly (guarded window)") {
+    val wide = (0 until 60).map(i => (i * 3600L, "k")).toDF("ts_s", "key2")
+    val e = intercept[Exception] {
+      Profiling.cusum(wide, col("ts_s"), col("key2"), bucketSec = 3600,
+        maxPoints = 10L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxPoints"),
+      s"guard must name the cap: ${e.getMessage}")
+    // the same series passes once the cap accommodates it
+    val ok = Profiling.cusum(wide, col("ts_s"), col("key2"),
+      bucketSec = 3600, maxPoints = 60L).count()
+    assert(ok == 60L)
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,

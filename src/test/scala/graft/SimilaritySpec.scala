@@ -369,4 +369,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sorted == want.sorted,
       "topK-aggregate sample must equal the window formulation")
   }
+
+  test("rrfFuse: rank arithmetic, missing-list zero contribution, id tie-break") {
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val sem = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+      "id", "rank", k0 = 60, topK = 10)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    // id 2 is in both lists: 1/62 + 1/61; singles contribute one term;
+    // absent list = 0, surfaced as a NULL rank
+    val want = Seq(
+      (2L, Some(2L), Some(1L), 1.0 / 62 + 1.0 / 61),
+      (1L, Some(1L), None, 1.0 / 61),
+      (4L, None, Some(2L), 1.0 / 62),
+      (3L, Some(3L), None, 1.0 / 63))
+    assert(got == want, s"got $got, want $want")
+    // score ties (same ranks in mirrored lists) break by id ascending
+    val l2 = Seq((7L, 1L), (5L, 2L)).toDF("id", "rank")
+    val s2 = Seq((5L, 1L), (7L, 2L)).toDF("id", "rank")
+    val tied = Similarity.rrfFuse(Seq("a" -> l2, "b" -> s2), "id", "rank",
+      k0 = 60, topK = 1).as[(Long, Option[Long], Option[Long], Double)]
+      .collect().toSeq
+    assert(tied.map(_._1) == Seq(5L), s"tie must break to the lower id: $tied")
+  }
+
+  test("rrfFuse: duplicate list names rejected") {
+    val l = Seq((1L, 1L)).toDF("id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("x" -> l, "x" -> l), "id", "rank")
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
 }
