@@ -389,13 +389,16 @@ object PipelineQueries {
        |SELECT CAST(cell AS BIGINT) AS cell, vec_id, CAST(rk AS BIGINT) AS rk
        |FROM ksr WHERE rk <= 8""".stripMargin.replace("\n", " ")
 
-  // fixed-reference CUSUM constants (micro-units): μ = 20 events/hour,
-  // κ = μ/4 slack, h = 2μ threshold — a trained-baseline stand-in; the
-  // monitor is deliberately scale-sensitive (a 10× corpus alarms more,
-  // as a real fixed-reference monitor would)
-  private val CusumMu = 20000000L
-  private val CusumKappa = 5000000L
-  private val CusumH = 40000000L
+  // fixed-reference CUSUM constants (micro-units): μ = 3 events/hour
+  // (the corpus' per-type hourly mean is ≈2.95 — a trained-baseline
+  // stand-in), κ = μ/4 slack, h = 2μ threshold. At sf0.01 this alarms
+  // on 51 of 3,385 rows across all five types — rare, as a monitor
+  // should be, but BOTH verdict paths carry real mass. Deliberately
+  // scale-sensitive: a 10× corpus alarms everywhere, as a real
+  // fixed-reference monitor would.
+  private val CusumMu = 3000000L
+  private val CusumKappa = 750000L
+  private val CusumH = 6000000L
 
   private val RrfLexK = 50
   private val RrfSemK = 50
@@ -1860,6 +1863,47 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       Some(pqOracle)),
+    // Measured recall@10 of every approximate ANN method against the
+    // exact brute-force truth — the before-you-trust-the-settings
+    // table (the dedup_lsh_recall discipline applied to the ANN
+    // family): each method's top-10 per probe left-joined to the
+    // truth pairs, hits and per-mille recall in exact integers. The
+    // oracle COMPOSES the four already-pinned ranked-list oracles as
+    // parenthesized subqueries, so the eval's truth and found sets are
+    // the very lists the individual hashes verify.
+    Q("ann_recall_eval",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val p = probes(e)
+        val truth = Similarity.bruteForceTopKAgg(e, p, "vec_id",
+          "embedding", k = 10).select("probe_id", "neighbor_id")
+        def recallOf(name: String, found: DataFrame): DataFrame =
+          truth.join(found.select(col("probe_id"), col("neighbor_id"))
+              .withColumn("__hit", lit(1L)),
+            Seq("probe_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+            .select(lit(name).as("method"), col("n_truth"), col("n_hit"),
+              expr("(1000 * n_hit) div n_truth").as("recall_permille"))
+        recallOf("ivf", Similarity.ivfTopK(e, p, "vec_id", "embedding", k = 10))
+          .unionByName(recallOf("lsh", Similarity.lshTopK(e, p, "vec_id",
+            "embedding", k = 10, planes = LshPlanes, seed = LshSeed,
+            planeGen = Similarity.lcgPlanes)))
+          .unionByName(recallOf("pq", Quantization.pqTopK(e, p, "vec_id",
+            "embedding", k = 10, m = PqM, nlist = PqNlist,
+            shortlist = PqShortlist)))
+          .unionByName(recallOf("sq", Quantization.sqTopK(e, p, "vec_id",
+            "embedding", k = 10)))
+          .orderBy("method")
+      },
+      Some(Seq("ivf" -> ivfOracle, "lsh" -> annLshOracle,
+          "pq" -> pqOracle, "sq" -> sqOracle).map { case (m, osql) =>
+        s"""SELECT '$m' AS method, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           |CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |(1000 * CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS recall_permille
+           |FROM ($annBruteOracle) t LEFT JOIN ($osql) f
+           |ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id""".stripMargin.replace("\n", " ")
+      }.mkString(" UNION ALL ") + " ORDER BY method")),
     // Hybrid retrieval: BM25 top-50 (lexical) and exact-cosine top-50
     // for probe 0 (semantic) fused by reciprocal-rank fusion — only
     // RANKS enter the fused score, so no cross-list calibration is
@@ -1884,7 +1928,7 @@ object PipelineQueries {
         Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id",
           "rank", k0 = RrfK0, topK = RrfTopK)
       },
-      Some(hybridRrfOracle)),
+      Some(hybridRrfOracle), bench = true),
     // Banded LSH with LCG hyperplanes: the plane generation is exact
     // integer arithmetic both engines can reproduce, so bucket
     // assignment AND the exact-cosine verification are independently
@@ -2734,6 +2778,24 @@ object PipelineQueries {
     // exact counts come from a separate distinct-then-count pass joined
     // back, and the oracle pins the ≤2% error CONTRACT per day (the
     // sketch value itself is engine-specific).
+    // Consecutive-day unique-user overlap by HLL SKETCH ALGEBRA
+    // (DataSketches hll_sketch_agg/hll_union): one scan builds one
+    // ~KB sketch per day; the pairwise union is sketch-only, so at
+    // 100 TB the persisted per-day sketches answer any
+    // overlap/retention question without rescans. Intersection via
+    // inclusion–exclusion (no unbiased sketch estimator exists);
+    // verdict bound is union-relative because I–E compounds three
+    // estimates' errors on the union's scale.
+    Q("ev_uniques_overlap",
+      (s, d) => operators.Analytics.uniqueOverlapDays(events(s, d),
+        col("ts_s"), col("user_id")).orderBy("day"),
+      Some("""WITH uod AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id FROM events),
+             |uoc AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM uod GROUP BY 1),
+             |uov AS (SELECT x.day AS day, CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM uod x JOIN uod y ON y.user_id = x.user_id AND y.day = x.day + 1 GROUP BY 1)
+             |SELECT a.day, COALESCE(o.exact_overlap, 0) AS exact_overlap,
+             |a.n + b.n - COALESCE(o.exact_overlap, 0) AS exact_union, TRUE AS within_bound
+             |FROM uoc a JOIN uoc b ON b.day = a.day + 1 LEFT JOIN uov o ON o.day = a.day
+             |ORDER BY a.day""".stripMargin.replace("\n", " "))),
     Q("ev_daily_uniques_approx",
       (s, d) => {
         val e = events(s, d)
@@ -2849,7 +2911,8 @@ object PipelineQueries {
              |crp AS (SELECT event_type, bucket, c, CAST(SUM(1000000 * c - ${CusumMu + CusumKappa}) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p_micro FROM crf),
              |crs AS (SELECT event_type, bucket, c, p_micro, p_micro - LEAST(CAST(0 AS BIGINT), CAST(MIN(p_micro) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_micro FROM crp)
              |SELECT event_type, bucket, c, p_micro, cusum_micro, (cusum_micro > $CusumH) AS alarm FROM crs
-             |ORDER BY event_type, bucket""".stripMargin.replace("\n", " "))),
+             |ORDER BY event_type, bucket""".stripMargin.replace("\n", " ")),
+      bench = true),
     // Top session paths (the product-analytics "user journey" rollup):
     // the ev_sessionize segmentation, each session's ordered type
     // sequence folded to a path string (array_sort on (ts_s, id, type)
@@ -3615,6 +3678,27 @@ object PipelineQueries {
     // originals ∪ seeded one-pixel-edit replicas (withMediaReplicas),
     // so the pair set is NON-EMPTY by construction — both engines must
     // re-derive the same real pairs, not agree on an empty set.
+    // Media near-dup GROUPS: the mm_phash_pairs edge set resolved to
+    // clusters with a canonical keeper (min id) — the media analog of
+    // dedup_clusters, riding the same pointer-jumping CC machinery;
+    // every hashed medium is a vertex, so untouched files form
+    // singleton clusters and the keep flag IS the dedup decision.
+    Q("mm_phash_clusters",
+      (s, d) => {
+        val hashed = operators.Multimodal.perceptualHash(
+          withPayload(withMediaReplicas(t(s, d, "documents"))),
+          "doc_id", "payload")
+        val pairs = operators.Dedup.hammingNearPairsMih(hashed, "id",
+          "phash", maxHamming = 7, chunks = 4).select("a", "b")
+        operators.Dedup.connectedComponents(hashed.select(col("id")),
+          "id", pairs, "a", "b").orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $MediaReplicaSql, ${phashCtes("mdocs")},
+             |mcp AS (SELECT x.doc_id AS a, y.doc_id AS b FROM phsg x JOIN phsg y ON x.doc_id < y.doc_id WHERE bit_count(xor(x.h, y.h)) <= 7),
+             |mce AS (SELECT a AS u, b AS v FROM mcp UNION SELECT b, a FROM mcp),
+             |mcr(u, r) AS (SELECT doc_id, doc_id FROM phsg UNION SELECT e.u, p.r FROM mce e JOIN mcr p ON p.u = e.v)
+             |SELECT u AS id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
+             |FROM mcr GROUP BY u ORDER BY u""".stripMargin.replace("\n", " "))),
     Q("mm_phash_pairs",
       (s, d) => operators.Dedup.hammingNearPairsMih(
         operators.Multimodal.perceptualHash(
@@ -3860,7 +3944,7 @@ object PipelineQueries {
           b, cdcCustChanges(s, d), "o_custkey", "seq", "op")
           .orderBy("o_orderkey")
       },
-      Some(ivmJoinOracle)),
+      Some(ivmJoinOracle), bench = true),
     // SCD2 expansion of the same feed: per-key version chain with
     // [valid_from, valid_to) sequence ranges; a D closes its
     // predecessor and emits nothing.

@@ -776,6 +776,56 @@ object TextAnalysis {
         sum(when(col("__cnt") <= rareMax, col("__tf")).otherwise(0L)).as("n_rare"))
   }
 
+  /** Per-document bigram language-model score — the sequence-aware
+    * step up from [[corpusFrequency]]'s unigram signal (CCNet-style
+    * pipelines gate on LM scores; a doc whose word PAIRS are
+    * improbable reads as boilerplate/gibberish even when every word
+    * is common). Score: the mean corpus conditional probability of
+    * the document's adjacent bigrams, in EXACT integer micro-units —
+    * q(w₁w₂) = (10⁶ · c(w₁w₂)) div c(w₁·), where c(w₁·) sums the
+    * bigram counts with left context w₁, and per doc
+    * mean_cond_micro = Σ tf·q / Σ tf with ONE double division at the
+    * end — the log-free idiom of the whole text family (a real LM
+    * multiplies log-probs; the mean conditional keeps the identical
+    * ordering signal without a transcendental, so any engine
+    * reproduces it bit-for-bit).
+    *
+    * Self-scored against its own corpus here (the demo shape); a
+    * production gate scores against a REFERENCE corpus' (w₁, w₂, q)
+    * table — same plan with the bigram frame read instead of built
+    * (the ev_window_drift self-reference caveat).
+    *
+    * Scale shape: bigram explode is map-only; per-(doc, bigram)
+    * counts reduce map-side before the doc-keyed shuffle; the corpus
+    * bigram table and its left-context rollup ride the bigram
+    * vocabulary (Heaps-sublinear), never the token stream; one
+    * equi-join back. Documents with < 2 tokens have no bigram and are
+    * absent by definition. Output: (idCol, n_bigrams,
+    * sum_cond_micro, mean_cond_micro). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      persist: Boolean = true): DataFrame = {
+    val tf = Caching.maybePersist(
+      df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+        .filter(size(col("__toks")) >= 2)
+        .select(col(idCol), explode(
+          expr("transform(sequence(1, size(__toks) - 1), " +
+            "i -> struct(__toks[i - 1] AS w1, __toks[i] AS w2))")).as("__b"))
+        .groupBy(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+        .agg(count(lit(1)).as("__tf")),
+      persist)
+    val c2 = tf.groupBy(col("__w1"), col("__w2")).agg(sum(col("__tf")).as("__c2"))
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+    val q = c2.join(c1, "__w1")
+      .select(col("__w1"), col("__w2"),
+        expr("(1000000 * __c2) div __c1").as("__q"))
+    tf.join(q, Seq("__w1", "__w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        sum(col("__tf") * col("__q")).as("sum_cond_micro"),
+        (sum(col("__tf") * col("__q")).cast(DoubleType) / sum(col("__tf")))
+          .as("mean_cond_micro"))
+  }
+
   /** Per-document top-k TF-IDF terms — keyword extraction, the
     * per-doc topical summary a curation pipeline indexes or clusters
     * on (bm25TopK is the QUERY side: given terms, rank docs; this is

@@ -260,6 +260,33 @@ class PropertySpec extends SparkSpec {
     }, cases = 10)
   }
 
+  test("uniqueOverlapDays equals the per-day set model; tiny-set sketches stay in bound") {
+    val actGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(0, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 40L))))
+    check("overlap", Prop.forAll(actGen) { act =>
+      val dist = act.distinct
+      val days = dist.map(_._1).distinct.sorted
+      val pairs = days.filter(d => days.contains(d + 1))
+      if (pairs.isEmpty) true
+      else {
+        val got = graft.operators.Analytics.uniqueOverlapDays(
+            act.map { case (d, u) => (d * 86400L, u) }.toDF("ts_s", "uid"),
+            col("ts_s"), col("uid"))
+          .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toList
+        val byDay = dist.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = pairs.map { d =>
+          val a = byDay(d); val b = byDay(d + 1)
+          (d, (a & b).size.toLong, (a | b).size.toLong, true)
+        }
+        // within_bound must hold too: DataSketches HLL is exact at
+        // these cardinalities (coupon-list mode), and absTol = 10
+        // dominates regardless
+        got == want
+      }
+    }, cases = 10)
+  }
+
   test("asofJoin equals the scan model (unique right timestamps)") {
     val rightGen = Gen.chooseNum(0, 30).flatMap(n =>
       Gen.pick(n, 0 until 200).map(_.toList))

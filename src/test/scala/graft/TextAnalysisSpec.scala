@@ -347,4 +347,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, Double, Long)].collect().toSeq
     assert(t2 == Seq((1L, "x", 1.0, 1L)), s"tie must break to 'x': $t2")
   }
+
+  test("bigramLmScore: hand-computed conditional micro-units; sub-bigram docs absent") {
+    // corpus bigrams: ab×3 (d1×2, d2×1), ba×1, bc×1
+    // left contexts: a·=3, b·=2 → q(ab)=1e6·3 div 3=1_000_000,
+    // q(ba)=q(bc)=1e6·1 div 2=500_000
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text",
+        persist = false)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 3000000L, 750000.0), // 2·1e6 + 5e5 + 5e5 over 4
+      (2L, 1L, 1000000L, 1000000.0)), s"got $got")
+    // d3 has one token → no bigram → absent by definition
+    assert(!got.exists(_._1 == 3L))
+    // integer pipeline ⇒ bit-identical under repartitioning
+    val re = TextAnalysis.bigramLmScore(docs.repartition(7), "doc_id",
+        "text", persist = false)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(re == got)
+  }
 }
