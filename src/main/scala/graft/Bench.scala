@@ -212,7 +212,18 @@ object Bench {
       val ok = ts.flatten.map(_._1)
       "\"" + k + "\":" + (if (ok.isEmpty) "null" else r4(ok.min))
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"errors":$errs,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
+    // errors in the COMPACT line are truncated far harder than the
+    // detailed line's 300 chars: jstr escaping EXPANDS (a control
+    // char becomes 6 chars), so a single raw-bytes Spark message
+    // could push the compact line back past the driver's tail window
+    // — in exactly the failed-run case this line exists for. 60
+    // pre-escape chars identify the failure; the full message is one
+    // line up and in bench_out.json.
+    def jstrShort(s: String): String = jstr(s.take(60))
+    val errsCompact = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":" + jstrShort(m)
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
     println(json)
     println(compact)
     // Also land the line in files: the driver scrapes stdout through

@@ -2770,14 +2770,6 @@ object PipelineQueries {
              |SELECT CAST(n AS BIGINT) AS n_pairs,
              |(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_lag1
              |FROM ast""".stripMargin.replace("\n", " "))),
-    // Per-day unique users, sketched: the "daily uniques" dashboard
-    // aggregate at 100 TB runs on HLL (mergeable across partitions, one
-    // small register set per day flowing through the shuffle), not on
-    // count-distinct. PER-GROUP the multi-distinct Expand trap that bit
-    // q_approx_distinct does not apply (no countDistinct mixed in);
-    // exact counts come from a separate distinct-then-count pass joined
-    // back, and the oracle pins the ≤2% error CONTRACT per day (the
-    // sketch value itself is engine-specific).
     // Consecutive-day unique-user overlap by HLL SKETCH ALGEBRA
     // (DataSketches hll_sketch_agg/hll_union): one scan builds one
     // ~KB sketch per day; the pairwise union is sketch-only, so at
@@ -2796,6 +2788,14 @@ object PipelineQueries {
              |a.n + b.n - COALESCE(o.exact_overlap, 0) AS exact_union, TRUE AS within_bound
              |FROM uoc a JOIN uoc b ON b.day = a.day + 1 LEFT JOIN uov o ON o.day = a.day
              |ORDER BY a.day""".stripMargin.replace("\n", " "))),
+    // Per-day unique users, sketched: the "daily uniques" dashboard
+    // aggregate at 100 TB runs on HLL (mergeable across partitions, one
+    // small register set per day flowing through the shuffle), not on
+    // count-distinct. PER-GROUP the multi-distinct Expand trap that bit
+    // q_approx_distinct does not apply (no countDistinct mixed in);
+    // exact counts come from a separate distinct-then-count pass joined
+    // back, and the oracle pins the ≤2% error CONTRACT per day (the
+    // sketch value itself is engine-specific).
     Q("ev_daily_uniques_approx",
       (s, d) => {
         val e = events(s, d)

@@ -75,8 +75,10 @@ object Analytics {
       absTol: Double = 10.0, relTol: Double = 0.05): DataFrame = {
     require(absTol >= 0 && relTol >= 0 && (absTol > 0 || relTol > 0),
       s"uniqueOverlapDays: need a positive tolerance, got $absTol/$relTol")
-    val days = df.select((tsSec.cast("long") / lit(86400L)).cast("long")
-      .as("day"), idCol.as("__id"))
+    // floor, not truncate-toward-zero: pre-1970 seconds must land on
+    // the same day key the oracle's `// 86400` floor division produces
+    val days = df.select(floor(tsSec.cast("long") / lit(86400L))
+      .cast("long").as("day"), idCol.as("__id"))
     val sk = days.groupBy("day").agg(hll_sketch_agg(col("__id")).as("__sk"),
       count_distinct(col("__id")).as("__n"))
     val du = days.distinct()

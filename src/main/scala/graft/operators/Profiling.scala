@@ -351,32 +351,6 @@ object Profiling {
           .as("ewma"))
   }
 
-  /** One-sided CUSUM change-point monitor (Page, Biometrika 1954) over
-    * the per-bucket event counts, one series per `keyCol`: the
-    * sequential statistic S₀ = 0, Sₜ = max(0, Sₜ₋₁ + xₜ − μ − κ),
-    * alarmed when Sₜ > h — the detector that catches a SUSTAINED rate
-    * shift ([[rateSpikes]]' windowed z catches one loud bucket;
-    * CUSUM's memory accumulates many quiet ones, the canonical
-    * drift-onset alarm for an ingest monitor). μ is the key's observed
-    * mean bucket count, slack κ = μ/4, threshold h = 2μ.
-    *
-    * Exactness: everything is INTEGER. With n = the key's observed
-    * buckets and T = its total events (so μ = T/n), the recurrence is
-    * scaled by 4n: Sₜ = max(0, Sₜ₋₁ + 4n·xₜ − 5T) — 4n·(xₜ − μ − κ)
-    * with no division anywhere — and the alarm test is Sₜ > 8T
-    * (= 4n·2μ). Rather than a sequential fold, the scaled statistic
-    * uses its prefix-sum closed form: with Pₜ = Σ_{i≤t}(4n·xᵢ − 5T)
-    * and P₀ = 0, Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ) — two ordered window
-    * aggregates over longs, bit-equal on any engine and any
-    * partitioning, no collect_list.
-    *
-    * Bounds: the (key, bucket) frame is the [[rateSpikes]]/[[ewmaRate]]
-    * contract, enforced by the same in-plan `maxPoints` guard before
-    * the windows run; the windows are per-key and carry one row per
-    * OBSERVED bucket (time-range-bounded, never row-bounded).
-    * Output: (key, bucket, c, cusum_scaled, alarm) for every observed
-    * bucket — cusum_scaled is in the 4n·count units above (divide by
-    * 4n·1 for count units; kept scaled so the column stays exact). */
   /** [[cusum]] against a FIXED reference rate — the deployable form: μ
     * and κ are micro-unit constants from a trained baseline instead of
     * the observed series' own mean. This is also the only form a
@@ -416,6 +390,32 @@ object Profiling {
         col("cusum_micro"), (col("cusum_micro") > lit(hMicro)).as("alarm"))
   }
 
+  /** One-sided CUSUM change-point monitor (Page, Biometrika 1954) over
+    * the per-bucket event counts, one series per `keyCol`: the
+    * sequential statistic S₀ = 0, Sₜ = max(0, Sₜ₋₁ + xₜ − μ − κ),
+    * alarmed when Sₜ > h — the detector that catches a SUSTAINED rate
+    * shift ([[rateSpikes]]' windowed z catches one loud bucket;
+    * CUSUM's memory accumulates many quiet ones, the canonical
+    * drift-onset alarm for an ingest monitor). μ is the key's observed
+    * mean bucket count, slack κ = μ/4, threshold h = 2μ.
+    *
+    * Exactness: everything is INTEGER. With n = the key's observed
+    * buckets and T = its total events (so μ = T/n), the recurrence is
+    * scaled by 4n: Sₜ = max(0, Sₜ₋₁ + 4n·xₜ − 5T) — 4n·(xₜ − μ − κ)
+    * with no division anywhere — and the alarm test is Sₜ > 8T
+    * (= 4n·2μ). Rather than a sequential fold, the scaled statistic
+    * uses its prefix-sum closed form: with Pₜ = Σ_{i≤t}(4n·xᵢ − 5T)
+    * and P₀ = 0, Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ) — two ordered window
+    * aggregates over longs, bit-equal on any engine and any
+    * partitioning, no collect_list.
+    *
+    * Bounds: the (key, bucket) frame is the [[rateSpikes]]/[[ewmaRate]]
+    * contract, enforced by the same in-plan `maxPoints` guard before
+    * the windows run; the windows are per-key and carry one row per
+    * OBSERVED bucket (time-range-bounded, never row-bounded).
+    * Output: (key, bucket, c, cusum_scaled, alarm) for every observed
+    * bucket — cusum_scaled is in the 4n·count units above (divide by
+    * 4n·1 for count units; kept scaled so the column stays exact). */
   def cusum(df: DataFrame, tsSec: Column, keyCol: Column,
       bucketSec: Int = 3600, maxPoints: Long = 1L << 20): DataFrame = {
     require(bucketSec >= 1, s"cusum: bucketSec must be >= 1, got $bucketSec")

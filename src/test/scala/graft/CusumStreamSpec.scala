@@ -12,43 +12,12 @@ import graft.streaming.{CusumStream, EwmaStream}
   * exactly-once through an injected mid-batch crash, and the frontier
   * guard the prefix-minimum's order argument rests on. All integer —
   * equality here is exact, not toleranced. */
-class CusumStreamSpec extends SparkSpec {
+class CusumStreamSpec extends SparkSpec with StreamFeedHarness {
   import spark.implicits._
 
-  private val dir = "/root/testdata/sf0.001"
   private val Mu = 20000000L
   private val Kappa = 5000000L
   private val H = 40000000L
-  private def batchEvents = sources.EventsTime.load(spark, dir)
-
-  /** Time-quartile feed + far-future sentinel (the EwmaStreamSpec
-    * harness: Append-mode restarts must feed time-forward; the
-    * sentinel finalizes every real bucket without entering state). */
-  private def feed(): (String, Int => Unit, () => Unit) = {
-    val src = java.nio.file.Files.createTempDirectory("cusum_src").toString
-    val (lo, hi) = batchEvents.agg(min("ts_s"), max("ts_s"))
-      .as[(Long, Long)].head()
-    val width = (hi - lo) / 4 + 1
-    val all = batchEvents.withColumn("part",
-      floor((col("ts_s") - lo) / width).cast("int"))
-    val addFile = (p: Int) => all.filter(col("part") === p).drop("part")
-      .coalesce(1).write.mode("append").parquet(src)
-    val addSentinel = () => batchEvents
-      .groupBy("event_type").agg(min("event_id").as("event_id"))
-      .join(batchEvents.drop("event_type"), "event_id")
-      .withColumn("ts_s", lit(hi + 30L * 86400))
-      .select(batchEvents.columns.map(col): _*)
-      .coalesce(1).write.mode("append").parquet(src)
-    (src, addFile, addSentinel)
-  }
-
-  private def streamFrom(src: String): DataFrame = {
-    val schema = spark.read.parquet(src).schema
-    val events = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-    events.withColumn("event_time", timestamp_micros(expr("(ts_s * 1000000)")))
-  }
-
   /** The batch run's final row per key: (key, last_bucket, n_buckets,
     * p_micro, cusum_micro, alarm). */
   private def batchFinal: Map[String, (Long, Long, Long, Long, Boolean)] =
@@ -63,7 +32,7 @@ class CusumStreamSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, 0L, r._3, r._4, r._5)).toMap
 
   test("clean run: stream state equals the batch prefix; alarms equal the batch final rows") {
-    val (src, addFile, addSentinel) = feed()
+    val (src, addFile, addSentinel) = timeQuartileFeed("cusum_src")
     val stateDir = java.nio.file.Files.createTempDirectory("cusum_st").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cusum_ck").toString
     (0 to 3).foreach(addFile); addSentinel()
@@ -95,7 +64,7 @@ class CusumStreamSpec extends SparkSpec {
   }
 
   test("a crash AFTER the state write but BEFORE its commit replays exactly-once") {
-    val (src, addFile, addSentinel) = feed()
+    val (src, addFile, addSentinel) = timeQuartileFeed("cusum_src")
     val stateDir = java.nio.file.Files.createTempDirectory("cusum_cst").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cusum_cck").toString
     val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)

@@ -12,41 +12,8 @@ import graft.streaming.EwmaStream
   * window), the exactly-once version-by-batch-id protocol under an
   * injected mid-batch crash, and the in-plan frontier-monotonicity
   * guard the bit-equality argument rests on. */
-class EwmaStreamSpec extends SparkSpec {
+class EwmaStreamSpec extends SparkSpec with StreamFeedHarness {
   import spark.implicits._
-
-  private val dir = "/root/testdata/sf0.001"
-  private def batchEvents = sources.EventsTime.load(spark, dir)
-
-  /** Time-quartile files (the StreamRecoverySpec lesson: an
-    * Append-mode restart must feed time-forward) plus a far-future
-    * sentinel writer — one event per type, 30 days past the corpus,
-    * whose watermark advance FINALIZES every real bucket while its
-    * own bucket stays open and out of the state. */
-  private def feed(): (String, Int => Unit, () => Unit) = {
-    val src = java.nio.file.Files.createTempDirectory("ewma_src").toString
-    val (lo, hi) = batchEvents.agg(min("ts_s"), max("ts_s"))
-      .as[(Long, Long)].head()
-    val width = (hi - lo) / 4 + 1
-    val all = batchEvents.withColumn("part",
-      floor((col("ts_s") - lo) / width).cast("int"))
-    val addFile = (p: Int) => all.filter(col("part") === p).drop("part")
-      .coalesce(1).write.mode("append").parquet(src)
-    val addSentinel = () => batchEvents
-      .groupBy("event_type").agg(min("event_id").as("event_id"))
-      .join(batchEvents.drop("event_type"), "event_id")
-      .withColumn("ts_s", lit(hi + 30L * 86400))
-      .select(batchEvents.columns.map(col): _*)
-      .coalesce(1).write.mode("append").parquet(src)
-    (src, addFile, addSentinel)
-  }
-
-  private def streamFrom(src: String): DataFrame = {
-    val schema = spark.read.parquet(src).schema
-    val events = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-    events.withColumn("event_time", timestamp_micros(expr("(ts_s * 1000000)")))
-  }
 
   private def batchWant: Set[(String, Long, Double)] =
     Profiling.ewmaRate(batchEvents, col("ts_s"), col("event_type"),
@@ -59,7 +26,7 @@ class EwmaStreamSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
 
   test("clean run: final state equals the batch fold bit-for-bit") {
-    val (src, addFile, addSentinel) = feed()
+    val (src, addFile, addSentinel) = timeQuartileFeed("ewma_src")
     val stateDir = java.nio.file.Files.createTempDirectory("ewma_st").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ewma_ck").toString
     (0 to 3).foreach(addFile); addSentinel()
@@ -80,7 +47,7 @@ class EwmaStreamSpec extends SparkSpec {
   }
 
   test("a crash AFTER the state write but BEFORE its commit replays exactly-once") {
-    val (src, addFile, addSentinel) = feed()
+    val (src, addFile, addSentinel) = timeQuartileFeed("ewma_src")
     val stateDir = java.nio.file.Files.createTempDirectory("ewma_cst").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ewma_cck").toString
     val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)

@@ -234,7 +234,7 @@ class ProfilingSpec extends SparkSpec {
       col("key2"), bucketSec = 3600)
       .orderBy("bucket").as[(String, Long, Long, Long, Boolean)]
       .collect().toSeq
-    // driver replay of the recurrence Sₜ = max(0, Sₜ₋₁ + 36·xₜ − 660)
+    // driver replay of the recurrence Sₜ = max(0, Sₜ₋₁ + 100·xₜ − 2500)
     val n = counts.size.toLong
     val t = counts.map(_.toLong).sum
     var s = 0L
