@@ -1940,6 +1940,25 @@ object PipelineQueries {
         dim = CosDim, seed = 0L, maxBucket = CosMaxBucket,
         planeGen = Similarity.lcgPlanes).orderBy("a", "b"),
       Some(cosinePairsOracle)),
+    // Thresholded k-NN graph over embeddings — the SemDeDup/D4
+    // substrate surfaced as first-class output: per vector, its top-3
+    // cosine neighbors among the θ≥0.4 banded-LSH near-pair set.
+    // Candidates are LSH-bucketed (never all-pairs) and the per-node
+    // top-k is the bounded-heap aggregate (map-side ≤ k rows per node
+    // per partition), so both stages hold at corpus scale; isolated
+    // vectors simply have no rows.
+    Q("emb_knn_graph",
+      (s, d) => Similarity.knnFromPairs(
+        Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, bands = CosBands,
+          planesPerBand = CosPlanes, dim = CosDim, seed = 0L,
+          maxBucket = CosMaxBucket, planeGen = Similarity.lcgPlanes),
+        k = 3).orderBy("vec_id", "rank"),
+      Some(s"""WITH knp AS ($cosinePairsOracle),
+             |kns AS (SELECT a AS src, b AS dst, cosine FROM knp UNION ALL SELECT b, a, cosine FROM knp),
+             |knr AS (SELECT src, dst, cosine, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank FROM kns)
+             |SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, dst AS neighbor_id, cosine
+             |FROM knr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin.replace("\n", " "))),
     // PCA apply: gram → driver power iteration → map-only projection;
     // the oracle re-runs all 100 iterations in a recursive CTE and the
     // hash pins the projection doubles BIT-FOR-BIT cross-engine.
@@ -2896,6 +2915,23 @@ object PipelineQueries {
              |cus AS (SELECT event_type, bucket, c, t, p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_scaled FROM cup)
              |SELECT event_type, bucket, c, cusum_scaled, (cusum_scaled > 8 * t) AS alarm FROM cus
              |ORDER BY event_type, bucket""".stripMargin.replace("\n", " "))),
+    // Holt's linear-trend smoothing: ev_ewma with a TREND state, so a
+    // steadily growing rate forecasts UP instead of lagging — the
+    // capacity-planning forecast (l+b). Sequenced (l, b)-struct fold,
+    // bit-equal to DuckDB's list_reduce over [x, 0] pairs.
+    Q("ev_holt_forecast",
+      (s, d) => operators.Profiling.holtForecast(events(s, d), col("ts_s"),
+          col("event_type"), bucketSec = 3600)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"),
+      Some("""WITH hfm AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |hfl AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY bucket ASC) AS l FROM hfm GROUP BY event_type),
+             |hff AS (SELECT event_type, CAST(len(l) AS BIGINT) AS n_buckets,
+             |list_reduce(list_transform(l, x -> [x, 0.0::DOUBLE]),
+             |(acc, x) -> [0.25::DOUBLE * x[1] + 0.75::DOUBLE * (acc[1] + acc[2]),
+             |0.25::DOUBLE * (0.25::DOUBLE * x[1] + 0.75::DOUBLE * (acc[1] + acc[2]) - acc[1]) + 0.75::DOUBLE * acc[2]]) AS ab
+             |FROM hfl)
+             |SELECT event_type, n_buckets, ab[1] AS level, ab[2] AS trend, ab[1] + ab[2] AS forecast_next
+             |FROM hff ORDER BY event_type""".stripMargin.replace("\n", " "))),
     // the FIXED-reference CUSUM — μ/κ/h as micro-unit constants from a
     // trained baseline, the deployable and ONLY streamable form (the
     // self-mean variant's term rescales history every bucket); the

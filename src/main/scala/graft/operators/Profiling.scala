@@ -329,6 +329,59 @@ object Profiling {
     * collect_list runs. A decades-wide or per-millisecond series
     * fails loudly; a genuinely wider grid raises the cap
     * deliberately. */
+  /** Holt's linear-trend smoothing (double exponential smoothing,
+    * Holt 1957) of the per-bucket event rate, one series per key —
+    * [[ewmaRate]] with a TREND state, so a steadily growing rate
+    * forecasts UP instead of lagging: l₁ = x₁, b₁ = 0, then
+    * lₜ = α·xₜ + (1−α)(lₜ₋₁ + bₜ₋₁) and
+    * bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁; the one-step forecast is l + b —
+    * the number a capacity planner actually wants from the smoothing
+    * family.
+    *
+    * Determinism: the fold is SEQUENCED over the bucket-sorted counts
+    * with a (l, b) struct accumulator; with α and β exactly
+    * representable the doubles are bit-identical on any partitioning.
+    * lₜ appears twice in bₜ's formula and is recomputed as the SAME
+    * expression tree both times — pure double arithmetic, identical
+    * results, and the DuckDB oracle replays the identical shape via
+    * list_reduce over [x, 0] pairs (a struct-typed fold has no
+    * init-less list_reduce form, but a 2-element DOUBLE[] is
+    * type-homogeneous with the transformed elements).
+    *
+    * Bounds: the (key, bucket) frame rides the same in-plan
+    * `maxPoints` guard as [[ewmaRate]]/[[cusum]]. Output:
+    * (key, n_buckets, level, trend, forecast_next). */
+  def holtForecast(df: DataFrame, tsSec: Column, keyCol: Column,
+      alpha: Double = 0.25, beta: Double = 0.25, bucketSec: Int = 3600,
+      maxPoints: Long = 1L << 20): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"holtForecast: alpha must be in (0, 1), got $alpha")
+    require(beta > 0.0 && beta < 1.0,
+      s"holtForecast: beta must be in (0, 1), got $beta")
+    require(bucketSec >= 1,
+      s"holtForecast: bucketSec must be >= 1, got $bucketSec")
+    val m = df.groupBy(keyCol.as("key"),
+        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val guarded = guardedCardinality(m, maxPoints, "holtForecast",
+      "(key, bucket)", "maxPoints")
+    val a = alpha; val na = 1.0 - alpha
+    val b = beta; val nb = 1.0 - beta
+    val lp = s"(CAST($a AS DOUBLE) * x + CAST($na AS DOUBLE) * (acc.l + acc.b))"
+    guarded.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
+        .as("__pts"))
+      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
+      .withColumn("__acc",
+        expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), " +
+          s"named_struct('l', __l[0], 'b', CAST(0.0 AS DOUBLE)), " +
+          s"(acc, x) -> named_struct('l', $lp, " +
+          s"'b', CAST($b AS DOUBLE) * ($lp - acc.l) + CAST($nb AS DOUBLE) * acc.b))"))
+      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
+        col("__acc.l").as("level"), col("__acc.b").as("trend"),
+        (col("__acc.l") + col("__acc.b")).as("forecast_next"))
+  }
+
   def ewmaRate(df: DataFrame, tsSec: Column, keyCol: Column,
       alpha: Double = 0.25, bucketSec: Int = 60,
       maxPoints: Long = 1L << 20): DataFrame = {

@@ -744,6 +744,33 @@ object Similarity {
         (col("__pos") + 1L).cast("long").as("rk"))
   }
 
+  /** Per-node top-k neighbor list from an undirected scored pair set
+    * — the k-NN-graph step shared by the `emb_knn_graph` query and
+    * anything else that materializes a neighbor graph from
+    * [[cosinePairs]]' output. Symmetrizes (a, b, cosine) in one
+    * explode pass, then takes each node's top `k` by (cosine DESC,
+    * neighbor ASC) via the bounded-heap top-k aggregate — map-side
+    * partials keep the node-keyed shuffle at ≤ k rows per node per
+    * partition, never the full edge list. Output: (vec_id, rank,
+    * neighbor_id, cosine); nodes absent from `pairs` emit nothing. */
+  def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    require(k >= 1, s"knnFromPairs: k must be >= 1, got $k")
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("cosine")),
+        struct(col("b").as("src"), col("a").as("dst"), col("cosine"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cosine").as("cosine"))
+    sym.groupBy("src")
+      .agg(topK(col("cosine"), col("dst"), col("dst"), k).as("top"))
+      .select(col("src").as("vec_id"),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("entry.payload").as("neighbor_id"),
+        col("entry.score").as("cosine"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
     * merge N ranked retrieval lists into one by
     * score(d) = Σ_lists 1/(k0 + rank_list(d)), the standard way a

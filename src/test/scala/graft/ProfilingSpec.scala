@@ -273,6 +273,39 @@ class ProfilingSpec extends SparkSpec {
     assert(ok == 60L)
   }
 
+  test("holtForecast: hand-computed (l, b) fold — all exact binary fractions") {
+    // counts 4, 8, 6 with α = β = 0.25:
+    // l₁=4, b₁=0; l₂=0.25·8+0.75·4=5, b₂=0.25·1=0.25;
+    // l₃=0.25·6+0.75·5.25=5.4375, b₃=0.25·0.4375+0.75·0.25=0.296875
+    val rows = Seq(4, 8, 6).zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val got = Profiling.holtForecast(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("k", 3L, 5.4375, 0.296875, 5.734375)), s"got $got")
+    // a singleton series is its own level with zero trend
+    val one = Profiling.holtForecast(Seq((0L, "x")).toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(one == Seq(("x", 1L, 1.0, 0.0, 1.0)))
+  }
+
+  test("holtForecast: bit-identical under repartitioning; guard trips on a wide frame") {
+    val rows = (0 until 4000).map(i => (i.toLong * 53L % 86400L, s"t${i % 3}"))
+    val a = Profiling.holtForecast(rows.toDF("ts_s", "key2"),
+      col("ts_s"), col("key2")).orderBy("key").collect().toSeq
+    val b = Profiling.holtForecast(rows.toDF("ts_s", "key2").repartition(13),
+      col("ts_s"), col("key2")).orderBy("key").collect().toSeq
+    assert(a == b)
+    val wide = (0 until 40).map(i => (i * 3600L, "k")).toDF("ts_s", "key2")
+    val e = intercept[Exception] {
+      Profiling.holtForecast(wide, col("ts_s"), col("key2"),
+        maxPoints = 10L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxPoints"))
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,

@@ -370,6 +370,34 @@ class SimilaritySpec extends SparkSpec {
       "topK-aggregate sample must equal the window formulation")
   }
 
+  test("knnFromPairs: symmetrization, per-node cap, and (cosine desc, id asc) tie-break equal the window formulation") {
+    // node 1 has three neighbors with a score TIE at 0.8 (ids 3 and 4
+    // — the tie must break to 3 first); node 5 only appears as a 'b'
+    // side, so symmetrization must give it its row
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.8),
+      (2L, 3L, 0.7), (4L, 5L, 0.5)).toDF("a", "b", "cosine")
+    val got = Similarity.knnFromPairs(pairs, k = 2)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = Seq(
+      (1L, 1L, 2L, 0.9), (1L, 2L, 3L, 0.8), // 4 cut by k=2 after the tie-break
+      (2L, 1L, 1L, 0.9), (2L, 2L, 3L, 0.7),
+      (3L, 1L, 1L, 0.8), (3L, 2L, 2L, 0.7),
+      (4L, 1L, 1L, 0.8), (4L, 2L, 5L, 0.5),
+      (5L, 1L, 4L, 0.5))
+    assert(got == want, s"got $got")
+    // the bounded-heap aggregate must equal the row_number window
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("cosine"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val viaWindow = sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("src").as("vec_id"), col("rank"), col("dst").as("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(got.sorted == viaWindow)
+  }
+
   test("rrfFuse: rank arithmetic, missing-list zero contribution, id tie-break") {
     val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
     val sem = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
