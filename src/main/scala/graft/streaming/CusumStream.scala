@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -36,21 +35,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * surface. */
 object CusumStream {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(spark: SparkSession, dir: String): Seq[Long] = {
-    val path = new Path(dir)
-    val f = fs(spark, dir)
-    if (!f.exists(path)) Seq.empty
-    else f.listStatus(path).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("b="))
-      .flatMap(_.stripPrefix("b=").toLongOption)
-      .filter(v => f.exists(new Path(s"$dir/b=$v/_SUCCESS")))
-  }
-
   private def emptyState(batch: DataFrame): DataFrame =
     batch.select(col("key")).filter(lit(false))
       .withColumn("last_bucket", lit(0L))
@@ -58,22 +42,11 @@ object CusumStream {
       .withColumn("p_micro", lit(0L))
       .withColumn("min_p_micro", lit(0L))
 
-  private def stateSoFar(spark: SparkSession, stateDir: String,
-      belowBatch: Long, empty: DataFrame): DataFrame =
-    committed(spark, stateDir).filter(_ < belowBatch).maxOption match {
-      case None => empty
-      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
-    }
-
   /** Latest committed state: (key, last_bucket, n_buckets, p_micro,
     * min_p_micro). Same lazy-read contract as
     * [[EwmaStream.readState]]. */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    committed(spark, stateDir).maxOption match {
-      case None => throw new IllegalStateException(
-        s"no committed CUSUM state under $stateDir")
-      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
-    }
+    SnapshotStore.readLatest(spark, stateDir, "CUSUM")
 
   /** [[readState]] with the alarm statistic materialized:
     * (key, last_bucket, n_buckets, cusum_micro, alarm) — the consumer
@@ -94,11 +67,8 @@ object CusumStream {
       muMicro: Long, kappaMicro: Long, retainBelow: Int = 1): Unit = {
     require(muMicro > 0 && kappaMicro >= 0,
       s"CusumStream: need muMicro > 0, kappaMicro >= 0, got $muMicro/$kappaMicro")
-    require(retainBelow >= 1,
-      s"CusumStream: retainBelow must be >= 1 (the replay of batch id " +
-        s"reads id-1), got $retainBelow")
     val spark = batch.sparkSession
-    val prev = stateSoFar(spark, stateDir, id, emptyState(batch))
+    val prev = SnapshotStore.stateSoFar(spark, stateDir, id, emptyState(batch))
     val ref = muMicro + kappaMicro
     val pts = batch.groupBy(col("key"))
       .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
@@ -138,10 +108,7 @@ object CusumStream {
           .otherwise(col("__acc.p")).as("p_micro"),
         when(col("__m").isNull, col("min_p_micro"))
           .otherwise(col("__acc.m")).as("min_p_micro"))
-    folded.write.mode("overwrite").parquet(s"$stateDir/b=$id")
-    val f = fs(spark, stateDir)
-    committed(spark, stateDir).filter(_ < id - retainBelow)
-      .foreach(v => f.delete(new Path(s"$stateDir/b=$v"), true))
+    SnapshotStore.commit(folded, stateDir, id, retainBelow)
   }
 
   /** Sink a finalized-bucket count stream ([[EwmaStream.bucketCounts]])

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -25,37 +24,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * silent mis-fold).
   *
   * Exactly-once protocol (the [[DedupStream]]/[[CdcStream]] family,
-  * applied to a SNAPSHOT instead of an append-only index): each batch
-  * writes the FULL state — one small row per key — to
-  * `stateDir/b=<id>` (overwrite-by-batch-id), reading the newest
-  * COMMITTED version strictly below its own id, so the at-least-once
-  * replay of checkpoint recovery recomputes the identical snapshot
-  * and rewrites the same files. Versions below id−1 are pruned after
-  * the write — id−1 itself must survive because the crash window
-  * (sink written, checkpoint not committed) replays batch id, which
-  * reads id−1. State size is one row per key — a capacity dashboard's
-  * key space, not the event volume.
+  * applied to a SNAPSHOT instead of an append-only index): the
+  * versioned-snapshot contract now lives ONCE in [[SnapshotStore]] —
+  * overwrite `b=<id>`, read strictly-below, prune below
+  * id − retainBelow — shared with [[CusumStream]]. State size is one
+  * row per key — a capacity dashboard's key space, not the event
+  * volume.
   *
   * The reference engine is batch-only over static CSVs
   * (/root/reference/sqlengine.py; SURVEY.md §2.9); extension
   * surface. */
 object EwmaStream {
-
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Committed state versions (`b=<id>` with `_SUCCESS`) under `dir`. */
-  private def committed(spark: SparkSession, dir: String): Seq[Long] = {
-    val path = new Path(dir)
-    val f = fs(spark, dir)
-    if (!f.exists(path)) Seq.empty
-    else f.listStatus(path).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("b="))
-      .flatMap(_.stripPrefix("b=").toLongOption)
-      .filter(v => f.exists(new Path(s"$dir/b=$v/_SUCCESS")))
-  }
 
   private def emptyState(batch: DataFrame): DataFrame =
     batch.select(col("key")).filter(lit(false))
@@ -63,32 +42,11 @@ object EwmaStream {
       .withColumn("n_buckets", lit(0L))
       .withColumn("ewma", lit(0.0))
 
-  /** The standing state as of versions STRICTLY BELOW `belowBatch` —
-    * the replay-safe view (a replayed batch never reads its own
-    * earlier half-written snapshot). */
-  def stateSoFar(spark: SparkSession, stateDir: String, belowBatch: Long,
-      empty: DataFrame): DataFrame =
-    committed(spark, stateDir).filter(_ < belowBatch).maxOption match {
-      case None => empty
-      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
-    }
-
-  /** The latest committed state — the consumer read. Throws when no
-    * batch has committed (no schema to fabricate). Read contract: the
-    * returned frame is LAZY over a snapshot directory that
-    * [[foldBatch]]'s pruning eventually deletes — a consumer must
-    * materialize it within `retainBelow` further batches (the default
-    * keeps one predecessor, enough for any prompt read), or run with
-    * a larger `retainBelow`, or read after the stream is stopped. The
-    * same boundary [[DedupStream.readKeptCorpus]] documents: the
-    * marker gate narrows the race to the prune window, it does not
-    * serialize against a concurrent writer. */
+  /** The latest committed state — the consumer read; throws when no
+    * batch has committed. Lazy-read contract as documented on
+    * [[SnapshotStore.readLatest]]. */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    committed(spark, stateDir).maxOption match {
-      case None => throw new IllegalStateException(
-        s"no committed EWMA state under $stateDir")
-      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
-    }
+    SnapshotStore.readLatest(spark, stateDir, "EWMA")
 
   /** Finalized per-(key, bucket) counts: tumbling `bucketSec` windows
     * in Append mode behind a watermark — rows reach the fold only
@@ -118,11 +76,8 @@ object EwmaStream {
       alpha: Double = 0.25, retainBelow: Int = 1): Unit = {
     require(alpha > 0.0 && alpha < 1.0,
       s"EwmaStream: alpha must be in (0, 1), got $alpha")
-    require(retainBelow >= 1,
-      s"EwmaStream: retainBelow must be >= 1 (the replay of batch id " +
-        s"reads id-1), got $retainBelow")
     val spark = batch.sparkSession
-    val prev = stateSoFar(spark, stateDir, id, emptyState(batch))
+    val prev = SnapshotStore.stateSoFar(spark, stateDir, id, emptyState(batch))
     val a = alpha
     val b = 1.0 - alpha
     val pts = batch.groupBy(col("key"))
@@ -156,14 +111,7 @@ object EwmaStream {
             expr(s"aggregate(__l, ewma, " +
               s"(s, x) -> CAST($a AS DOUBLE) * x + CAST($b AS DOUBLE) * s)"))
           .as("ewma"))
-    folded.write.mode("overwrite").parquet(s"$stateDir/b=$id")
-    // prune versions the protocol can no longer need: a replay of THIS
-    // batch reads id−1, so versions below id−retainBelow are dead for
-    // the writer; retainBelow > 1 widens the grace window for lazy
-    // [[readState]] consumers (see its read contract)
-    val f = fs(spark, stateDir)
-    committed(spark, stateDir).filter(_ < id - retainBelow)
-      .foreach(v => f.delete(new Path(s"$stateDir/b=$v"), true))
+    SnapshotStore.commit(folded, stateDir, id, retainBelow)
   }
 
   /** Sink a finalized-bucket count stream ([[bucketCounts]]) as a

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The versioned-snapshot exactly-once protocol shared by the
+  * cumulative-state streaming twins ([[EwmaStream]], [[CusumStream]])
+  * — ONE home for the contract so a protocol fix cannot silently miss
+  * a sibling:
+  *
+  *  - each batch writes the FULL state — one small row per key — to
+  *    `stateDir/b=<id>` (overwrite-by-batch-id), so a replay of the
+  *    same batch recomputes the identical snapshot and rewrites the
+  *    same files (idempotent by construction);
+  *  - a batch READS the newest COMMITTED version strictly below its
+  *    own id — a replayed batch never reads its own earlier
+  *    half-written snapshot;
+  *  - versions below `id − retainBelow` are pruned after the write;
+  *    id−1 itself must survive because the crash window (sink written,
+  *    checkpoint not committed) replays batch id, which reads id−1.
+  *
+  * A version is committed iff its `_SUCCESS` marker exists. State size
+  * is one row per key — the key space, never the event volume. */
+private[streaming] object SnapshotStore {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed state versions (`b=<id>` with `_SUCCESS`) under `dir`. */
+  def committed(spark: SparkSession, dir: String): Seq[Long] = {
+    val path = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(path)) Seq.empty
+    else f.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("b="))
+      .flatMap(_.stripPrefix("b=").toLongOption)
+      .filter(v => f.exists(new Path(s"$dir/b=$v/_SUCCESS")))
+  }
+
+  /** The standing state as of versions STRICTLY BELOW `belowBatch` —
+    * the replay-safe read a folding batch starts from. */
+  def stateSoFar(spark: SparkSession, stateDir: String, belowBatch: Long,
+      empty: DataFrame): DataFrame =
+    committed(spark, stateDir).filter(_ < belowBatch).maxOption match {
+      case None => empty
+      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
+    }
+
+  /** The latest committed state — the consumer read. Throws when no
+    * batch has committed (no schema to fabricate); `what` names the
+    * owning stream in the message. Read contract: the returned frame
+    * is LAZY over a snapshot directory that [[commit]]'s pruning
+    * eventually deletes — a consumer must materialize it within
+    * `retainBelow` further batches, run with a larger `retainBelow`,
+    * or read after the stream is stopped (the
+    * [[DedupStream.readKeptCorpus]] boundary: the marker gate narrows
+    * the race to the prune window, it does not serialize against a
+    * concurrent writer). */
+  def readLatest(spark: SparkSession, stateDir: String,
+      what: String): DataFrame =
+    committed(spark, stateDir).maxOption match {
+      case None => throw new IllegalStateException(
+        s"no committed $what state under $stateDir")
+      case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
+    }
+
+  /** Commit snapshot `b=<id>` and prune versions the protocol can no
+    * longer need: a replay of THIS batch reads id−1, so versions below
+    * id − retainBelow are dead for the writer; retainBelow > 1 widens
+    * the grace window for lazy [[readLatest]] consumers. */
+  def commit(state: DataFrame, stateDir: String, id: Long,
+      retainBelow: Int): Unit = {
+    require(retainBelow >= 1,
+      s"retainBelow must be >= 1 (the replay of batch id reads id-1), " +
+        s"got $retainBelow")
+    state.write.mode("overwrite").parquet(s"$stateDir/b=$id")
+    val spark = state.sparkSession
+    val f = fs(spark, stateDir)
+    committed(spark, stateDir).filter(_ < id - retainBelow)
+      .foreach(v => f.delete(new Path(s"$stateDir/b=$v"), true))
+  }
+}
