@@ -304,6 +304,32 @@ object Profiling {
       .select("minute", "c", "z")
   }
 
+  /** Guarded per-(key, bucket) event counts on the floor-epoch grid —
+    * the shared prelude of the whole smoothing/monitoring family
+    * ([[ewmaRate]], [[holtForecast]], [[cusum]], [[cusumFixed]]):
+    * bucketed, counted map-side, and assert_true'd against
+    * `maxPoints` BEFORE anything windows or collects, so the frame
+    * contract and its guard wiring live exactly once. */
+  private def guardedBucketCounts(df: DataFrame, tsSec: Column,
+      keyCol: Column, bucketSec: Int, maxPoints: Long,
+      op: String): DataFrame = {
+    require(bucketSec >= 1, s"$op: bucketSec must be >= 1, got $bucketSec")
+    val m = df.groupBy(keyCol.as("key"),
+        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    guardedCardinality(m, maxPoints, op, "(key, bucket)", "maxPoints")
+  }
+
+  /** The sequenced-fold prelude over [[guardedBucketCounts]]: one row
+    * per key carrying `__pts` (bucket-sorted (bucket, c) structs) and
+    * `__l` (the counts as doubles in time order) — what every
+    * sequenced smoother folds over. */
+  private def sortedCountSeries(guarded: DataFrame): DataFrame =
+    guarded.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
+        .as("__pts"))
+      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
+
   /** Exponentially-weighted moving average of the per-bucket event
     * rate, one series per `keyCol`: `(key, n_buckets, ewma)` where
     * ewma = the EWMA of the OBSERVED-bucket counts in time order
@@ -329,6 +355,19 @@ object Profiling {
     * collect_list runs. A decades-wide or per-millisecond series
     * fails loudly; a genuinely wider grid raises the cap
     * deliberately. */
+  def ewmaRate(df: DataFrame, tsSec: Column, keyCol: Column,
+      alpha: Double = 0.25, bucketSec: Int = 60,
+      maxPoints: Long = 1L << 20): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"ewmaRate: alpha must be in (0, 1), got $alpha")
+    sortedCountSeries(guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+        maxPoints, "ewmaRate"))
+      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
+        expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), __l[0], " +
+          s"(s, x) -> CAST($alpha AS DOUBLE) * x + CAST(${1.0 - alpha} AS DOUBLE) * s)")
+          .as("ewma"))
+  }
+
   /** Holt's linear-trend smoothing (double exponential smoothing,
     * Holt 1957) of the per-bucket event rate, one series per key —
     * [[ewmaRate]] with a TREND state, so a steadily growing rate
@@ -358,20 +397,11 @@ object Profiling {
       s"holtForecast: alpha must be in (0, 1), got $alpha")
     require(beta > 0.0 && beta < 1.0,
       s"holtForecast: beta must be in (0, 1), got $beta")
-    require(bucketSec >= 1,
-      s"holtForecast: bucketSec must be >= 1, got $bucketSec")
-    val m = df.groupBy(keyCol.as("key"),
-        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val guarded = guardedCardinality(m, maxPoints, "holtForecast",
-      "(key, bucket)", "maxPoints")
     val a = alpha; val na = 1.0 - alpha
     val b = beta; val nb = 1.0 - beta
     val lp = s"(CAST($a AS DOUBLE) * x + CAST($na AS DOUBLE) * (acc.l + acc.b))"
-    guarded.groupBy("key")
-      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
-        .as("__pts"))
-      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
+    sortedCountSeries(guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+        maxPoints, "holtForecast"))
       .withColumn("__acc",
         expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), " +
           s"named_struct('l', __l[0], 'b', CAST(0.0 AS DOUBLE)), " +
@@ -380,28 +410,6 @@ object Profiling {
       .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
         col("__acc.l").as("level"), col("__acc.b").as("trend"),
         (col("__acc.l") + col("__acc.b")).as("forecast_next"))
-  }
-
-  def ewmaRate(df: DataFrame, tsSec: Column, keyCol: Column,
-      alpha: Double = 0.25, bucketSec: Int = 60,
-      maxPoints: Long = 1L << 20): DataFrame = {
-    require(alpha > 0.0 && alpha < 1.0,
-      s"ewmaRate: alpha must be in (0, 1), got $alpha")
-    require(bucketSec >= 1, s"ewmaRate: bucketSec must be >= 1, got $bucketSec")
-    require(maxPoints > 0, "ewmaRate: maxPoints must be positive")
-    val m = df.groupBy(keyCol.as("key"),
-        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val guarded = guardedCardinality(m, maxPoints, "ewmaRate",
-      "(key, bucket)", "maxPoints")
-    guarded.groupBy("key")
-      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
-        .as("__pts"))
-      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
-      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
-        expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), __l[0], " +
-          s"(s, x) -> CAST($alpha AS DOUBLE) * x + CAST(${1.0 - alpha} AS DOUBLE) * s)")
-          .as("ewma"))
   }
 
   /** [[cusum]] against a FIXED reference rate — the deployable form: μ
@@ -422,15 +430,11 @@ object Profiling {
   def cusumFixed(df: DataFrame, tsSec: Column, keyCol: Column,
       muMicro: Long, kappaMicro: Long, hMicro: Long,
       bucketSec: Int = 3600, maxPoints: Long = 1L << 20): DataFrame = {
-    require(bucketSec >= 1, s"cusumFixed: bucketSec must be >= 1, got $bucketSec")
     require(muMicro > 0 && kappaMicro >= 0 && hMicro > 0,
       s"cusumFixed: need muMicro > 0, kappaMicro >= 0, hMicro > 0; " +
         s"got $muMicro/$kappaMicro/$hMicro")
-    val m = df.groupBy(keyCol.as("key"),
-        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val guarded = guardedCardinality(m, maxPoints, "cusumFixed",
-      "(key, bucket)", "maxPoints")
+    val guarded = guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+      maxPoints, "cusumFixed")
     val ordered = Window.partitionBy(col("key")).orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     guarded
@@ -471,12 +475,8 @@ object Profiling {
     * 4n·1 for count units; kept scaled so the column stays exact). */
   def cusum(df: DataFrame, tsSec: Column, keyCol: Column,
       bucketSec: Int = 3600, maxPoints: Long = 1L << 20): DataFrame = {
-    require(bucketSec >= 1, s"cusum: bucketSec must be >= 1, got $bucketSec")
-    val m = df.groupBy(keyCol.as("key"),
-        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val guarded = guardedCardinality(m, maxPoints, "cusum",
-      "(key, bucket)", "maxPoints")
+    val guarded = guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+      maxPoints, "cusum")
     val perKey = Window.partitionBy(col("key"))
     val ordered = perKey.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
