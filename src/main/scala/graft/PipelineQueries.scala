@@ -2915,6 +2915,39 @@ object PipelineQueries {
              |cus AS (SELECT event_type, bucket, c, t, p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY bucket ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS cusum_scaled FROM cup)
              |SELECT event_type, bucket, c, cusum_scaled, (cusum_scaled > 8 * t) AS alarm FROM cus
              |ORDER BY event_type, bucket""".stripMargin.replace("\n", " "))),
+    // Conversion lag: per user, first view → first purchase AT OR
+    // AFTER it, rolled up by day-of-first-view — the
+    // time-to-convert funnel metric beside ev_funnel's reach counts.
+    // Two aggregate passes + one broadcastable user join; lags stay
+    // exact integer seconds, ONE double division for the mean.
+    Q("ev_conversion_lag",
+      (s, d) => {
+        val e = events(s, d)
+        val fv = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_s")).as("v"))
+        val fp = e.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("ts_s") >= col("v"))
+          .groupBy("user_id").agg(min(col("ts_s")).as("p"))
+        fv.join(fp, Seq("user_id"), "left")
+          .select(expr("v DIV 86400").as("day"), col("v"), col("p"))
+          .groupBy("day").agg(
+            count(lit(1)).as("n_viewed"),
+            count(col("p")).as("n_converted"),
+            sum(col("p") - col("v")).as("sum_lag_sec"),
+            max(col("p") - col("v")).as("max_lag_sec"))
+          .withColumn("avg_lag_sec",
+            when(col("n_converted") > 0,
+              col("sum_lag_sec").cast(DoubleType) / col("n_converted")))
+          .orderBy("day")
+      },
+      Some("""WITH clv AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS v FROM events WHERE event_type = 'view' GROUP BY 1),
+             |clp AS (SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p FROM events e JOIN clv USING (user_id) WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) >= clv.v GROUP BY 1),
+             |clj AS (SELECT v.user_id, v.v, p.p FROM clv v LEFT JOIN clp p USING (user_id))
+             |SELECT v // 86400 AS day, CAST(COUNT(*) AS BIGINT) AS n_viewed, CAST(COUNT(p) AS BIGINT) AS n_converted,
+             |CAST(SUM(p - v) AS BIGINT) AS sum_lag_sec, CAST(MAX(p - v) AS BIGINT) AS max_lag_sec,
+             |CASE WHEN COUNT(p) > 0 THEN CAST(SUM(p - v) AS DOUBLE) / COUNT(p) END AS avg_lag_sec
+             |FROM clj GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
     // Holt's linear-trend smoothing: ev_ewma with a TREND state, so a
     // steadily growing rate forecasts UP instead of lagging — the
     // capacity-planning forecast (l+b). Sequenced (l, b)-struct fold,
@@ -4162,6 +4195,25 @@ object PipelineQueries {
        |UNION SELECT e.v, p.h + 1 FROM bed e JOIN bfs p ON p.u = e.u WHERE p.h < $KhopHops)
        |SELECT u AS part_id, CAST(MIN(h) AS BIGINT) AS hops FROM bfs GROUP BY u""".stripMargin.replace("\n", " ")
 
+  private val ClosenessSeedMod = 200
+  private val ClosenessHops = 3
+
+  /** Per-seed bounded closeness oracle: ONE recursive CTE keyed by
+    * (seed, vertex) — per-seed BFS without per-seed queries, the SQL
+    * mirror of the (seed, vertex)-keyed frontier. */
+  private val closenessOracle: String =
+    s"""WITH RECURSIVE bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+       |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |ced AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+       |csd AS (SELECT DISTINCT u FROM ced WHERE u % $ClosenessSeedMod = 0),
+       |cbf(s, u, h) AS (SELECT u, u, 0 FROM csd
+       |UNION SELECT p.s, e.v, p.h + 1 FROM ced e JOIN cbf p ON p.u = e.u WHERE p.h < $ClosenessHops),
+       |cbm AS (SELECT s, u, MIN(h) AS h FROM cbf GROUP BY s, u)
+       |SELECT s AS seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       |CAST(SUM(h) AS BIGINT) AS total_hops,
+       |CASE WHEN SUM(h) > 0 THEN (1000000 * CAST(COUNT(*) - 1 AS BIGINT)) // CAST(SUM(h) AS BIGINT) ELSE 0 END AS closeness_micro
+       |FROM cbm GROUP BY s ORDER BY seed""".stripMargin.replace("\n", " ")
+
   private val graph = Vector(
     Q("graph_pagerank",
       (s, d) => operators.Graph.pageRank(copurchaseEdges(s, d), "pa", "pb",
@@ -4188,6 +4240,16 @@ object PipelineQueries {
       (s, d) => operators.Graph.linkPredictionRA(copurchaseEdges(s, d),
         "pa", "pb", maxCenterDegree = RaMaxDeg, topK = RaTopK),
       Some(raOracle)),
+    // Horizon-bounded closeness centrality for a seed set: per-seed
+    // BFS carried in ONE (seed, vertex)-keyed frontier (no per-seed
+    // jobs), closeness = n_reached/Σdist in exact micro-units —
+    // "how central is this part in its 3-hop neighborhood", the
+    // practical surrogate for all-pairs closeness at 100 TB.
+    Q("graph_closeness",
+      (s, d) => operators.Graph.seedCloseness(copurchaseEdges(s, d),
+        "pa", "pb", id => id % ClosenessSeedMod === 0,
+        maxHops = ClosenessHops).orderBy("seed"),
+      Some(closenessOracle)),
     // Multi-source BFS: hop distance from the seed set (part_id ≡ 0
     // mod 50) within 3 hops — level-synchronous frontier expansion
     // (one edge equi-join + anti-join per round, integer hops), the

@@ -353,6 +353,64 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Per-seed closeness centrality within a hop horizon: for every
+    * seed s, run the [[bfsHops]] expansion INDIVIDUALLY (the settled
+    * set is keyed by (seed, vertex), so one job carries all seeds'
+    * frontiers at once — no per-seed driver loop) and report
+    * `(seed, n_reached, total_hops, closeness_micro)` with
+    * closeness = (n_reached) / Σ dist in exact `10⁶·n div Σ` micro
+    * units — the "how central is this document/part in its
+    * neighborhood" score, horizon-bounded the way a 100 TB graph
+    * forces it to be (full-graph closeness is an all-pairs problem;
+    * the h-bounded form is the standard practical surrogate).
+    * `n_reached` excludes the seed itself; a seed with no reachable
+    * neighbor scores 0.
+    *
+    * Scale shape: identical rounds to [[bfsHops]] — one edge
+    * equi-join per hop against the (seed, vertex)-keyed frontier,
+    * distinct, anti-join vs settled, localCheckpoint with
+    * previous-round block freeing. The frontier is at most
+    * |seeds| × V rows; with a bounded seed set (the intended use)
+    * that is a constant factor on the BFS, not a new asymptotic. */
+  def seedCloseness(pairs: DataFrame, aCol: String, bCol: String,
+      seedFilter: Column => Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = edges.select(col("__u").as("id")).distinct()
+        .filter(seedFilter(col("id")))
+        .select(col("id").as("s"), col("id"), lit(0L).as("hops"))
+        .localCheckpoint(true)
+      var frontier = dist.select("s", "id")
+      var lastRound: Seq[DataFrame] = Seq(dist)
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val next = edges.join(frontier, edges("__u") === frontier("id"))
+          .select(col("s"), col("__v").as("id")).distinct()
+          .join(dist, Seq("s", "id"), "left_anti")
+          .select(col("s"), col("id"), lit(h.toLong).as("hops"))
+          .localCheckpoint(true)
+        val settled = dist.union(next).localCheckpoint(true)
+        lastRound.foreach(Caching.freeLocalCheckpoint)
+        lastRound = Seq(next, settled)
+        dist = settled
+        frontier = next.select("s", "id")
+        exhausted = next.isEmpty
+        h += 1
+      }
+      Caching.freeLocalCheckpoint(lastRound.head)
+      dist.groupBy(col("s").as("seed"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          sum(col("hops")).as("total_hops"))
+        .select(col("seed"), col("n_reached"), col("total_hops"),
+          when(col("total_hops") > 0,
+            expr("(1000000 * n_reached) div total_hops"))
+            .otherwise(lit(0L)).as("closeness_micro"))
+    } finally edges.unpersist()
+  }
+
   /** Resource-allocation link prediction (Zhou, Lü & Zhang, Eur. Phys.
     * J. B 2009): for every NON-adjacent pair (a, b), score
     * RA(a,b) = Σ_{w ∈ Γ(a) ∩ Γ(b)} 1/deg(w) — each shared neighbor

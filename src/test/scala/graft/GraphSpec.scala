@@ -247,6 +247,49 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("seedCloseness: hand path fixture — horizon cut, micro units, isolated seed scores 0") {
+    // path 0-1-2-3-4 plus isolated edge 100-101; seeds 0 and 100
+    // (id % 100 == 0). Seed 0 at maxHops=3 reaches 1,2,3 → n=3,
+    // Σh=1+2+3=6, closeness = 1e6·3 div 6 = 500000. Seed 100 reaches
+    // 101 → n=1, Σh=1, closeness = 1000000.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (100L, 101L)).toDF("a", "b")
+    val got = Graph.seedCloseness(edges, "a", "b", id => id % 100 === 0,
+      maxHops = 3).orderBy("seed")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 6L, 500000L), (100L, 1L, 1L, 1000000L)),
+      s"got $got")
+  }
+
+  test("seedCloseness: randomized model check against per-seed driver BFS") {
+    val rng = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val es = (0 until 55).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val maxHops = 1 + rng.nextInt(3)
+      val got = Graph.seedCloseness(es.toDF("pa", "pb"), "pa", "pb",
+        id => id % 5 === 0, maxHops)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = verts.filter(_ % 5 == 0).sorted.map { s =>
+        val hops = scala.collection.mutable.Map(s -> 0L)
+        var frontier = Set(s)
+        for (h <- 1 to maxHops) {
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+            .filterNot(hops.contains)
+          frontier.foreach(v => hops(v) = h.toLong)
+        }
+        val reached = hops.size - 1L
+        val total = hops.values.sum
+        (s, reached, total,
+          if (total > 0) 1000000L * reached / total else 0L)
+      }
+      assert(got == want, s"trial $trial (maxHops=$maxHops): got $got, want $want")
+    }
+  }
+
   test("linkPredictionRA: hand wedge on a path, hub center excluded by the cap") {
     // path 1-2-3: center 2 (deg 2) implies the absent edge (1,3) with
     // weight 1e9 div 2; hub 100 (deg 4 > cap 3) is excluded as a
