@@ -1777,6 +1777,36 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   private def probes(df: DataFrame): DataFrame = df.filter(col("vec_id") < 10)
 
+  private val KcenterK = 6
+
+  /** Greedy k-center oracle: the `KcenterK` farthest-point rounds
+    * unrolled — seed = id argmin, each round (d DESC, vec_id ASC)
+    * argmax over the running min-distance frame, distances the same
+    * fixed-shape `xx − 2.0·dot + cc` expression over list_dot_product
+    * folds. MATERIALIZED per round: kd_t is read by both kc_{t+1} and
+    * kd_{t+1} (the kcoreOracle re-evaluation lesson). */
+  private val kcenterOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH kv0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    sb ++= "kv AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS xx FROM kv0), "
+    sb ++= "kc1 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, 0.0 AS d FROM kv ORDER BY vec_id ASC LIMIT 1), "
+    sb ++= "kd1 AS MATERIALIZED (SELECT k.vec_id, k.v, k.xx, " +
+      "k.xx - 2.0 * list_dot_product(k.v, c.cv) + list_dot_product(c.cv, c.cv) AS d " +
+      "FROM kv k CROSS JOIN kc1 c), "
+    (2 to KcenterK).foreach { r =>
+      sb ++= s"kc$r AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, d FROM kd${r - 1} ORDER BY d DESC, vec_id ASC LIMIT 1), "
+      if (r < KcenterK)
+        sb ++= s"kd$r AS MATERIALIZED (SELECT k.vec_id, k.v, k.xx, " +
+          s"LEAST(k.d, k.xx - 2.0 * list_dot_product(k.v, c.cv) + list_dot_product(c.cv, c.cv)) AS d " +
+          s"FROM kd${r - 1} k CROSS JOIN kc$r c), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= (1 to KcenterK).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS sel_round, cid AS vec_id, d AS dist2 FROM kc$r")
+      .mkString(" ", " UNION ALL ", " ORDER BY sel_round")
+    sb.result()
+  }
+
   private val similarity = Vector(
     Q("emb_label_stats",
       (s, d) => t(s, d, "embeddings").groupBy("label")
@@ -2005,6 +2035,15 @@ object PipelineQueries {
       (s, d) => Similarity.clusterBalancedSample(t(s, d, "embeddings"),
         "vec_id", "embedding").orderBy("cell", "rk"),
       Some(clusterSampleOracle)),
+    // Greedy k-center coreset (Gonzalez farthest-point, the diversity
+    // dual of cluster-balanced sampling): k map-only corpus scans +
+    // TakeOrdered(1) argmaxes, selection totally ordered by
+    // (d DESC, id ASC) — the oracle unrolls the identical rounds and
+    // the hash pins seed, picks, AND the coverage-radius curve.
+    Q("emb_kcenter",
+      (s, d) => Similarity.kCenterSelect(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = KcenterK).orderBy("sel_round"),
+      Some(kcenterOracle)),
     // D4-style density pruning: degree in the 0.4-cosine graph, keep
     // iff ≤ 1 near-neighbor — the oracle wraps the full cosinePairs
     // re-derivation, so the hash pins LSH + degree count + decision.
@@ -3128,6 +3167,36 @@ object PipelineQueries {
              |CASE WHEN MIN(te) * MIN(tl) = 0 THEN 0.0
              |ELSE CAST(SUM(abs(ne * tl - nl * te)) AS DOUBLE) / (2.0 * CAST(MIN(te) * MIN(tl) AS DOUBLE)) END AS tv
              |FROM tvt""".stripMargin.replace("\n", " "))),
+    // Wasserstein-1 drift between the early and late time halves on
+    // the unit-value bucket grid (the KS grid, not the deciles: W1's
+    // gap weighting is the whole point, and deciles erase the gaps).
+    // Fourth member of the transcendental-free drift family — chi² =
+    // categorical surprise, KS = worst crossing, TV = mass moved, W1 =
+    // HOW FAR the mass moved, in value units. Exact Σ|cross-diff|·gap
+    // longs + one final double division; see Profiling.w1Drift.
+    Q("ev_drift_w1",
+      (s, d) => {
+        val e = events(s, d).filter(col("value").isNotNull)
+          .select(col("ts_s"), floor(col("value")).cast(LongType).as("bucket"))
+        val mid = e.agg(expr("(MIN(ts_s) + MAX(ts_s)) DIV 2").as("__mid"))
+        operators.Profiling.w1Drift(e.crossJoin(broadcast(mid)),
+          col("bucket"), col("ts_s") <= col("__mid"))
+      },
+      Some("""WITH w1e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |CAST(floor(value) AS BIGINT) AS bucket FROM events WHERE value IS NOT NULL),
+             |w1m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM w1e),
+             |w1c AS (SELECT bucket, SUM(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS ca,
+             |SUM(CASE WHEN t > mid THEN 1 ELSE 0 END) AS cb FROM w1e CROSS JOIN w1m GROUP BY bucket),
+             |w1w AS (SELECT bucket,
+             |SUM(ca) OVER (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING) AS cuma,
+             |SUM(cb) OVER (ORDER BY bucket ASC ROWS UNBOUNDED PRECEDING) AS cumb,
+             |COALESCE(LEAD(bucket) OVER (ORDER BY bucket ASC) - bucket, 0) AS gap,
+             |SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM w1c)
+             |SELECT CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+             |CAST(SUM(abs(cuma * nb - cumb * na) * gap) AS BIGINT) AS area,
+             |CASE WHEN MIN(na) * MIN(nb) = 0 THEN 0.0
+             |ELSE CAST(SUM(abs(cuma * nb - cumb * na) * gap) AS DOUBLE) / CAST(MIN(na) * MIN(nb) AS DOUBLE) END AS w1
+             |FROM w1w""".stripMargin.replace("\n", " "))),
     // Per-window drift monitor: every 5-minute window's value-decile
     // histogram scored by TV distance against the corpus-global
     // histogram (the "which window went weird" observability view).
@@ -4027,6 +4096,36 @@ object PipelineQueries {
              |  lead(seq, 1) OVER (PARTITION BY k ORDER BY seq ASC) AS valid_to
              |  FROM cdcch)
              |WHERE op <> 'D'""".stripMargin.replace("\n", " "))),
+    // Point-in-time enrichment against the SCD2 chain: each probe
+    // (key, at_seq) joins THE version valid at its own sequence —
+    // at ∈ [valid_from, valid_to) — the leak-free feature join (as-of
+    // the event, never as-of today). Probes at seq 1 and 2 straddle
+    // the feed's U@2 re-update, so the same key resolves to DIFFERENT
+    // versions at the two probe times; one equi-join on the key, the
+    // interval as a residual filter (never a range blow-up).
+    Q("cdc_pit_enrich",
+      (s, d) => {
+        val hist = operators.Cdc.scd2History(cdcChanges(s, d),
+          "o_orderkey", "seq", "op")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+            "valid_from", "valid_to")
+        val probes = cdcChanges(s, d).filter(col("op") =!= "D")
+          .select("o_orderkey").distinct()
+          .withColumn("at_seq", explode(array(lit(1L), lit(2L))))
+        operators.Cdc.pointInTimeJoin(probes, hist, "o_orderkey", "at_seq")
+          .orderBy("o_orderkey", "at_seq")
+      },
+      Some(s"""WITH $cdcChangesSql,
+             |pith AS (SELECT k, st, tp, seq AS valid_from,
+             |  lead(seq, 1) OVER (PARTITION BY k ORDER BY seq ASC) AS valid_to, op FROM cdcch),
+             |pitv AS (SELECT k, st, tp, valid_from, valid_to FROM pith WHERE op <> 'D'),
+             |pitk AS (SELECT DISTINCT k FROM cdcch WHERE op <> 'D'),
+             |pitp AS (SELECT k, CAST(1 AS BIGINT) AS at_seq FROM pitk
+             |  UNION ALL SELECT k, CAST(2 AS BIGINT) FROM pitk)
+             |SELECT p.k AS o_orderkey, p.at_seq,
+             |v.st AS o_orderstatus, v.tp AS o_totalprice, v.valid_from
+             |FROM pitp p JOIN pitv v ON v.k = p.k AND p.at_seq >= v.valid_from
+             |AND (v.valid_to IS NULL OR p.at_seq < v.valid_to)""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------
@@ -4103,6 +4202,23 @@ object PipelineQueries {
        |SELECT a, b, common, ra_nano, CAST(ra_nano AS DOUBLE) / 1000000000.0 AS ra_score FROM rne
        |ORDER BY ra_nano DESC, a ASC, b ASC LIMIT $RaTopK""".stripMargin.replace("\n", " ")
 
+  /** Degree-assortativity oracle: the identical rational form —
+    * endpoint-degree sums over the symmetric edge list, r = (M·Σxy −
+    * (Σx)²)/(M·Σx² − (Σx)²) in one double division, 0.0 on a
+    * degree-regular graph (denominator 0). */
+  private val assortativityOracle: String =
+    """WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |aed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+      |adg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM aed GROUP BY u),
+      |aj AS (SELECT gx.d AS dx, gy.d AS dy FROM aed e JOIN adg gx ON gx.u = e.u JOIN adg gy ON gy.u = e.v),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges, CAST(COALESCE(SUM(dx), 0) AS BIGINT) AS s_x,
+      |CAST(COALESCE(SUM(dx * dy), 0) AS BIGINT) AS s_xy, CAST(COALESCE(SUM(dx * dx), 0) AS BIGINT) AS s_x2 FROM aj)
+      |SELECT m_edges, s_x, s_xy, s_x2,
+      |CASE WHEN m_edges * s_x2 - s_x * s_x = 0 THEN 0.0
+      |ELSE CAST(m_edges * s_xy - s_x * s_x AS DOUBLE) / CAST(m_edges * s_x2 - s_x * s_x AS DOUBLE) END AS assortativity
+      |FROM ag""".stripMargin.replace("\n", " ")
+
   private val KhopHops = 3
 
   /** Personalized-PageRank oracle: the [[pageRankOracle]] unrolled-CTE
@@ -4174,6 +4290,42 @@ object PipelineQueries {
     sb.result()
   }
 
+  private val KtrussK = 3
+  private val KtrussRounds = 4
+
+  /** k-truss oracle: `KtrussRounds` unrolled peel rounds — each round
+    * enumerates triangles over the SURVIVING edge set via the
+    * id-ordered 3-way self-join (the [[triangleOracle]] idiom),
+    * counts per-edge support, and drops edges below k−2 — plus the
+    * kcoreOracle's first-stable-round diagnostic on the edge-count
+    * sequence. MATERIALIZED on every per-round edge set AND triangle
+    * set: each is referenced 3× downstream, and the un-hinted chain
+    * re-evaluates multiplicatively (the emb_pca_project2 lesson). */
+  private val ktrussOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "te0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM prs), "
+    (1 to KtrussRounds).foreach { t =>
+      sb ++= s"tt$t AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM te${t - 1} e1 " +
+        s"JOIN te${t - 1} e2 ON e2.a = e1.a AND e1.b < e2.b " +
+        s"JOIN te${t - 1} e3 ON e3.a = e1.b AND e3.b = e2.b), "
+      sb ++= s"ts$t AS (SELECT a, b, COUNT(*) AS sup FROM (" +
+        s"SELECT x AS a, y AS b FROM tt$t UNION ALL SELECT x, z FROM tt$t " +
+        s"UNION ALL SELECT y, z FROM tt$t) GROUP BY a, b), "
+      sb ++= s"te$t AS MATERIALIZED (SELECT e.a, e.b FROM te${t - 1} e " +
+        s"JOIN ts$t s ON s.a = e.a AND s.b = e.b WHERE s.sup >= ${KtrussK - 2}), "
+    }
+    sb ++= (0 to KtrussRounds).map(t =>
+      s"SELECT $t AS t, (SELECT COUNT(*) FROM te$t) AS c").mkString(
+      "tcs AS (", " UNION ALL ", "), ")
+    sb ++= s"trs AS (SELECT COALESCE(MIN(a.t), $KtrussRounds) AS rounds_stable FROM tcs a JOIN tcs b ON b.t = a.t + 1 AND b.c = a.c) "
+    sb ++= s"SELECT v.a AS pa, v.b AS pb, (s.a IS NOT NULL) AS in_truss, " +
+      s"CAST(trs.rounds_stable AS BIGINT) AS rounds_stable " +
+      s"FROM te0 v LEFT JOIN te$KtrussRounds s ON s.a = v.a AND s.b = v.b CROSS JOIN trs"
+    sb.result()
+  }
+
   /** Connected-components oracle: min reachable id per vertex via the
     * recursive closure (the semDedup `sdr` idiom over the co-purchase
     * edges). */
@@ -4228,6 +4380,15 @@ object PipelineQueries {
       (s, d) => operators.Graph.triangleCounts(copurchaseEdges(s, d), "pa", "pb")
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(triangleOracle)),
+    // Degree assortativity: the one-number hubs-link-to-hubs (+) vs
+    // hubs-link-to-leaves (−) structural summary. Over the symmetric
+    // edge list both endpoint marginals coincide, so Pearson's
+    // sqrt-product denominator collapses and the statistic is fully
+    // RATIONAL: exact long sums + one final double division.
+    Q("graph_assortativity",
+      (s, d) => operators.Graph.degreeAssortativity(
+        copurchaseEdges(s, d), "pa", "pb"),
+      Some(assortativityOracle)),
     // Resource-allocation link prediction (which absent edges the
     // graph most implies): Σ 1/deg over common neighbors in exact
     // nano-units — RA instead of Adamic–Adar's 1/log(deg) precisely
@@ -4306,6 +4467,17 @@ object PipelineQueries {
         k = KcoreK, rounds = KcoreRounds)
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(kcoreOracle)),
+    // 3-truss of the co-purchase graph: the EDGE-level peel — every
+    // surviving edge must close ≥ k−2 triangles with other survivors,
+    // a strictly stronger cohesion filter than the vertex k-core
+    // (cores keep bridge tangles; trusses are made of triangles).
+    // Per-round support rides the degree-oriented enumeration
+    // (O(E^{3/2}) wedges), rounds_stable self-audits the fixed budget.
+    Q("graph_ktruss",
+      (s, d) => operators.Graph.kTruss(copurchaseEdges(s, d), "pa", "pb",
+        k = KtrussK, rounds = KtrussRounds)
+        .orderBy("pa", "pb"),
+      Some(ktrussOracle)),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

@@ -192,4 +192,53 @@ object Cdc {
       .withColumnRenamed(seqCol, "valid_from")
       .drop(opCol)
   }
+
+  /** Point-in-time (as-of) enrichment of a fact stream against an SCD2
+    * dimension: each fact row joins THE dimension version that was
+    * valid at the fact's own sequence/time — `fact.at ∈
+    * [valid_from, valid_to)` with an open (NULL) valid_to meaning
+    * "current". The training-data shape of this query is "label each
+    * event with the feature values AS OF the event, not as of today" —
+    * joining against the current snapshot instead is the classic
+    * feature-leakage bug; the version chain from [[scd2History]] is
+    * what makes the leak-free join expressible.
+    *
+    * Facts that predate their key's first version (or whose key has no
+    * version at all) are dropped — an inner join, because an "enriched"
+    * row with NULL features is the leak in a different costume; callers
+    * wanting the audit view can anti-join the output against the input.
+    *
+    * Scale shape: ONE equi-join on the key (the interval predicate
+    * rides along as a residual filter, it never degrades the join into
+    * a range/cross product) — per-key version chains are short (one row
+    * per change, not per fact), so the residual scan per matched key is
+    * bounded by the chain length. Both sides shuffle once on the key;
+    * at 100 TB the fact side dominates and partitions exactly as any
+    * fact-dimension equi-join does. Each fact matches AT MOST one
+    * version (the [from, to) ranges partition the sequence axis by
+    * construction of scd2History), so the join cannot fan out.
+    *
+    * Returns every fact column plus the dimension's non-key columns
+    * (valid_from kept — it names the version that matched).
+    *
+    * Reference: /root/reference/sqlengine.py has no CDC/temporal
+    * surface (extension per the brief's pipeline family). */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+      atCol: String): DataFrame = {
+    require(dim.columns.contains("valid_from") &&
+      dim.columns.contains("valid_to"),
+      "pointInTimeJoin: dim must be an scd2History-shaped frame " +
+        "(valid_from/valid_to columns)")
+    val f = facts.alias("__f")
+    val v = dim.alias("__v")
+    val payload = dim.columns.filter(c => c != keyCol && c != "valid_to" &&
+      c != "is_current")
+    f.join(v,
+        col(s"__f.$keyCol") === col(s"__v.$keyCol") &&
+          col(s"__f.$atCol") >= col("__v.valid_from") &&
+          (col("__v.valid_to").isNull ||
+            col(s"__f.$atCol") < col("__v.valid_to")),
+        "inner")
+      .select(col("__f.*") +: payload.map(c => col(s"__v.$c")): _*)
+  }
 }

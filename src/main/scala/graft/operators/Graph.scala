@@ -464,4 +464,151 @@ object Graph {
       .orderBy(col("ra_nano").desc, col("a").asc, col("b").asc)
       .limit(topK)
   }
+
+  /** Fixed-round k-truss peel: the maximal subgraph in which every
+    * EDGE closes at least k−2 triangles with other surviving edges —
+    * the edge-level sibling of [[kCore]]'s vertex peel, and a much
+    * stronger cohesion filter (a k-core can be a sparse tangle of
+    * bridges; a k-truss is made of overlapping triangles). Corpus
+    * curation reads it as "keep only the relationships that are
+    * themselves corroborated": a co-purchase edge inside the 3-truss
+    * is witnessed by a third product, a bridge edge is not.
+    *
+    * Each round re-derives per-edge support over the CURRENT survivor
+    * set with the [[triangleCounts]] machinery — degree orientation
+    * bounds the wedge join at O(E^{3/2}) candidates per round (the
+    * Schank–Suri bound), and each triangle is enumerated exactly once,
+    * contributing support to its three canonical edges. The loop body
+    * re-derives the orientation rather than sharing triangleCounts'
+    * one-shot frames because the persist lifecycle differs: here every
+    * round's oriented frame is persisted for its three plan reads and
+    * freed at round end, with survivor sets localCheckpoint'ed and the
+    * previous round's blocks dropped (the [[kCore]] lineage contract).
+    *
+    * Fixed `rounds`, not peel-to-fixpoint, for oracle unrollability;
+    * `rounds_stable` self-audits where the peel stabilized (the edge
+    * set only shrinks, so the first count equality IS the fixpoint),
+    * with the same caveat as kCore: a result with rounds_stable ==
+    * rounds may still be moving — raise `rounds` to disambiguate.
+    *
+    * Returns one row per ORIGINAL canonical edge:
+    * `(aCol, bCol, in_truss, rounds_stable)`.
+    *
+    * Reference: /root/reference/sqlengine.py has no graph surface
+    * (extension per the brief's quality-weighting family). */
+  def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 4): DataFrame = {
+    require(k >= 3 && rounds >= 1,
+      s"kTruss: need k >= 3 (k−2 triangles per edge) and rounds >= 1, " +
+        s"got k=$k rounds=$rounds")
+    val minSup = (k - 2).toLong
+    val orig = pairs
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = orig
+    var prevFree: DataFrame = null
+    var stableAt = rounds
+    var stopped = false
+    var r = 1
+    while (r <= rounds && !stopped) {
+      // symmetric view + degree orientation of the CURRENT survivors
+      val ed = edges.select(explode(array(
+          struct(col("a").as("__u"), col("b").as("__v")),
+          struct(col("b").as("__u"), col("a").as("__v")))).as("__e"))
+        .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
+      val deg = ed.groupBy("__u").agg(count(lit(1)).as("__d"))
+      val oriented = ed
+        .join(deg.select(col("__u"), col("__d").as("__du")), "__u")
+        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
+        .filter(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")))
+        .select(col("__u").as("s"), col("__v").as("t"), col("__dv").as("dt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w1 = oriented.select(col("s"), col("t").as("x"), col("dt").as("dx"))
+      val w2 = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+      val tris = w1.join(w2, Seq("s"))
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(oriented.select(col("s").as("x"), col("t").as("y")),
+          Seq("x", "y"), "left_semi")
+        .select(col("s"), col("x"), col("y"))
+      // each triangle supports its three canonical edges
+      val sup = tris.select(explode(array(
+          struct(least(col("s"), col("x")).as("a"),
+            greatest(col("s"), col("x")).as("b")),
+          struct(least(col("s"), col("y")).as("a"),
+            greatest(col("s"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("__sup"))
+      val next = edges.join(sup.filter(col("__sup") >= minSup)
+          .select("a", "b"), Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      oriented.unpersist()
+      if (next.count() == edges.count()) {
+        stableAt = r - 1
+        stopped = true
+      }
+      // never free `orig` — the final outer join still reads it
+      if ((prevFree ne null) && (prevFree ne orig))
+        Caching.freeLocalCheckpoint(prevFree)
+      prevFree = edges
+      edges = next
+      r += 1
+    }
+    if ((prevFree ne null) && (prevFree ne orig))
+      Caching.freeLocalCheckpoint(prevFree)
+    orig
+      .join(edges.withColumn("__in", lit(true)), Seq("a", "b"), "left")
+      .select(col("a").as(aCol), col("b").as(bCol),
+        coalesce(col("__in"), lit(false)).as("in_truss"),
+        lit(stableAt.toLong).as("rounds_stable"))
+  }
+
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the edges — POSITIVE when high-degree
+    * vertices link to each other (a social-graph signature), NEGATIVE
+    * when hubs link to leaves (a star/infrastructure signature). The
+    * one-number structural summary that tells a corpus curator whether
+    * a link graph's hubs form a core (crawl it first) or a broadcast
+    * fringe (downweight it).
+    *
+    * Over the SYMMETRIC directed edge list both endpoint marginals are
+    * identical, so Pearson's sqrt-product denominator collapses to one
+    * variance term and the whole statistic is RATIONAL in the degree
+    * sums — no sqrt, no transcendental:
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    * with x, y the endpoint degrees of each of the M directed edges.
+    * All four sums are exact longs (caveat: Σxy ≤ M·maxdeg² — beyond
+    * ~1e18 widen to decimals), r is ONE final double division, and a
+    * degree-regular graph (denominator 0: correlation undefined)
+    * reports 0.0 by the drift-family convention rather than NaN.
+    *
+    * Scale shape: two broadcast-ish joins of the edge list with the
+    * degree table + one global aggregate — O(E), one shuffle on vertex
+    * id, no iteration, no driver state.
+    *
+    * Returns one row: (m_edges, s_x, s_xy, s_x2, assortativity). */
+  def degreeAssortativity(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val ed = symmetricEdges(pairs, aCol, bCol)
+    val deg = ed.groupBy("__u").agg(count(lit(1)).as("__d"))
+    val j = ed
+      .join(deg.select(col("__u"), col("__d").as("dx")), "__u")
+      .join(deg.select(col("__u").as("__v"), col("__d").as("dy")), "__v")
+    val num = col("m_edges") * col("s_xy") - col("s_x") * col("s_x")
+    val den = col("m_edges") * col("s_x2") - col("s_x") * col("s_x")
+    j.agg(count(lit(1)).as("m_edges"),
+        coalesce(sum(col("dx")), lit(0L)).as("s_x"),
+        coalesce(sum(col("dx") * col("dy")), lit(0L)).as("s_xy"),
+        coalesce(sum(col("dx") * col("dx")), lit(0L)).as("s_x2"))
+      .select(col("m_edges"), col("s_x"), col("s_xy"), col("s_x2"),
+        when(den === 0L, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("assortativity"))
+  }
 }

@@ -261,6 +261,56 @@ object Profiling {
             (lit(2.0) * (col("n_a") * col("n_b")).cast("double"))).as("tv"))
   }
 
+  /** Two-sample Wasserstein-1 (earth-mover) distance over an INTEGER
+    * bucket grid: W1 = ∫|F_a − F_b| dx — the fourth member of the
+    * transcendental-free drift family, and the one that reports drift
+    * in the VALUE'S OWN UNITS ("the distribution moved ~3 buckets
+    * right"), where [[ksDrift]] reports the worst single crossing and
+    * [[tvDrift]] the mass that moved regardless of how far. A mean
+    * shift of c buckets yields w1 ≈ c, which is what a drift triage
+    * dashboard wants to read.
+    *
+    * Exactness: the CDFs are step functions constant between observed
+    * buckets, so the integral is Σ_i |cuma_i·N_b − cumb_i·N_a| ·
+    * (bucket_{i+1} − bucket_i) — exact long arithmetic (the ksDrift
+    * cross-multiplication idiom, weighted by the gap to the next
+    * observed bucket; the last bucket contributes 0: both CDFs are at
+    * 1). One double division N_a·N_b at the end. Same ~3e9-rows-a-side
+    * long-overflow caveat as tvDrift; widen to decimals beyond.
+    *
+    * Shape: one scan → bounded bucket histogram (shares
+    * [[guardedSideHistogram]]'s in-plan maxBuckets enforcement) →
+    * cumulative window over that bounded frame → single-row rollup.
+    * One-sided and empty inputs report w1 = 0.0 via the tv/ks
+    * convention (no second sample ⇒ no distance).
+    *
+    * Returns one row: (n_a, n_b, area, w1) with `area` the exact
+    * integer Σ|cross-diff|·gap and w1 = area / (n_a·n_b) in bucket
+    * units. */
+  def w1Drift(df: DataFrame, bucket: Column, sideA: Column,
+      maxBuckets: Long = 1L << 20): DataFrame = {
+    val counts = guardedSideHistogram(df, bucket, sideA, maxBuckets, "w1Drift")
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("gap",
+        coalesce(lead(col("bucket"), 1).over(Window.orderBy("bucket"))
+          - col("bucket"), lit(0L)))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .agg(coalesce(first(col("na")), lit(0L)).as("n_a"),
+        coalesce(first(col("nb")), lit(0L)).as("n_b"),
+        coalesce(sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          * col("gap")), lit(0L)).as("area"))
+      .select(col("n_a"), col("n_b"), col("area"),
+        when(col("n_a") * col("n_b") === 0L, lit(0.0))
+          .otherwise(col("area").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("w1"))
+  }
+
   /** Rate-spike anomaly flags: each observed minute's event count
     * z-scored against its trailing `lookback`-observed-minute window
     * (ROWS frame on the POST-AGG minute series). Mean/variance come

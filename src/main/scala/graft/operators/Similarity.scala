@@ -812,4 +812,70 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Greedy k-center coreset selection (Gonzalez' farthest-point
+    * traversal — the classic 2-approximation to the k-center
+    * objective): seed with the min-id vector, then `k−1` times pick
+    * the point FARTHEST from everything selected so far. The output
+    * is the standard diversity coreset of data curation ("cover the
+    * embedding space with k exemplars"), and the selection distances
+    * are themselves the coverage-radius curve: dist2 at round r is
+    * the squared radius needed to cover the corpus with r−1 centers.
+    *
+    * Determinism is total: the seed is an id argmin, each round's
+    * argmax breaks ties (d DESC, id ASC), and every distance is the
+    * fixed-shape expression `xx − 2.0·dot(x,c) + cc` over left-to-
+    * right dot folds — so a single-threaded SQL engine unrolling the
+    * same k rounds reproduces the selection bit-for-bit (degenerate
+    * case included: if every remaining point duplicates a center,
+    * BOTH engines re-pick the min-id point by the same tie rule).
+    *
+    * Scale shape: each round is ONE map-only scan of the corpus (the
+    * new center rides along as a literal array — no join, no
+    * shuffle) plus a TakeOrdered(1) reduction; the running min-
+    * distance column is carried in-frame, so round r costs one dot
+    * product per point, O(n·k) total. Driver state is k rows (the
+    * selected centers) — bounded by construction. The O(k)-deep
+    * narrow lineage over the persisted base is fine at coreset-size
+    * k; checkpoint per round if k grows to the thousands.
+    *
+    * Returns k rows: (sel_round, vec_id, dist2) with dist2 the
+    * selected point's squared distance to the prior centers (0.0 for
+    * the seed).
+    *
+    * Reference: /root/reference/sqlengine.py has no vector surface
+    * (extension per the brief's similarity family). */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSelect: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("xx", normSq(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // xx − 2.0·dot(x, c) + cc, with cc folded driver-side in the
+      // same left-to-right order as ArrayDotProduct (bit-equal)
+      def d2(c: Seq[Double]): Column = {
+        val cLit = array(c.map(lit): _*)
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        col("xx") - lit(2.0) * dotNative(col("v"), cLit) + lit(cc)
+      }
+      val seed = v.orderBy(col("id").asc).limit(1)
+        .select("id", "v").collect().head
+      val selected = scala.collection.mutable.ArrayBuffer(
+        (1L, seed.getLong(0), 0.0))
+      var cur = v.withColumn("d", d2(seed.getSeq[Double](1)))
+      var r = 2
+      while (r <= k) {
+        val pick = cur.orderBy(col("d").desc, col("id").asc).limit(1)
+          .select("id", "v", "d").collect().head
+        selected += ((r.toLong, pick.getLong(0), pick.getDouble(2)))
+        cur = cur.withColumn("d",
+          least(col("d"), d2(pick.getSeq[Double](1))))
+        r += 1
+      }
+      import spark.implicits._
+      selected.toSeq.toDF("sel_round", "vec_id", "dist2")
+    } finally v.unpersist()
+  }
 }

@@ -69,6 +69,31 @@ class CdcSpec extends SparkSpec {
       (4L, "d", 1L, None, true)))
   }
 
+  test("pointInTimeJoin: probes resolve to the version valid AT the probe, not the current one") {
+    val hist = Cdc.scd2History(changes, "k", "seq", "op")
+      .select("k", "v", "amt", "valid_from", "valid_to")
+    // probes straddling k=1's seq-2 re-update, plus out-of-range cases
+    val probes = Seq(
+      (1L, 1L), // inside [1,2) → a1
+      (1L, 2L), // inside [2,∞) → a2 — NOT the seq-1 version
+      (1L, 9L), // open current version → a2
+      (4L, 1L), // single-version key → d
+      (4L, 0L), // predates the first version → dropped
+      (7L, 1L)  // key with no versions at all → dropped
+    ).toDF("k", "at")
+    val got = Cdc.pointInTimeJoin(probes, hist, "k", "at")
+      .orderBy("k", "at")
+      .select("k", "at", "v", "amt", "valid_from")
+      .as[(Long, Long, String, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "a1", 11.0, 1L),
+      (1L, 2L, "a2", 12.0, 2L),
+      (1L, 9L, "a2", 12.0, 2L),
+      (4L, 1L, "d", 40.0, 1L)))
+    // fan-out impossible: every (key, at) appears at most once
+    assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+  }
+
   test("maintainJoinView: delta maintenance equals full recompute across both feeds, including FK moves") {
     // A keyed by k with FK g; B keyed by g
     val aSnap = Seq((1L, 10L, "x1"), (2L, 10L, "x2"), (3L, 20L, "x3"),

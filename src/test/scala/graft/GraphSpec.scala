@@ -342,4 +342,94 @@ class GraphSpec extends SparkSpec {
       assert(got == want, s"trial $trial (cap=$cap): got $got, want $want")
     }
   }
+
+  test("kTruss: triangles survive, bridges and pendants peel; rounds_stable audits") {
+    // two triangles sharing edge (2,3), plus bridge (4,5) and pendant (5,6):
+    // k=3 keeps exactly the five triangle edges, one round to stabilize
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("pa", "pb")
+    val got = Graph.kTruss(g, "pa", "pb", k = 3, rounds = 4)
+      .orderBy("pa", "pb")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    val in = got.filter(_._3).map(r => (r._1, r._2)).toSet
+    assert(in == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(got.size == 7 && got.forall(_._4 == 1L),
+      s"peel stabilizes after round 1, got $got")
+  }
+
+  test("kTruss: cascading peel — removing weak edges starves the survivors") {
+    // fan: center c=9 over path 0-1-2-3-4. Middle spokes start at
+    // support 2, but round 1 removes the path edges (support 1), which
+    // starves the spokes of ALL their triangles → round 2 empties the
+    // graph. A support-once filter would wrongly keep the spokes.
+    val fan = Seq((9L, 0L), (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val got = Graph.kTruss(fan, "pa", "pb", k = 4, rounds = 6)
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(got.size == 9 && got.forall(!_._3), s"4-truss of the fan is empty: $got")
+    assert(got.forall(_._4 == 2L), s"cascade needs exactly two rounds, got $got")
+  }
+
+  test("kTruss: randomized model check against driver-side peel-to-fixpoint") {
+    val rng = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val es = (0 until 40).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val k = 3 + trial % 2 // k = 3 or 4
+      var cur = es.toSet
+      var moved = true
+      while (moved) {
+        // support = common neighbors of the edge's endpoints among survivors
+        val supMap = cur.toSeq.map { case e @ (a, b) =>
+          val common = (0L until n.toLong).count(w =>
+            w != a && w != b &&
+              cur.contains((math.min(a, w), math.max(a, w))) &&
+              cur.contains((math.min(b, w), math.max(b, w))))
+          e -> common
+        }.toMap
+        val next = cur.filter(e => supMap(e) >= k - 2)
+        moved = next.size != cur.size
+        cur = next
+      }
+      val got = Graph.kTruss(es.toDF("pa", "pb"), "pa", "pb", k, rounds = 10)
+        .as[(Long, Long, Boolean, Long)].collect().toSeq
+      val gotIn = got.filter(_._3).map(r => (r._1, r._2)).toSet
+      assert(gotIn == cur, s"trial $trial (k=$k): got $gotIn, want $cur")
+      assert(got.map(r => (r._1, r._2)).toSet == es.toSet,
+        "every original canonical edge gets a verdict row")
+    }
+  }
+
+  test("degreeAssortativity: star is exactly −1, regular graph reports 0.0") {
+    // K1,3: hub 0 (deg 3) ↔ leaves 1,2,3 (deg 1). Directed edges: 3×(3,1)
+    // and 3×(1,3) → M=6, Σx=12, Σxy=18, Σx²=30 → r = (108−144)/(180−144) = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("pa", "pb")
+    val s = Graph.degreeAssortativity(star, "pa", "pb")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(s == ((6L, 12L, 18L, 30L, -1.0)))
+    // C4 cycle: every degree 2 — correlation undefined (denominator 0),
+    // reported as 0.0 by the drift-family convention, never NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("pa", "pb")
+    val c = Graph.degreeAssortativity(cycle, "pa", "pb")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(c._1 == 8L && c._5 == 0.0 && !c._5.isNaN)
+  }
+
+  test("degreeAssortativity: two disjoint hub stars beat one — sign flips on hub-hub bridge") {
+    // two K1,3 stars joined hub-to-hub: the bridge edge is (deg 4, deg 4),
+    // pulling r up from the pure-star −1 (still negative: leaves dominate)
+    val bridged = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (0L, 10L)).toDF("pa", "pb")
+    val b = Graph.degreeAssortativity(bridged, "pa", "pb")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(b._5 > -1.0 && b._5 < 0.0,
+      s"bridged double star should sit in (−1, 0), got ${b._5}")
+    // partitioning invariance: exact longs + one division
+    val b7 = Graph.degreeAssortativity(bridged.repartition(7), "pa", "pb")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(java.lang.Double.doubleToLongBits(b._5) ==
+      java.lang.Double.doubleToLongBits(b7._5))
+  }
 }

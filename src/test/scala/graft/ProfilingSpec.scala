@@ -128,6 +128,37 @@ class ProfilingSpec extends SparkSpec {
     assert(z == ((2L, 2L, 0L, 0.0)))
   }
 
+  test("w1Drift: gap-weighted area equals the mean shift on a pure shift") {
+    // A = [1,2,3] vs B = [4,5,6]: a rigid +3 shift → w1 = 3 exactly
+    val shift = Seq((1L, true), (2L, true), (3L, true),
+      (4L, false), (5L, false), (6L, false))
+    val got = Profiling.w1Drift(shift.toDF("bucket", "a"),
+      col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 3L, 27L, 3.0)))
+    // uneven gaps: A = [0,0,10] vs B = [10,20,20] → sorted matching
+    // (10 + 20 + 10) / 3 = 40/3; area = Σ|cross-diff|·gap = 60 + 60
+    val rows = Seq((0L, true), (0L, true), (10L, true),
+      (10L, false), (20L, false), (20L, false))
+    val g2 = Profiling.w1Drift(rows.toDF("bucket", "a"),
+      col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g2 == ((3L, 3L, 120L, 120.0 / 9.0)))
+    // exact longs → identical result under any partitioning
+    val g7 = Profiling.w1Drift(rows.reverse.toDF("bucket", "a").repartition(7),
+      col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g7 == g2)
+    // identical distributions → zero distance; one-sided → 0.0 not NaN
+    val same = Seq((1L, true), (1L, false), (5L, true), (5L, false))
+    assert(Profiling.w1Drift(same.toDF("bucket", "a"), col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head == ((2L, 2L, 0L, 0.0)))
+    val os = Profiling.w1Drift(Seq((1L, true), (9L, true)).toDF("bucket", "a"),
+      col("bucket"), col("a"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(os._4 == 0.0 && !os._4.isNaN)
+  }
+
   test("tvDrift: empty input reports the all-zero row, not NULLs") {
     val empty = Seq.empty[(Long, Boolean)].toDF("bucket", "a")
     val got = Profiling.tvDrift(empty, col("bucket"), col("a"))

@@ -428,4 +428,33 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("kCenterSelect: farthest-point traversal matches the hand trace") {
+    // seed = min id (0,0); then (10,0) at d²=100; then (5,5) whose
+    // running min-dist 50 beats (0,1)'s 1; then (0,1)
+    val pts = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(5f, 5f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(pts, "vec_id", "embedding", k = 4)
+      .orderBy("sel_round")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0.0), (2L, 2L, 100.0),
+      (3L, 4L, 50.0), (4L, 3L, 1.0)))
+    // partition invariance: same bits under a different layout
+    val got7 = Similarity.kCenterSelect(pts.repartition(7), "vec_id",
+      "embedding", k = 4).orderBy("sel_round")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got7 == got)
+  }
+
+  test("kCenterSelect: exhausted-corpus degenerate case re-picks by the tie rule") {
+    // two identical points, k=3: rounds 2 and 3 see every distance at
+    // 0 and the (d DESC, id ASC) rule re-picks the min id — the
+    // documented deterministic degenerate both engines share
+    val dup = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(dup, "vec_id", "embedding", k = 3)
+      .orderBy("sel_round")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0.0), (2L, 1L, 0.0), (3L, 1L, 0.0)))
+  }
 }
