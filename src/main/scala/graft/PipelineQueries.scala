@@ -1547,6 +1547,33 @@ object PipelineQueries {
              |SELECT a.name AS a, b.name AS b, CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
              |FROM n a JOIN n b ON a.name < b.name
              |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin.replace("\n", " "))),
+    // the ER RESOLUTION step on top of er_editdist_pairs: fuzzy-match
+    // edges → transitive entity clusters (every record that chains
+    // together is one entity) → a canonical survivor per entity (the
+    // lexicographic-min name — deterministic survivorship both engines
+    // replay). Singleton names — no fuzzy match at all — form their
+    // own entity, so EVERY record leaves with an entity id: the
+    // master-data contract. Same pointer-jumping CC as dedup_clusters
+    // (string labels: `least` is lexicographic in both engines).
+    Q("er_clusters",
+      (s, d) => {
+        val names = t(s, d, "part")
+          .select(col("p_name").as("name")).distinct()
+        Dedup.connectedComponents(names, "name",
+            Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 3)
+              .select("a", "b"), "a", "b")
+          .withColumnRenamed("cluster_id", "entity_id")
+          .withColumnRenamed("keep", "is_canonical")
+          .orderBy("name")
+      },
+      Some("""WITH RECURSIVE ern AS (SELECT DISTINCT p_name AS name FROM part),
+             |erp AS (SELECT a.name AS a, b.name AS b FROM ern a JOIN ern b ON a.name < b.name
+             |WHERE levenshtein(a.name, b.name) <= 3),
+             |ere AS (SELECT a AS u, b AS v FROM erp UNION SELECT b, a FROM erp),
+             |erc(u, r) AS (SELECT name, name FROM ern
+             |UNION SELECT e.u, p.r FROM ere e JOIN erc p ON p.u = e.v)
+             |SELECT u AS name, MIN(r) AS entity_id, (MIN(r) = u) AS is_canonical
+             |FROM erc GROUP BY u ORDER BY name""".stripMargin.replace("\n", " "))),
     // EXACT prefix-filtered set-similarity join: the oracle brute-
     // forces ALL pairs, so the hash match proves the prefix filter
     // dropped no qualifying candidate (completeness, not just output
@@ -2180,6 +2207,30 @@ object PipelineQueries {
       |FROM sps GROUP BY user_id, session_idx)
       |SELECT path, COUNT(*) AS n_sessions FROM spp GROUP BY path
       |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin.replace("\n", " ")
+
+  private val HwPeriod = 24
+
+  /** Holt–Winters oracle: list_reduce over flat (2+m)-double lists —
+    * the holtForecast [x, 0] idiom widened to carry the seasonal
+    * queue; slots rotate via list slicing ([l', b'] || acc[4:m+2] ||
+    * [s']), every arithmetic expression textually mirrored from the
+    * Spark fold so the doubles are bit-equal. */
+  private val holtWintersOracle: String = {
+    val m = HwPeriod
+    val zeros = Seq.fill(m)("0.0::DOUBLE").mkString(", ")
+    val lp = "(0.25::DOUBLE * (x[1] - acc[3]) + 0.75::DOUBLE * (acc[1] + acc[2]))"
+    val bp = s"(0.25::DOUBLE * ($lp - acc[1]) + 0.75::DOUBLE * acc[2])"
+    val sp = s"(0.25::DOUBLE * (x[1] - $lp) + 0.75::DOUBLE * acc[3])"
+    s"""WITH hwm AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, COUNT(*) AS c FROM events GROUP BY 1, 2),
+       |hwl AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY bucket ASC) AS l FROM hwm GROUP BY event_type),
+       |hwf AS (SELECT event_type, CAST(len(l) AS BIGINT) AS n_buckets,
+       |list_reduce(list_transform(l, x -> [x, 0.0::DOUBLE, $zeros]),
+       |(acc, x) -> [$lp, $bp] || acc[4:${m + 2}] || [$sp]) AS st
+       |FROM hwl)
+       |SELECT event_type, n_buckets, st[1] AS level, st[2] AS trend, st[3] AS season_next,
+       |st[1] + st[2] + st[3] AS forecast_next
+       |FROM hwf ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
 
   private val eventQueries = Vector(
     // Tumbling 5-minute window: bucket emitted as epoch seconds (BIGINT)
@@ -3004,6 +3055,18 @@ object PipelineQueries {
              |FROM hfl)
              |SELECT event_type, n_buckets, ab[1] AS level, ab[2] AS trend, ab[1] + ab[2] AS forecast_next
              |FROM hff ORDER BY event_type""".stripMargin.replace("\n", " "))),
+    // Holt–Winters additive seasonal forecast, period 24 on the hourly
+    // grid (the daily cycle): the smoothing family's third rung —
+    // level (ev_ewma), +trend (ev_holt_forecast), +seasonal profile.
+    // Cold-start init (l=x₁, b=0, s≡0) documented in the scaladoc; the
+    // state is a flat 26-double array rotated one slot per step, so
+    // DuckDB's list_reduce replays the identical sequenced chain over
+    // 26-lists and every double is bit-equal.
+    Q("ev_holt_winters",
+      (s, d) => operators.Profiling.holtWinters(events(s, d), col("ts_s"),
+          col("event_type"), period = HwPeriod, bucketSec = 3600)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"),
+      Some(holtWintersOracle)),
     // the FIXED-reference CUSUM — μ/κ/h as micro-unit constants from a
     // trained baseline, the deployable and ONLY streamable form (the
     // self-mean variant's term rescales history every bucket); the
@@ -4366,6 +4429,29 @@ object PipelineQueries {
        |CASE WHEN SUM(h) > 0 THEN (1000000 * CAST(COUNT(*) - 1 AS BIGINT)) // CAST(SUM(h) AS BIGINT) ELSE 0 END AS closeness_micro
        |FROM cbm GROUP BY s ORDER BY seed""".stripMargin.replace("\n", " ")
 
+  private val AnfSourceMod = 4
+  private val AnfSourceCap = 2048
+  private val AnfHops = 8
+
+  /** Exact ANF audit oracle: the closenessOracle's (source, vertex)
+    * recursion over the sampled source set, rolled up to cumulative
+    * per-hop pair counts; within_bound is TRUE by contract (the
+    * sketch value is engine-specific — only the verdict is portable)
+    * and at_eff_90 replays the integer 90%-crossing test. */
+  private val anfOracle: String =
+    s"""WITH RECURSIVE bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+       |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |aed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+       |asd AS (SELECT DISTINCT u FROM aed WHERE u % $AnfSourceMod = 0 AND u < $AnfSourceCap),
+       |abf(s, u, h) AS (SELECT u, u, 0 FROM asd
+       |UNION SELECT p.s, e.v, p.h + 1 FROM aed e JOIN abf p ON p.u = e.u WHERE p.h < $AnfHops),
+       |abm AS (SELECT s, u, MIN(h) AS h FROM abf GROUP BY 1, 2),
+       |ahc AS (SELECT h, COUNT(*) AS c FROM abm GROUP BY 1),
+       |acu AS (SELECT CAST(h AS BIGINT) AS hops, CAST(SUM(c) OVER (ORDER BY h) AS BIGINT) AS exact_pairs FROM ahc)
+       |SELECT hops, exact_pairs, TRUE AS within_bound,
+       |(exact_pairs * 10 >= 9 * MAX(exact_pairs) OVER ()) AS at_eff_90
+       |FROM acu ORDER BY hops""".stripMargin.replace("\n", " ")
+
   private val graph = Vector(
     Q("graph_pagerank",
       (s, d) => operators.Graph.pageRank(copurchaseEdges(s, d), "pa", "pb",
@@ -4478,6 +4564,25 @@ object PipelineQueries {
         k = KtrussK, rounds = KtrussRounds)
         .orderBy("pa", "pb"),
       Some(ktrussOracle)),
+    // HyperBall neighborhood function + effective diameter: per-hop
+    // reachable-pair counts from the sampled source set, the sketch
+    // total audited row-by-row against a real (source, vertex) BFS
+    // (within_bound), the 90% crossing marked in exact integers
+    // (at_eff_90 — its first true row IS the effective diameter).
+    // Oracle recurses the same sampled BFS and asserts every bound
+    // verdict TRUE — the sketch estimate itself is engine-specific,
+    // the ev_daily_uniques_approx contract. The source panel is a
+    // FIXED-SIZE deterministic sample (mod + absolute id cap — the ANF
+    // paper's source-sampling estimator): the sketch path stays O(E·h)
+    // however the corpus grows, and the audit BFS stays panel×V —
+    // linear in V, never quadratic (measured: the uncapped panel made
+    // the 10× audit 100× the pair mass; the cap covers EVERY sf0.01 id,
+    // so the oracle rows are unchanged there).
+    Q("graph_anf",
+      (s, d) => operators.Graph.anf(copurchaseEdges(s, d), "pa", "pb",
+        id => id % AnfSourceMod === 0 && id < AnfSourceCap,
+        maxHops = AnfHops),
+      Some(anfOracle)),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

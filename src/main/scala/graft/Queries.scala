@@ -307,6 +307,35 @@ object Queries {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS DOUBLE) AS running_spend
              |FROM orders""".stripMargin.replace("\n", " ")),
       ),
+    // RANGE frame (value-based window) — the frame family q_window_
+    // running's ROWS frame doesn't cover: per customer, each order sees
+    // the count and exact-decimal spend of the orders in the PRIOR 30
+    // calendar days (a trailing-window feature, not a row offset: gaps
+    // in order history shrink the frame, bursts widen it). Ordered by
+    // the integer days-since-epoch index — timezone-free in BOTH
+    // engines (a date subtraction, never an epoch() of a naive
+    // timestamp) — with frame [−30, −1]: the row's own day is
+    // excluded, keeping the feature a pure lookback (no same-day
+    // leakage, the cdc_pit_enrich discipline on a window).
+    Q("q_window_range",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")))
+          .rangeBetween(-30L, -1L)
+        t(s, d, "orders")
+          .withColumn("n_prior_30d", count(lit(1)).over(w))
+          .withColumn("spend_prior_30d",
+            coalesce(sum(dec(col("o_totalprice"))).over(w),
+              lit(java.math.BigDecimal.ZERO).cast(D)).cast(DoubleType))
+          .select("o_custkey", "o_orderkey", "n_prior_30d", "spend_prior_30d")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |COUNT(*) OVER win AS n_prior_30d,
+             |CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER win, 0) AS DOUBLE) AS spend_prior_30d
+             |FROM orders
+             |WINDOW win AS (PARTITION BY o_custkey ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)""".stripMargin.replace("\n", " "))),
     Q("q_union_all",
       (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
         .unionAll(t(s, d, "supplier").select(col("s_suppkey").as("key"))),
@@ -1466,7 +1495,8 @@ object Queries {
              |JOIN nation ON n_nationkey = s_nationkey
              |JOIN part ON p_partkey = l_partkey
              |WHERE p_name LIKE 'red%'
-             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin.replace("\n", " "))),
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin.replace("\n", " ")),
+      bench = true),
     // TPC-H Q11 (important stock), adapted: the reference values a
     // nation's offered stock at ps_supplycost × ps_availqty; the
     // realized stand-in values it at the revenue its suppliers

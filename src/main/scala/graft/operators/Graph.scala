@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality for corpus quality weighting.
@@ -610,5 +611,133 @@ object Graph {
         when(den === 0L, lit(0.0))
           .otherwise(num.cast("double") / den.cast("double"))
           .as("assortativity"))
+  }
+
+  /** Approximate neighborhood function (ANF) with an exact audit —
+    * the HyperBall algorithm (Boldi–Rosa–Vigna, WWW 2011; ANF:
+    * Palmer–Gibbons–Faloutsos, KDD 2002): N(h) = how many
+    * (source, vertex) pairs lie within distance h, the curve whose
+    * 90% crossing is the graph's EFFECTIVE DIAMETER — the
+    * "how far apart is everything" statistic that full all-pairs BFS
+    * cannot answer at 100 TB. Each vertex carries one HLL sketch of
+    * its distance-≤h ball; one round unions every vertex's sketch
+    * into its neighbors' (register-max merges — order-free, the
+    * ev_window_uniques contract), so after h rounds sketch(u)
+    * estimates |ball(u, h)| and Σ estimates over the sampled source
+    * set estimates N(h). Sketch state is KB per vertex; a round is
+    * ONE edge join + ONE vertex-keyed union-agg — O(E·h) total work,
+    * no frontier blow-up, which is exactly why HyperBall (not BFS)
+    * is the published algorithm for web-scale distance profiles.
+    *
+    * Honesty contract: the returned `exact_pairs` column is computed
+    * by a REAL (source, vertex)-keyed BFS (the [[seedCloseness]]
+    * frontier machinery) and `within_bound` pins the sketch total
+    * against it — |approx − exact| ≤ max(2.5%, 32 abs). The BFS twin
+    * is the audit apparatus, quadratic-ish in the ball mass and
+    * priced accordingly; production asks for the sketch path alone
+    * (drop the audit columns and nothing quadratic remains). Sources
+    * are a deterministic sample (`sourceFilter`) so the audit's
+    * settled frame — and the DuckDB oracle's recursion — stay
+    * tractable; sketch propagation necessarily runs over ALL
+    * vertices regardless (a sampled source's ball grows through
+    * unsampled neighbors).
+    *
+    * Returns one row per hop 0..maxHops (stopping early if the BFS
+    * exhausts): `(hops, exact_pairs, within_bound, at_eff_90)` where
+    * `at_eff_90` marks hops whose cumulative pair count reaches 90%
+    * of the horizon total (exact integers: 10·N(h) ≥ 9·N(maxHops)) —
+    * the first true row IS the effective diameter estimate.
+    *
+    * Scale shape: per round, the sketch frame shuffles once on
+    * vertex id (2^lgK/2 ≈ 4 KB per vertex at the default lgK=13 —
+    * the knob that trades register budget against shuffle bytes);
+    * per-round totals are 1-row aggregates checkpointed eagerly so
+    * previous rounds' blocks free immediately. The audit BFS reuses
+    * the bounded (source, vertex) frontier loop with per-round
+    * localCheckpoint + block freeing. */
+  def anf(pairs: DataFrame, aCol: String, bCol: String,
+      sourceFilter: Column => Column, maxHops: Int,
+      lgK: Int = 13): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the one count also materializes the persisted edge list; it
+      // sizes the union-round shuffle so each task's sketch-merge
+      // buffer stays ~128 MB however dense the graph (an HLL_8 sketch
+      // is 2^lgK bytes; the contribution frame is one sketch per
+      // DIRECTED edge — the round's real mass, which the default
+      // 32-partition grid overflows on a dense graph)
+      val eCnt = edges.count()
+      val unionParts = math.min(2048L,
+        math.max(32L, eCnt * (1L << lgK) / (128L << 20))).toInt
+      // ---- sketch path (HyperBall — the 100 TB path) ----
+      var sk = edges.select(col("__u").as("id")).distinct()
+        .groupBy("id").agg(expr(s"hll_sketch_agg(id, $lgK)").as("__bs"))
+        .localCheckpoint(true)
+      def roundTotal(h: Int, skDf: DataFrame): DataFrame =
+        skDf.filter(sourceFilter(col("id")))
+          .agg(sum(expr("hll_sketch_estimate(__bs)")).as("approx_pairs"))
+          .select(lit(h.toLong).as("hops"), col("approx_pairs"))
+          .localCheckpoint(true)
+      var approx = roundTotal(0, sk)
+      for (h <- 1 to maxHops) {
+        val merged = sk
+          .union(edges.join(sk, edges("__v") === sk("id"))
+            .select(edges("__u").as("id"), col("__bs")))
+          // clustered by id BEFORE the agg: the aggregate then runs
+          // in place on unionParts partitions (HashPartitioning(id)
+          // satisfies its clustering), so no task ever buffers more
+          // than its own id slice of sketches
+          .repartition(unionParts, col("id"))
+          .groupBy("id").agg(expr("hll_union_agg(__bs)").as("__bs"))
+          .localCheckpoint(true)
+        val total = roundTotal(h, merged) // materialized before the free
+        Caching.freeLocalCheckpoint(sk)
+        sk = merged
+        approx = approx.union(total)
+      }
+      Caching.freeLocalCheckpoint(sk)
+      // ---- exact audit (the bfsHops/seedCloseness frontier loop) ----
+      var dist = edges.select(col("__u").as("id")).distinct()
+        .filter(sourceFilter(col("id")))
+        .select(col("id").as("s"), col("id"), lit(0L).as("hops"))
+        .localCheckpoint(true)
+      var frontier = dist.select("s", "id")
+      var lastRound: Seq[DataFrame] = Seq(dist)
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        val next = edges.join(frontier, edges("__u") === frontier("id"))
+          .select(col("s"), col("__v").as("id")).distinct()
+          .join(dist, Seq("s", "id"), "left_anti")
+          .select(col("s"), col("id"), lit(h.toLong).as("hops"))
+          .localCheckpoint(true)
+        val settled = dist.union(next).localCheckpoint(true)
+        lastRound.foreach(Caching.freeLocalCheckpoint)
+        lastRound = Seq(next, settled)
+        dist = settled
+        frontier = next.select("s", "id")
+        exhausted = next.isEmpty
+        h += 1
+      }
+      Caching.freeLocalCheckpoint(lastRound.head)
+      // hop-grid frames from here on: ≤ maxHops+1 rows by construction,
+      // so the unpartitioned windows are bounded
+      val wCum = Window.orderBy("hops")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      dist.groupBy("hops").agg(count(lit(1)).as("__c"))
+        .select(col("hops"), sum(col("__c")).over(wCum).as("exact_pairs"))
+        .withColumn("__tot", max(col("exact_pairs")).over(wAll))
+        .join(approx, Seq("hops"))
+        .select(col("hops"), col("exact_pairs"),
+          (abs(col("approx_pairs") - col("exact_pairs")) <=
+            greatest(lit(32.0), lit(0.025) * col("exact_pairs")))
+            .as("within_bound"),
+          (col("exact_pairs") * 10 >= col("__tot") * 9).as("at_eff_90"))
+        .orderBy("hops")
+    } finally edges.unpersist()
   }
 }

@@ -462,6 +462,88 @@ object Profiling {
         (col("__acc.l") + col("__acc.b")).as("forecast_next"))
   }
 
+  /** Holt–Winters additive seasonal smoothing (Winters 1960) — the
+    * smoothing family's third rung: [[ewmaRate]] tracks a level,
+    * [[holtForecast]] adds a trend, and this adds a length-`period`
+    * SEASONAL profile, so a daily-cycling event rate forecasts
+    * tomorrow-at-this-hour instead of averaging the cycle away:
+    *   lₜ = α(xₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+    *   sₜ = γ(xₜ − lₜ) + (1−γ)sₜ₋ₘ
+    * with the one-step forecast l + b + s₍next₎.
+    *
+    * Initialization diverges from the textbook first-season fit ON
+    * PURPOSE: l₁ = x₁, b₁ = 0, s ≡ 0 — the cold-start a streaming
+    * monitor actually has. Seasonal slots then converge at rate γ per
+    * CYCLE (each slot updates once per period), so with k observed
+    * cycles the profile carries 1−(1−γ)^k of the asymptotic
+    * amplitude; the spec pins the hand-computed fold, not a fitted
+    * curve. Like the rest of the family the fold is SEQUENCED — the
+    * state is a flat (2+m)-double array [l, b, s₁..sₘ] rotated one
+    * slot per step (head = the slot the NEXT observation consumes),
+    * lₜ recomputed as the same expression tree where it appears
+    * thrice — so with α/β/γ exactly representable the doubles are
+    * bit-identical on any partitioning, and DuckDB replays the
+    * identical chain via list_reduce over (2+m)-lists.
+    *
+    * Bounds: the same in-plan `maxPoints` guard; per-key state is
+    * 2+m doubles however long the series. Output: (key, n_buckets,
+    * level, trend, season_next, forecast_next). */
+  /** The Holt–Winters cold-start state as SQL text: [level₀, 0,
+    * m zeros] — `levelExpr` names the first observation. Shared with
+    * [[graft.streaming.HoltWintersStream]] so batch and stream build
+    * the IDENTICAL init array. */
+  private[graft] def hwInit(period: Int, levelExpr: String): String = {
+    val zeros = Seq.fill(period)("CAST(0.0 AS DOUBLE)").mkString(", ")
+    s"array($levelExpr, CAST(0.0 AS DOUBLE), $zeros)"
+  }
+
+  /** The Holt–Winters fold step as SQL lambda text — ONE definition
+    * shared by the batch fold and the streaming twin, so the
+    * stream ≡ batch bit-equality argument rests on literally the same
+    * expression tree, not a re-derivation. State layout (0-based):
+    * acc[0]=l, acc[1]=b, acc[2]=s₁ (the slot this step consumes),
+    * acc[3..m+1]=s₂..sₘ; the step emits [l', b', s₂..sₘ, s'] — the
+    * queue rotated one slot. */
+  private[graft] def hwLambda(alpha: Double, beta: Double, gamma: Double,
+      period: Int): String = {
+    val a = alpha; val na = 1.0 - alpha
+    val b = beta; val nb = 1.0 - beta
+    val g = gamma; val ng = 1.0 - gamma
+    val lp = s"(CAST($a AS DOUBLE) * (x - acc[2]) + " +
+      s"CAST($na AS DOUBLE) * (acc[0] + acc[1]))"
+    val bp = s"(CAST($b AS DOUBLE) * ($lp - acc[0]) + " +
+      s"CAST($nb AS DOUBLE) * acc[1])"
+    val sp = s"(CAST($g AS DOUBLE) * (x - $lp) + " +
+      s"CAST($ng AS DOUBLE) * acc[2])"
+    s"(acc, x) -> concat(array($lp, $bp), " +
+      s"slice(acc, 4, ${period - 1}), array($sp))"
+  }
+
+  def holtWinters(df: DataFrame, tsSec: Column, keyCol: Column,
+      period: Int, alpha: Double = 0.25, beta: Double = 0.25,
+      gamma: Double = 0.25, bucketSec: Int = 3600,
+      maxPoints: Long = 1L << 20): DataFrame = {
+    require(period >= 2, s"holtWinters: period must be >= 2, got $period")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"holtWinters: alpha must be in (0, 1), got $alpha")
+    require(beta > 0.0 && beta < 1.0,
+      s"holtWinters: beta must be in (0, 1), got $beta")
+    require(gamma > 0.0 && gamma < 1.0,
+      s"holtWinters: gamma must be in (0, 1), got $gamma")
+    sortedCountSeries(guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+        maxPoints, "holtWinters"))
+      .withColumn("__acc",
+        expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), " +
+          s"${hwInit(period, "__l[0]")}, " +
+          hwLambda(alpha, beta, gamma, period) + ")"))
+      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
+        col("__acc")(0).as("level"), col("__acc")(1).as("trend"),
+        col("__acc")(2).as("season_next"),
+        (col("__acc")(0) + col("__acc")(1) + col("__acc")(2))
+          .as("forecast_next"))
+  }
+
   /** [[cusum]] against a FIXED reference rate — the deployable form: μ
     * and κ are micro-unit constants from a trained baseline instead of
     * the observed series' own mean. This is also the only form a

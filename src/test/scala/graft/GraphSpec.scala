@@ -432,4 +432,59 @@ class GraphSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(b._5) ==
       java.lang.Double.doubleToLongBits(b7._5))
   }
+
+  private def anfRows(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, Long, Boolean, Boolean)] =
+    df.as[(Long, Long, Boolean, Boolean)].collect().toSeq.sortBy(_._1)
+
+  test("anf: hand path — exact pair curve, all sources, 90% crossing") {
+    // P5: 1-2-3-4-5. N(0)=5, N(1)=13, N(2)=19, N(3)=23, N(4)=25.
+    // 10·N(h) ≥ 9·25=225 first at h=3 (230).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val r = anfRows(Graph.anf(path, "pa", "pb", _ % 1 === 0, maxHops = 4))
+    assert(r.map(x => (x._1, x._2)) ==
+      Seq((0L, 5L), (1L, 13L), (2L, 19L), (3L, 23L), (4L, 25L)))
+    assert(r.forall(_._3), "HLL is exact at these cardinalities — every bound verdict true")
+    assert(r.map(x => (x._1, x._4)) ==
+      Seq((0L, false), (1L, false), (2L, false), (3L, true), (4L, true)))
+  }
+
+  test("anf: sampled sources — only their balls counted, propagation through unsampled vertices") {
+    // sources {2, 4} on P5; balls grow THROUGH odd vertices:
+    // h=0: 2; h=1: |{1,2,3}|+|{3,4,5}| = 6; h=2: 4+4 = 8; h=3: 5+5 = 10
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val r = anfRows(Graph.anf(path, "pa", "pb", _ % 2 === 0, maxHops = 6))
+    assert(r.map(x => (x._1, x._2)) ==
+      Seq((0L, 2L), (1L, 6L), (2L, 8L), (3L, 10L)),
+      "BFS exhausts at hop 4 — no rows past the last reachable hop")
+    assert(r.forall(_._3))
+  }
+
+  test("anf: randomized model check against driver-side BFS") {
+    val rnd = new scala.util.Random(20)
+    val es = (1 to 40).map(_ => (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val df = es.toDF("pa", "pb")
+    val adj = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).toSet) }.withDefaultValue(Set.empty[Long])
+    val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val maxH = 3
+    // driver BFS per source, cumulative pair counts per hop
+    val counts = (0 to maxH).map { h =>
+      verts.filter(_ % 2 == 0).map { s =>
+        var ball = Set(s)
+        (1 to h).foreach(_ => ball = ball ++ ball.flatMap(adj))
+        ball.size.toLong
+      }.sum
+    }
+    // a stalled curve means the frontier emptied: the operator stops
+    // emitting rows there (BFS is monotone — a stall never restarts)
+    val stall = (1 to maxH).find(h => counts(h) == counts(h - 1))
+    val model = (0 to maxH).map(h => (h.toLong, counts(h)))
+      .take(stall.getOrElse(maxH + 1))
+    val r = anfRows(Graph.anf(df, "pa", "pb", _ % 2 === 0, maxHops = maxH))
+    assert(r.map(x => (x._1, x._2)) == model,
+      s"exact curve ${r.map(x => (x._1, x._2))} != model $model")
+    assert(r.forall(_._3), "bound verdicts all true on a 14-vertex graph")
+  }
 }

@@ -337,6 +337,55 @@ class ProfilingSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("maxPoints"))
   }
 
+  test("holtWinters: hand-computed (l, b, s) fold — all exact binary fractions") {
+    // counts 4, 8, 4, 8 at period 2, α = β = γ = 0.25, cold start
+    // (l=4, b=0, s=[0,0]):
+    // x=8: l=0.25·8+0.75·4=5, b=0.25·1=0.25, s→[0, 0.75]
+    // x=4: l=0.25·4+0.75·5.25=4.9375, b=0.25·(−0.0625)+0.1875=0.171875,
+    //      s→[0.75, −0.234375]
+    // x=8: l=0.25·(8−0.75)+0.75·5.109375=5.64453125,
+    //      b=0.25·0.70703125+0.75·0.171875=0.3056640625,
+    //      s→[−0.234375, 1.1513671875]
+    // forecast = (l + b) + s_next = 5.7158203125
+    val rows = Seq(4, 8, 4, 8).zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val got = Profiling.holtWinters(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("k", 4L, 5.64453125, 0.3056640625, -0.234375,
+      5.7158203125)), s"got $got")
+    // a singleton series: level only, zero trend, zero season
+    val one = Profiling.holtWinters(Seq((0L, "x")).toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(one == Seq(("x", 1L, 1.0, 0.0, 0.0, 1.0)))
+  }
+
+  test("holtWinters: seasonal profile learned — a pure cycle forecasts the cycle, not the mean") {
+    // strict 2-cycle 2,10,2,10,... long enough for the seasonal slots
+    // to converge: forecast after a 10 must point DOWN toward the 2s
+    val rows = (0 until 40).flatMap { b =>
+      val c = if (b % 2 == 0) 2 else 10
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val hw = Profiling.holtWinters(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    val holt = Profiling.holtForecast(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(hw._6 < 4.5, s"seasonal forecast should chase the low slot, got ${hw._6}")
+    assert(math.abs(hw._6 - 2.0) < math.abs(holt._5 - 2.0),
+      s"Holt–Winters (${hw._6}) must beat trend-only Holt (${holt._5}) on a pure cycle")
+    // bit-identical under repartitioning (sequenced fold)
+    val b13 = Profiling.holtWinters(rows.toDF("ts_s", "key2").repartition(13),
+        col("ts_s"), col("key2"), period = 2)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(java.lang.Double.doubleToLongBits(hw._6) ==
+      java.lang.Double.doubleToLongBits(b13._6))
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,
