@@ -2232,6 +2232,41 @@ object PipelineQueries {
        |FROM hwf ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
+  /** Rolling-origin backtest oracle: the forecastBacktest nested-fold
+    * chain in DuckDB list lambdas — outer transform over origins,
+    * inner prefix folds per model (EWMA scalar, Holt 2-list, HW
+    * (2+m)-list via the same rotation), error sums prepended with the
+    * same 0.0 the Spark fold initializes with. 1-based lists: Spark's
+    * `__l[o]` (0-based actual) is `l[o+1]`, `slice(__l, 2, o−1)` is
+    * `l[2:o]` — handled by list_reduce's first-element init. */
+  private val forecastBacktestOracle: String = {
+    val m = HwPeriod
+    val zeros = Seq.fill(m)("0.0::DOUBLE").mkString(", ")
+    val lp = "(0.25::DOUBLE * (x[1] - acc[3]) + 0.75::DOUBLE * (acc[1] + acc[2]))"
+    val hlp = "(0.25::DOUBLE * x[1] + 0.75::DOUBLE * (acc[1] + acc[2]))"
+    val ewmaF = "list_reduce(l[1:o], (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc)"
+    val holtF = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_reduce(list_transform(l[1:o], x -> [x, 0.0::DOUBLE]), " +
+      s"(acc, x) -> [$hlp, 0.25::DOUBLE * ($hlp - acc[1]) + 0.75::DOUBLE * acc[2]])[1:2]), " +
+      "(s2, v) -> s2 + v)"
+    val hwF = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_reduce(list_transform(l[1:o], x -> [x, 0.0::DOUBLE, $zeros]), " +
+      s"(acc, x) -> [$lp, 0.25::DOUBLE * ($lp - acc[1]) + 0.75::DOUBLE * acc[2]] || acc[4:${m + 2}] || " +
+      s"[0.25::DOUBLE * (x[1] - $lp) + 0.75::DOUBLE * acc[3]])[1:3]), " +
+      "(s3, v) -> s3 + v)"
+    def mae(f: String): String =
+      "CASE WHEN len(os) > 0 THEN list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(os, o -> abs(($f) - l[o+1]))), " +
+        "(e1, e2) -> e1 + e2) / len(os) END"
+    s"""WITH fbm AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, COUNT(*) AS c FROM events GROUP BY 1, 2),
+       |fbl AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY bucket ASC) AS l FROM fbm GROUP BY event_type),
+       |fbo AS (SELECT event_type, CAST(len(l) AS BIGINT) AS n_buckets, l,
+       |CASE WHEN len(l) >= 2 THEN range(greatest(len(l) - 8, 1), len(l)) ELSE [] END AS os FROM fbl)
+       |SELECT event_type, n_buckets, CAST(len(os) AS BIGINT) AS n_origins,
+       |${mae(ewmaF)} AS mae_ewma, ${mae(holtF)} AS mae_holt, ${mae(hwF)} AS mae_hw
+       |FROM fbo ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
+
   private val eventQueries = Vector(
     // Tumbling 5-minute window: bucket emitted as epoch seconds (BIGINT)
     // to dodge timestamp-timezone representation skew between engines.
@@ -3067,6 +3102,38 @@ object PipelineQueries {
           col("event_type"), period = HwPeriod, bucketSec = 3600)
         .withColumnRenamed("key", "event_type").orderBy("event_type"),
       Some(holtWintersOracle)),
+    // Theil–Sen robust trend per event type: the median of all pairwise
+    // bucket slopes — where one corrupted bucket drags OLS
+    // (q_regr_slope) arbitrarily far, the pairwise median shrugs
+    // (29.3% breakdown). Each slope is ONE IEEE division of exact
+    // integer differences (dy may be negative, where div/// disagree
+    // across engines — the double quotient doesn't); the median is the
+    // q_median-pinned exact interpolating percentile.
+    Q("ev_theil_sen",
+      (s, d) => operators.Profiling.theilSen(events(s, d), col("ts_s"),
+          col("event_type"), bucketSec = 3600)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"),
+      Some("""WITH tnm AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, COUNT(*) AS c FROM events GROUP BY 1, 2),
+             |tnp AS (SELECT a.event_type, CAST(b.c - a.c AS DOUBLE) / CAST(b.bucket - a.bucket AS DOUBLE) AS sl
+             |FROM tnm a JOIN tnm b ON a.event_type = b.event_type AND a.bucket < b.bucket),
+             |tnn AS (SELECT event_type, COUNT(*) AS n_buckets FROM tnm GROUP BY 1),
+             |tns AS (SELECT event_type, COUNT(*) AS n_pairs, quantile_cont(sl, 0.5) AS sen_slope FROM tnp GROUP BY 1)
+             |SELECT n.event_type, n.n_buckets, COALESCE(s.n_pairs, 0) AS n_pairs, s.sen_slope
+             |FROM tnn n LEFT JOIN tns s USING (event_type)
+             |ORDER BY event_type""".stripMargin.replace("\n", " "))),
+    // Rolling-origin backtest of the whole smoothing family — the
+    // model-selection query run BEFORE wiring any one smoother into a
+    // monitor: walk-forward one-step errors at the last 8 cut points,
+    // per model, per key (never a random split — that leaks the future
+    // into the fit). Every fit is the production fold over a prefix
+    // slice (the HW lambda text shared verbatim); the oracle replays
+    // the whole nested-lambda chain and every double is bit-equal.
+    Q("ev_forecast_backtest",
+      (s, d) => operators.Profiling.forecastBacktest(events(s, d),
+          col("ts_s"), col("event_type"), period = HwPeriod, origins = 8,
+          bucketSec = 3600)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"),
+      Some(forecastBacktestOracle)),
     // the FIXED-reference CUSUM — μ/κ/h as micro-unit constants from a
     // trained baseline, the deployable and ONLY streamable form (the
     // self-mean variant's term rescales history every bucket); the

@@ -544,6 +544,109 @@ object Profiling {
           .as("forecast_next"))
   }
 
+  /** Theil–Sen robust slope of the per-bucket event rate, one estimate
+    * per key: the MEDIAN of all pairwise slopes (yⱼ−yᵢ)/(bⱼ−bᵢ) over
+    * the observed-bucket series — the trend estimate with a 29.3%
+    * breakdown point, where [[graft.Queries]]' `q_regr_slope` OLS is
+    * dragged arbitrarily far by one corrupted bucket (Theil 1950;
+    * Sen 1968). Each slope is ONE IEEE division of exact integer
+    * differences (no `div`: dy can be negative, where Spark truncates
+    * and DuckDB floors — the double quotient is bit-identical in both
+    * engines instead), and the median is the same exact interpolating
+    * percentile `q_median` pinned cross-engine.
+    *
+    * Scale shape: Theil–Sen is inherently O(n²) in the SERIES length
+    * (all pairs), so the (key, bucket) frame guard is part of the
+    * definition here, with a deliberately tighter default than the
+    * fold family (`maxPoints` 2¹² ⇒ ≤ ~8M pair rows per key); the
+    * pair join is key-local (one shuffle on the key), and the grid is
+    * time-range-bounded, not row-bounded — 10× the events land on the
+    * same buckets. Output: (key, n_buckets, n_pairs, sen_slope). */
+  def theilSen(df: DataFrame, tsSec: Column, keyCol: Column,
+      bucketSec: Int = 3600, maxPoints: Long = 1L << 12): DataFrame = {
+    val g = guardedBucketCounts(df, tsSec, keyCol, bucketSec, maxPoints,
+      "theilSen")
+    val lo = g.select(col("key"), col("bucket").as("__b1"),
+      col("c").as("__c1"))
+    val hi = g.select(col("key"), col("bucket").as("__b2"),
+      col("c").as("__c2"))
+    val slopes = lo.join(hi, Seq("key"))
+      .filter(col("__b1") < col("__b2"))
+      .select(col("key"),
+        ((col("__c2") - col("__c1")).cast("double") /
+          (col("__b2") - col("__b1")).cast("double")).as("__sl"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__sl, 0.5D)").as("sen_slope"))
+    g.groupBy("key").agg(count(lit(1)).as("n_buckets"))
+      .join(slopes, Seq("key"), "left")
+      .select(col("key"), col("n_buckets"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("sen_slope"))
+  }
+
+  /** Rolling-origin forecast backtest of the whole smoothing family —
+    * the model-selection step the family needs before any one of
+    * [[ewmaRate]]/[[holtForecast]]/[[holtWinters]] is wired into a
+    * monitor: for each of the last `origins` cut points o, fit each
+    * model on the first o buckets ONLY and score its one-step forecast
+    * against the actual bucket o+1 (walk-forward validation — never a
+    * random split, which would leak the future into the fit; the
+    * cdc_pit_enrich discipline applied to model evaluation). Returns
+    * per key the mean absolute one-step error per model:
+    * (key, n_buckets, n_origins, mae_ewma, mae_holt, mae_hw).
+    *
+    * Determinism: every fit is the SAME sequenced fold the production
+    * operators run — EWMA inline, Holt as a 2-array fold, Holt–Winters
+    * via the shared [[hwInit]]/[[hwLambda]] text — over a prefix
+    * slice, and the error sum folds the origins in ascending order
+    * (abs() makes every term ≥ +0.0, so the 0-init adds nothing), so
+    * the doubles are bit-identical on any partitioning and replayable
+    * by DuckDB's nested list lambdas.
+    *
+    * Scale shape: per key the work is `origins` prefix folds = O(k·n)
+    * lambda steps INSIDE one row — no extra shuffle, no pair blowup;
+    * the (key, bucket) frame rides the family's `maxPoints` guard. */
+  def forecastBacktest(df: DataFrame, tsSec: Column, keyCol: Column,
+      period: Int, origins: Int = 8, alpha: Double = 0.25,
+      beta: Double = 0.25, gamma: Double = 0.25, bucketSec: Int = 3600,
+      maxPoints: Long = 1L << 20): DataFrame = {
+    require(period >= 2, s"forecastBacktest: period must be >= 2, got $period")
+    require(origins >= 1, s"forecastBacktest: origins must be >= 1, got $origins")
+    val a = alpha; val na = 1.0 - alpha
+    val b = beta; val nb = 1.0 - beta
+    // one-step forecast texts over the prefix of length o (1-based):
+    // each is the production operator's fold on slice(__l, 1, o)
+    val ewmaF = s"aggregate(slice(__l, 2, o - 1), __l[0], " +
+      s"(acc, x) -> CAST($a AS DOUBLE) * x + CAST($na AS DOUBLE) * acc)"
+    val holtLp = s"(CAST($a AS DOUBLE) * x + " +
+      s"CAST($na AS DOUBLE) * (acc[0] + acc[1]))"
+    val holtF = s"aggregate(slice(__l, 2, o - 1), " +
+      s"array(__l[0], CAST(0.0 AS DOUBLE)), " +
+      s"(acc, x) -> array($holtLp, CAST($b AS DOUBLE) * ($holtLp - acc[0]) + " +
+      s"CAST($nb AS DOUBLE) * acc[1]))"
+    val hwF = s"aggregate(slice(__l, 2, o - 1), ${hwInit(period, "__l[0]")}, " +
+      hwLambda(alpha, beta, gamma, period) + ")"
+    def mae(forecast: String): String =
+      s"CASE WHEN size(__os) > 0 THEN aggregate(__os, CAST(0.0 AS DOUBLE), " +
+        s"(err, o) -> err + abs(($forecast) - __l[o])) / size(__os) END"
+    sortedCountSeries(guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+        maxPoints, "forecastBacktest"))
+      // origins: the last `origins` cut points, each leaving ≥1 bucket
+      // of history and 1 actual to score (sequence() descends when
+      // lo > hi, so the n=1 case must short-circuit to empty)
+      .withColumn("__os", expr("CASE WHEN size(__l) >= 2 THEN " +
+        s"sequence(greatest(size(__l) - $origins, 1), size(__l) - 1) " +
+        "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
+        size(col("__os")).cast("long").as("n_origins"),
+        expr(mae(ewmaF)).as("mae_ewma"),
+        expr(mae(s"aggregate(slice($holtF, 1, 2), CAST(0.0 AS DOUBLE), " +
+          "(s2, v) -> s2 + v)")).as("mae_holt"),
+        expr(mae(s"aggregate(slice($hwF, 1, 3), CAST(0.0 AS DOUBLE), " +
+          "(s3, v) -> s3 + v)")).as("mae_hw"))
+  }
+
   /** [[cusum]] against a FIXED reference rate — the deployable form: μ
     * and κ are micro-unit constants from a trained baseline instead of
     * the observed series' own mean. This is also the only form a

@@ -386,6 +386,76 @@ class ProfilingSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(b13._6))
   }
 
+  test("theilSen: hand slopes incl. a negative dy; outlier bucket cannot drag the median") {
+    // counts 4, 8, 6 at buckets 0,1,2: slopes 4, 1, −2 → median 1.0
+    val rows = Seq(4, 8, 6).zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val got = Profiling.theilSen(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("k", 3L, 3L, 1.0)), s"got $got")
+    // 2,3,4,5,6,100: ten clean pairwise slopes of exactly 1.0 swamp the
+    // five outlier-touching ones — the median stays 1.0 (OLS would not)
+    val out = Seq(2, 3, 4, 5, 6, 100).zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val sen = Profiling.theilSen(out.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(sen == (("k", 6L, 15L, 1.0)), s"got $sen")
+    // a singleton series has no pairs: NULL slope, zero pair count
+    val one = Profiling.theilSen(Seq((0L, "x")).toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"))
+      .select("key", "n_buckets", "n_pairs").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(one == Seq(("x", 1L, 0L)))
+  }
+
+  test("theilSen: the O(n²) contract is guarded — a wide frame fails loudly") {
+    val wide = (0 until 40).map(i => (i * 3600L, "k")).toDF("ts_s", "key2")
+    val e = intercept[Exception] {
+      Profiling.theilSen(wide, col("ts_s"), col("key2"),
+        maxPoints = 10L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxPoints"))
+  }
+
+  test("forecastBacktest: hand-computed walk-forward errors for all three models") {
+    // counts 4, 8, 6, 10; origins = 2 (cuts after buckets 2 and 3):
+    // ewma forecasts 5, 5.25 → errors 1, 4.75 → mae 2.875
+    // holt forecasts 5.25, 5.734375 → errors 0.75, 4.265625 → mae 2.5078125
+    // hw (m=2) forecasts 5.25, 6.484375 → errors 0.75, 3.515625 → mae 2.1328125
+    val rows = Seq(4, 8, 6, 10).zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val got = Profiling.forecastBacktest(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2, origins = 2)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("k", 4L, 2L, 2.875, 2.5078125, 2.1328125)), s"got $got")
+    // a singleton series has no scorable origin: zero count, NULL maes
+    val one = Profiling.forecastBacktest(Seq((0L, "x")).toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2, origins = 2)
+      .select("key", "n_buckets", "n_origins").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(one == Seq(("x", 1L, 0L)))
+  }
+
+  test("forecastBacktest: the seasonal model wins the backtest on a pure cycle") {
+    // strict 2-cycle: Holt–Winters' one-step errors must beat both
+    // cycle-blind models once the seasonal slots converge — the
+    // model-selection decision the query exists to make
+    val rows = (0 until 40).flatMap { b =>
+      val c = if (b % 2 == 0) 2 else 10
+      (0 until c).map(i => (b * 3600L + i, "k"))
+    }
+    val r = Profiling.forecastBacktest(rows.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2, origins = 8)
+      .as[(String, Long, Long, Double, Double, Double)].collect().head
+    assert(r._6 < r._5 && r._6 < r._4,
+      s"HW mae ${r._6} must beat holt ${r._5} and ewma ${r._4} on a cycle")
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profiling.profile(df,
