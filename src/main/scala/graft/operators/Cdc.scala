@@ -233,6 +233,15 @@ object Cdc {
     val v = dim.alias("__v")
     val payload = dim.columns.filter(c => c != keyCol && c != "valid_to" &&
       c != "is_current")
+    // the output is facts.* ++ payload: a shared name would emit two
+    // columns with one name — legal to Spark, poison to every
+    // name-based consumer downstream — so collide loudly instead
+    // (rename the fact column, or drop it, before enriching)
+    val collisions = facts.columns.toSet.intersect(payload.toSet)
+    require(collisions.isEmpty,
+      s"pointInTimeJoin: fact columns ${collisions.mkString(", ")} " +
+        "collide with the dimension payload — the enriched frame would " +
+        "carry duplicate column names")
     f.join(v,
         col(s"__f.$keyCol") === col(s"__v.$keyCol") &&
           col(s"__f.$atCol") >= col("__v.valid_from") &&

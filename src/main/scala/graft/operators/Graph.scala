@@ -373,36 +373,50 @@ object Graph {
     * previous-round block freeing. The frontier is at most
     * |seeds| × V rows; with a bounded seed set (the intended use)
     * that is a constant factor on the BFS, not a new asymptotic. */
+  /** The (source, vertex)-keyed level-synchronous BFS all multi-seed
+    * operators fold over ([[seedCloseness]], [[anf]]'s exact audit):
+    * one edge equi-join per hop against the keyed frontier, distinct,
+    * anti-join vs settled, localCheckpoint with previous-round block
+    * freeing, early exit on an exhausted frontier. Returns the settled
+    * `(s, id, hops)` frame — hops is the MINIMUM distance by BFS
+    * construction. `edges` must be the [[symmetricEdges]] frame,
+    * already persisted by the caller (who also unpersists it). */
+  private def multiSourceBfs(edges: DataFrame,
+      sourceFilter: Column => Column, maxHops: Int): DataFrame = {
+    var dist = edges.select(col("__u").as("id")).distinct()
+      .filter(sourceFilter(col("id")))
+      .select(col("id").as("s"), col("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist.select("s", "id")
+    var lastRound: Seq[DataFrame] = Seq(dist)
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = edges.join(frontier, edges("__u") === frontier("id"))
+        .select(col("s"), col("__v").as("id")).distinct()
+        .join(dist, Seq("s", "id"), "left_anti")
+        .select(col("s"), col("id"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      val settled = dist.union(next).localCheckpoint(true)
+      lastRound.foreach(Caching.freeLocalCheckpoint)
+      lastRound = Seq(next, settled)
+      dist = settled
+      frontier = next.select("s", "id")
+      exhausted = next.isEmpty
+      h += 1
+    }
+    Caching.freeLocalCheckpoint(lastRound.head)
+    dist
+  }
+
   def seedCloseness(pairs: DataFrame, aCol: String, bCol: String,
       seedFilter: Column => Column, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val edges = symmetricEdges(pairs, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var dist = edges.select(col("__u").as("id")).distinct()
-        .filter(seedFilter(col("id")))
-        .select(col("id").as("s"), col("id"), lit(0L).as("hops"))
-        .localCheckpoint(true)
-      var frontier = dist.select("s", "id")
-      var lastRound: Seq[DataFrame] = Seq(dist)
-      var h = 1
-      var exhausted = false
-      while (h <= maxHops && !exhausted) {
-        val next = edges.join(frontier, edges("__u") === frontier("id"))
-          .select(col("s"), col("__v").as("id")).distinct()
-          .join(dist, Seq("s", "id"), "left_anti")
-          .select(col("s"), col("id"), lit(h.toLong).as("hops"))
-          .localCheckpoint(true)
-        val settled = dist.union(next).localCheckpoint(true)
-        lastRound.foreach(Caching.freeLocalCheckpoint)
-        lastRound = Seq(next, settled)
-        dist = settled
-        frontier = next.select("s", "id")
-        exhausted = next.isEmpty
-        h += 1
-      }
-      Caching.freeLocalCheckpoint(lastRound.head)
-      dist.groupBy(col("s").as("seed"))
+      multiSourceBfs(edges, seedFilter, maxHops)
+        .groupBy(col("s").as("seed"))
         .agg((count(lit(1)) - 1L).as("n_reached"),
           sum(col("hops")).as("total_hops"))
         .select(col("seed"), col("n_reached"), col("total_hops"),
@@ -671,6 +685,15 @@ object Graph {
       val eCnt = edges.count()
       val unionParts = math.min(2048L,
         math.max(32L, eCnt * (1L << lgK) / (128L << 20))).toInt
+      // ---- exact audit FIRST (the shared multiSourceBfs loop): its
+      // observed horizon caps the sketch loop — rounds past the last
+      // reachable hop would pay the function's most expensive joins
+      // only to be dropped by the final hop-grid join ----
+      val dist = multiSourceBfs(edges, sourceFilter, maxHops)
+      val horizonRow = dist.agg(max(col("hops"))).head
+      // an empty panel (sourceFilter matches no vertex) has no horizon
+      val horizon =
+        if (horizonRow.isNullAt(0)) 0 else horizonRow.getLong(0).toInt
       // ---- sketch path (HyperBall — the 100 TB path) ----
       var sk = edges.select(col("__u").as("id")).distinct()
         .groupBy("id").agg(expr(s"hll_sketch_agg(id, $lgK)").as("__bs"))
@@ -681,7 +704,7 @@ object Graph {
           .select(lit(h.toLong).as("hops"), col("approx_pairs"))
           .localCheckpoint(true)
       var approx = roundTotal(0, sk)
-      for (h <- 1 to maxHops) {
+      for (h <- 1 to horizon) {
         val merged = sk
           .union(edges.join(sk, edges("__v") === sk("id"))
             .select(edges("__u").as("id"), col("__bs")))
@@ -698,30 +721,6 @@ object Graph {
         approx = approx.union(total)
       }
       Caching.freeLocalCheckpoint(sk)
-      // ---- exact audit (the bfsHops/seedCloseness frontier loop) ----
-      var dist = edges.select(col("__u").as("id")).distinct()
-        .filter(sourceFilter(col("id")))
-        .select(col("id").as("s"), col("id"), lit(0L).as("hops"))
-        .localCheckpoint(true)
-      var frontier = dist.select("s", "id")
-      var lastRound: Seq[DataFrame] = Seq(dist)
-      var h = 1
-      var exhausted = false
-      while (h <= maxHops && !exhausted) {
-        val next = edges.join(frontier, edges("__u") === frontier("id"))
-          .select(col("s"), col("__v").as("id")).distinct()
-          .join(dist, Seq("s", "id"), "left_anti")
-          .select(col("s"), col("id"), lit(h.toLong).as("hops"))
-          .localCheckpoint(true)
-        val settled = dist.union(next).localCheckpoint(true)
-        lastRound.foreach(Caching.freeLocalCheckpoint)
-        lastRound = Seq(next, settled)
-        dist = settled
-        frontier = next.select("s", "id")
-        exhausted = next.isEmpty
-        h += 1
-      }
-      Caching.freeLocalCheckpoint(lastRound.head)
       // hop-grid frames from here on: ≤ maxHops+1 rows by construction,
       // so the unpartitioned windows are bounded
       val wCum = Window.orderBy("hops")

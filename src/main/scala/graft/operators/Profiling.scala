@@ -613,6 +613,12 @@ object Profiling {
       maxPoints: Long = 1L << 20): DataFrame = {
     require(period >= 2, s"forecastBacktest: period must be >= 2, got $period")
     require(origins >= 1, s"forecastBacktest: origins must be >= 1, got $origins")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"forecastBacktest: alpha must be in (0, 1), got $alpha")
+    require(beta > 0.0 && beta < 1.0,
+      s"forecastBacktest: beta must be in (0, 1), got $beta")
+    require(gamma > 0.0 && gamma < 1.0,
+      s"forecastBacktest: gamma must be in (0, 1), got $gamma")
     val a = alpha; val na = 1.0 - alpha
     val b = beta; val nb = 1.0 - beta
     // one-step forecast texts over the prefix of length o (1-based):

@@ -848,6 +848,10 @@ object Similarity {
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"kCenterSelect: k must be >= 1, got $k")
+    require(df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"kCenterSelect: $idCol must be LONG (the greedy rounds carry " +
+        s"ids driver-side as longs), got ${df.schema(idCol).dataType}")
     val spark = df.sparkSession
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("xx", normSq(col("v")))
@@ -860,8 +864,11 @@ object Similarity {
         val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
         col("xx") - lit(2.0) * dotNative(col("v"), cLit) + lit(cc)
       }
-      val seed = v.orderBy(col("id").asc).limit(1)
-        .select("id", "v").collect().head
+      val seedRows = v.orderBy(col("id").asc).limit(1)
+        .select("id", "v").collect()
+      require(seedRows.nonEmpty,
+        "kCenterSelect: empty corpus — no seed to pick")
+      val seed = seedRows.head
       val selected = scala.collection.mutable.ArrayBuffer(
         (1L, seed.getLong(0), 0.0))
       var cur = v.withColumn("d", d2(seed.getSeq[Double](1)))

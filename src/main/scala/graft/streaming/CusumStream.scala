@@ -70,24 +70,10 @@ object CusumStream {
     val spark = batch.sparkSession
     val prev = SnapshotStore.stateSoFar(spark, stateDir, id, emptyState(batch))
     val ref = muMicro + kappaMicro
-    val pts = batch.groupBy(col("key"))
-      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
-        .as("__pts"))
-      .withColumn("__l",
-        expr(s"transform(__pts, q -> 1000000L * q.c - ${ref}L)"))
-      .withColumn("__minb", expr("__pts[0].bucket"))
-      .withColumn("__maxb", expr("__pts[size(__pts) - 1].bucket"))
-      .withColumn("__m", size(col("__pts")).cast("long"))
-    val folded = pts.join(prev, Seq("key"), "full_outer")
-      // the frontier guard the prefix-minimum's order argument rests on
-      .filter(assert_true(
-        col("__minb").isNull || col("last_bucket").isNull ||
-          col("__minb") > col("last_bucket"),
-        concat(lit("CusumStream: batch bucket "), col("__minb"),
-          lit(" not after carried last_bucket "), col("last_bucket"),
-          lit(" for key "), col("key"),
-          lit(" — finalized windows regressed; state would mis-fold")))
-        .isNull)
+    // shared finalized-bucket protocol (prelude + frontier guard) —
+    // ONE home in SnapshotStore.foldPrelude for all three state twins
+    val folded = SnapshotStore.foldPrelude(batch, prev, "CusumStream",
+        s"transform(__pts, q -> 1000000L * q.c - ${ref}L)")
       // sequenced struct fold: p accumulates terms, m tracks the
       // running prefix minimum — both longs, exact on any engine
       .withColumn("__acc",
@@ -99,9 +85,8 @@ object CusumStream {
           .stripMargin.replace("\n", " ")))
       .select(
         col("key"),
-        coalesce(col("__maxb"), col("last_bucket")).as("last_bucket"),
-        (coalesce(col("n_buckets"), lit(0L)) + coalesce(col("__m"), lit(0L)))
-          .as("n_buckets"),
+        SnapshotStore.lastBucketCol,
+        SnapshotStore.nBucketsCol,
         // a key with no new buckets this batch carries its state
         // through unchanged (aggregate over a NULL list yields NULL)
         when(col("__m").isNull, col("p_micro"))

@@ -80,29 +80,14 @@ object EwmaStream {
     val prev = SnapshotStore.stateSoFar(spark, stateDir, id, emptyState(batch))
     val a = alpha
     val b = 1.0 - alpha
-    val pts = batch.groupBy(col("key"))
-      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
-        .as("__pts"))
-      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
-      .withColumn("__minb", expr("__pts[0].bucket"))
-      .withColumn("__maxb", expr("__pts[size(__pts) - 1].bucket"))
-      .withColumn("__m", size(col("__pts")).cast("long"))
-    val folded = pts.join(prev, Seq("key"), "full_outer")
-      // the ordering contract the bit-equality argument rests on:
-      // every new bucket must land after the carried frontier
-      .filter(assert_true(
-        col("__minb").isNull || col("last_bucket").isNull ||
-          col("__minb") > col("last_bucket"),
-        concat(lit("EwmaStream: batch bucket "), col("__minb"),
-          lit(" not after carried last_bucket "), col("last_bucket"),
-          lit(" for key "), col("key"),
-          lit(" — finalized windows regressed; state would mis-fold")))
-        .isNull)
+    // shared finalized-bucket protocol (prelude + frontier guard) —
+    // ONE home in SnapshotStore.foldPrelude for all three state twins
+    val folded = SnapshotStore.foldPrelude(batch, prev, "EwmaStream",
+        "transform(__pts, p -> CAST(p.c AS DOUBLE))")
       .select(
         col("key"),
-        coalesce(col("__maxb"), col("last_bucket")).as("last_bucket"),
-        (coalesce(col("n_buckets"), lit(0L)) + coalesce(col("__m"), lit(0L)))
-          .as("n_buckets"),
+        SnapshotStore.lastBucketCol,
+        SnapshotStore.nBucketsCol,
         when(col("__m").isNull, col("ewma"))
           .when(col("n_buckets").isNull,
             expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), __l[0], " +

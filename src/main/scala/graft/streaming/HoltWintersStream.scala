@@ -62,29 +62,25 @@ object HoltWintersStream {
     val spark = batch.sparkSession
     val prev = SnapshotStore.stateSoFar(spark, stateDir, id, emptyState(batch))
     val lam = Profiling.hwLambda(alpha, beta, gamma, period)
-    val pts = batch.groupBy(col("key"))
-      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
-        .as("__pts"))
-      .withColumn("__l", expr("transform(__pts, p -> CAST(p.c AS DOUBLE))"))
-      .withColumn("__minb", expr("__pts[0].bucket"))
-      .withColumn("__maxb", expr("__pts[size(__pts) - 1].bucket"))
-      .withColumn("__m", size(col("__pts")).cast("long"))
-    val folded = pts.join(prev, Seq("key"), "full_outer")
-      // the ordering contract the bit-equality argument rests on:
-      // every new bucket must land after the carried frontier
+    // shared finalized-bucket protocol (prelude + frontier guard) —
+    // ONE home in SnapshotStore.foldPrelude for all three state twins
+    val folded = SnapshotStore.foldPrelude(batch, prev, "HoltWintersStream",
+        "transform(__pts, p -> CAST(p.c AS DOUBLE))")
+      // the state-shape guard: a sink restarted with a DIFFERENT period
+      // would slice the carried array into garbage silently (Spark
+      // slice truncates) — the same silent-mis-fold class the frontier
+      // guard closes for bucket regressions
       .filter(assert_true(
-        col("__minb").isNull || col("last_bucket").isNull ||
-          col("__minb") > col("last_bucket"),
-        concat(lit("HoltWintersStream: batch bucket "), col("__minb"),
-          lit(" not after carried last_bucket "), col("last_bucket"),
-          lit(" for key "), col("key"),
-          lit(" — finalized windows regressed; state would mis-fold")))
+        col("st").isNull || size(col("st")) === lit(period + 2),
+        concat(lit("HoltWintersStream: carried state has "),
+          size(col("st")), lit(" doubles for key "), col("key"),
+          lit(s" but period $period needs ${period + 2} — " +
+            "the sink was restarted with a different period")))
         .isNull)
       .select(
         col("key"),
-        coalesce(col("__maxb"), col("last_bucket")).as("last_bucket"),
-        (coalesce(col("n_buckets"), lit(0L)) + coalesce(col("__m"), lit(0L)))
-          .as("n_buckets"),
+        SnapshotStore.lastBucketCol,
+        SnapshotStore.nBucketsCol,
         when(col("__m").isNull, col("st"))
           .when(col("n_buckets").isNull,
             expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), " +

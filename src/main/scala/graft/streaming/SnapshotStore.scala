@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The versioned-snapshot exactly-once protocol shared by the
   * cumulative-state streaming twins ([[EwmaStream]], [[CusumStream]])
@@ -65,6 +66,48 @@ private[streaming] object SnapshotStore {
         s"no committed $what state under $stateDir")
       case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
     }
+
+  /** The finalized-bucket fold prelude shared by every
+    * cumulative-state twin ([[EwmaStream]], [[CusumStream]],
+    * [[HoltWintersStream]]) — ONE home for the protocol the
+    * bit-equality arguments rest on, so a guard fix cannot silently
+    * miss a sibling: per-key bucket-sorted points (`__pts`), the
+    * caller's series transform (`__l`), batch frontier bounds
+    * (`__minb`/`__maxb`/`__m`), the full_outer join with the carried
+    * state, and the frontier-monotonicity assert (a batch whose
+    * minimum new bucket does not exceed the carried last_bucket would
+    * mis-fold silently; it fails loudly instead, naming `op`).
+    * Callers select their state expressions plus [[lastBucketCol]] /
+    * [[nBucketsCol]]. */
+  def foldPrelude(batch: DataFrame, prev: DataFrame, op: String,
+      seriesExpr: String): DataFrame = {
+    val pts = batch.groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("c"))))
+        .as("__pts"))
+      .withColumn("__l", expr(seriesExpr))
+      .withColumn("__minb", expr("__pts[0].bucket"))
+      .withColumn("__maxb", expr("__pts[size(__pts) - 1].bucket"))
+      .withColumn("__m", size(col("__pts")).cast("long"))
+    pts.join(prev, Seq("key"), "full_outer")
+      .filter(assert_true(
+        col("__minb").isNull || col("last_bucket").isNull ||
+          col("__minb") > col("last_bucket"),
+        concat(lit(s"$op: batch bucket "), col("__minb"),
+          lit(" not after carried last_bucket "), col("last_bucket"),
+          lit(" for key "), col("key"),
+          lit(" — finalized windows regressed; state would mis-fold")))
+        .isNull)
+  }
+
+  /** The advanced frontier after a [[foldPrelude]] batch. */
+  def lastBucketCol: Column =
+    coalesce(col("__maxb"), col("last_bucket")).as("last_bucket")
+
+  /** The accumulated observed-bucket count after a [[foldPrelude]]
+    * batch. */
+  def nBucketsCol: Column =
+    (coalesce(col("n_buckets"), lit(0L)) + coalesce(col("__m"), lit(0L)))
+      .as("n_buckets")
 
   /** Commit snapshot `b=<id>` and prune versions the protocol can no
     * longer need: a replay of THIS batch reads id−1, so versions below

@@ -104,4 +104,25 @@ class HoltWintersStreamSpec extends SparkSpec with StreamFeedHarness {
     assert(st == Seq(("a", 150L, 2L, Seq(3.5, -0.125, 0.0, -0.375))),
       s"got $st")
   }
+
+  test("a restart with a DIFFERENT period trips the state-shape guard, never a silent mis-fold") {
+    val stateDir = java.nio.file.Files.createTempDirectory("hw_pst").toString
+    HoltWintersStream.foldBatch(
+      Seq(("a", 100L, 4L)).toDF("key", "bucket", "c"), 0L, stateDir,
+      period = 2)
+    val e = intercept[Throwable] {
+      HoltWintersStream.foldBatch(
+        Seq(("a", 200L, 2L)).toDF("key", "bucket", "c"), 1L, stateDir,
+        period = 5)
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(m => m.contains("different period")),
+      s"expected the state-shape error, got: ${messages.mkString(" | ")}")
+    // the matching period still folds fine after the failed attempt
+    HoltWintersStream.foldBatch(
+      Seq(("a", 200L, 2L)).toDF("key", "bucket", "c"), 1L, stateDir,
+      period = 2)
+    assert(HoltWintersStream.readState(spark, stateDir).count() == 1L)
+  }
 }
