@@ -4500,11 +4500,16 @@ object PipelineQueries {
   private val AnfSourceCap = 2048
   private val AnfHops = 8
 
-  /** Exact ANF audit oracle: the closenessOracle's (source, vertex)
-    * recursion over the sampled source set, rolled up to cumulative
-    * per-hop pair counts; within_bound is TRUE by contract (the
-    * sketch value is engine-specific — only the verdict is portable)
-    * and at_eff_90 replays the integer 90%-crossing test. */
+  /** ANF production-shape oracle: the closenessOracle's (source,
+    * vertex) recursion over the sampled source set, rolled up to
+    * cumulative per-hop pair counts, FILLED FORWARD to the full
+    * 0..maxHops grid (the sketch path runs every round; a saturated
+    * curve goes flat, it does not stop emitting rows), then reduced to
+    * the 90%-crossing verdict per hop — the effective-diameter
+    * decision, which is the portable part of the sketch output (the
+    * approx_pairs estimate itself is engine-specific, the
+    * ev_daily_uniques_approx contract; its numeric honesty is pinned
+    * in GraphSpec by the audit-mode BFS twin). */
   private val anfOracle: String =
     s"""WITH RECURSIVE bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
        |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
@@ -4514,10 +4519,11 @@ object PipelineQueries {
        |UNION SELECT p.s, e.v, p.h + 1 FROM aed e JOIN abf p ON p.u = e.u WHERE p.h < $AnfHops),
        |abm AS (SELECT s, u, MIN(h) AS h FROM abf GROUP BY 1, 2),
        |ahc AS (SELECT h, COUNT(*) AS c FROM abm GROUP BY 1),
-       |acu AS (SELECT CAST(h AS BIGINT) AS hops, CAST(SUM(c) OVER (ORDER BY h) AS BIGINT) AS exact_pairs FROM ahc)
-       |SELECT hops, exact_pairs, TRUE AS within_bound,
-       |(exact_pairs * 10 >= 9 * MAX(exact_pairs) OVER ()) AS at_eff_90
-       |FROM acu ORDER BY hops""".stripMargin.replace("\n", " ")
+       |acu AS (SELECT CAST(h AS BIGINT) AS hops, CAST(SUM(c) OVER (ORDER BY h) AS BIGINT) AS exact_pairs FROM ahc),
+       |agr AS (SELECT CAST(range AS BIGINT) AS hops FROM range(0, ${AnfHops + 1})),
+       |afl AS (SELECT g.hops, MAX(a.exact_pairs) AS exact_pairs FROM agr g JOIN acu a ON a.hops <= g.hops GROUP BY g.hops)
+       |SELECT hops, (exact_pairs * 10 >= 9 * MAX(exact_pairs) OVER ()) AS at_eff_90
+       |FROM afl ORDER BY hops""".stripMargin.replace("\n", " ")
 
   private val graph = Vector(
     Q("graph_pagerank",
@@ -4631,24 +4637,25 @@ object PipelineQueries {
         k = KtrussK, rounds = KtrussRounds)
         .orderBy("pa", "pb"),
       Some(ktrussOracle)),
-    // HyperBall neighborhood function + effective diameter: per-hop
-    // reachable-pair counts from the sampled source set, the sketch
-    // total audited row-by-row against a real (source, vertex) BFS
-    // (within_bound), the 90% crossing marked in exact integers
-    // (at_eff_90 — its first true row IS the effective diameter).
-    // Oracle recurses the same sampled BFS and asserts every bound
-    // verdict TRUE — the sketch estimate itself is engine-specific,
-    // the ev_daily_uniques_approx contract. The source panel is a
-    // FIXED-SIZE deterministic sample (mod + absolute id cap — the ANF
-    // paper's source-sampling estimator): the sketch path stays O(E·h)
-    // however the corpus grows, and the audit BFS stays panel×V —
-    // linear in V, never quadratic (measured: the uncapped panel made
-    // the 10× audit 100× the pair mass; the cap covers EVERY sf0.01 id,
-    // so the oracle rows are unchanged there).
+    // HyperBall neighborhood function + effective diameter, the
+    // PRODUCTION sketch path (audit = false): per-hop reachable-pair
+    // sketch totals from the sampled source set with the 90% crossing
+    // marked per hop (at_eff_90 — its first true row IS the effective
+    // diameter). O(E·h) — no exact BFS rides the registered query;
+    // the within_bound honesty audit (a real (source, vertex) BFS,
+    // quadratic-ish in ball mass) lives in GraphSpec's audit-mode
+    // tests where it belongs. Oracle recurses the sampled BFS exactly
+    // and replays the 90%-crossing decision over the full hop grid —
+    // the decision is the portable column (the sketch estimate itself
+    // is engine-specific and projected away here). The source panel
+    // is a FIXED-SIZE deterministic sample (mod + absolute id cap —
+    // the ANF paper's source-sampling estimator): the sketch path
+    // stays O(E·h) however the corpus grows.
     Q("graph_anf",
       (s, d) => operators.Graph.anf(copurchaseEdges(s, d), "pa", "pb",
         id => id % AnfSourceMod === 0 && id < AnfSourceCap,
-        maxHops = AnfHops),
+        maxHops = AnfHops, audit = false)
+        .select("hops", "at_eff_90"),
       Some(anfOracle)),
   )
 

@@ -643,24 +643,34 @@ object Graph {
     * no frontier blow-up, which is exactly why HyperBall (not BFS)
     * is the published algorithm for web-scale distance profiles.
     *
-    * Honesty contract: the returned `exact_pairs` column is computed
-    * by a REAL (source, vertex)-keyed BFS (the [[seedCloseness]]
-    * frontier machinery) and `within_bound` pins the sketch total
-    * against it — |approx − exact| ≤ max(2.5%, 32 abs). The BFS twin
-    * is the audit apparatus, quadratic-ish in the ball mass and
-    * priced accordingly; production asks for the sketch path alone
-    * (drop the audit columns and nothing quadratic remains). Sources
-    * are a deterministic sample (`sourceFilter`) so the audit's
-    * settled frame — and the DuckDB oracle's recursion — stay
-    * tractable; sketch propagation necessarily runs over ALL
-    * vertices regardless (a sampled source's ball grows through
-    * unsampled neighbors).
+    * Two modes, split so production never pays for the audit:
     *
-    * Returns one row per hop 0..maxHops (stopping early if the BFS
-    * exhausts): `(hops, exact_pairs, within_bound, at_eff_90)` where
-    * `at_eff_90` marks hops whose cumulative pair count reaches 90%
-    * of the horizon total (exact integers: 10·N(h) ≥ 9·N(maxHops)) —
-    * the first true row IS the effective diameter estimate.
+    *  - `audit = false` — the PRODUCTION path: the sketch loop alone,
+    *    run to `maxHops` (rows for the full hop grid — a saturated
+    *    ball just stops growing, so the curve goes flat). Output
+    *    `(hops, approx_pairs, at_eff_90)`; nothing quadratic-ish in
+    *    ball mass runs, total work is O(E·h).
+    *  - `audit = true` — the honesty apparatus: `exact_pairs` is
+    *    computed by a REAL (source, vertex)-keyed BFS (the
+    *    [[seedCloseness]] frontier machinery) and `within_bound` pins
+    *    the sketch total against it — |approx − exact| ≤
+    *    max(4·RSE·exact, 32 abs) with RSE = 1.04/√2^lgK, the HLL
+    *    standard error at the chosen register budget (≈ 4.6% at the
+    *    default lgK=13; a fixed tolerance would silently become ~2σ
+    *    and trip on legitimate sketch deviation). The BFS twin is
+    *    quadratic-ish in the ball mass and priced accordingly — it
+    *    lives in the spec suite, not in the registered query. Output
+    *    `(hops, exact_pairs, within_bound, at_eff_90)`, rows up to
+    *    the BFS-observed horizon (capping the sketch loop too).
+    *
+    * Sources are a deterministic sample (`sourceFilter`) so the
+    * audit's settled frame — and the DuckDB oracle's recursion — stay
+    * tractable; sketch propagation necessarily runs over ALL vertices
+    * regardless (a sampled source's ball grows through unsampled
+    * neighbors). `at_eff_90` marks hops whose cumulative pair count
+    * reaches 90% of the horizon total (10·N(h) ≥ 9·N(maxHops); exact
+    * integers in audit mode, the sketch curve in production) — the
+    * first true row IS the effective diameter estimate.
     *
     * Scale shape: per round, the sketch frame shuffles once on
     * vertex id (2^lgK/2 ≈ 4 KB per vertex at the default lgK=13 —
@@ -671,7 +681,7 @@ object Graph {
     * localCheckpoint + block freeing. */
   def anf(pairs: DataFrame, aCol: String, bCol: String,
       sourceFilter: Column => Column, maxHops: Int,
-      lgK: Int = 13): DataFrame = {
+      lgK: Int = 13, audit: Boolean = true): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val edges = symmetricEdges(pairs, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -688,12 +698,20 @@ object Graph {
       // ---- exact audit FIRST (the shared multiSourceBfs loop): its
       // observed horizon caps the sketch loop — rounds past the last
       // reachable hop would pay the function's most expensive joins
-      // only to be dropped by the final hop-grid join ----
-      val dist = multiSourceBfs(edges, sourceFilter, maxHops)
-      val horizonRow = dist.agg(max(col("hops"))).head
-      // an empty panel (sourceFilter matches no vertex) has no horizon
-      val horizon =
-        if (horizonRow.isNullAt(0)) 0 else horizonRow.getLong(0).toInt
+      // only to be dropped by the final hop-grid join. Production
+      // (audit = false) has no BFS to learn the horizon from and runs
+      // the full grid — a saturated round is one more O(E) join whose
+      // merge is a no-op, not a correctness risk ----
+      val dist: Option[DataFrame] =
+        if (audit) Some(multiSourceBfs(edges, sourceFilter, maxHops))
+        else None
+      val horizon = dist match {
+        case None => maxHops
+        case Some(d) =>
+          val horizonRow = d.agg(max(col("hops"))).head
+          // an empty panel (no sourceFilter vertex) has no horizon
+          if (horizonRow.isNullAt(0)) 0 else horizonRow.getLong(0).toInt
+      }
       // ---- sketch path (HyperBall — the 100 TB path) ----
       var sk = edges.select(col("__u").as("id")).distinct()
         .groupBy("id").agg(expr(s"hll_sketch_agg(id, $lgK)").as("__bs"))
@@ -727,16 +745,29 @@ object Graph {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      dist.groupBy("hops").agg(count(lit(1)).as("__c"))
-        .select(col("hops"), sum(col("__c")).over(wCum).as("exact_pairs"))
-        .withColumn("__tot", max(col("exact_pairs")).over(wAll))
-        .join(approx, Seq("hops"))
-        .select(col("hops"), col("exact_pairs"),
-          (abs(col("approx_pairs") - col("exact_pairs")) <=
-            greatest(lit(32.0), lit(0.025) * col("exact_pairs")))
-            .as("within_bound"),
-          (col("exact_pairs") * 10 >= col("__tot") * 9).as("at_eff_90"))
-        .orderBy("hops")
+      dist match {
+        case None =>
+          approx
+            .withColumn("__tot", max(col("approx_pairs")).over(wAll))
+            .select(col("hops"), col("approx_pairs"),
+              (col("approx_pairs") * 10 >= col("__tot") * 9).as("at_eff_90"))
+            .orderBy("hops")
+        case Some(d) =>
+          // 4σ of the HLL relative standard error at this register
+          // budget (1.04/√2^lgK — Flajolet et al. 2007), floored at
+          // 32 abs for the tiny-count regime where RSE % vanishes
+          val tol = 4.0 * 1.04 / math.sqrt((1L << lgK).toDouble)
+          d.groupBy("hops").agg(count(lit(1)).as("__c"))
+            .select(col("hops"), sum(col("__c")).over(wCum).as("exact_pairs"))
+            .withColumn("__tot", max(col("exact_pairs")).over(wAll))
+            .join(approx, Seq("hops"))
+            .select(col("hops"), col("exact_pairs"),
+              (abs(col("approx_pairs") - col("exact_pairs")) <=
+                greatest(lit(32.0), lit(tol) * col("exact_pairs")))
+                .as("within_bound"),
+              (col("exact_pairs") * 10 >= col("__tot") * 9).as("at_eff_90"))
+            .orderBy("hops")
+      }
     } finally edges.unpersist()
   }
 }

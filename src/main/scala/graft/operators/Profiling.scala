@@ -272,11 +272,17 @@ object Profiling {
     *
     * Exactness: the CDFs are step functions constant between observed
     * buckets, so the integral is Σ_i |cuma_i·N_b − cumb_i·N_a| ·
-    * (bucket_{i+1} − bucket_i) — exact long arithmetic (the ksDrift
-    * cross-multiplication idiom, weighted by the gap to the next
-    * observed bucket; the last bucket contributes 0: both CDFs are at
-    * 1). One double division N_a·N_b at the end. Same ~3e9-rows-a-side
-    * long-overflow caveat as tvDrift; widen to decimals beyond.
+    * (bucket_{i+1} − bucket_i) — the ksDrift cross-multiplication
+    * idiom, weighted by the gap to the next observed bucket (the last
+    * bucket contributes 0: both CDFs are at 1). One double division
+    * N_a·N_b at the end. Overflow discipline: each cross-diff TERM is
+    * exact long under tvDrift's ~3e9-rows-a-side bound, but the AREA
+    * is bounded by n_a·n_b·(value range) — the gap factor overflows a
+    * long sum at far smaller inputs (1e6 rows a side over a 1e7-wide
+    * grid already wraps), so the gap product and its sum accumulate
+    * in DECIMAL(38,0) and the emitted BIGINT `area` is guarded by an
+    * in-plan assert (fails loudly past Long range instead of
+    * wrapping; headroom to 10³⁸ before decimals themselves saturate).
     *
     * Shape: one scan → bounded bucket histogram (shares
     * [[guardedSideHistogram]]'s in-plan maxBuckets enforcement) →
@@ -304,10 +310,19 @@ object Profiling {
       .agg(coalesce(first(col("na")), lit(0L)).as("n_a"),
         coalesce(first(col("nb")), lit(0L)).as("n_b"),
         coalesce(sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
-          * col("gap")), lit(0L)).as("area"))
-      .select(col("n_a"), col("n_b"), col("area"),
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("gap")),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__area"))
+      .filter(assert_true(
+        col("__area") <= lit(Long.MaxValue)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+        concat(lit("w1Drift: area "), col("__area"),
+          lit(" exceeds BIGINT — widen the output to decimal"))).isNull)
+      .select(col("n_a"), col("n_b"),
+        col("__area").cast("long").as("area"),
         when(col("n_a") * col("n_b") === 0L, lit(0.0))
-          .otherwise(col("area").cast("double") /
+          .otherwise(col("__area").cast("double") /
             (col("n_a") * col("n_b")).cast("double")).as("w1"))
   }
 

@@ -833,11 +833,11 @@ object Similarity {
     * Scale shape: each round is ONE map-only scan of the corpus (the
     * new center rides along as a literal array — no join, no
     * shuffle) plus a TakeOrdered(1) reduction; the running min-
-    * distance column is carried in-frame, so round r costs one dot
-    * product per point, O(n·k) total. Driver state is k rows (the
-    * selected centers) — bounded by construction. The O(k)-deep
-    * narrow lineage over the persisted base is fine at coreset-size
-    * k; checkpoint per round if k grows to the thousands.
+    * distance column is materialized each round (eager
+    * localCheckpoint, previous round freed), so round r really costs
+    * one NEW dot product per point — O(n·k) total, with O(1)-deep
+    * lineage however large k grows. Driver state is k rows (the
+    * selected centers) — bounded by construction.
     *
     * Returns k rows: (sel_round, vec_id, dist2) with dist2 the
     * selected point's squared distance to the prior centers (0.0 for
@@ -871,16 +871,26 @@ object Similarity {
       val seed = seedRows.head
       val selected = scala.collection.mutable.ArrayBuffer(
         (1L, seed.getLong(0), 0.0))
+      // the running min-distance column is MATERIALIZED each round
+      // (eager localCheckpoint, previous round's blocks freed) —
+      // chained least(..) expressions would re-evaluate every prior
+      // center's dot product on each round's argmax action, turning
+      // the claimed O(n·k) into O(n·k²)
       var cur = v.withColumn("d", d2(seed.getSeq[Double](1)))
+        .localCheckpoint(true)
       var r = 2
       while (r <= k) {
         val pick = cur.orderBy(col("d").desc, col("id").asc).limit(1)
           .select("id", "v", "d").collect().head
         selected += ((r.toLong, pick.getLong(0), pick.getDouble(2)))
+        val prev = cur
         cur = cur.withColumn("d",
           least(col("d"), d2(pick.getSeq[Double](1))))
+          .localCheckpoint(true)
+        Caching.freeLocalCheckpoint(prev)
         r += 1
       }
+      Caching.freeLocalCheckpoint(cur)
       import spark.implicits._
       selected.toSeq.toDF("sel_round", "vec_id", "dist2")
     } finally v.unpersist()

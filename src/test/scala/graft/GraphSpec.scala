@@ -449,6 +449,24 @@ class GraphSpec extends SparkSpec {
       Seq((0L, false), (1L, false), (2L, false), (3L, true), (4L, true)))
   }
 
+  test("anf production (audit = false): full grid, flat after saturation, crossing matches the exact curve") {
+    // P5 again: exact curve 5,13,19,23,25 exhausting at hop 4. The
+    // production path runs the full requested grid with NO exact BFS
+    // anywhere in the plan — saturated rounds go flat — and at these
+    // cardinalities the HLL coupon path is exact, so the sketch curve
+    // and its 90% crossing coincide with the audit mode's integers.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val r = Graph.anf(path, "pa", "pb", _ % 1 === 0, maxHops = 6,
+        audit = false)
+      .as[(Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(r.map(x => (x._1, x._2.round)) ==
+      Seq((0L, 5L), (1L, 13L), (2L, 19L), (3L, 23L), (4L, 25L),
+        (5L, 25L), (6L, 25L)), s"sketch curve off: $r")
+    assert(r.map(x => (x._1, x._3)) ==
+      Seq((0L, false), (1L, false), (2L, false), (3L, true), (4L, true),
+        (5L, true), (6L, true)))
+  }
+
   test("anf: sampled sources — only their balls counted, propagation through unsampled vertices") {
     // sources {2, 4} on P5; balls grow THROUGH odd vertices:
     // h=0: 2; h=1: |{1,2,3}|+|{3,4,5}| = 6; h=2: 4+4 = 8; h=3: 5+5 = 10
