@@ -127,18 +127,24 @@ object Cdc {
     * keys(ΔA)'s new image alone would never touch.
     *
     * Scale shape: `affected` is bounded by the FEED size (≤ |ΔA| +
-    * |ΔB| keys, persisted once, broadcast to every consumer), so the
-    * 100 TB base is touched only through key-pruned semi/anti joins —
-    * maintaining the view costs the day's feed, not the base; a feed
-    * too large to broadcast degrades to shuffled semi-joins, never to
-    * a rescan. Every change row is reduced map-side by the same
-    * `max_by` partial aggregation as [[applyChanges]]. The output
-    * equals a full recompute over both merged snapshots — what the
-    * oracle pins. */
+    * |ΔB| keys, persisted once), so the 100 TB base is touched only
+    * through key-pruned semi/anti joins — maintaining the view costs
+    * the day's feed, not the base. The broadcast hint on `affected`
+    * is gated on its MEASURED key count (`broadcastKeyLimit`; the
+    * count doubles as the materializing action for the persisted
+    * frame): a feed too large to broadcast degrades to shuffled
+    * semi-joins — never to a rescan, and never to a driver OOM from a
+    * forced hint overriding AQE's size logic (AQE may still broadcast
+    * an under-threshold side from its own runtime stats, which is the
+    * correct authority once the explicit hint steps aside). Every
+    * change row is reduced map-side by the same `max_by` partial
+    * aggregation as [[applyChanges]]. The output equals a full
+    * recompute over both merged snapshots — what the oracle pins. */
   def maintainJoinView(viewPrev: DataFrame, aSnap: DataFrame,
       aChanges: DataFrame, aKey: String, bSnap: DataFrame,
       bChanges: DataFrame, joinCol: String, seqCol: String,
-      opCol: String, persist: Boolean = true): DataFrame = {
+      opCol: String, persist: Boolean = true,
+      broadcastKeyLimit: Long = 4000000L): DataFrame = {
     val aPayload = aSnap.columns.filter(_ != aKey) // includes joinCol
     val bPayload = bSnap.columns.filter(_ != joinCol)
     require(aPayload.contains(joinCol),
@@ -156,22 +162,28 @@ object Cdc {
         .unionByName(aLatest.filter(col("__op") =!= "D").select(col(joinCol)))
         .unionByName(bLatest.select(col(joinCol)))
         .distinct(), persist)
+    // gate the hint on the measured count (also the materializing
+    // action for the persisted frame): over the limit, the semi/anti
+    // joins run shuffled — degraded, not OOM'd
+    val aff =
+      if (affected.count() <= broadcastKeyLimit) broadcast(affected)
+      else affected
     val aCols = (aKey +: aPayload).map(col(_))
     val aAff = aSnap
-      .join(broadcast(affected), Seq(joinCol), "left_semi")
+      .join(aff, Seq(joinCol), "left_semi")
       .join(aLatest.select(col(aKey)), Seq(aKey), "left_anti")
       .select(aCols: _*)
       .unionByName(aLatest.filter(col("__op") =!= "D").select(aCols: _*))
     val bCols = (joinCol +: bPayload).map(col(_))
     val bAff = bSnap
-      .join(broadcast(affected), Seq(joinCol), "left_semi")
+      .join(aff, Seq(joinCol), "left_semi")
       .join(bLatest.select(col(joinCol)), Seq(joinCol), "left_anti")
       .select(bCols: _*)
       .unionByName(bLatest.filter(col("__op") =!= "D").select(bCols: _*))
     val delta = aAff.join(bAff, Seq(joinCol))
     // the using-column anti-join moves joinCol to the front — project
     // back so the maintained view keeps viewPrev's column order
-    viewPrev.join(broadcast(affected), Seq(joinCol), "left_anti")
+    viewPrev.join(aff, Seq(joinCol), "left_anti")
       .unionByName(delta.select(viewPrev.columns.map(col(_)): _*))
       .select(viewPrev.columns.map(col(_)): _*)
   }

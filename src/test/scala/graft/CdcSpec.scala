@@ -145,4 +145,39 @@ class CdcSpec extends SparkSpec {
       (3L, 20L, "POISON", "POISON")),
       s"unaffected keys must pass through untouched: $got")
   }
+
+  test("maintainJoinView: an over-threshold feed degrades to shuffled semi-joins, same result") {
+    // broadcastKeyLimit = 0 forces the degraded path; AQE's own
+    // broadcast fallback is disabled too, so the plan REALLY runs the
+    // semi/anti joins shuffled — the scaladoc's degradation claim,
+    // executed (the forced-hint version would OOM the driver instead
+    // on a genuinely oversized feed; here we pin result equality and
+    // that the gated plan carries no explicit broadcast hint).
+    val aSnap = Seq((1L, 10L, "x1"), (2L, 10L, "x2"), (3L, 20L, "x3"),
+      (4L, 30L, "x4")).toDF("k", "g", "pay")
+    val bSnap = Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"))
+      .toDF("g", "bname")
+    val aCh = Seq((1L, 1L, "U", 20L, "x1m"), (5L, 1L, "I", 30L, "x5"))
+      .toDF("k", "seq", "op", "g", "pay")
+    val bCh = Seq((20L, 1L, "U", "TWENTY")).toDF("g", "seq", "op", "bname")
+    val viewPrev = aSnap.join(bSnap, "g").select("k", "g", "pay", "bname")
+    val want = Cdc.applyChanges(aSnap, aCh, "k", "seq", "op")
+      .join(Cdc.applyChanges(bSnap, bCh, "g", "seq", "op"), "g")
+      .select("k", "g", "pay", "bname")
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = Cdc.maintainJoinView(viewPrev, aSnap, aCh, "k",
+        bSnap, bCh, "g", "seq", "op", persist = false,
+        broadcastKeyLimit = 0L)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("Broadcast"),
+        s"over-limit feed must not broadcast anywhere:\n$plan")
+      val got = gated.orderBy("k")
+        .as[(Long, Long, String, String)].collect().toSeq
+      assert(got == want, s"degraded path changed the view: $got != $want")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
 }
