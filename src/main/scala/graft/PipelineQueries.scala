@@ -2267,6 +2267,41 @@ object PipelineQueries {
        |FROM fbo ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
+  // κ tuned on the committed corpus for a LIVE statistic (κ = 0 keeps
+  // every key's S at 6–9 — pure residual noise; κ = 0.5 drains all but
+  // one key to 0): at 0.25 the slack absorbs the noise floor and the
+  // surviving spread (0.7–5.7) ranks the keys, with h = 4.0 alarming
+  // exactly the one key whose unmodeled shift clears the band. Both
+  // exactly-representable doubles — the bit-equal fold makes any
+  // threshold deterministic, these make it informative.
+  private val CsKappa = 0.25
+  private val CsH = 4.0
+
+  /** Seasonal-CUSUM oracle: the holtWintersOracle fold widened by two
+    * slots (P, min P) — each step scores the one-step residual against
+    * the PRE-update state, folds the prefix pair, then rotates the
+    * seasonal queue; every expression textually mirrors the Spark
+    * lambda so the doubles are bit-equal. */
+  private val cusumSeasonalOracle: String = {
+    val m = HwPeriod
+    val zeros = Seq.fill(m)("0.0::DOUBLE").mkString(", ")
+    val lp = "(0.25::DOUBLE * (x[1] - acc[3]) + 0.75::DOUBLE * (acc[1] + acc[2]))"
+    val bp = s"(0.25::DOUBLE * ($lp - acc[1]) + 0.75::DOUBLE * acc[2])"
+    val sp = s"(0.25::DOUBLE * (x[1] - $lp) + 0.75::DOUBLE * acc[3])"
+    val term = s"((x[1] - (acc[1] + acc[2] + acc[3])) - $CsKappa::DOUBLE)"
+    val pn = s"(acc[${m + 3}] + $term)"
+    s"""WITH csm AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket, COUNT(*) AS c FROM events GROUP BY 1, 2),
+       |csl AS (SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY bucket ASC) AS l FROM csm GROUP BY event_type),
+       |csf AS (SELECT event_type, CAST(len(l) AS BIGINT) AS n_buckets,
+       |list_reduce(list_transform(l, x -> [x, 0.0::DOUBLE, $zeros, 0.0::DOUBLE, 0.0::DOUBLE]),
+       |(acc, x) -> [$lp, $bp] || acc[4:${m + 2}] || [$sp, $pn, least(acc[${m + 4}], $pn)]) AS st
+       |FROM csl)
+       |SELECT event_type, n_buckets, st[${m + 3}] AS p_resid,
+       |st[${m + 3}] - least(0.0::DOUBLE, st[${m + 4}]) AS cusum_resid,
+       |(st[${m + 3}] - least(0.0::DOUBLE, st[${m + 4}]) > $CsH::DOUBLE) AS alarm
+       |FROM csf ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
+
   private val eventQueries = Vector(
     // Tumbling 5-minute window: bucket emitted as epoch seconds (BIGINT)
     // to dodge timestamp-timezone representation skew between engines.
@@ -3151,6 +3186,20 @@ object PipelineQueries {
              |SELECT event_type, bucket, c, p_micro, cusum_micro, (cusum_micro > $CusumH) AS alarm FROM crs
              |ORDER BY event_type, bucket""".stripMargin.replace("\n", " ")),
       bench = true),
+    // Seasonal-aware CUSUM — the round's composition of the forecast
+    // family with the change-point family: Page's statistic over the
+    // Holt–Winters ONE-STEP RESIDUALS, so a daily-cycling rate stops
+    // burning slack on pure seasonality and the alarm accumulates only
+    // unmodeled level shifts (the backtest pin shows HW winning on
+    // exactly these cyclic keys). One sequenced per-key fold sharing
+    // the hwLambda step texts verbatim; DuckDB replays the identical
+    // widened state chain, bit-equal doubles.
+    Q("ev_cusum_seasonal",
+      (s, d) => operators.Profiling.cusumSeasonal(events(s, d),
+          col("ts_s"), col("event_type"), period = HwPeriod,
+          h = CsH, kappa = CsKappa, bucketSec = 3600)
+        .withColumnRenamed("key", "event_type").orderBy("event_type"),
+      Some(cusumSeasonalOracle)),
     // Top session paths (the product-analytics "user journey" rollup):
     // the ev_sessionize segmentation, each session's ordered type
     // sequence folded to a path string (array_sort on (ts_s, id, type)
@@ -4276,6 +4325,17 @@ object PipelineQueries {
       .select("pa", "pb")
   }
 
+  /** [[copurchaseEdges]] keeping the co-order multiplicity as an
+    * integer edge weight (the unweighted frame's projection discards
+    * it) — the weighted graph family's input. */
+  private def copurchaseWeightedEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+  }
+
   private val pageRankOracle: String = {
     val sb = new StringBuilder
     sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
@@ -4371,6 +4431,27 @@ object PipelineQueries {
     sb.result()
   }
 
+  /** Weighted-PageRank oracle: the [[pageRankOracle]] unrolled-CTE
+    * chain over the weight-carrying edge list — contribution
+    * `(r·w) // Σw` per edge (truncating non-negative integer
+    * division, identical in both engines), strengths replacing
+    * degrees. */
+  private val weightedPrOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "ed AS (SELECT pa AS u, pb AS v, w FROM prs UNION SELECT pb, pa, w FROM prs), "
+    sb ++= "st AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY u), "
+    sb ++= "r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM st), "
+    (1 to PrIters).foreach { i =>
+      sb ++= s"r$i AS (SELECT e.v AS id, 150000 + (85 * CAST(SUM((p.r * e.w) // st.s) AS BIGINT)) // 100 AS r " +
+        s"FROM ed e JOIN r${i - 1} p ON p.id = e.u JOIN st ON st.u = e.u GROUP BY e.v), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT id AS part_id, r AS rank_micro FROM r$PrIters"
+    sb.result()
+  }
+
   private val LpaRounds = 3
 
   /** Synchronous label-propagation oracle: `LpaRounds` unrolled rounds
@@ -4384,6 +4465,24 @@ object PipelineQueries {
     sb ++= "l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM led), "
     (1 to LpaRounds).foreach { i =>
       sb ++= s"c$i AS (SELECT e.u, p.lbl, COUNT(*) AS c FROM led e JOIN l${i - 1} p ON p.id = e.v GROUP BY e.u, p.lbl), "
+      sb ++= s"l$i AS (SELECT u AS id, lbl FROM (SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT id AS part_id, lbl AS community_id FROM l$LpaRounds"
+    sb.result()
+  }
+
+  /** Weighted-LPA oracle: the [[lpaOracle]] unrolling with each
+    * candidate label scored by SUM(edge weight) instead of COUNT, the
+    * same (score DESC, label ASC) argmax. */
+  private val weightedLpaOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "led AS (SELECT pa AS u, pb AS v, w FROM prs UNION SELECT pb, pa, w FROM prs), "
+    sb ++= "l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM led), "
+    (1 to LpaRounds).foreach { i =>
+      sb ++= s"c$i AS (SELECT e.u, p.lbl, CAST(SUM(e.w) AS BIGINT) AS c FROM led e JOIN l${i - 1} p ON p.id = e.v GROUP BY e.u, p.lbl), "
       sb ++= s"l$i AS (SELECT u AS id, lbl FROM (SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1), "
     }
     sb.setLength(sb.length - 2)
@@ -4532,6 +4631,29 @@ object PipelineQueries {
         .withColumnRenamed("id", "part_id"),
       Some(pageRankOracle),
       bench = true),
+    // Weighted PageRank over the same graph with co-order multiplicity
+    // kept as integer edge weights: mass flows (r·w) div Σw per edge,
+    // so a 40×-co-ordered pair pulls rank where the unweighted walk
+    // can't tell it from a one-off coincidence. Same exact micro-unit
+    // arithmetic ⇒ the oracle unrolls identically with strengths
+    // replacing degrees.
+    Q("graph_pagerank_weighted",
+      (s, d) => operators.Graph.weightedPageRank(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w",
+        iterations = PrIters)
+        .withColumnRenamed("id", "part_id"),
+      Some(weightedPrOracle)),
+    // Weighted label propagation: candidate labels scored by the sum
+    // of carrying edge weights (ties to the smallest label) — a heavy
+    // co-purchase tie outvotes many incidental ones. Deterministic
+    // fixed rounds, so the oracle unrolls the identical rounds.
+    Q("graph_labelprop_weighted",
+      (s, d) => operators.Graph.weightedLabelPropagation(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w",
+        rounds = LpaRounds)
+        .select(col("id").as("part_id"), col("label").as("community_id"))
+        .orderBy("part_id"),
+      Some(weightedLpaOracle)),
     // degree-ordered exact triangle counting + integer clustering
     // coefficient — the wedge join is bounded by the orientation
     // (O(E^{3/2}) candidates), never Σ deg²

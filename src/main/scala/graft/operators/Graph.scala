@@ -217,6 +217,108 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** The symmetric WEIGHTED edge list: [[symmetricEdges]] carrying an
+    * integer weight column — multiplicity the unweighted operators'
+    * `distinct()` throws away (a co-purchase pair ordered 40 times is
+    * 20× the edge a twice-ordered pair is). Both directions in one
+    * pass; duplicate (u, v) rows collapse keeping the max weight (an
+    * undirected pair frame carries one weight per pair, so max is the
+    * identity on well-formed input and a deterministic tie rule on
+    * sloppy input). Weights cast to LONG — the exact-integer-division
+    * contract of the micro-unit arithmetic. */
+  private[graft] def symmetricWeightedEdges(pairs: DataFrame, aCol: String,
+      bCol: String, wCol: String): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col(aCol).as("__u"), col(bCol).as("__v"),
+          col(wCol).cast("long").as("__w")),
+        struct(col(bCol).as("__u"), col(aCol).as("__v"),
+          col(wCol).cast("long").as("__w")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
+        col("__e.__w").as("__w"))
+      .groupBy("__u", "__v").agg(max(col("__w")).as("__w"))
+
+  /** Weighted fixed-iteration PageRank: [[pageRank]] with each
+    * neighbor receiving mass ∝ its EDGE WEIGHT — contribution
+    * `(r · w) div Σw` over the vertex's total strength instead of
+    * `r div deg` — so a heavily co-purchased pair pulls rank where
+    * the unweighted walk treats a one-off basket coincidence
+    * identically. Same exact integer micro-unit scheme (truncating
+    * division per edge, identical in both engines; sums of longs
+    * order-free ⇒ bit-identical under any partitioning; overflow
+    * headroom: r·w ≤ total mass × max weight, ~2^63 only past
+    * ~10¹³·max_w), same damping constants, same O(E)-per-iteration
+    * shape with the strength-annotated edge frame persisted and
+    * per-round localCheckpoint + block freeing.
+    *
+    * Reference: /root/reference/sqlengine.py has no graph surface
+    * (extension per the brief's quality-weighting family). */
+  def weightedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+      wCol: String, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = symmetricWeightedEdges(pairs, aCol, bCol, wCol)
+    val strength = edges.groupBy("__u").agg(sum(col("__w")).as("__s"))
+    val edgesStr = edges.join(strength, "__u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = strength.select(col("__u").as("id"),
+        lit(1000000L).as("rank_micro"))
+      for (_ <- 1 to iterations) {
+        val prev = ranks
+        ranks = edgesStr
+          .join(ranks, edgesStr("__u") === ranks("id"))
+          .select(col("__v"),
+            expr("(rank_micro * __w) div __s").as("__contrib"))
+          .groupBy(col("__v"))
+          .agg(sum(col("__contrib")).as("__sum"))
+          .select(col("__v").as("id"),
+            (lit(150000L) + expr("(85 * __sum) div 100")).as("rank_micro"))
+          .localCheckpoint(true)
+        Caching.freeLocalCheckpoint(prev)
+      }
+      ranks
+    } finally edgesStr.unpersist()
+  }
+
+  /** Weighted synchronous label propagation: [[labelPropagation]]
+    * scoring each candidate label by the SUM OF EDGE WEIGHTS carrying
+    * it instead of the neighbor count — ties broken to the smallest
+    * label by the same total (score DESC, label ASC) argmax, so the
+    * result stays deterministic and partitioning-invariant, and a
+    * single heavy co-purchase tie beats many incidental ones. Same
+    * fixed-rounds derandomization, one edge⋈labels join + two
+    * aggregations per round (the argmax rides hash aggregation via
+    * `min(struct(−Σw, label))` — negate the always-long score, never
+    * the label), per-round localCheckpoint with previous-round
+    * freeing. Output: `(id, label)`. */
+  def weightedLabelPropagation(pairs: DataFrame, aCol: String,
+      bCol: String, wCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = symmetricWeightedEdges(pairs, aCol, bCol, wCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("__u").as("id")).distinct()
+        .withColumn("__lbl", col("id"))
+        .localCheckpoint(true)
+      var prev = labels
+      for (_ <- 1 to rounds) {
+        val next = edges
+          .join(labels, edges("__v") === labels("id"))
+          .groupBy(col("__u"), col("__lbl"))
+          .agg(sum(col("__w")).as("__c"))
+          .groupBy(col("__u"))
+          .agg(min(struct((-col("__c")).as("__nc"), col("__lbl").as("__l")))
+            .as("__m"))
+          .select(col("__u").as("id"), col("__m.__l").as("__lbl"))
+          .localCheckpoint(true)
+        Caching.freeLocalCheckpoint(prev)
+        prev = next
+        labels = next
+      }
+      labels.select(col("id"), col("__lbl").as("label"))
+    } finally edges.unpersist()
+  }
+
   /** Fixed-round k-core peel: `rounds` synchronous rounds of "drop
     * every vertex whose degree AMONG SURVIVORS is < k", the classic
     * density filter of graph curation (a co-occurrence or link graph's

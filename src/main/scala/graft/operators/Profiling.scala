@@ -520,8 +520,11 @@ object Profiling {
     * acc[0]=l, acc[1]=b, acc[2]=s₁ (the slot this step consumes),
     * acc[3..m+1]=s₂..sₘ; the step emits [l', b', s₂..sₘ, s'] — the
     * queue rotated one slot. */
-  private[graft] def hwLambda(alpha: Double, beta: Double, gamma: Double,
-      period: Int): String = {
+  /** The (l′, b′, s′) step expressions shared by [[hwLambda]] and the
+    * extended [[cusumSeasonal]] fold — ONE textual definition so the
+    * residual monitor provably runs the identical smoothing chain. */
+  private def hwStepTexts(alpha: Double, beta: Double,
+      gamma: Double): (String, String, String) = {
     val a = alpha; val na = 1.0 - alpha
     val b = beta; val nb = 1.0 - beta
     val g = gamma; val ng = 1.0 - gamma
@@ -531,6 +534,12 @@ object Profiling {
       s"CAST($nb AS DOUBLE) * acc[1])"
     val sp = s"(CAST($g AS DOUBLE) * (x - $lp) + " +
       s"CAST($ng AS DOUBLE) * acc[2])"
+    (lp, bp, sp)
+  }
+
+  private[graft] def hwLambda(alpha: Double, beta: Double, gamma: Double,
+      period: Int): String = {
+    val (lp, bp, sp) = hwStepTexts(alpha, beta, gamma)
     s"(acc, x) -> concat(array($lp, $bp), " +
       s"slice(acc, 4, ${period - 1}), array($sp))"
   }
@@ -703,6 +712,77 @@ object Profiling {
         col("cusum_micro"), (col("cusum_micro") > lit(hMicro)).as("alarm"))
   }
 
+  /** Seasonal-aware CUSUM: Page's cumulative sum run over the
+    * HOLT–WINTERS ONE-STEP RESIDUALS instead of the raw bucket counts
+    * — the composition the forecast family exists for. A daily-cycling
+    * series feeds [[cusumFixed]] a μ that is wrong twice a day (the
+    * cycle itself drifts through the fixed reference, burning the slack
+    * or the alarm budget on pure seasonality); subtracting the
+    * [[holtWinters]] one-step forecast first leaves residuals that are
+    * ≈ 0 under the learned cycle, so the CUSUM accumulates only
+    * UNMODELED level shifts — exactly the regime where the
+    * [[forecastBacktest]] decision pin shows HW winning on cyclic keys.
+    *
+    * One SEQUENCED fold per key carries the state
+    * [l, b, s₁..sₘ, P, min P] (the [[hwLambda]] step texts verbatim —
+    * shared via one definition, not re-derived — plus the CUSUM prefix
+    * pair): each step first scores residual r = x − (l + b + s₁)
+    * against the PRE-UPDATE state (the one-step forecast made before x
+    * arrived — walk-forward, never peeking), folds P += r − κ,
+    * min P = min(min P, P), then advances the smoothing state. All
+    * doubles, but the fold is sequenced inside one row with every
+    * constant exactly representable, so the chain is bit-identical on
+    * any engine/partitioning and DuckDB replays it via list_reduce —
+    * the [[holtWinters]] exactness argument carried through
+    * unchanged. First bucket initializes the state and is not scored
+    * (no forecast exists before one observation).
+    *
+    * S = P − min(0, min P); alarm when S > `h` (κ and `h` in count
+    * units — choose exactly-representable doubles). Like [[cusum]]'s
+    * self-mean form this cannot stream (the seasonal state rescales
+    * as it converges — see the [[cusumFixed]] scaladoc for the
+    * streamable criterion), but unlike it the residual form is the
+    * one a seasonal monitor should RUN in batch each day.
+    *
+    * Bounds: the family's `maxPoints` in-plan guard; per-key state is
+    * 4+m doubles however long the series. Output: (key, n_buckets,
+    * p_resid, cusum_resid, alarm). */
+  def cusumSeasonal(df: DataFrame, tsSec: Column, keyCol: Column,
+      period: Int, h: Double, kappa: Double = 0.0,
+      alpha: Double = 0.25, beta: Double = 0.25, gamma: Double = 0.25,
+      bucketSec: Int = 3600, maxPoints: Long = 1L << 20): DataFrame = {
+    require(period >= 2, s"cusumSeasonal: period must be >= 2, got $period")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"cusumSeasonal: alpha must be in (0, 1), got $alpha")
+    require(beta > 0.0 && beta < 1.0,
+      s"cusumSeasonal: beta must be in (0, 1), got $beta")
+    require(gamma > 0.0 && gamma < 1.0,
+      s"cusumSeasonal: gamma must be in (0, 1), got $gamma")
+    require(h > 0.0 && kappa >= 0.0,
+      s"cusumSeasonal: need h > 0, kappa >= 0, got $h/$kappa")
+    val (lp, bp, sp) = hwStepTexts(alpha, beta, gamma)
+    // 0-based state: [0]=l, [1]=b, [2..m+1]=s₁..sₘ, [m+2]=P, [m+3]=minP;
+    // the residual term reads the PRE-update slots
+    val term = s"((x - (acc[0] + acc[1] + acc[2])) - CAST($kappa AS DOUBLE))"
+    val pNext = s"(acc[${period + 2}] + $term)"
+    val lambda = s"(acc, x) -> concat(array($lp, $bp), " +
+      s"slice(acc, 4, ${period - 1}), " +
+      s"array($sp, $pNext, least(acc[${period + 3}], $pNext)))"
+    val init = s"concat(${hwInit(period, "__l[0]")}, " +
+      "array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
+    val s = s"(__acc[${period + 2}] - least(CAST(0.0 AS DOUBLE), " +
+      s"__acc[${period + 3}]))"
+    sortedCountSeries(guardedBucketCounts(df, tsSec, keyCol, bucketSec,
+        maxPoints, "cusumSeasonal"))
+      .withColumn("__acc",
+        expr(s"aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)), " +
+          s"$init, $lambda)"))
+      .select(col("key"), size(col("__pts")).cast("long").as("n_buckets"),
+        col("__acc")(period + 2).as("p_resid"),
+        expr(s).as("cusum_resid"),
+        (expr(s) > lit(h)).as("alarm"))
+  }
+
   /** One-sided CUSUM change-point monitor (Page, Biometrika 1954) over
     * the per-bucket event counts, one series per `keyCol`: the
     * sequential statistic S₀ = 0, Sₜ = max(0, Sₜ₋₁ + xₜ − μ − κ),
@@ -711,6 +791,13 @@ object Profiling {
     * CUSUM's memory accumulates many quiet ones, the canonical
     * drift-onset alarm for an ingest monitor). μ is the key's observed
     * mean bucket count, slack κ = μ/4, threshold h = 2μ.
+    *
+    * INTEGRATORS: this self-mean form is for exploratory/backfill use
+    * only — wire monitors to [[cusumFixed]] (trained baseline; the
+    * only streamable form, see its scaladoc) or [[cusumSeasonal]]
+    * (cyclic series). Self-mean means the reference retroactively
+    * rescales as data arrives: an alarm can appear or VANISH when the
+    * series' own mean catches up with the shift it should be flagging.
     *
     * Exactness: everything is INTEGER. With n = the key's observed
     * buckets and T = its total events (so μ = T/n), the recurrence is

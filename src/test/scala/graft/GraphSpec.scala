@@ -505,4 +505,56 @@ class GraphSpec extends SparkSpec {
       s"exact curve ${r.map(x => (x._1, x._2))} != model $model")
     assert(r.forall(_._3), "bound verdicts all true on a 14-vertex graph")
   }
+
+  test("weightedPageRank: uniform weights reduce bit-exactly to the unweighted walk") {
+    // (c·r) div (c·d) = r div d for every integer r, d, c > 0 — so a
+    // constant weight column must reproduce pageRank EXACTLY, not
+    // approximately; any divergence is an arithmetic-scheme bug
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("pa", "pb")
+    val gw = g.withColumn("w", lit(7L))
+    val plain = Graph.pageRank(g, "pa", "pb", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val weighted = Graph.weightedPageRank(gw, "pa", "pb", "w", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted == plain)
+  }
+
+  test("weightedPageRank: hand star — mass follows the heavy edge; partitioning-invariant") {
+    // star 0–1 (w 3), 0–2 (w 1), one iteration:
+    //   r1 = 150000 + 85·((1e6·3) div 4) div 100 = 787500
+    //   r2 = 150000 + 85·((1e6·1) div 4) div 100 = 362500
+    //   r0 = 150000 + 85·(1e6 + 1e6) div 100   = 1850000 (leaves send all)
+    val star = Seq((0L, 1L, 3L), (0L, 2L, 1L)).toDF("pa", "pb", "w")
+    val r = Graph.weightedPageRank(star, "pa", "pb", "w", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1850000L, 1L -> 787500L, 2L -> 362500L), s"got $r")
+    val r7 = Graph.weightedPageRank(star.repartition(7), "pa", "pb", "w",
+      iterations = 1).as[(Long, Long)].collect().toMap
+    assert(r7 == r, "exact longs must be partitioning-invariant")
+  }
+
+  test("weightedLabelPropagation: a heavy bridge outvotes two light triangle ties") {
+    // two triangles {1,2,3} and {4,5,6} with bridge 3–4. Unweighted,
+    // round 1: v3 sees labels {1,2,4} count 1 each → tie to min = 1;
+    // v4 sees {3,5,6} → 3. Bridge weight 10 breaks v3's three-way tie
+    // toward the bridge label (4, score 10 vs 1) — the one vertex
+    // whose verdict the weights flip — while v4's argmax lands on 3
+    // either way (its heavy edge agrees with its unweighted min).
+    val tri = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (4L, 6L, 1L), (3L, 4L, 10L))
+      .toDF("pa", "pb", "w")
+    val unw = Graph.labelPropagation(tri, "pa", "pb", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(unw(3L) == 1L && unw(4L) == 3L, s"unweighted round 1: $unw")
+    val w = Graph.weightedLabelPropagation(tri, "pa", "pb", "w", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(w(3L) == 4L && w(4L) == 3L, s"weighted round 1: $w")
+    // uniform weights reduce to the unweighted argmax exactly
+    val uni = Graph.weightedLabelPropagation(
+      tri.withColumn("w", lit(5L)), "pa", "pb", "w", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val unw3 = Graph.labelPropagation(tri, "pa", "pb", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(uni == unw3)
+  }
 }

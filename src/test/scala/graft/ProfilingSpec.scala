@@ -386,6 +386,37 @@ class ProfilingSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(b13._6))
   }
 
+  test("cusumSeasonal: hand fold — residuals score the pre-update forecast; kappa drains; jump alarms") {
+    // period 2, α = β = γ = 0.5, κ = 0, counts 4, 4, 8:
+    //   init [l=4, b=0, s=[0,0], P=0, mP=0]
+    //   x=4: f = 4+0+0 = 4, r = 0 → P=0, mP=0; l'=4, b'=0, s→[0,0]
+    //   x=8: f = 4, r = 4 → P=4, mP=0; S = 4 − min(0,0) = 4 > h=3 ⇒ alarm
+    val jump = Seq(4, 4, 8).zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i => (b * 3600L + i, "a"))
+    }
+    val got = Profiling.cusumSeasonal(jump.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2, h = 3.0, kappa = 0.0,
+        alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(("a", 3L, 4.0, 4.0, true)), s"got $got")
+    // a flat series under slack κ=1 drains P one unit per scored step
+    // (3 steps after init) while S pins to 0 — no alarm ever
+    val flat = (0 until 4).flatMap(b =>
+      (0 until 5).map(i => (b * 3600L + i, "f")))
+    val g2 = Profiling.cusumSeasonal(flat.toDF("ts_s", "key2"),
+        col("ts_s"), col("key2"), period = 2, h = 3.0, kappa = 1.0,
+        alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(g2 == Seq(("f", 4L, -3.0, 0.0, false)), s"got $g2")
+    // partitioning invariance: the fold is sequenced inside one row
+    val g7 = Profiling.cusumSeasonal(jump.toDF("ts_s", "key2")
+        .repartition(7), col("ts_s"), col("key2"), period = 2, h = 3.0,
+        kappa = 0.0, alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .as[(String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(g7.map(r => (r._1, r._2, r._3.toString, r._4.toString, r._5)) ==
+      got.map(r => (r._1, r._2, r._3.toString, r._4.toString, r._5)))
+  }
+
   test("theilSen: hand slopes incl. a negative dy; outlier bucket cannot drag the median") {
     // counts 4, 8, 6 at buckets 0,1,2: slopes 4, 1, −2 → median 1.0
     val rows = Seq(4, 8, 6).zipWithIndex.flatMap { case (c, b) =>
