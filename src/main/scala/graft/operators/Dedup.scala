@@ -581,29 +581,53 @@ object Dedup {
     * an all-pairs product across length classes.
     *
     * Scale shape: the join runs over DISTINCT values (entity-name
-    * domains are orders of magnitude smaller than fact tables); within
-    * a slot, candidates are quadratic in the slot's distinct-value
-    * count — real name distributions spread over many lengths, and a
-    * hot length class can be further split by any cheap necessary
-    * condition (first-char class, char-frequency signature) before the
-    * O(len²) verify. The verify itself is Spark's codegen'd
+    * domains are orders of magnitude smaller than fact tables). A hot
+    * length class — a million 12-character names — would still go
+    * quadratic on length alone, so blocking composes a SECOND lossless
+    * axis: the char-class count f(s) = #chars of s in a fixed half-
+    * alphabet class. Any single edit op moves f by at most 1 (insert/
+    * delete of a class char: ±1; substitution across the class
+    * boundary: ±1), so |f(a) − f(b)| ≤ maxDist is necessary exactly
+    * like the length condition, and the same slot trick applies —
+    * candidates within a (length, class-count) cell only, probe rows
+    * replicated to ≤ 4 covering cells. A hot length class splits
+    * across ~len/w class-count cells (names distribute their letters),
+    * turning one quadratic bucket into many small ones without losing
+    * a single true pair. The verify itself is Spark's codegen'd
     * `levenshtein`. Output (a, b, dist), a < b. */
-  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val w = 2L * maxDist + 1
-    def slot(l: Column): Column = (l - pmod(l, lit(w))) / w
-    val names = df.select(col(strCol).as("a")).distinct()
-      .withColumn("__la", length(col("a")).cast(LongType))
-    val probe = names.withColumn("__slot", explode(array_distinct(array(
-      slot(col("__la") - maxDist), slot(col("__la") + maxDist)))))
-    val build = names.select(col("a").as("b"), col("__la").as("__lb"))
-      .withColumn("__slot", slot(col("__lb")))
-    probe.join(build, Seq("__slot"))
-      .filter(col("a") < col("b") &&
-        abs(col("__la") - col("__lb")) <= maxDist)
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame =
+    editDistanceCandidates(df, strCol, maxDist)
       .withColumn("dist", levenshtein(col("a"), col("b")).cast(LongType))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
+
+  /** The pre-verify candidate pairs of [[editDistancePairs]] — package
+    * surface so the blocking bound is pin-able: the spec counts these
+    * on a hot-length-class fixture. */
+  private[graft] def editDistanceCandidates(df: DataFrame, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val w = 2L * maxDist + 1
+    def slot(l: Column): Column = (l - pmod(l, lit(w))) / w
+    def classCount(s: Column): Column =
+      (length(s) - length(translate(s, "abcdefghijklm", ""))).cast(LongType)
+    val names = df.select(col(strCol).as("a")).distinct()
+      .withColumn("__la", length(col("a")).cast(LongType))
+      .withColumn("__fa", classCount(col("a")))
+    val probe = names
+      .withColumn("__slot", explode(array_distinct(array(
+        slot(col("__la") - maxDist), slot(col("__la") + maxDist)))))
+      .withColumn("__fslot", explode(array_distinct(array(
+        slot(col("__fa") - maxDist), slot(col("__fa") + maxDist)))))
+    val build = names.select(col("a").as("b"), col("__la").as("__lb"),
+        col("__fa").as("__fb"))
+      .withColumn("__slot", slot(col("__lb")))
+      .withColumn("__fslot", slot(col("__fb")))
+    probe.join(build, Seq("__slot", "__fslot"))
+      .filter(col("a") < col("b") &&
+        abs(col("__la") - col("__lb")) <= maxDist &&
+        abs(col("__fa") - col("__fb")) <= maxDist)
+      .select("a", "b")
   }
 
   /** EXACT set-similarity join via prefix filtering (Chaudhuri/Ganti/

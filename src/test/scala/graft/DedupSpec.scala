@@ -376,4 +376,42 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, d.toLong)).toSet
     assert(got == brute, s"blocked join must equal brute force: $got vs $brute")
   }
+
+  test("editDistancePairs: a hot length class splits on the char-class axis — bounded candidates, nothing lost") {
+    // 40 names, ALL length 6 (one quadratic length cell = 780 pairs):
+    // 20 drawn from the a–m half alphabet (class count 6) and 20 from
+    // n–z (class count 0). maxDist = 1 ⇒ slot width 3 ⇒ the two camps
+    // sit in class-count slots 2 and 0 — no cross-camp candidate can
+    // survive the (|Δf| ≤ 1 necessary) cell join, so the candidate
+    // count is bounded by the two within-camp quadratics (2·190 = 380
+    // from a worst case of 780), and completeness is untouched: a
+    // distance-1 pair moves f by ≤ 1 by construction.
+    val camps =
+      (0 until 20).map(i =>
+        "aaaa" + ('a' + i % 13).toChar + ('a' + i / 13).toChar) ++
+      (0 until 20).map(i =>
+        "nnnn" + ('n' + i % 13).toChar + ('n' + i / 13).toChar)
+    val df = camps.toDF("name")
+    val nDistinct = df.distinct().count()
+    val cand = Dedup.editDistanceCandidates(df, "name", maxDist = 1)
+    val nCand = cand.count()
+    val quad = nDistinct * (nDistinct - 1) / 2
+    assert(nCand <= quad / 2 + 1,
+      s"hot class must split: $nCand candidates vs single-axis $quad")
+    // losslessness: blocked distances equal brute force on the domain
+    val names = df.distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val brute = (for { a <- names; b <- names if a < b; d = lev(a, b)
+      if d <= 1 } yield (a, b, d.toLong)).toSet
+    val got = Dedup.editDistancePairs(df, "name", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == brute, s"two-axis blocking lost pairs: $got vs $brute")
+  }
 }
