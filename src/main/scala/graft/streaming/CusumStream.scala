@@ -48,6 +48,14 @@ object CusumStream {
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     SnapshotStore.readLatest(spark, stateDir, "CUSUM")
 
+  /** [[readState]] pinned against the prune window
+    * ([[SnapshotStore.readPinned]]): materialized at read time, so
+    * the frame outlives any number of further commits — the read an
+    * alerting poll should take when it holds results across batches.
+    * Release with [[graft.operators.Caching.freeLocalCheckpoint]]. */
+  def readStatePinned(spark: SparkSession, stateDir: String): DataFrame =
+    SnapshotStore.readPinned(spark, stateDir, "CUSUM")
+
   /** [[readState]] with the alarm statistic materialized:
     * (key, last_bucket, n_buckets, cusum_micro, alarm) — the consumer
     * view an alerting poll reads. */

@@ -67,6 +67,22 @@ private[streaming] object SnapshotStore {
       case Some(v) => spark.read.parquet(s"$stateDir/b=$v")
     }
 
+  /** [[readLatest]] MATERIALIZED inside the prune window — the
+    * mechanical close of the lazy-consumer race the [[readLatest]]
+    * contract documents: the snapshot is eagerly localCheckpoint'ed
+    * at read time, so the returned frame is served from executor-held
+    * blocks and survives however many further batches prune the
+    * directory underneath it. Costs one pass over the key-space-sized
+    * state; the caller releases the blocks via
+    * [[graft.operators.Caching.freeLocalCheckpoint]] when done.
+    * (The narrow residue: the version must still exist at the moment
+    * of the checkpointing pass itself — i.e. the read races only a
+    * writer that commits AND prunes `retainBelow` further batches
+    * within this single action, not an arbitrarily lazy consumer.) */
+  def readPinned(spark: SparkSession, stateDir: String,
+      what: String): DataFrame =
+    readLatest(spark, stateDir, what).localCheckpoint(true)
+
   /** The finalized-bucket fold prelude shared by every
     * cumulative-state twin ([[EwmaStream]], [[CusumStream]],
     * [[HoltWintersStream]]) — ONE home for the protocol the

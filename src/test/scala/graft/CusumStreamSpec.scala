@@ -101,6 +101,29 @@ class CusumStreamSpec extends SparkSpec with StreamFeedHarness {
     assert(versions <= 3, s"stale state versions not pruned: $versions dirs")
   }
 
+  test("readStatePinned survives the prune window; the lazy read does not") {
+    val stateDir = java.nio.file.Files.createTempDirectory("cusum_pin").toString
+    CusumStream.foldBatch(
+      Seq(("a", 100L, 30L)).toDF("key", "bucket", "c"), 0L, stateDir, Mu, Kappa)
+    // pin b=0 now; a plain lazy frame over the same version races
+    val pinned = CusumStream.readStatePinned(spark, stateDir)
+    val lazyRead = CusumStream.readState(spark, stateDir)
+    // three more batches with retainBelow = 1 prune b=0 and b=1 away
+    CusumStream.foldBatch(
+      Seq(("a", 110L, 10L)).toDF("key", "bucket", "c"), 1L, stateDir, Mu, Kappa)
+    CusumStream.foldBatch(
+      Seq(("a", 120L, 10L)).toDF("key", "bucket", "c"), 2L, stateDir, Mu, Kappa)
+    CusumStream.foldBatch(
+      Seq(("a", 130L, 10L)).toDF("key", "bucket", "c"), 3L, stateDir, Mu, Kappa)
+    assert(!new java.io.File(s"$stateDir/b=0").exists(),
+      "precondition: the pinned version must actually have been pruned")
+    // the pinned frame still reads the b=0 state from executor blocks
+    val got = pinned.select("key", "p_micro").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 5000000L)), s"pinned read lost data: $got")
+    // the un-pinned lazy frame over the deleted version fails
+    intercept[Exception] { lazyRead.collect() }
+  }
+
   test("a regressed bucket trips the frontier guard; forward folds advance exactly") {
     val stateDir = java.nio.file.Files.createTempDirectory("cusum_gst").toString
     // bucket 100: c=30 → term 1e6·30 − 25e6 = 5e6; p=5e6, min=5e6
