@@ -1440,7 +1440,10 @@ object Queries {
              |FROM eu JOIN part ON p_partkey = pk
              |WHERE p_type = 'STANDARD' AND p_size <= 10
              |AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2 WHERE e2.pk = eu.pk)
-             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin.replace("\n", " "))),
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin.replace("\n", " ")),
+      // bench headliner: the window-min-over-dim-sized-pair-table
+      // shape no other headliner exercises
+      bench = true),
     // TPC-H Q9 (product-type profit), adapted: profit is revenue minus
     // supply cost; the reference's ps_supplycost is proxied by the
     // same realized min-unit-price table Q2 builds (divergence: the
@@ -1533,7 +1536,10 @@ object Queries {
              |WHERE n_name IN ('NATION_5','NATION_6') GROUP BY 1)
              |SELECT pk AS ps_partkey, CAST(v AS DOUBLE)/100.0 AS value FROM val
              |WHERE v*1000 > (SELECT SUM(v) FROM val)
-             |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " "))),
+             |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " ")),
+      // bench headliner: the scalar-subquery-fraction (broadcast 1-row
+      // total joined back) shape no other headliner exercises
+      bench = true),
     // TPC-H Q20 (potential part promotion), adapted: the reference
     // keeps suppliers whose ps_availqty exceeds half the quantity they
     // shipped of name-matched parts in a year; with no availability
