@@ -987,6 +987,29 @@ object PipelineQueries {
        |c AS (SELECT doc_id, source, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM q)
        |SELECT doc_id, source, cum // 512 AS pack_id, cum % 512 AS pack_offset FROM c""".stripMargin.replace("\n", " ")
 
+  private val PackSpanBuckets = 16
+  private val PackSpanLen = 512
+
+  /** packSpans oracle: the SAME xxh64-of-BIGINT chain as the sampling
+    * oracles orders the corpus by (UNSIGNED hash, id) — the operator's
+    * range buckets are a monotone function of that order, so ONE
+    * global exclusive prefix sum replays the two-level form bit-equal
+    * — then the identical span arithmetic per (document, sequence)
+    * intersection. */
+  private def packSpansOracle: String =
+    s"""WITH psq AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n FROM documents),
+       |psn AS (SELECT doc_id, n FROM psq WHERE n > 0),
+       |pssrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${Xxh64Sql.M64} ELSE doc_id::HUGEINT END) AS v FROM psn),
+       |${Xxh64Sql.longHashStages("ps")},
+       |psb AS (SELECT p.doc_id, p.n, (CASE WHEN h.hs < 0 THEN h.hs::HUGEINT + ${Xxh64Sql.M64} ELSE h.hs::HUGEINT END) AS u FROM psn p JOIN psh h USING (doc_id)),
+       |psc AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY u ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st FROM psb),
+       |pse AS (SELECT doc_id, n, st, UNNEST(generate_series(st // $PackSpanLen, (st + n - 1) // $PackSpanLen)) AS seq_id FROM psc)
+       |SELECT seq_id, doc_id,
+       |greatest(st, seq_id * $PackSpanLen) - st AS doc_from,
+       |least(st + n, (seq_id + 1) * $PackSpanLen) - st AS doc_to,
+       |greatest(st, seq_id * $PackSpanLen) - seq_id * $PackSpanLen AS seq_off
+       |FROM pse ORDER BY seq_id, doc_id""".stripMargin.replace("\n", " ")
+
   /** Deterministically injected PII + the same ordered regex fold in
     * DuckDB ('g' = replace all, matching Spark's regexp_replace). */
   private def piiScrubOracle: String = {
@@ -1773,6 +1796,23 @@ object PipelineQueries {
         Seq("source"), "n_tokens", "doc_id", seqLen = 512L)
         .select("doc_id", "source", "pack_id", "pack_offset"),
       Some(packOracle)),
+    // Distributed concat-and-chunk SPAN layout: every (sequence, doc)
+    // intersection as an exact [doc_from, doc_to) token slice at
+    // seq_off — what the sequence writer materializes — in a
+    // deterministic xxh64-shuffled corpus order via the TWO-LEVEL
+    // prefix sum (per-bucket windows in parallel; only the ≤ buckets
+    // bucket-totals frame ever sees a single-partition window), so one
+    // giant mixture cell packs without a global window. The oracle
+    // re-derives the hash order through the pinned xxh64-of-BIGINT
+    // chain and replays the span arithmetic on ONE global cumsum —
+    // bit-equal to the two-level form by construction.
+    Q("doc_pack_spans",
+      (s, d) => operators.Mixing.packSpans(
+        scoredDocs(s, d).select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", seqLen = PackSpanLen.toLong,
+        buckets = PackSpanBuckets)
+        .orderBy("seq_id", "doc_id"),
+      Some(packSpansOracle)),
     // PII scrubbing: inject deterministic PII-shaped strings (the
     // synthetic corpus has none), then redact — both engines apply the
     // same ordered regex fold, so this cross-checks the scrub itself

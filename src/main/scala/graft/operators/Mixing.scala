@@ -82,6 +82,89 @@ object Mixing {
       .drop("__cum")
   }
 
+  /** Distributed concat-and-chunk with SPAN output — what a sequence
+    * WRITER materializes, where [[packSequences]] only labels each
+    * document's starting window: every (training sequence, document)
+    * intersection becomes one row, so a long document straddling
+    * windows emits one span per window it touches and the writer's
+    * per-sequence group-by assembles exact [doc_from, doc_to) token
+    * slices. Documents are laid out in a deterministic hash-shuffled
+    * order (xxh64(id), id) — the layout-independent corpus shuffle a
+    * pretraining run wants, reproducible on any engine/partitioning.
+    *
+    * Scale shape — the TWO-LEVEL DISTRIBUTED PREFIX SUM, because a
+    * single global cumulative window is one partition and
+    * [[packSequences]]'s per-group windows die on one giant group:
+    *  1. each row RANGE-buckets on the top log2(buckets) bits of its
+    *     unsigned hash (one shuffle) — ranges, not hash-mod, so the
+    *     bucket is a monotone function of the global (hash, id) order
+    *     and the LAYOUT IS INVARIANT to the bucket count (a tuning
+    *     knob must never change results; the spec pins 1 ≡ 8 ≡ 64);
+    *  2. within-bucket exclusive prefix sums run in parallel ranked
+    *     windows (unsigned hash order via the sign-bit flip — the
+    *     two's-complement trick that makes signed ORDER BY agree with
+    *     unsigned comparison);
+    *  3. bucket TOTALS (≤ `buckets` rows — the only frame that ever
+    *     sees a single-partition window, bounded by the knob, not the
+    *     data) prefix-sum into bucket base offsets and broadcast back.
+    * start = base(bucket) + local prefix — bit-equal to one global
+    * cumsum in (unsigned hash, id) order, at any scale. Span
+    * explosion is bounded per document by ⌈n/seqLen⌉+1 — output ≈
+    * corpus tokens / seqLen extra rows, never quadratic. Zero-token
+    * documents are dropped (they occupy no tokens; a zero-width span
+    * would invent a sequence membership).
+    *
+    * Output: (seq_id, id, doc_from, doc_to, seq_off) — all BIGINT;
+    * token t of the document for t ∈ [doc_from, doc_to) lands at
+    * position seq_off + (t − doc_from) of sequence seq_id. */
+  def packSpans(df: DataFrame, idCol: String, tokenCol: String,
+      seqLen: Long, buckets: Int = 256, persist: Boolean = true): DataFrame = {
+    require(seqLen > 0, s"packSpans: seqLen must be > 0, got $seqLen")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"packSpans: buckets must be a power of two (range-bucketing " +
+        s"shifts the hash's top bits), got $buckets")
+    val k = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val base = Caching.maybePersist(
+      df.select(col(idCol), col(tokenCol).cast("long").as("__n"))
+        .filter(col("__n") > 0)
+        .withColumn("__hs", xxhash64(col(idCol)))
+        // top k bits of the UNSIGNED hash = the range bucket (k = 0:
+        // everything in bucket 0 — Java shifts are mod 64, so the
+        // degenerate case must short-circuit)
+        .withColumn("__b",
+          if (k == 0) lit(0L)
+          else shiftrightunsigned(col("__hs"), 64 - k))
+        // signed order of (hs XOR sign bit) == unsigned order of hs
+        .withColumn("__hu", col("__hs").bitwiseXOR(lit(Long.MinValue))),
+      persist)
+    val wLoc = Window.partitionBy("__b")
+      .orderBy(col("__hu").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket base offsets: ≤ `buckets` rows by construction — the
+    // bounded-frame contract of the drift-family windows
+    val wBkt = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__b").agg(sum("__n").as("__bt"))
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(wBkt), lit(0L)))
+      .select("__b", "__boff")
+    base
+      .withColumn("__loc", coalesce(sum(col("__n")).over(wLoc), lit(0L)))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__start", col("__boff") + col("__loc"))
+      // truncating DIV == floor (all values ≥ 0); `/` would be double
+      // division, exact only below 2^53 — the packSequences rule
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start DIV ${seqLen}L"),
+        expr(s"(__start + __n - 1) DIV ${seqLen}L"))))
+      .withColumn("__sfrom", greatest(col("__start"), col("seq_id") * seqLen))
+      .withColumn("__sto",
+        least(col("__start") + col("__n"), (col("seq_id") + 1) * seqLen))
+      .select(col("seq_id"), col(idCol),
+        (col("__sfrom") - col("__start")).as("doc_from"),
+        (col("__sto") - col("__start")).as("doc_to"),
+        (col("__sfrom") - col("seq_id") * seqLen).as("seq_off"))
+  }
+
   /** Temperature-based source resampling (the multilingual-pretraining
     * mixture rule, e.g. mBERT/XLM-R: sample source s with probability
     * ∝ count(s)^α, α < 1 flattening the head): each source's keep rate

@@ -79,6 +79,57 @@ class MixingSpec extends SparkSpec {
       s"pack_id must be computed in exact long arithmetic; got ${got(2L)}")
   }
 
+  test("packSpans: spans tile every sequence exactly and reconstruct every document") {
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 7L), (5L, 1L),
+      (6L, 0L)) // zero-token doc must vanish
+      .toDF("doc_id", "n_tokens")
+    val spans = Mixing.packSpans(docs, "doc_id", "n_tokens",
+        seqLen = 4L, buckets = 4, persist = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(!spans.exists(_._2 == 6L), "zero-token doc must emit no span")
+    // total tokens 20 → sequences 0..4, each EXACTLY tiled: per seq,
+    // spans sorted by seq_off are contiguous from 0 to seqLen
+    val bySeq = spans.groupBy(_._1)
+    assert(bySeq.keySet == (0L to 4L).toSet, s"got seqs ${bySeq.keySet}")
+    bySeq.foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._5)
+      val starts = sorted.map(_._5)
+      val lens = sorted.map(s => s._4 - s._3)
+      assert(lens.forall(_ > 0), s"seq $seq: empty span")
+      assert(starts.head == 0L &&
+        starts.zip(lens).map { case (o, l) => o + l }.dropRight(1) ==
+          starts.tail,
+        s"seq $seq: spans not contiguous: $sorted")
+      assert(starts.last + lens.last == 4L, s"seq $seq: not fully tiled")
+    }
+    // per doc, the [doc_from, doc_to) slices concatenate to [0, n)
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._3)
+      val n = docs.filter(col("doc_id") === doc)
+        .select("n_tokens").as[Long].head()
+      assert(sorted.head._3 == 0L && sorted.last._4 == n &&
+        sorted.map(_._4).dropRight(1) == sorted.tail.map(_._3),
+        s"doc $doc: slices don't reconstruct: $sorted")
+    }
+  }
+
+  test("packSpans: two-level bucket prefix sum is bit-equal to the one-bucket form") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map(i => (i, 1L + rnd.nextInt(9).toLong))
+      .toDF("doc_id", "n_tokens")
+    def run(b: Int) = Mixing.packSpans(docs, "doc_id", "n_tokens",
+        seqLen = 16L, buckets = b, persist = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val one = run(1)
+    assert(run(8) == one && run(64) == one,
+      "bucket count must not change the layout")
+    // and the layout is partitioning-invariant
+    val repart = Mixing.packSpans(docs.repartition(13), "doc_id",
+        "n_tokens", seqLen = 16L, buckets = 8, persist = false)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(repart == one)
+  }
+
   test("temperatureSample: flattens the head and is layout-invariant") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sample = Mixing.temperatureSample(corpus, "doc_id", "source", target = 300L)
