@@ -490,6 +490,24 @@ object Queries {
              |quantile_cont(l_extendedprice, 0.25) AS p25_price,
              |quantile_cont(l_extendedprice, 0.75) AS p75_price
              |FROM lineitem""".stripMargin.replace("\n", " "))),
+    // Sketch quantiles with an exact rank audit (the graph_anf honesty
+    // pattern on approx_percentile): the portable columns are the
+    // exact interpolated quantiles (percentile ≡ quantile_cont, the
+    // q_median contract) and the GK rank-guarantee verdict — the
+    // sketch value itself is engine-specific and never emitted. At
+    // 100 TB the GK summary aggregates map-side where the exact form
+    // shuffles the whole value column; this row proves the sketch's
+    // ε-rank contract ON the data instead of assuming it.
+    Q("q_quantile_sketch",
+      (s, d) => operators.Profiling.approxQuantileEval(t(s, d, "lineitem"),
+        col("l_extendedprice"), Seq(250, 500, 750), accuracy = 1000)
+        .orderBy("probe_permille"),
+      Some("""WITH qv AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL)
+             |SELECT CAST(250 AS BIGINT) AS probe_permille, (SELECT CAST(COUNT(*) AS BIGINT) FROM qv) AS n,
+             |(SELECT quantile_cont(v, 0.25) FROM qv) AS exact_q, TRUE AS within_bound
+             |UNION ALL SELECT 500, (SELECT COUNT(*) FROM qv), (SELECT quantile_cont(v, 0.5) FROM qv), TRUE
+             |UNION ALL SELECT 750, (SELECT COUNT(*) FROM qv), (SELECT quantile_cont(v, 0.75) FROM qv), TRUE
+             |ORDER BY probe_permille""".stripMargin.replace("\n", " "))),
   )
 
   // ---------------------------------------------------------------------

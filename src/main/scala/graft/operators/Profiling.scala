@@ -712,6 +712,73 @@ object Profiling {
         col("cusum_micro"), (col("cusum_micro") > lit(hMicro)).as("alarm"))
   }
 
+  /** Mergeable-sketch quantiles with an EXACT rank audit — the
+    * [[graft.operators.Graph.anf]] honesty pattern applied to
+    * `approx_percentile`: at 100 TB the exact sort-based
+    * [[groupQuantiles]] pays a full shuffle of the value column, while
+    * the Greenwald–Khanna summary Spark aggregates map-side is the
+    * sketch a warehouse actually serves percentiles from — and its
+    * ε = 1/accuracy RANK guarantee is checkable against the data
+    * itself. For each probe p this emits the EXACT interpolated
+    * quantile (the portable column — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q_median contract) and `within_bound`: the
+    * sketch's returned element has true rank within
+    * p·n ± (n/accuracy + 2) (the +2 absorbing the integer-target
+    * truncation and 1-based rank offset — deliberately one ulp loose:
+    * an audit bound that can trip on rounding is noise, the
+    * ANF-tolerance lesson). The sketch value itself is NOT emitted —
+    * engine-specific, the ev_daily_uniques_approx contract.
+    *
+    * Shape: ONE aggregation computes the sketch, the exact quantiles,
+    * and n; the ≤ |probes| results ship back as literals into ONE
+    * rank-counting scan (conditional sums, map-side partial — the
+    * windowedValueDrift bounded-collect idiom); output is |probes|
+    * driver-assembled rows. Two scans total, no shuffle beyond the
+    * 1-row aggregates. Output: (probe_permille, n, exact_q,
+    * within_bound). */
+  def approxQuantileEval(df: DataFrame, valueCol: Column,
+      probesPermille: Seq[Int], accuracy: Int = 1000,
+      persist: Boolean = true): DataFrame = {
+    require(probesPermille.nonEmpty &&
+      probesPermille.forall(p => p > 0 && p < 1000),
+      s"approxQuantileEval: probes must be in (0, 1000), got $probesPermille")
+    require(accuracy >= 1,
+      s"approxQuantileEval: accuracy must be >= 1, got $accuracy")
+    val spark = df.sparkSession
+    val v = Caching.maybePersist(
+      df.select(valueCol.cast("double").as("__v"))
+        .filter(col("__v").isNotNull), persist)
+    val fracs = probesPermille.map(p => s"${p / 1000.0}D").mkString(", ")
+    // one row: sketch values, exact quantiles, count — bounded collect
+    // (|probes| doubles), the windowedValueDrift literal-shipping idiom
+    val head = v.agg(
+      expr(s"approx_percentile(__v, array($fracs), $accuracy)").as("__ap"),
+      expr(s"percentile(__v, array($fracs))").as("__ex"),
+      count(lit(1)).as("__n")).head
+    val ap = head.getSeq[Double](0)
+    val ex = head.getSeq[Double](1)
+    val n = head.getLong(2)
+    import spark.implicits._
+    if (n == 0L)
+      return probesPermille.map(p => (p.toLong, 0L, Double.NaN, true))
+        .toDF("probe_permille", "n", "exact_q", "within_bound")
+        .filter(lit(false))
+    // one scan counts every sketch value's exact rank interval
+    val rankAggs = ap.zipWithIndex.flatMap { case (a, i) => Seq(
+      sum(when(col("__v") < a, 1L).otherwise(0L)).as(s"__lo$i"),
+      sum(when(col("__v") <= a, 1L).otherwise(0L)).as(s"__hi$i")) }
+    val ranks = v.agg(rankAggs.head, rankAggs.tail: _*).head
+    val slack = n / accuracy + 2
+    val out = probesPermille.zipWithIndex.map { case (p, i) =>
+      val lo = ranks.getLong(2 * i)
+      val hi = ranks.getLong(2 * i + 1)
+      val target = p.toLong * n / 1000L
+      val within = !(hi < target - slack || lo + 1 > target + slack)
+      (p.toLong, n, ex(i), within)
+    }
+    out.toDF("probe_permille", "n", "exact_q", "within_bound")
+  }
+
   /** Seasonal-aware CUSUM: Page's cumulative sum run over the
     * HOLT–WINTERS ONE-STEP RESIDUALS instead of the raw bucket counts
     * — the composition the forecast family exists for. A daily-cycling

@@ -386,6 +386,30 @@ class ProfilingSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(b13._6))
   }
 
+  test("approxQuantileEval: exact quantiles portable, GK rank bound holds under any layout") {
+    val vals = (1 to 1000).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v")
+    val got = Profiling.approxQuantileEval(vals, col("v"),
+        Seq(250, 500, 750), accuracy = 100, persist = false)
+      .orderBy("probe_permille")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // exact interpolated quantiles of 1..1000
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((250L, 1000L, 250.75), (500L, 1000L, 500.5), (750L, 1000L, 750.25)),
+      s"got $got")
+    assert(got.forall(_._4), "GK's rank guarantee must hold")
+    // the sketch differs under a different merge order; the verdict
+    // and the exact columns must not
+    val re = Profiling.approxQuantileEval(vals.repartition(13), col("v"),
+        Seq(250, 500, 750), accuracy = 100, persist = false)
+      .orderBy("probe_permille")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(re == got)
+    // empty input: no rows, not a crash
+    assert(Profiling.approxQuantileEval(vals.filter(lit(false)), col("v"),
+      Seq(500), accuracy = 100, persist = false).count() == 0L)
+  }
+
   test("cusumSeasonal: hand fold — residuals score the pre-update forecast; kappa drains; jump alarms") {
     // period 2, α = β = γ = 0.5, κ = 0, counts 4, 4, 8:
     //   init [l=4, b=0, s=[0,0], P=0, mP=0]
