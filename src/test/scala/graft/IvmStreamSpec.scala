@@ -210,4 +210,38 @@ class IvmStreamSpec extends SparkSpec {
       aPayload = Seq("g", "pay"), bPayload = Seq("bname"))
     assert(readView == want, "partial-commit replay must converge")
   }
+
+  test("join twin: real stream with an injected crash replays exactly-once across all four homes") {
+    val src = java.nio.file.Files.createTempDirectory("ivmj_src").toString
+    val root = java.nio.file.Files.createTempDirectory("ivmj_cst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivmj_cck").toString
+    def addFile(i: Int): Unit = {
+      jDf(jAll(i)).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(50)
+    }
+    val schema = jDf(jb0).schema
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQuery(inject: Boolean) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          IvmStream.joinFoldBatch(batch, id, root, "k", "g",
+            aPayload = Seq("g", "pay"), bPayload = Seq("bname"))
+          if (inject && id == 1L && failOnce.getAndSet(false))
+            throw new RuntimeException("injected crash before commit")
+        }
+        .start()
+    (0 to 1).foreach(addFile)
+    val q1 = startQuery(inject = true)
+    try intercept[Exception] { q1.processAllAvailable() } finally q1.stop()
+    assert(!failOnce.get(), "the injection must actually have fired")
+    addFile(2)
+    val q2 = startQuery(inject = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = IvmStream.readJoinView(spark, root)
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    assert(got == joinWant, s"post-replay join view $got != batch $joinWant")
+  }
 }
