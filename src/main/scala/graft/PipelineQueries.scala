@@ -955,6 +955,29 @@ object PipelineQueries {
        |SELECT u AS doc_id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
        |FROM reach GROUP BY u""".stripMargin.replace("\n", " ")
 
+  private val LeakTestPermille = 200
+
+  /** Leakage-safe split oracle: the [[clustersOracle]] transitive
+    * closure (same simhash pairs, same min-reachable fixpoint) with
+    * the xxh64-of-BIGINT gate applied to the CLUSTER id — the split
+    * column is a pure function of cluster_id in both engines. */
+  private def leakageSplitOracle: String = {
+    val m = Sampling.DefaultDenom
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |ledge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
+       |lreach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u, p.r FROM ledge e JOIN lreach p ON p.u = e.v
+       |),
+       |lcc AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM lreach GROUP BY u),
+       |lssrc AS (SELECT doc_id, (CASE WHEN cluster_id < 0 THEN cluster_id::HUGEINT + ${Xxh64Sql.M64} ELSE cluster_id::HUGEINT END) AS v FROM lcc),
+       |${Xxh64Sql.longHashStages("ls")}
+       |SELECT l.doc_id, l.cluster_id,
+       |CASE WHEN ((h.hs % $m + $m) % $m) * 1000 < $LeakTestPermille * $m THEN 'test' ELSE 'train' END AS split
+       |FROM lcc l JOIN lsh h USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Winnowing fingerprints (k=8, window=4) fully re-derived in DuckDB:
     * per-gram xxh64, sliding window minima, distinct, then
     * order-independent digests (count / min / max / xor) that match the
@@ -1550,6 +1573,22 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(clustersOracle)),
+    // Leakage-safe train/test split: the gate hashes the near-dup
+    // CLUSTER id (same simhash pairs → CC as dedup_clusters), so a
+    // paraphrase of a training document can never land in test — the
+    // held-out contamination a per-document hash split commits
+    // silently. Structural guarantee: split is a pure function of
+    // cluster_id; both engines derive it through the pinned
+    // xxh64-of-BIGINT chain.
+    Q("doc_split_leakage_safe",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        operators.Sampling.leakageSafeSplit(docs, "doc_id",
+          Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3),
+          testPermille = LeakTestPermille)
+          .orderBy("doc_id")
+      },
+      Some(leakageSplitOracle)),
     Q("dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5).orderBy("a", "b"),
@@ -4559,6 +4598,34 @@ object PipelineQueries {
     sb.result()
   }
 
+  private val ScoreMinStrength = 5L
+  private val ScoreRounds = 12
+
+  /** Weighted k-core (s-core) oracle: the [[kcoreOracle]] unrolled
+    * peel with the criterion on STRENGTH — per-round SUM of surviving
+    * edge weights — instead of degree; weights are the co-order
+    * multiplicities the unweighted oracle's projection discards.
+    * MATERIALIZED per round for the same 2^rounds re-evaluation
+    * reason. */
+  private val weightedKcoreOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "wed AS MATERIALIZED (SELECT pa AS u, pb AS v, w FROM prs UNION SELECT pb, pa, w FROM prs), "
+    sb ++= "ws0 AS MATERIALIZED (SELECT DISTINCT u FROM wed), "
+    (1 to ScoreRounds).foreach { t =>
+      sb ++= s"wd$t AS (SELECT e.u, CAST(SUM(e.w) AS BIGINT) AS st FROM wed e JOIN ws${t - 1} a ON a.u = e.u JOIN ws${t - 1} b ON b.u = e.v GROUP BY e.u), "
+      sb ++= s"ws$t AS MATERIALIZED (SELECT u FROM wd$t WHERE st >= $ScoreMinStrength), "
+    }
+    sb ++= (0 to ScoreRounds).map(t =>
+      s"SELECT $t AS t, (SELECT COUNT(*) FROM ws$t) AS c").mkString(
+      "wcs AS (", " UNION ALL ", "), ")
+    sb ++= s"wrs AS (SELECT COALESCE(MIN(a.t), $ScoreRounds) AS rounds_stable FROM wcs a JOIN wcs b ON b.t = a.t + 1 AND b.c = a.c) "
+    sb ++= s"SELECT v.u AS part_id, (s.u IS NOT NULL) AS in_core, CAST(wrs.rounds_stable AS BIGINT) AS rounds_stable " +
+      s"FROM ws0 v LEFT JOIN ws$ScoreRounds s ON s.u = v.u CROSS JOIN wrs"
+    sb.result()
+  }
+
   private val KtrussK = 3
   private val KtrussRounds = 4
 
@@ -4788,6 +4855,18 @@ object PipelineQueries {
         k = KcoreK, rounds = KcoreRounds)
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(kcoreOracle)),
+    // Weighted k-core (s-core): the peel criterion on STRENGTH — sum
+    // of co-order multiplicities to surviving neighbors — so the core
+    // demands accumulated evidence where the 2-core keeps anything
+    // with two incidental edges. Same fixed synchronous rounds and
+    // rounds_stable self-audit; the oracle unrolls with SUM(w)
+    // replacing COUNT(*).
+    Q("graph_kcore_weighted",
+      (s, d) => operators.Graph.weightedKCore(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w",
+        minStrength = ScoreMinStrength, rounds = ScoreRounds)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(weightedKcoreOracle)),
     // 3-truss of the co-purchase graph: the EDGE-level peel — every
     // surviving edge must close ≥ k−2 triangles with other survivors,
     // a strictly stronger cohesion filter than the vertex k-core

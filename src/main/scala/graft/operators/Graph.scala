@@ -389,6 +389,71 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Weighted k-core (the s-core of Eidsaa & Almaas): [[kCore]] with
+    * the peel criterion on STRENGTH — the sum of edge weights to
+    * SURVIVING neighbors — instead of degree, so a vertex held in by
+    * one heavy tie stays where the unweighted peel (which sees a
+    * single edge) would drop it, and a vertex propped up by many
+    * one-off coincidences falls out. The natural core filter when
+    * multiplicity means support (co-purchase counts, co-occurrence
+    * frequencies): the unweighted 2-core keeps anything with two
+    * incidental edges; the s-core demands accumulated evidence.
+    *
+    * Same fixed-round synchronous peel as [[kCore]] (pure function of
+    * (graph, minStrength, rounds) ⇒ the oracle unrolls identically),
+    * same `rounds_stable` self-audit with the same size-equality
+    * fixpoint probe (the survivor set only shrinks, and strengths are
+    * recomputed from the surviving edge set each round, so equal
+    * survivor COUNTS between consecutive rounds imply the identical
+    * set and hence a true fixpoint). Each round is one edge/survivor
+    * semi-join pair + a weighted sum — O(E) per round, exact LONG
+    * arithmetic (order-free sums ⇒ bit-identical under any
+    * partitioning), localCheckpoint'ed with previous-round freeing.
+    *
+    * Reference: /root/reference/sqlengine.py has no graph surface
+    * (extension per the brief's quality-weighting family). */
+  def weightedKCore(pairs: DataFrame, aCol: String, bCol: String,
+      wCol: String, minStrength: Long, rounds: Int = 8): DataFrame = {
+    require(minStrength >= 1 && rounds >= 1,
+      s"weightedKCore: need minStrength >= 1 and rounds >= 1, " +
+        s"got minStrength=$minStrength rounds=$rounds")
+    val edges = symmetricWeightedEdges(pairs, aCol, bCol, wCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verts = edges.select(col("__u").as("id")).distinct()
+        .localCheckpoint(true)
+      var survivors = verts
+      var prevFree: DataFrame = null
+      var stableAt = rounds
+      var stopped = false
+      var r = 1
+      while (r <= rounds && !stopped) {
+        val st = edges
+          .join(survivors.select(col("id").as("__u")), Seq("__u"))
+          .join(survivors.select(col("id").as("__v")), Seq("__v"))
+          .groupBy("__u").agg(sum(col("__w")).as("__s"))
+        val next = st.filter(col("__s") >= minStrength)
+          .select(col("__u").as("id"))
+          .localCheckpoint(true)
+        if (next.count() == survivors.count()) {
+          stableAt = r - 1
+          stopped = true
+        }
+        if ((prevFree ne null) && (prevFree ne verts))
+          Caching.freeLocalCheckpoint(prevFree)
+        prevFree = survivors
+        survivors = next
+        r += 1
+      }
+      if ((prevFree ne null) && (prevFree ne verts))
+        Caching.freeLocalCheckpoint(prevFree)
+      verts
+        .join(survivors.withColumn("__in", lit(true)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__in"), lit(false)).as("in_core"),
+          lit(stableAt.toLong).as("rounds_stable"))
+    } finally edges.unpersist()
+  }
+
   /** Multi-source BFS hop distance over the undirected graph
     * `pairs(aCol, bCol)`: every vertex reachable within `maxHops` of a
     * seed gets `(id, hops)` with hops = its MINIMUM hop count (seeds
@@ -824,7 +889,9 @@ object Graph {
           .select(lit(h.toLong).as("hops"), col("approx_pairs"))
           .localCheckpoint(true)
       var approx = roundTotal(0, sk)
-      for (h <- 1 to horizon) {
+      var h = 1
+      var stable = false
+      while (h <= horizon && !stable) {
         val merged = sk
           .union(edges.join(sk, edges("__v") === sk("id"))
             .select(edges("__u").as("id"), col("__bs")))
@@ -836,9 +903,33 @@ object Graph {
           .groupBy("id").agg(expr("hll_union_agg(__bs)").as("__bs"))
           .localCheckpoint(true)
         val total = roundTotal(h, merged) // materialized before the free
+        // EXACT fixpoint probe on the two materialized frames
+        // (production mode only — the audit mode's BFS horizon already
+        // caps the loop, making the probe pure overhead there): the
+        // register-max union is monotone and idempotent, so ONE no-op
+        // round means every later round is a no-op too — remaining
+        // grid rows are this round's total verbatim, and the saturated
+        // graph stops paying O(E) sketch joins. The probe is an O(V)
+        // co-partitioned self-join, cheap beside the edge join. A
+        // changed serialization with unchanged registers cannot occur
+        // (the encoding is a function of the state); a spurious
+        // difference merely skips the stop — never wrong, only slower.
+        val changed =
+          if (dist.nonEmpty) 1L
+          else merged.alias("__n")
+            .join(sk.alias("__p"), col("__n.id") === col("__p.id"))
+            .filter(col("__n.__bs") =!= col("__p.__bs"))
+            .count()
         Caching.freeLocalCheckpoint(sk)
         sk = merged
         approx = approx.union(total)
+        if (changed == 0L) {
+          stable = true
+          for (hh <- h + 1 to horizon)
+            approx = approx.union(
+              total.select(lit(hh.toLong).as("hops"), col("approx_pairs")))
+        }
+        h += 1
       }
       Caching.freeLocalCheckpoint(sk)
       // hop-grid frames from here on: ≤ maxHops+1 rows by construction,

@@ -50,6 +50,39 @@ object Sampling {
       denom: Long = DefaultDenom): DataFrame =
     df.filter(hashBucket(col(idCol), denom) < threshold(rate, denom))
 
+  /** Leakage-safe train/test split: the split gate hashes the NEAR-DUP
+    * CLUSTER id, not the document id — two near-duplicates can never
+    * straddle the boundary, so the test set cannot be contaminated by
+    * a paraphrase of a training document (the held-out-eval bug that a
+    * per-document hash split commits silently: at near-dup rates of a
+    * few percent, a few percent of "held-out" documents have a twin in
+    * train). Composition, not new machinery: near-dup pairs (from any
+    * of the pair generators — minhash, simhash, prefix-Jaccard) →
+    * [[Dedup.connectedComponents]] → the [[hashSample]] gate on
+    * `cluster_id`. The leakage guarantee is STRUCTURAL: `split` is a
+    * pure function of `cluster_id`, so "same cluster ⇒ same split"
+    * holds by construction, not by test (the spec pins it anyway).
+    *
+    * Gate arithmetic is exact integers — `bucket·1000 < permille·denom`
+    * (no rate·denom rounding ambiguity); singletons are their own
+    * cluster, so the test fraction converges to testPermille/1000 on
+    * the (dominant) singleton mass.
+    *
+    * Scale shape: the CC runs over edge ENDPOINTS only (near-dup
+    * graphs touch a small fraction of the corpus); the gate is a
+    * map-only codegen'd filter. Output: (id, cluster_id, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      testPermille: Int, aCol: String = "a", bCol: String = "b",
+      denom: Long = DefaultDenom): DataFrame = {
+    require(testPermille > 0 && testPermille < 1000,
+      s"leakageSafeSplit: testPermille must be in (0, 1000), got $testPermille")
+    graft.operators.Dedup.connectedComponents(df, idCol, pairs, aCol, bCol)
+      .select(col(idCol), col("cluster_id"),
+        when(hashBucket(col("cluster_id"), denom) * 1000 <
+            lit(testPermille) * denom, lit("test"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Stratified deterministic sample: a per-stratum keep rate (e.g.
     * keep 50% of English, 20% of everything else). One codegen'd
     * CASE over the strata column — still map-only, no shuffle; the

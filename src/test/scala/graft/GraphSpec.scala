@@ -197,6 +197,70 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weightedKCore: strength keeps a heavy tie the degree peel drops") {
+    // pendant pair 1-2 with weight 10: degree-1 vertices, so ANY
+    // unweighted k=2 core drops them — but their strength is 10.
+    // Triangle {6,7,8} at weight 2 each: strength 4/vertex. With
+    // minStrength=5 the HEAVY PENDANT survives and the triangle peels
+    // (round 1 drops 6,7,8 together; round 2 observes stability).
+    val g = Seq((1L, 2L, 10L), (6L, 7L, 2L), (7L, 8L, 2L), (6L, 8L, 2L))
+      .toDF("pa", "pb", "w")
+    val got = Graph.weightedKCore(g, "pa", "pb", "w", minStrength = 5L,
+        rounds = 8).as[(Long, Boolean, Long)].collect().toSet
+    val want = Set((1L, true, 1L), (2L, true, 1L),
+      (6L, false, 1L), (7L, false, 1L), (8L, false, 1L))
+    assert(got == want, s"got $got")
+  }
+
+  test("weightedKCore: uniform weights reduce bit-exactly to kCore") {
+    val rng = new scala.util.Random(31416L)
+    val es = (0 until 40).map(_ => (rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val uni = es.map(e => (e._1, e._2, 3L)).toDF("pa", "pb", "w")
+    // strength = 3·degree, so minStrength 3k ≡ degree ≥ k
+    val wgt = Graph.weightedKCore(uni, "pa", "pb", "w", minStrength = 6L,
+      rounds = 12).as[(Long, Boolean, Long)].collect().toSet
+    val unw = Graph.kCore(es.toDF("pa", "pb"), "pa", "pb", k = 2,
+      rounds = 12).as[(Long, Boolean, Long)].collect().toSet
+    assert(wgt == unw, s"weighted=$wgt unweighted=$unw")
+  }
+
+  test("weightedKCore: randomized model check against driver-side strength peel") {
+    val rng = new scala.util.Random(27183L)
+    for (trial <- 1 to 3) {
+      val n = 16
+      val es = (0 until 36)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong, 1L + rng.nextInt(5)))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val s = 4L + rng.nextInt(4)
+      val got = Graph.weightedKCore(es.toDF("pa", "pb", "w"), "pa", "pb",
+        "w", minStrength = s, rounds = 12)
+        .as[(Long, Boolean, Long)].collect()
+      // driver model: symmetric max-collapsed weights, synchronous
+      // strength peel to fixpoint
+      val sym = (es ++ es.map(e => (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2)).map { case (k, v) => (k._1, k._2, v.map(_._3).max) }
+        .toSeq
+      var surv = sym.map(_._1).toSet
+      var changed = true
+      var roundsUsed = 0
+      while (changed) {
+        val st = sym.filter(e => surv(e._1) && surv(e._2))
+          .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val next = surv.filter(v => st.getOrElse(v, 0L) >= s)
+        changed = next != surv
+        if (changed) roundsUsed += 1
+        surv = next
+      }
+      assert(roundsUsed < 12, s"trial $trial: fixture needs more rounds")
+      val gotCore = got.filter(_._2).map(_._1).toSet
+      assert(gotCore == surv, s"trial $trial (s=$s): got $gotCore want $surv")
+      assert(got.forall(_._3 == roundsUsed.toLong),
+        s"trial $trial: rounds_stable ${got.head._3} want $roundsUsed")
+    }
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")

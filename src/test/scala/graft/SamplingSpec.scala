@@ -125,6 +125,34 @@ class SamplingSpec extends SparkSpec {
     assert(s1.count(_ < 100L) >= 45, s"heavy rows: ${s1.count(_ < 100L)}")
   }
 
+  test("leakageSafeSplit: no cluster straddles the boundary; singletons gate on their own id") {
+    // docs 1..40; near-dup pairs chain {1,2,3} and {10,11}; the rest
+    // are singletons. The structural pin: every cluster maps to ONE
+    // split; the member pin: clustered docs carry their min-id label
+    // and gate exactly as that label's singleton would.
+    val docs = (1L to 40L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        testPermille = 300)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.size == 40)
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1),
+      s"a cluster straddles the split: $byCluster")
+    assert(got.filter(r => Set(1L, 2L, 3L)(r._1)).map(_._2).toSet == Set(1L))
+    assert(got.filter(r => Set(10L, 11L)(r._1)).map(_._2).toSet == Set(10L))
+    // members 2, 3 carry cluster 1's verdict, identical to doc 1's own
+    val splitOf = got.map(r => r._1 -> r._3).toMap
+    assert(splitOf(2L) == splitOf(1L) && splitOf(3L) == splitOf(1L))
+    // both splits are populated at 30% over 37 clusters, and the
+    // assignment is layout-invariant
+    assert(got.map(_._3).toSet == Set("train", "test"))
+    val re = Sampling.leakageSafeSplit(docs.repartition(7), "doc_id",
+        pairs.repartition(3), testPermille = 300)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(re.toSet == got.toSet)
+  }
+
   test("splitBounds: last split absorbs the floating-point remainder") {
     val b = Sampling.splitBounds(Seq("a" -> 0.3, "b" -> 0.3, "c" -> 0.4))
     assert(b.map(_._1) == Seq("a", "b", "c"))
