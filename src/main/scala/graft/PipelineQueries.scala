@@ -4683,6 +4683,41 @@ object PipelineQueries {
        |UNION SELECT e.v, p.h + 1 FROM bed e JOIN bfs p ON p.u = e.u WHERE p.h < $KhopHops)
        |SELECT u AS part_id, CAST(MIN(h) AS BIGINT) AS hops FROM bfs GROUP BY u""".stripMargin.replace("\n", " ")
 
+  private val SsspRounds = 12
+
+  /** Weighted shortest-paths oracle: `SsspRounds` unrolled min-plus
+    * relaxation rounds (after round t, d = min cost over ≤t-edge
+    * paths) with the proximity costs `1000 // w` (strong co-purchase
+    * ties read SHORT; both engines truncate non-negative integer
+    * division), plus the family's first-stable-round diagnostic from
+    * the (count, sum) signature sequence — a proof, not a heuristic:
+    * per-id d is non-increasing and ids never leave, so equal count
+    * forces the id set and equal sum then forces every value.
+    * MATERIALIZED per round (each sd_t referenced by the relax join,
+    * the union, AND the signature — the kcoreOracle 2^rounds
+    * lesson). */
+  private val ssspOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "prc AS (SELECT pa, pb, 1000 // w AS c FROM prs), "
+    sb ++= "sed AS MATERIALIZED (SELECT pa AS u, pb AS v, c FROM prc UNION SELECT pb, pa, c FROM prc), "
+    sb ++= "sd0 AS MATERIALIZED (SELECT u AS id, CAST(0 AS BIGINT) AS d FROM (SELECT DISTINCT u FROM sed) WHERE u % 50 = 0), "
+    (1 to SsspRounds).foreach { t =>
+      sb ++= s"sd$t AS MATERIALIZED (SELECT id, MIN(d) AS d FROM (" +
+        s"SELECT id, d FROM sd${t - 1} UNION ALL " +
+        s"SELECT e.v AS id, p.d + e.c AS d FROM sed e JOIN sd${t - 1} p ON p.id = e.u" +
+        s") GROUP BY id), "
+    }
+    sb ++= (0 to SsspRounds).map(t =>
+      s"SELECT $t AS t, (SELECT COUNT(*) FROM sd$t) AS c, (SELECT SUM(d) FROM sd$t) AS s").mkString(
+      "scs AS (", " UNION ALL ", "), ")
+    sb ++= s"srs AS (SELECT COALESCE(MIN(a.t), $SsspRounds) AS rounds_stable FROM scs a JOIN scs b ON b.t = a.t + 1 AND b.c = a.c AND b.s = a.s) "
+    sb ++= s"SELECT id AS part_id, CAST(d AS BIGINT) AS dist, CAST(srs.rounds_stable AS BIGINT) AS rounds_stable " +
+      s"FROM sd$SsspRounds CROSS JOIN srs"
+    sb.result()
+  }
+
   private val ClosenessSeedMod = 200
   private val ClosenessHops = 3
 
@@ -4810,6 +4845,19 @@ object PipelineQueries {
         id => id % 50 === 0, maxHops = KhopHops)
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(bfsOracle)),
+    // Weighted shortest paths from the SAME seed set: min-plus
+    // relaxation over proximity costs 1000 div w (strong co-purchase
+    // ties read SHORT), so a cheap multi-hop detour through heavy
+    // ties beats an expensive direct edge — the distance graph_khop's
+    // edge counting cannot express. Fixed rounds, (count, sum)
+    // fixpoint proof, rounds_stable self-audit.
+    Q("graph_sssp_weighted",
+      (s, d) => operators.Graph.weightedShortestPaths(
+        copurchaseWeightedEdges(s, d)
+          .withColumn("c", expr("1000 div w")),
+        "pa", "pb", "c", id => id % 50 === 0, rounds = SsspRounds)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(ssspOracle)),
     // Personalized PageRank from the SAME seed set graph_khop expands:
     // the soft blast radius (0.85-per-hop decay summed over all paths)
     // beside the hard 3-hop horizon — exact integer micro-units, so

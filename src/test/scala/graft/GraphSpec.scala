@@ -261,6 +261,67 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weightedShortestPaths: cheap detour beats the expensive direct edge") {
+    // seed {1}; direct 1-2 costs 10, but 1-3-4-2 costs 1+1+1 = 3.
+    // Rounds: r1 sets 2→10, 3→1; r2 adds 4→2; r3 improves 2→3;
+    // r4 observes no change → rounds_stable = 3.
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L))
+      .toDF("pa", "pb", "c")
+    val got = Graph.weightedShortestPaths(g, "pa", "pb", "c",
+        id => id === 1L, rounds = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set((1L, 0L, 3L), (2L, 3L, 3L), (3L, 1L, 3L), (4L, 2L, 3L))
+    assert(got == want, s"got $got")
+    // a truncated budget reports rounds_stable == rounds and carries
+    // the best ≤2-edge paths (2 still at the direct 10)
+    val early = Graph.weightedShortestPaths(g, "pa", "pb", "c",
+        id => id === 1L, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(early == Set((1L, 0L, 2L), (2L, 10L, 2L), (3L, 1L, 2L), (4L, 2L, 2L)),
+      s"got $early")
+  }
+
+  test("weightedShortestPaths: unreachable component absent; randomized model check") {
+    val disc = Seq((1L, 2L, 4L), (8L, 9L, 1L)).toDF("pa", "pb", "c")
+    val d = Graph.weightedShortestPaths(disc, "pa", "pb", "c",
+        id => id === 1L, rounds = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d == Set((1L, 0L, 1L), (2L, 4L, 1L)), s"got $d")
+
+    val rng = new scala.util.Random(16180L)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val es = (0 until 30)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong, 1L + rng.nextInt(9)))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      val got = Graph.weightedShortestPaths(es.toDF("pa", "pb", "c"),
+          "pa", "pb", "c", id => id % 4 === 0, rounds = 16)
+        .as[(Long, Long, Long)].collect()
+      // driver model: symmetric max-collapsed costs, Bellman-Ford to
+      // fixpoint
+      val sym = (es ++ es.map(e => (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2)).map { case (k, v) => (k._1, k._2, v.map(_._3).max) }
+        .toSeq
+      var dist = sym.map(_._1).distinct.filter(_ % 4 == 0).map(v => v -> 0L).toMap
+      var changed = true
+      var roundsUsed = 0
+      while (changed) {
+        val relaxed = sym.flatMap { case (u, v, c) => dist.get(u).map(du => v -> (du + c)) }
+        val next = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+        changed = next != dist
+        if (changed) roundsUsed += 1
+        dist = next
+      }
+      assert(roundsUsed < 16, s"trial $trial: fixture needs more rounds")
+      val gotMap = got.map(r => r._1 -> r._2).toMap
+      assert(gotMap == dist, s"trial $trial: got $gotMap want $dist")
+      assert(got.forall(_._3 == roundsUsed.toLong),
+        s"trial $trial: rounds_stable ${got.headOption.map(_._3)} want $roundsUsed")
+    }
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
