@@ -435,6 +435,32 @@ object PipelineQueries {
        |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= 10""".stripMargin.replace("\n", " ")
 
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** [[annBruteOracle]] over the first `d` embedding components —
+    * the Matryoshka-truncated search list. */
+  private def mrlBruteOracle(d: Int): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding[1:$d], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 10),
+       |scored AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosSql("pv", "c.v")} AS cosine
+       |FROM v c CROSS JOIN p WHERE c.vec_id <> probe_id)
+       |SELECT probe_id, neighbor_id FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+
+  /** Matryoshka recall oracle: per prefix length, the truncated
+    * brute-force list left-joined to the full-dimension truth (the
+    * ann_recall_eval composition on the dimension axis); the full-dim
+    * row is the harness audit — 1000‰ by construction. */
+  private def mrlRecallOracle: String =
+    MrlDims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |(1000 * CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS recall_permille
+         |FROM ($annBruteOracle) t LEFT JOIN (${mrlBruteOracle(d)}) f
+         |ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ") + " ORDER BY dims"
+
   /** Stopword-argmax language ID re-expressed over DuckDB's list
     * functions; the argmax tie-break (max hits, then lexicographically
     * greatest lang) rides on struct comparison in both engines. */
@@ -2040,6 +2066,19 @@ object PipelineQueries {
            |FROM ($annBruteOracle) t LEFT JOIN ($osql) f
            |ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id""".stripMargin.replace("\n", " ")
       }.mkString(" UNION ALL ") + " ORDER BY method")),
+    // Matryoshka truncation recall: recall@10 of brute-force search
+    // over each embedding PREFIX (8/16/32/64 of 64 components) vs the
+    // full-dimension truth — the one-trained-vector-serve-any-prefix
+    // deployment question ("how much fidelity does each 2× saving
+    // cost on THIS corpus"), measured in exact per-mille integers.
+    // The 64-row is a built-in harness audit: 1000‰ by construction.
+    Q("emb_mrl_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.mrlRecallEval(e, probes(e), "vec_id", "embedding",
+          dims = MrlDims, k = 10)
+      },
+      Some(mrlRecallOracle)),
     // Hybrid retrieval: BM25 top-50 (lexical) and exact-cosine top-50
     // for probe 0 (semantic) fused by reciprocal-rank fusion — only
     // RANKS enter the fused score, so no cross-list calibration is

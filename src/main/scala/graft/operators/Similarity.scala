@@ -84,6 +84,44 @@ object Similarity {
         col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** Matryoshka truncation recall: for each prefix length in `dims`,
+    * the measured recall@k of brute-force cosine search over the
+    * TRUNCATED embedding (its first d components — the
+    * Matryoshka-representation-learning deployment trick: one trained
+    * vector, serve any prefix) against the full-dimension exact truth.
+    * The before-you-truncate table — how much top-k fidelity each 2×
+    * storage/compute saving costs on THIS corpus, in exact integers
+    * (per-mille, `(1000·hits) div truth`), the ann-recall-eval
+    * discipline applied to the dimension axis. Include the full
+    * dimension in `dims` and its 1000‰ row is a built-in harness
+    * audit.
+    *
+    * Scale shape: each prefix runs the same map-side bounded-heap
+    * top-k as [[bruteForceTopKAgg]] (probes broadcast, corpus scanned
+    * once per dim, never a probe×corpus shuffle); the recall join
+    * touches only |probes|·k rows per dim. Truncation is a codegen'd
+    * `slice`, no UDF. */
+  def mrlRecallEval(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"mrlRecallEval: dims must be non-empty positive, got $dims")
+    val truth = bruteForceTopKAgg(corpus, probes, idCol, vecCol, k)
+      .select("probe_id", "neighbor_id")
+    dims.map { d =>
+      val found = bruteForceTopKAgg(
+          corpus.withColumn(vecCol, slice(col(vecCol), 1, d)),
+          probes.withColumn(vecCol, slice(col(vecCol), 1, d)),
+          idCol, vecCol, k)
+        .select(col("probe_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L))
+      truth.join(found, Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(lit(d.toLong).as("dims"), col("n_truth"), col("n_hit"),
+          expr("(1000 * n_hit) div n_truth").as("recall_permille"))
+    }.reduce(_.unionByName(_)).orderBy("dims")
+  }
+
   /** All hamming-≤1 variants of a sign-bucket string — multi-probe LSH
     * (Lv et al., VLDB'07): probing the adjacent buckets recovers most
     * of the recall lost to a near-boundary hyperplane, for (planes+1)×

@@ -29,6 +29,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2)._2 == 0.0)
   }
 
+  test("mrlRecallEval: truncation flips a neighbor, full dimension audits at 1000 permille") {
+    // probe 0 = (1, 0, 0, 2). Full-dim top-1: v2 = (0.1, 1, 0, 1)
+    // (cos ≈ 0.66) beats v1 = (1, 0.1, 0, 0) (cos ≈ 0.45). Truncated
+    // to the first TWO components, v1 ≈ (1, 0.1) is nearly parallel
+    // to the probe prefix (1, 0) and v2 ≈ (0.1, 1) nearly orthogonal
+    // — the prefix search returns the wrong neighbor, so recall@1 is
+    // 0 at d=2 and 1000 at d=4.
+    val m = Seq(
+      (0L, Seq(1f, 0f, 0f, 2f)),
+      (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.1f, 1f, 0f, 1f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mrlRecallEval(m, m.filter($"vec_id" === 0L),
+        "vec_id", "embedding", dims = Seq(2, 4), k = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 0L, 0L), (4L, 1L, 1L, 1000L)), s"got $got")
+    // layout invariance: the recall table is an exact integer fact
+    val re = Similarity.mrlRecallEval(m.repartition(5),
+        m.filter($"vec_id" === 0L), "vec_id", "embedding",
+        dims = Seq(2, 4), k = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(re == got)
+  }
+
   test("lshTopK finds the parallel vector (same bucket by construction)") {
     val got = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 3, planes = 4, dim = 4)
