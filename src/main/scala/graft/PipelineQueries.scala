@@ -4757,6 +4757,33 @@ object PipelineQueries {
     sb.result()
   }
 
+  private val WClosenessSeedMod = 200
+
+  /** Weighted closeness oracle: the [[ssspOracle]] relaxation keyed
+    * (seed, vertex) over the WClosenessSeedMod seed panel, folded to
+    * per-seed `(n_reached, Σ dist, 10⁶·n div Σ)` — the closenessOracle
+    * aggregate over min-plus distances instead of hops. */
+  private val weightedClosenessOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "prc AS (SELECT pa, pb, 1000 // w AS c FROM prs), "
+    sb ++= "wcd AS MATERIALIZED (SELECT pa AS u, pb AS v, c FROM prc UNION SELECT pb, pa, c FROM prc), "
+    sb ++= s"cd0 AS MATERIALIZED (SELECT u AS s, u AS id, CAST(0 AS BIGINT) AS d FROM (SELECT DISTINCT u FROM wcd) WHERE u % $WClosenessSeedMod = 0), "
+    (1 to SsspRounds).foreach { t =>
+      sb ++= s"cd$t AS MATERIALIZED (SELECT s, id, MIN(d) AS d FROM (" +
+        s"SELECT s, id, d FROM cd${t - 1} UNION ALL " +
+        s"SELECT p.s, e.v AS id, p.d + e.c AS d FROM wcd e JOIN cd${t - 1} p ON p.id = e.u" +
+        s") GROUP BY s, id), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT s AS seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached, " +
+      s"CAST(SUM(d) AS BIGINT) AS total_dist, " +
+      s"CASE WHEN SUM(d) > 0 THEN (1000000 * CAST(COUNT(*) - 1 AS BIGINT)) // CAST(SUM(d) AS BIGINT) ELSE 0 END AS closeness_micro " +
+      s"FROM cd$SsspRounds GROUP BY s ORDER BY seed"
+    sb.result()
+  }
+
   private val ClosenessSeedMod = 200
   private val ClosenessHops = 3
 
@@ -4873,6 +4900,18 @@ object PipelineQueries {
         "pa", "pb", id => id % ClosenessSeedMod === 0,
         maxHops = ClosenessHops).orderBy("seed"),
       Some(closenessOracle)),
+    // Weighted closeness over the SAME seed panel: 10⁶·n div Σdist on
+    // min-plus distances with proximity costs 1000 div w — a seed knit
+    // to its neighborhood by heavy ties scores higher than the hop
+    // metric can express. (seed, vertex)-keyed relaxation, one job for
+    // all seeds; (count, sum) fixpoint proof.
+    Q("graph_closeness_weighted",
+      (s, d) => operators.Graph.weightedSeedCloseness(
+        copurchaseWeightedEdges(s, d)
+          .withColumn("c", expr("1000 div w")),
+        "pa", "pb", "c", id => id % WClosenessSeedMod === 0,
+        rounds = SsspRounds).orderBy("seed"),
+      Some(weightedClosenessOracle)),
     // Multi-source BFS: hop distance from the seed set (part_id ≡ 0
     // mod 50) within 3 hops — level-synchronous frontier expansion
     // (one edge equi-join + anti-join per round, integer hops), the

@@ -661,6 +661,66 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Weighted per-seed closeness: [[seedCloseness]] with SUM-OF-COSTS
+    * distances instead of hop counts — per seed,
+    * `closeness = 10⁶ · n_reached div Σ dist` over the min-plus
+    * distances of [[weightedShortestPaths]], so a seed tied to its
+    * neighborhood by heavy (short, under an inverting cost map) edges
+    * scores higher than one the hop metric cannot distinguish from
+    * it. The relaxation state is keyed (seed, vertex) — one job
+    * carries every seed's frontier at once, the multiSourceBfs
+    * contract — and the fixpoint probe is the same (count, sum)
+    * signature PROOF as [[weightedShortestPaths]] (per-key distances
+    * non-increasing, keys never leave). `n_reached` excludes the
+    * seed; a seed reaching nothing scores 0.
+    *
+    * Scale shape: O(E·|seeds-reachable|) per round upper-bounded by
+    * seeds × V state rows — with a bounded seed set (the intended
+    * use, as in seedCloseness) a constant factor on the relaxation,
+    * not a new asymptotic. Distances bounded within `rounds` edges,
+    * the horizon a 100 TB graph forces anyway. */
+  def weightedSeedCloseness(pairs: DataFrame, aCol: String, bCol: String,
+      costCol: String, seedFilter: Column => Column,
+      rounds: Int = 12): DataFrame = {
+    require(rounds >= 1, s"weightedSeedCloseness: rounds >= 1, got $rounds")
+    val edges = symmetricWeightedEdges(pairs, aCol, bCol, costCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = edges.select(col("__u").as("id")).distinct()
+        .filter(seedFilter(col("id")))
+        .select(col("id").as("s"), col("id"), lit(0L).as("__d"))
+        .localCheckpoint(true)
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum(col("__d")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var cur = sig(dist)
+      var stopped = false
+      var r = 1
+      while (r <= rounds && !stopped) {
+        val relaxed = edges.join(dist, edges("__u") === dist("id"))
+          .select(col("s"), col("__v").as("id"),
+            (col("__d") + col("__w")).as("__d"))
+        val next = dist.unionAll(relaxed)
+          .groupBy("s", "id").agg(min(col("__d")).as("__d"))
+          .localCheckpoint(true)
+        val nsig = sig(next)
+        if (nsig == cur) stopped = true
+        Caching.freeLocalCheckpoint(dist)
+        dist = next
+        cur = nsig
+        r += 1
+      }
+      dist.groupBy(col("s").as("seed"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          sum(col("__d")).as("total_dist"))
+        .select(col("seed"), col("n_reached"), col("total_dist"),
+          when(col("total_dist") > 0,
+            expr("(1000000 * n_reached) div total_dist"))
+            .otherwise(lit(0L)).as("closeness_micro"))
+    } finally edges.unpersist()
+  }
+
   /** Resource-allocation link prediction (Zhou, Lü & Zhang, Eur. Phys.
     * J. B 2009): for every NON-adjacent pair (a, b), score
     * RA(a,b) = Σ_{w ∈ Γ(a) ∩ Γ(b)} 1/deg(w) — each shared neighbor

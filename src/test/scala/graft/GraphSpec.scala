@@ -322,6 +322,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weightedSeedCloseness: sum-of-costs closeness, detour distances enter the aggregate") {
+    // seed 4 (the only id ≡ 0 mod 4 present): edges 4-2 cost 10,
+    // 4-3 cost 1, 3-2 cost 1 → dist {2: 2 (detour), 3: 1};
+    // n_reached = 2, total = 3, closeness = 2e6 div 3 = 666666.
+    // Seed 8 is isolated in a 2nd component with one cost-5 edge:
+    // dist {9: 5} → closeness = 1e6 div 5 = 200000.
+    val g = Seq((4L, 2L, 10L), (4L, 3L, 1L), (3L, 2L, 1L), (8L, 9L, 5L))
+      .toDF("pa", "pb", "c")
+    val got = Graph.weightedSeedCloseness(g, "pa", "pb", "c",
+        id => id % 4 === 0, rounds = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((4L, 2L, 3L, 666666L), (8L, 1L, 5L, 200000L)),
+      s"got $got")
+    // hop-uniform costs reduce to seedCloseness exactly
+    val uni = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("pa", "pb", "c")
+    val w = Graph.weightedSeedCloseness(uni, "pa", "pb", "c",
+        id => id === 1L, rounds = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val h = Graph.seedCloseness(uni.drop("c"), "pa", "pb",
+        id => id === 1L, maxHops = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(w == h, s"weighted=$w hop=$h")
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
