@@ -4527,6 +4527,22 @@ object PipelineQueries {
       |ELSE CAST(m_edges * s_xy - s_x * s_x AS DOUBLE) / CAST(m_edges * s_x2 - s_x * s_x AS DOUBLE) END AS assortativity
       |FROM ag""".stripMargin.replace("\n", " ")
 
+  /** Weighted-assortativity oracle: the [[assortativityOracle]] sums
+    * with strengths replacing degrees and each directed edge weighted
+    * by w. */
+  private val weightedAssortativityOracle: String =
+    """WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |wad AS (SELECT pa AS u, pb AS v, w FROM prs UNION SELECT pb, pa, w FROM prs),
+      |wst AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM wad GROUP BY u),
+      |waj AS (SELECT e.w, gx.s AS sx, gy.s AS sy FROM wad e JOIN wst gx ON gx.u = e.u JOIN wst gy ON gy.u = e.v),
+      |wag AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_total, COALESCE(SUM(w * sx), 0) AS s_x,
+      |COALESCE(SUM(w * sx * sy), 0) AS s_xy, COALESCE(SUM(w * sx * sx), 0) AS s_x2 FROM waj)
+      |SELECT w_total, CAST(s_x AS DECIMAL(38,0)) AS s_x, CAST(s_xy AS DECIMAL(38,0)) AS s_xy, CAST(s_x2 AS DECIMAL(38,0)) AS s_x2,
+      |CASE WHEN w_total * s_x2 - s_x * s_x = 0 THEN 0.0
+      |ELSE CAST(w_total * s_xy - s_x * s_x AS DOUBLE) / CAST(w_total * s_x2 - s_x * s_x AS DOUBLE) END AS assortativity
+      |FROM wag""".stripMargin.replace("\n", " ")
+
   private val KhopHops = 3
 
   /** Personalized-PageRank oracle: the [[pageRankOracle]] unrolled-CTE
@@ -4878,6 +4894,14 @@ object PipelineQueries {
       (s, d) => operators.Graph.degreeAssortativity(
         copurchaseEdges(s, d), "pa", "pb"),
       Some(assortativityOracle)),
+    // Strength assortativity: do heavily-tied parts tie heavily to
+    // EACH OTHER? Endpoint strengths correlated over w-weighted
+    // edges — exact integer sums, one final double division, uniform
+    // weights reduce to the degree form (GraphSpec pin).
+    Q("graph_assortativity_weighted",
+      (s, d) => operators.Graph.weightedAssortativity(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w"),
+      Some(weightedAssortativityOracle)),
     // Resource-allocation link prediction (which absent edges the
     // graph most implies): Σ 1/deg over common neighbors in exact
     // nano-units — RA instead of Adamic–Adar's 1/log(deg) precisely

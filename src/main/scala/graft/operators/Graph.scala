@@ -922,6 +922,59 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Weighted (strength) assortativity: [[degreeAssortativity]] with
+    * endpoint STRENGTHS (Σ incident weights) as the correlated
+    * quantity and each directed edge contributing with weight w —
+    * the Leung–Chau weighted form. Answers the curator question the
+    * degree form cannot: do heavily-tied vertices tie heavily to
+    * EACH OTHER (a reinforced core worth crawling first), or do
+    * heavy hubs spray weight at light leaves? Same rational-in-sums
+    * collapse (the symmetric edge list makes both marginals
+    * identical):
+    *   r = (W·Σw·x·y − (Σw·x)²) / (W·Σw·x² − (Σw·x)²)
+    * with x, y the endpoint strengths and W = Σw over the M directed
+    * edges. Σw·x·y is bounded by W·maxstrength² — the 10× co-purchase
+    * graph already wraps a long SUM (the w1Drift gap-factor lesson,
+    * measured: ANSI overflow at 335× the edges) — so the three
+    * product sums accumulate AND emit as exact DECIMAL(38,0); each
+    * per-edge term w·x (≤ ~1e15 at any plausible scale) stays a safe
+    * long before the widening multiply. ONE final double division of
+    * the exact decimal num/den; degenerate denominator reports 0.0
+    * (the drift-family convention). Uniform weights c scale num and
+    * den by exactly c⁴ in integer arithmetic, so the statistic
+    * reduces to the degree form (pinned, not assumed).
+    *
+    * Scale shape: identical to the degree form — two joins of the
+    * edge list with the strength table + one global aggregate, O(E),
+    * one shuffle on vertex id, no iteration, no driver state.
+    *
+    * Returns one row: (w_total, s_x, s_xy, s_x2, assortativity). */
+  def weightedAssortativity(pairs: DataFrame, aCol: String,
+      bCol: String, wCol: String): DataFrame = {
+    val ed = symmetricWeightedEdges(pairs, aCol, bCol, wCol)
+    val st = ed.groupBy("__u").agg(sum(col("__w")).as("__s"))
+    val j = ed
+      .join(st.select(col("__u"), col("__s").as("sx")), "__u")
+      .join(st.select(col("__u").as("__v"), col("__s").as("sy")), "__v")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val zero = lit(0).cast(dec)
+    val num = col("w_total").cast(dec) * col("s_xy") - col("s_x") * col("s_x")
+    val den = col("w_total").cast(dec) * col("s_x2") - col("s_x") * col("s_x")
+    j.agg(coalesce(sum(col("__w")), lit(0L)).as("w_total"),
+        coalesce(sum((col("__w") * col("sx")).cast(dec)), zero).as("s_x"),
+        coalesce(sum((col("__w") * col("sx")).cast(dec) * col("sy").cast(dec)),
+          zero).as("s_xy"),
+        coalesce(sum((col("__w") * col("sx")).cast(dec) * col("sx").cast(dec)),
+          zero).as("s_x2"))
+      .select(col("w_total"),
+        col("s_x").cast(dec).as("s_x"),
+        col("s_xy").cast(dec).as("s_xy"),
+        col("s_x2").cast(dec).as("s_x2"),
+        when(den === zero, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double"))
+          .as("assortativity"))
+  }
+
   /** Approximate neighborhood function (ANF) with an exact audit —
     * the HyperBall algorithm (Boldi–Rosa–Vigna, WWW 2011; ANF:
     * Palmer–Gibbons–Faloutsos, KDD 2002): N(h) = how many

@@ -347,6 +347,39 @@ class GraphSpec extends SparkSpec {
     assert(w == h, s"weighted=$w hop=$h")
   }
 
+  test("weightedAssortativity: uniform weights reduce to the degree form; driver model check") {
+    val rng = new scala.util.Random(14142L)
+    val es = (0 until 30).map(_ => (rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    // uniform weights: num and den scale by exactly c^4 → same r
+    val uni = es.map(e => (e._1, e._2, 3L)).toDF("pa", "pb", "w")
+    val rw = Graph.weightedAssortativity(uni, "pa", "pb", "w")
+      .select("assortativity").as[Double].head()
+    val rd = Graph.degreeAssortativity(es.toDF("pa", "pb"), "pa", "pb")
+      .select("assortativity").as[Double].head()
+    assert(rw == rd, s"uniform-weight $rw != degree $rd")
+    // non-uniform weights against an exact driver-side model
+    val wes = es.map(e => (e._1, e._2, 1L + (e._1 + e._2) % 5))
+    val gotRow = Graph.weightedAssortativity(wes.toDF("pa", "pb", "w"),
+        "pa", "pb", "w")
+      .as[(Long, BigDecimal, BigDecimal, BigDecimal, Double)].head()
+    val got = (gotRow._1, gotRow._2.toLongExact, gotRow._3.toLongExact,
+      gotRow._4.toLongExact, gotRow._5)
+    val sym = (wes ++ wes.map(e => (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case (k, v) => (k._1, k._2, v.map(_._3).max) }
+      .toSeq
+    val st = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val (wt, sx, sxy, sx2) = sym.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, b, c, d2), (u, v, w)) =>
+        (a + w, b + w * st(u), c + w * st(u) * st(v), d2 + w * st(u) * st(u))
+    }
+    assert((got._1, got._2, got._3, got._4) == ((wt, sx, sxy, sx2)),
+      s"sums: got $got want ($wt, $sx, $sxy, $sx2)")
+    val den = wt * sx2 - sx * sx
+    val want = if (den == 0L) 0.0 else (wt * sxy - sx * sx).toDouble / den.toDouble
+    assert(got._5 == want, s"r: got ${got._5} want $want")
+  }
+
   test("bfsHops: hop distances on a path graph, horizon cuts cleanly") {
     // path 1-2-3-4-5, seed {1}: hops 0,1,2,3; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
