@@ -2474,6 +2474,57 @@ object PipelineQueries {
         .orderBy(col("total_value").desc, col("user_id").asc).limit(20),
       Some("""SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value, COUNT(*) AS n_events
              |FROM events GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 20""".stripMargin.replace("\n", " "))),
+    // Interval OVERLAP join (the two-sided TemporalJoins sibling):
+    // concurrent in-flight shipments of the same part — lineitem
+    // windows [ship_day, ship_day + 1 + (orderkey+linenumber) % 14)
+    // on the integer day grid (the synthetic lineitem carries no
+    // receiptdate; transit is proxied deterministically so both
+    // engines derive the identical interval), self-joined on overlap
+    // with (orderkey, linenumber) pair ordering. Spark-side the join
+    // is slot-bucketed (slot 16 ≥ max transit ⇒ ≤2 buckets/row) with
+    // the canonical-bucket exactly-once trick — never a per-key cross
+    // product; the oracle states the same pairs as the plain
+    // quadratic inequality join DuckDB can afford at sf0.01.
+    Q("q_inflight_overlap",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          col("l_partkey").as("part_id"),
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("s_day"))
+          .withColumn("e_day", col("s_day") + 1L +
+            (col("l_orderkey") + col("l_linenumber")) % 14)
+        val a = li.select(col("part_id"),
+          col("l_orderkey").as("a_orderkey"),
+          col("l_linenumber").as("a_linenumber"),
+          col("s_day").as("a_s"), col("e_day").as("a_e"))
+        val b = li.select(col("part_id"),
+          col("l_orderkey").as("b_orderkey"),
+          col("l_linenumber").as("b_linenumber"),
+          col("s_day").as("b_s"), col("e_day").as("b_e"))
+        TemporalJoins.intervalOverlapJoin(a, b, Seq("part_id"),
+            "a_s", "a_e", "b_s", "b_e", slot = 16L)
+          .filter(col("a_orderkey") < col("b_orderkey") ||
+            (col("a_orderkey") === col("b_orderkey") &&
+              col("a_linenumber") < col("b_linenumber")))
+          .select(col("part_id"), col("a_orderkey"), col("a_linenumber"),
+            col("b_orderkey"), col("b_linenumber"),
+            (least(col("a_e"), col("b_e")) -
+              greatest(col("a_s"), col("b_s"))).as("overlap_days"))
+          .orderBy("part_id", "a_orderkey", "a_linenumber",
+            "b_orderkey", "b_linenumber")
+      },
+      Some("""WITH ivl AS (SELECT l_partkey AS part_id, l_orderkey, l_linenumber,
+             |CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s_day,
+             |CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 1 + (l_orderkey + l_linenumber) % 14 AS e_day
+             |FROM lineitem)
+             |SELECT a.part_id AS part_id, a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
+             |b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber,
+             |LEAST(a.e_day, b.e_day) - GREATEST(a.s_day, b.s_day) AS overlap_days
+             |FROM ivl a JOIN ivl b ON a.part_id = b.part_id
+             |AND (a.l_orderkey < b.l_orderkey OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+             |AND a.s_day < b.e_day AND b.s_day < a.e_day
+             |ORDER BY part_id, a_orderkey, a_linenumber, b_orderkey, b_linenumber""".stripMargin.replace("\n", " "))),
     // As-of join (union+window, one shuffle — see TemporalJoins): each
     // purchase gets the user's latest click at-or-before it. Oracle is
     // DuckDB's native ASOF LEFT JOIN — an independent implementation of

@@ -101,4 +101,48 @@ object TemporalJoins {
       .filter(col("__rts") >= col(leftTs) + lo && col("__rts") < col(leftTs) + hi)
       .drop("__slot")
   }
+
+  /** Interval OVERLAP join — the two-sided sibling of
+    * [[boundedRangeJoin]]: all pairs (l, r) with equal keys whose
+    * half-open intervals intersect (`lStart < rEnd && rStart < lEnd`).
+    * Spark has no interval-join primitive; the naive range-predicate
+    * join plans as a per-key cross product (or a
+    * BroadcastNestedLoopJoin without keys) — |L|·|R| at scale.
+    *
+    * Implementation: time is cut into `slot`-wide buckets; EACH side
+    * replicates a row into every bucket its interval covers (floor
+    * division via the pmod identity — exact for any long, sign-safe),
+    * the join is an equi-join on (key..., bucket) with the exact
+    * overlap predicate behind it. EXACTLY-ONCE without a distinct:
+    * a qualifying pair is emitted only in its CANONICAL bucket — the
+    * one containing `greatest(lStart, rStart)`, which both sides
+    * provably cover (the overlap start lies inside both intervals,
+    * and floor division is monotone), so every matching pair meets
+    * there and the slot-equality filter keeps exactly that meeting.
+    *
+    * Replication factor per row is `len/slot + 1` — choose `slot` ≈
+    * the typical interval length so the shuffle is ~2× the input,
+    * never |L|×|R|; a degenerate empty interval (end ≤ start)
+    * replicates nowhere and joins nothing, by half-open convention.
+    * Non-key columns of the two sides must not collide (rename on
+    * the way in — the [[boundedRangeJoin]] payload contract). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], lStart: String, lEnd: String,
+      rStart: String, rEnd: String, slot: Long): DataFrame = {
+    require(slot >= 1, s"intervalOverlapJoin: slot must be >= 1, got $slot")
+    // exact long floor-division (the boundedRangeJoin idiom), cast back
+    // to long so `sequence` gets integral bounds; the pre-division
+    // subtraction makes the double quotient exact below 2^53
+    def bucket(ts: Column): Column =
+      ((ts - pmod(ts, lit(slot))) / slot).cast("long")
+    def slotted(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn("__slot",
+          explode(sequence(bucket(col(s)), bucket(col(e) - 1))))
+    slotted(left, lStart, lEnd)
+      .join(slotted(right, rStart, rEnd), keyCols :+ "__slot")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(bucket(greatest(col(lStart), col(rStart))) === col("__slot"))
+      .drop("__slot")
+  }
 }

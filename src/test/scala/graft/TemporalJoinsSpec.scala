@@ -72,6 +72,46 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(pairs.count() === 2)
   }
 
+  test("intervalOverlapJoin: exact overlap semantics, slot spans, exactly-once") {
+    // slot = 10. Pairs crossing many buckets must appear ONCE; touching
+    // endpoints (half-open) must not match; empty intervals join nothing.
+    val l = Seq(
+      (1L, 5L, 35L, "A"),   // spans buckets 0..3
+      (1L, 40L, 41L, "B"),  // [40,41)
+      (1L, 50L, 50L, "E"),  // empty
+      (2L, 5L, 35L, "K2")   // wrong key for everything on key 1
+    ).toDF("k", "ls", "le", "lname")
+    val r = Seq(
+      (1L, 30L, 60L, "X"),  // overlaps A on [30,35), B on [40,41)
+      (1L, 35L, 36L, "Y"),  // touches A's end — NO match (half-open)
+      (1L, 0L, 6L, "Z")     // overlaps A on [5,6)
+    ).toDF("k", "rs", "re", "rname")
+    val got = TemporalJoins.intervalOverlapJoin(l, r, Seq("k"),
+        "ls", "le", "rs", "re", slot = 10L)
+      .select("lname", "rname").as[(String, String)].collect()
+    assert(got.length == got.distinct.length,
+      s"a pair emitted twice: ${got.toSeq}")
+    assert(got.toSet == Set(("A", "X"), ("B", "X"), ("A", "Z")),
+      s"got ${got.toSet}")
+    // randomized model check incl. a slot much smaller than intervals
+    val rng = new scala.util.Random(2236L)
+    for (slot <- Seq(3L, 7L, 100L)) {
+      val ls = (0 until 25).map(i => (rng.nextInt(3).toLong,
+        rng.nextInt(60).toLong, rng.nextInt(60).toLong, i.toLong))
+      val rs = (0 until 25).map(i => (rng.nextInt(3).toLong,
+        rng.nextInt(60).toLong, rng.nextInt(60).toLong, i.toLong))
+      val gotR = TemporalJoins.intervalOverlapJoin(
+          ls.toDF("k", "ls", "le", "lid"), rs.toDF("k", "rs", "re", "rid"),
+          Seq("k"), "ls", "le", "rs", "re", slot)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val want = (for {
+        (lk, a, b, li) <- ls if b > a
+        (rk, c, d2, ri) <- rs if d2 > c && rk == lk && a < d2 && c < b
+      } yield (li, ri)).sorted
+      assert(gotR == want, s"slot=$slot: got $gotR want $want")
+    }
+  }
+
   test("asofJoin query shape matches an independent sort-based model") {
     // randomized cross-check: 3 keys × interleaved timestamps
     val rnd = new scala.util.Random(7)
