@@ -1333,6 +1333,42 @@ object PipelineQueries {
       Some(filterBatteryOracle(minTokens = 30, maxTokens = 100000,
         minAvgLen = 3.0, maxAvgLen = 10.0, minAlphaRatio = 0.8,
         minStopwordHits = 2, minDistinctRatio = 0.3))),
+    // Calibration / reliability table for the hashed linear quality
+    // model (the ann_recall_eval discipline applied to the CLASSIFIER):
+    // per 64-wide score bin, how often does the independent Gopher
+    // rule battery agree the document is keepable? A monotone
+    // pass-rate column says the score RANKS quality; a flat one says
+    // the model is noise at that band — the check a team runs before
+    // trusting a threshold. Bin = floor(score/64): both engines
+    // compute the identical double (w_sum/n, /64) and floor it, the
+    // brute-cosine bit-equality contract; counts and per-mille rates
+    // exact integers.
+    Q("doc_quality_calibration",
+      (s, d) => {
+        val q = TextAnalysis.linearQualityScore(
+            t(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"),
+            floor(col("score") / 64.0).cast(LongType).as("bin"))
+        val f = TextAnalysis.filterBattery(t(s, d, "documents"),
+            minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
+            maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
+            minDistinctRatio = 0.3)
+          .select(col("doc_id"), col("keep"))
+        q.join(f, "doc_id").groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
+          .select(col("bin"), col("n_docs"), col("n_pass"),
+            expr("(1000 * n_pass) div n_docs").as("pass_permille"))
+          .orderBy("bin")
+      },
+      Some(s"""SELECT CAST(FLOOR(q.score / 64.0) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |CAST(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              |(1000 * CAST(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS pass_permille
+              |FROM ($qualityModelOracle) q JOIN (${filterBatteryOracle(minTokens = 30,
+                maxTokens = 100000, minAvgLen = 3.0, maxAvgLen = 10.0,
+                minAlphaRatio = 0.8, minStopwordHits = 2,
+                minDistinctRatio = 0.3)}) f ON f.doc_id = q.doc_id
+              |GROUP BY 1 ORDER BY bin""".stripMargin.replace("\n", " "))),
     Q("doc_bpeish_tokens",
       (s, d) => TextAnalysis.withBpeTokenCount(t(s, d, "documents"))
         .select("doc_id", "n_bpeish"),
