@@ -67,6 +67,34 @@ object Bench {
       calibSink = x // observable sink so the JIT cannot elide the loop
       (System.nanoTime() - t0) / 1e9
     }
+    // Multi-thread calibration sentinel: the SAME fixed work spun
+    // simultaneously on every hardware thread. The single-thread spin
+    // proves per-core speed (throttling, descheduling) but is blind to
+    // ALL-CORE contention: BENCH_r16 carried a uniform 1.1–1.8× wall
+    // inflation on plan-identical queries with a FLAT single-thread
+    // calib, and attributing it needed an idle-box re-run. An idle box
+    // finishes this in ≈ the single-thread time (every thread gets its
+    // own core); a box whose cores are shared with another process
+    // inflates proportionally to the stolen core share. With
+    // both columns in the JSON, "the engine regressed" vs "the box was
+    // busy" is decidable from the artifact alone.
+    val mtThreads = math.max(2, Runtime.getRuntime.availableProcessors())
+    def calibMtSec: Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until mtThreads).map { tid =>
+        val th = new Thread(() => {
+          var x = 0x9e3779b97f4a7c15L + tid
+          var i = 0
+          while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          calibSink = x
+        })
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     /** Runs the query to completion and returns the storage bytes in
       * use right after materialization (operator-internal persists +
       * checkpoint blocks — what the cache clear is about to release). */
@@ -134,6 +162,7 @@ object Bench {
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val calib = calibSec
+        val calibMt = calibMtSec
         val g0 = gcMillis
         val c0 = cpuNanos
         val t0 = System.nanoTime()
@@ -141,7 +170,7 @@ object Bench {
           val storageBytes = exec(q)
           val wallSec = (System.nanoTime() - t0) / 1e9
           val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
-          Some((wallSec, gcMillis - g0, cpuSec, storageBytes, calib))
+          Some((wallSec, gcMillis - g0, cpuSec, storageBytes, calib, calibMt))
         }
         catch { case e: Throwable =>
           err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -171,7 +200,8 @@ object Bench {
     }.mkString("{", ",", "}")
     // Per-iteration attribution columns, all aligned with `iters`
     // (failed iterations are null in every array).
-    def iterObj(f: ((Double, Long, Double, Long, Double)) => String): String =
+    def iterObj(
+        f: ((Double, Long, Double, Long, Double, Double)) => String): String =
       results.map { case (k, ts, _) =>
         "\"" + k + "\":" +
           ts.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
@@ -181,9 +211,15 @@ object Bench {
     val iterCpuSec = iterObj(_._3.toString)
     val iterStorageMb = iterObj(t => (t._4 / (1024.0 * 1024.0)).toString)
     val iterCalibSec = iterObj(_._5.toString)
+    val iterCalibMtSec = iterObj(_._6.toString)
     // the box's best observed single-thread spin this run: the
     // denominator for reading iter_calib_sec ratios at a glance
     val calibMin = results.flatMap(_._2.flatten.map(_._5)) match {
+      case Seq() => "null"; case vs => vs.min.toString
+    }
+    // the best all-core spin: flat iter_calib_sec + inflated
+    // iter_calib_mt_sec ⇒ the box's cores were shared, not slow
+    val calibMtMin = results.flatMap(_._2.flatten.map(_._6)) match {
       case Seq() => "null"; case vs => vs.min.toString
     }
     val errs = results.collect { case (k, _, Some(m)) =>
@@ -193,7 +229,7 @@ object Bench {
       val ok = ts.flatten.map(_._1); if (ok.isEmpty) None else Some(ok.min)
     }.sum
     val nFailed = results.count(_._2.flatten.isEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"calib_min_sec":$calibMin,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"iter_calib_mt_sec":$iterCalibMtSec,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"calib_mt_threads":$mtThreads,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     // The detailed line first (full per-iteration attribution — also
     // landed in files below), then a COMPACT final line. The driver
     // keeps only the LAST ~2000 characters of stdout and parses a JSON
@@ -223,7 +259,7 @@ object Bench {
     val errsCompact = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":" + jstrShort(m)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
     println(json)
     println(compact)
     // Also land the line in files: the driver scrapes stdout through

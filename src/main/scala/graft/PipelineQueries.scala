@@ -1913,7 +1913,7 @@ object PipelineQueries {
         "doc_id", "n_tokens", seqLen = PackSpanLen.toLong,
         buckets = PackSpanBuckets)
         .orderBy("seq_id", "doc_id"),
-      Some(packSpansOracle)),
+      Some(packSpansOracle), bench = true),
     // PII scrubbing: inject deterministic PII-shaped strings (the
     // synthetic corpus has none), then redact — both engines apply the
     // same ordered regex fold, so this cross-checks the scrub itself
@@ -4616,19 +4616,30 @@ object PipelineQueries {
 
   /** Weighted-assortativity oracle: the [[assortativityOracle]] sums
     * with strengths replacing degrees and each directed edge weighted
-    * by w. */
+    * by w. All arithmetic runs on HUGEINT under names (`sx_h`, …)
+    * that are NEVER reused as output aliases, with num/den derived in
+    * their own CTE — an earlier version aliased `CAST(s_x …) AS s_x`
+    * in the same SELECT whose CASE read `s_x`, and whether that name
+    * binds the CTE column or the new alias is exactly the lateral-
+    * alias behavior that changed across DuckDB releases (green under
+    * 1.0.0, hash-red under the driver's build). Per-edge products
+    * cast to HUGEINT before multiplying so no BIGINT term can
+    * overflow at any SF; the DECIMAL(38,0) casts exist only in the
+    * final projection to match the Spark schema. */
   private val weightedAssortativityOracle: String =
     """WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
       |prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       |wad AS (SELECT pa AS u, pb AS v, w FROM prs UNION SELECT pb, pa, w FROM prs),
       |wst AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM wad GROUP BY u),
-      |waj AS (SELECT e.w, gx.s AS sx, gy.s AS sy FROM wad e JOIN wst gx ON gx.u = e.u JOIN wst gy ON gy.u = e.v),
-      |wag AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_total, COALESCE(SUM(w * sx), 0) AS s_x,
-      |COALESCE(SUM(w * sx * sy), 0) AS s_xy, COALESCE(SUM(w * sx * sx), 0) AS s_x2 FROM waj)
-      |SELECT w_total, CAST(s_x AS DECIMAL(38,0)) AS s_x, CAST(s_xy AS DECIMAL(38,0)) AS s_xy, CAST(s_x2 AS DECIMAL(38,0)) AS s_x2,
-      |CASE WHEN w_total * s_x2 - s_x * s_x = 0 THEN 0.0
-      |ELSE CAST(w_total * s_xy - s_x * s_x AS DOUBLE) / CAST(w_total * s_x2 - s_x * s_x AS DOUBLE) END AS assortativity
-      |FROM wag""".stripMargin.replace("\n", " ")
+      |waj AS (SELECT CAST(e.w AS HUGEINT) AS wh, CAST(gx.s AS HUGEINT) AS sx, CAST(gy.s AS HUGEINT) AS sy FROM wad e JOIN wst gx ON gx.u = e.u JOIN wst gy ON gy.u = e.v),
+      |wag AS (SELECT CAST(COALESCE(SUM(wh), 0) AS BIGINT) AS wt_b, COALESCE(SUM(wh * sx), 0) AS sx_h,
+      |COALESCE(SUM(wh * sx * sy), 0) AS sxy_h, COALESCE(SUM(wh * sx * sx), 0) AS sx2_h FROM waj),
+      |wfin AS (SELECT wt_b, sx_h, sxy_h, sx2_h,
+      |CAST(wt_b AS HUGEINT) * sxy_h - sx_h * sx_h AS num_h,
+      |CAST(wt_b AS HUGEINT) * sx2_h - sx_h * sx_h AS den_h FROM wag)
+      |SELECT wt_b AS w_total, CAST(sx_h AS DECIMAL(38,0)) AS s_x, CAST(sxy_h AS DECIMAL(38,0)) AS s_xy, CAST(sx2_h AS DECIMAL(38,0)) AS s_x2,
+      |CASE WHEN den_h = 0 THEN 0.0 ELSE CAST(num_h AS DOUBLE) / CAST(den_h AS DOUBLE) END AS assortativity
+      |FROM wfin""".stripMargin.replace("\n", " ")
 
   private val KhopHops = 3
 
@@ -4908,7 +4919,16 @@ object PipelineQueries {
 
   private val AnfSourceMod = 4
   private val AnfSourceCap = 2048
-  private val AnfHops = 8
+  // 7, not 8: at hops=8 the sf0.01 exact curve sits at 91.86% of its
+  // total on hop 7 — 1.86% above the 90% boundary, INSIDE the 4·RSE
+  // (≈4.6%) sketch tolerance the HLL registers guarantee, so a
+  // legitimate sketch deviation could flip at_eff_90 and fail the pin
+  // spuriously. At hops=7 every hop clears the boundary beyond the
+  // worst-case two-sided ratio distortion (hop 6 = 75.85%, inflated
+  // ×1.0965 → 83.2% < 90%; the top hop is structurally ratio 1):
+  // the oracle decision is provably stable, asserted in GraphSpec's
+  // "registered-query stability" test against the exact BFS curve.
+  private val AnfHops = 7
 
   /** ANF production-shape oracle: the closenessOracle's (source,
     * vertex) recursion over the sampled source set, rolled up to
@@ -5129,12 +5149,18 @@ object PipelineQueries {
     // is a FIXED-SIZE deterministic sample (mod + absolute id cap —
     // the ANF paper's source-sampling estimator): the sketch path
     // stays O(E·h) however the corpus grows.
+    // Bench headliner: the most scale-interesting graph operator —
+    // O(E·h) sketch propagation with fixpoint early-stop. The timed
+    // hop grid is 0..AnfHops (= 7): one edge join + one vertex-keyed
+    // register-max union-agg per hop over the sf-dir co-purchase
+    // graph, sources = part_id ≡ 0 (mod AnfSourceMod) ∧ < AnfSourceCap
+    // (fixed-size panel — the cost curve cites edges, not sources).
     Q("graph_anf",
       (s, d) => operators.Graph.anf(copurchaseEdges(s, d), "pa", "pb",
         id => id % AnfSourceMod === 0 && id < AnfSourceCap,
         maxHops = AnfHops, audit = false)
         .select("hops", "at_eff_90"),
-      Some(anfOracle)),
+      Some(anfOracle), bench = true),
   )
 
   val all: Vector[Q] = text ++ dedup ++ mixing ++ similarity ++ eventQueries ++ skewLayout ++ dataQuality ++ multimodal ++ cdc ++ graph

@@ -935,10 +935,10 @@ object Graph {
     * with x, y the endpoint strengths and W = Σw over the M directed
     * edges. Σw·x·y is bounded by W·maxstrength² — the 10× co-purchase
     * graph already wraps a long SUM (the w1Drift gap-factor lesson,
-    * measured: ANSI overflow at 335× the edges) — so the three
-    * product sums accumulate AND emit as exact DECIMAL(38,0); each
-    * per-edge term w·x (≤ ~1e15 at any plausible scale) stays a safe
-    * long before the widening multiply. ONE final double division of
+    * measured: ANSI overflow at 335× the edges) — so w widens to
+    * DECIMAL(38,0) BEFORE any multiply and the three product sums
+    * accumulate AND emit as exact DECIMAL(38,0); no long product
+    * exists anywhere in the chain. ONE final double division of
     * the exact decimal num/den; degenerate denominator reports 0.0
     * (the drift-family convention). Uniform weights c scale num and
     * den by exactly c⁴ in integer arithmetic, so the statistic
@@ -960,11 +960,16 @@ object Graph {
     val zero = lit(0).cast(dec)
     val num = col("w_total").cast(dec) * col("s_xy") - col("s_x") * col("s_x")
     val den = col("w_total").cast(dec) * col("s_x2") - col("s_x") * col("s_x")
+    // __w widens to decimal BEFORE any multiply: a long w·x wraps
+    // silently in non-ANSI mode once strengths grow (the w1Drift
+    // lesson — 10× corpus is 335× edge mass), and the decimal sums
+    // downstream can't repair a wrapped term.
+    val wDec = col("__w").cast(dec)
     j.agg(coalesce(sum(col("__w")), lit(0L)).as("w_total"),
-        coalesce(sum((col("__w") * col("sx")).cast(dec)), zero).as("s_x"),
-        coalesce(sum((col("__w") * col("sx")).cast(dec) * col("sy").cast(dec)),
+        coalesce(sum(wDec * col("sx").cast(dec)), zero).as("s_x"),
+        coalesce(sum(wDec * col("sx").cast(dec) * col("sy").cast(dec)),
           zero).as("s_xy"),
-        coalesce(sum((col("__w") * col("sx")).cast(dec) * col("sx").cast(dec)),
+        coalesce(sum(wDec * col("sx").cast(dec) * col("sx").cast(dec)),
           zero).as("s_x2"))
       .select(col("w_total"),
         col("s_x").cast(dec).as("s_x"),

@@ -88,9 +88,12 @@ object TemporalJoins {
       payload: Seq[String] = Nil): DataFrame = {
     require(hi > lo, "hi must exceed lo")
     val width = hi - lo
-    // exact long floor-division (floor(x/w) = (x - pmod(x,w)) / w) — a
-    // double `floor` would lose precision above 2^53 (nanos timestamps)
-    def slot(ts: Column): Column = (ts - pmod(ts, lit(width))) / width
+    // exact long floor-division: floor(x/w) = (x - pmod(x,w)) div w.
+    // Every step stays integral — `/` would route through double and
+    // round the NUMERATOR once |ts| exceeds 2^53 (epoch-nanos), which
+    // silently shifts rows one slot and drops matches
+    def slot(ts: Column): Column =
+      call_function("div", ts - pmod(ts, lit(width)), lit(width))
     val lSlots = left
       .withColumn("__slot", explode(array_distinct(array(
         slot(col(leftTs) + lo), slot(col(leftTs) + hi - 1)))))
@@ -130,11 +133,12 @@ object TemporalJoins {
       keyCols: Seq[String], lStart: String, lEnd: String,
       rStart: String, rEnd: String, slot: Long): DataFrame = {
     require(slot >= 1, s"intervalOverlapJoin: slot must be >= 1, got $slot")
-    // exact long floor-division (the boundedRangeJoin idiom), cast back
-    // to long so `sequence` gets integral bounds; the pre-division
-    // subtraction makes the double quotient exact below 2^53
+    // exact long floor-division (the boundedRangeJoin idiom): every
+    // step integral via `div` — the earlier double `/` rounded the
+    // numerator above 2^53 (epoch-micros ~1.7e18 land there), which
+    // can shift a row one bucket and silently drop overlapping pairs
     def bucket(ts: Column): Column =
-      ((ts - pmod(ts, lit(slot))) / slot).cast("long")
+      call_function("div", ts - pmod(ts, lit(slot)), lit(slot))
     def slotted(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(e) > col(s))
         .withColumn("__slot",

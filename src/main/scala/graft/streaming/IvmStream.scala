@@ -229,13 +229,20 @@ object IvmStream {
     // max_by aggregation of the (small) batch per consumer
     val viewNext = Cdc.maintainJoinView(viewPrev, aPrev, aCh, aKey,
       bPrev, bCh, joinCol, "seq", "op", persist = false)
-    // commit order is irrelevant to the replay argument: each home is
+    // The FRONTIER home commits FIRST: the monotone-seq guard rides
+    // the frontier plan, so materializing f/ is what evaluates it. If
+    // a/b/view committed first, a regressed feed would land mis-folded
+    // state in three homes before the assert ever fired — and since
+    // every replay of that batch fails the same guard, readJoinView
+    // would serve the corrupt b=<id> snapshots indefinitely. With f/
+    // first, a guarded batch throws before ANY state home advances.
+    // Among the remaining three the order is irrelevant: each home is
     // read strictly-below the batch id, so a crash between any two
-    // commits replays the whole batch from consistent prior versions
+    // commits replays the whole batch from consistent prior versions.
+    SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
     SnapshotStore.commit(aNext, s"$rootDir/a", id, retainBelow)
     SnapshotStore.commit(bNext, s"$rootDir/b", id, retainBelow)
     SnapshotStore.commit(viewNext, s"$rootDir/view", id, retainBelow)
-    SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
   }
 
   /** Sink an interleaved two-sided CDC feed as a continuously-

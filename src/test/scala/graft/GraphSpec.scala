@@ -689,6 +689,41 @@ class GraphSpec extends SparkSpec {
     assert(r.forall(_._3), "bound verdicts all true on a 14-vertex graph")
   }
 
+  test("anf registered-query stability: sf0.01 exact curve clears the 90% boundary beyond the sketch tolerance") {
+    // The driver's graph_anf oracle pins at_eff_90 — a function of the
+    // HLL estimates — against the exact BFS crossing. That pin is only
+    // honest if NO legitimate sketch deviation can flip the decision:
+    // here the registered constants (mod 4, cap 2048, maxHops 7) are
+    // replayed in audit mode on the driver's own sf0.01 graph and every
+    // hop's cumulative ratio is asserted clear of 0.9 even under the
+    // worst-case two-sided 4·RSE ratio distortion. If the fixture or
+    // constants change and some hop lands inside the tolerance band,
+    // this test fails BEFORE the driver's row goes spuriously red.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val bli = li.select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .distinct()
+    val prs = bli.alias("a")
+      .join(bli.alias("b"), col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("pa", "pb")
+    val r = Graph.anf(prs, "pa", "pb", id => id % 4 === 0 && id < 2048,
+        maxHops = 7, audit = true)
+      .select("hops", "exact_pairs", "within_bound")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(r.map(_._1) == (0L to 7L), s"hop grid incomplete: ${r.map(_._1)}")
+    assert(r.forall(_._3), "sketch estimate outside the 4·RSE honesty bound")
+    val total = r.map(_._2).max.toDouble
+    val tol = 4.0 * 1.04 / math.sqrt((1L << 13).toDouble)
+    val blowup = (1.0 + tol) / (1.0 - tol)
+    r.dropRight(1).foreach { case (h, c, _) =>
+      assert(c / total * blowup < 0.9,
+        s"hop $h: ratio ${c / total} inflatable past 0.9 — decision not sketch-stable")
+    }
+    // the top hop's ratio is structurally 1 (cumulative max IS the
+    // total — the same sketch sum on both sides of the comparison)
+    assert(r.last._2.toDouble == total)
+  }
+
   test("weightedPageRank: uniform weights reduce bit-exactly to the unweighted walk") {
     // (c·r) div (c·d) = r div d for every integer r, d, c > 0 — so a
     // constant weight column must reproduce pageRank EXACTLY, not

@@ -244,4 +244,29 @@ class IvmStreamSpec extends SparkSpec {
       .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
     assert(got == joinWant, s"post-replay join view $got != batch $joinWant")
   }
+
+  test("join twin: a regressed feed trips the frontier guard BEFORE any home advances") {
+    val root = java.nio.file.Files.createTempDirectory("ivmj_rg").toString
+    IvmStream.joinFoldBatch(jDf(jb0), 0L, root, "k", "g",
+      aPayload = Seq("g", "pay"), bPayload = Seq("bname"))
+    val viewBefore = IvmStream.readJoinView(spark, root)
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    // regressed seq (2 ≤ frontier 4): the guard must fire on the f/
+    // commit, which runs FIRST — a/b/view must not gain a b=1 snapshot
+    val e = intercept[Throwable] {
+      IvmStream.joinFoldBatch(jDf(Seq(
+        ("A", 2L, "I", 9L, 10L, "bad", null): JRow)), 1L, root, "k", "g",
+        aPayload = Seq("g", "pay"), bPayload = Seq("bname"))
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("feed regressed")), s"frontier guard: $msgs")
+    Seq("a", "b", "view", "f").foreach { h =>
+      assert(!new java.io.File(s"$root/$h/b=1/_SUCCESS").exists(),
+        s"home $h/ advanced to b=1 despite the guarded batch")
+    }
+    val viewAfter = IvmStream.readJoinView(spark, root)
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq
+    assert(viewAfter == viewBefore, "guarded batch must not change the view")
+  }
 }

@@ -112,6 +112,29 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin and boundedRangeJoin: exact bucketing beyond 2^53 (epoch-nanos territory)") {
+    // regression: bucket/slot once divided via double `/`; above 2^53
+    // the numerator rounds, shifting rows one bucket and silently
+    // dropping matches. Base ≈ 1.15e18 is epoch-micros/nanos scale.
+    val base = (1L << 60) + 1L // odd, not slot-aligned
+    val l = Seq((1L, base + 5L, base + 35L, "A")).toDF("k", "ls", "le", "lname")
+    val r = Seq(
+      (1L, base + 30L, base + 60L, "X"), // overlaps A on [base+30, base+35)
+      (1L, base + 35L, base + 36L, "Y")  // touches A's end — no match
+    ).toDF("k", "rs", "re", "rname")
+    val got = TemporalJoins.intervalOverlapJoin(l, r, Seq("k"),
+        "ls", "le", "rs", "re", slot = 10L)
+      .select("lname", "rname").as[(String, String)].collect().toSeq
+    assert(got == Seq(("A", "X")), s"got $got")
+    val bl = Seq((1L, base + 100L, 7L)).toDF("k", "ts", "lid")
+    val br = Seq((1L, base + 99L, 70L), (1L, base + 105L, 71L),
+      (1L, base + 110L, 72L)).toDF("k", "rts", "rid")
+    val gotR = TemporalJoins.boundedRangeJoin(bl, br, Seq("k"),
+        "ts", "rts", lo = 0L, hi = 10L, payload = Seq("rid"))
+      .select("rid").as[Long].collect().toSet
+    assert(gotR == Set(71L), s"got $gotR") // [ts, ts+10): 105 in, 99/110 out
+  }
+
   test("asofJoin query shape matches an independent sort-based model") {
     // randomized cross-check: 3 keys × interleaved timestamps
     val rnd = new scala.util.Random(7)
