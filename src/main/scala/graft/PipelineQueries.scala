@@ -271,6 +271,31 @@ object PipelineQueries {
        |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM ivscored)
        |WHERE rank <= 10""".stripMargin.replace("\n", " ")
 
+  /** Incremental-IVF oracle: a FULL SCRATCH REBUILD over the merged
+    * corpus — the change feed's net effect replayed as one relational
+    * transform (`%10 = 3` deleted, `%10 = 1` negated, everyone else
+    * original), cell-assigned against the SAME `ivcn` centroids the
+    * [[ivfOracle]] trains (the quantizer is fixed at index creation —
+    * the Faiss protocol — so train stays on the full raw corpus), and
+    * searched with the identical probe ranking + exact-cosine re-rank.
+    * The Spark side must reach this bit-for-bit THROUGH the
+    * incremental path (bootstrap assign + one maintained change
+    * batch), so the hash pins maintained-index ≡ rebuilt-index, not
+    * just "search still works". */
+  private def ivfIncrementalOracle: String =
+    s"""WITH $kmeansCellCtes,
+       |fincr AS (SELECT vec_id, CASE WHEN vec_id % 10 = 1 THEN list_transform(v, x -> -x) ELSE v END AS v FROM ivv WHERE vec_id % 10 <> 3),
+       |fvn AS (SELECT vec_id, v, list_dot_product(v, v) AS vn FROM fincr),
+       |fdm AS MATERIALIZED (SELECT t.vec_id, t.v, c.cell, (t.vn - 2.0 * list_dot_product(t.v, c.clist)) + c.cnorm AS d
+       |FROM fvn t CROSS JOIN ivcn c),
+       |fcell AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM fdm) WHERE rn = 1),
+       |ivpc AS (SELECT vec_id AS probe_id, v AS pv, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd WHERE vec_id < 10) WHERE rn <= 4),
+       |fscored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, ${cosSql("p.pv", "c.v")} AS cosine
+       |FROM fcell c JOIN ivpc p ON p.cell = c.cell WHERE c.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM fscored)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+
   private val PqM = 8
   private val PqSub = 8
   private val PqNlist = 16
@@ -2037,6 +2062,43 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       Some(ivfOracle)),
+    // Index freshness under CDC: the inverted file is BOOTSTRAPPED
+    // from 4/5 of the corpus, then ONE change batch lands — updates
+    // (vec_id ≡ 1 mod 10 re-embedded as the exact negation: sign flip
+    // is bit-exact in floating point and flips every cosine, so an
+    // engine that ignored the update cannot pass), deletes (≡ 3 mod
+    // 10), and the held-out fifth inserted — via ivfMaintain's
+    // map-side cell assignment + key-level latest-wins fold. The
+    // search then runs over the MAINTAINED index while the oracle
+    // rebuilds from scratch over the merged corpus: the hash pins
+    // maintained ≡ rebuilt end-to-end (assignment, membership, and
+    // ranking). The crash/exactly-once protocol for the same fold is
+    // IvfStream, pinned in IvfStreamSpec.
+    Q("ann_ivf_incremental",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val centroids = Similarity.trainedCentroids(e, "vec_id",
+          "embedding", nlist = 16, trainSample = 4096)
+        val boot = e.filter(col("vec_id") % 5 =!= 4)
+        val idx0 = Similarity.ivfAssign(boot, "vec_id", "embedding", centroids)
+        val ups = e.filter(col("vec_id") % 10 === 1)
+          .select(lit("U").as("op"), col("vec_id").as("id"),
+            transform(col("embedding"), x => -x.cast("double")).as("vec"))
+        val dels = e.filter(col("vec_id") % 10 === 3)
+          .select(lit("D").as("op"), col("vec_id").as("id"),
+            lit(null).cast("array<double>").as("vec"))
+        val ins = e.filter(col("vec_id") % 5 === 4)
+          .select(lit("I").as("op"), col("vec_id").as("id"),
+            transform(col("embedding"), _.cast("double")).as("vec"))
+        val feed = ups.unionByName(dels).unionByName(ins)
+          .withColumn("seq", lit(1000000L) + col("id"))
+        val idx1 = Similarity.ivfMaintain(idx0, feed, "id", "vec",
+          "seq", "op", centroids)
+        Similarity.ivfSearch(idx1, probes(e), "vec_id", "embedding",
+            k = 10, centroids, nProbe = 4)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      Some(ivfIncrementalOracle)),
     // SQ8 scalar quantization: the fit (per-dim min/max), the 8-bit
     // encode, the midpoint decode, and the search are ALL closed-form
     // arithmetic, so the oracle re-derives the entire quantization

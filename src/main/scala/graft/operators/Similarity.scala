@@ -240,18 +240,32 @@ object Similarity {
     fitCentroids(train, nlist)
   }
 
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
-      trainSample: Int = 4096): DataFrame = {
-    import graft.functions.TopKAggregate.topK
-    require(nProbe <= nlist)
-    val centroids = trainedCentroids(corpus, idCol, vecCol, nlist, trainSample)
-
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+  /** The inverted-file BUILD step alone: every corpus row filed under
+    * its nearest of `centroids` (the expanded ‖v‖²−2v·c+‖c‖² argmin,
+    * 1-based, ties to the lowest cell). Map-only codegen'd work —
+    * factored out of [[ivfTopK]] so the index can be built once and
+    * then MAINTAINED under a change feed ([[ivfMaintain]]) instead of
+    * rebuilt per batch. Output: (neighbor_id, cv, cell). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("__d", centroidDists(col("cv"), centroids))
       // 1-based argmin → the cell this vector files under
-      .withColumn("cell", array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .withColumn("cell",
+        array_position(col("__d"), array_min(col("__d"))).cast("int"))
       .drop("__d")
+
+  /** The SEARCH step over a pre-built (or incrementally-maintained)
+    * inverted file `index` = (neighbor_id, cv, cell): each probe ranks
+    * all cells by centroid distance, explodes into its `nProbe`
+    * nearest, candidates come from ONE equi-join on the cell id, and
+    * exact cosine re-ranks through the native top-k aggregate. */
+  def ivfSearch(index: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    val nlist = centroids.length
+    require(nProbe <= nlist)
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
       .withColumn("__d", centroidDists(col("pv"), centroids))
       .withColumn("__ranked",
@@ -260,7 +274,7 @@ object Similarity {
           (d, i) => struct(d.as("d"), i.as("cell")))), 1, nProbe))
       .select(col("probe_id"), col("pv"),
         explode(col("__ranked.cell")).as("cell"))
-    c.join(p, Seq("cell"))
+    index.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
       .groupBy(col("probe_id"))
@@ -268,6 +282,41 @@ object Similarity {
       .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
         col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Maintain an inverted file under a CDC change feed — the "index
+    * doesn't go stale" step a retrieval pipeline needs once the corpus
+    * is no longer static. `changes` carries `(seqCol, opCol, idCol,
+    * vecCol)` with op ∈ I/U/D and feed-monotone seq; each changed
+    * vector is cell-assigned MAP-SIDE against the SAME fixed centroids
+    * the index was built with (the Faiss protocol: the coarse
+    * quantizer is trained once on a bootstrap sample and held fixed —
+    * retraining is a periodic rebuild, not an incremental op), then
+    * folded key-level by [[Cdc.applyChanges]]'s latest-wins max_by.
+    * Because the cell is a pure function of (vector, centroids), the
+    * maintained index is BIT-EQUAL to [[ivfAssign]] over the merged
+    * corpus — pinned by IvfStreamSpec and the ann_ivf_incremental
+    * oracle, not assumed. Cost per batch: one map pass + one key
+    * shuffle of the batch — the index is touched only through the
+    * full-outer key join, never rescanned. */
+  def ivfMaintain(index: DataFrame, changes: DataFrame, idCol: String,
+      vecCol: String, seqCol: String, opCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val ch = changes.select(col(seqCol), col(opCol),
+        col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("__d", centroidDists(col("cv"), centroids))
+      .withColumn("cell",
+        array_position(col("__d"), array_min(col("__d"))).cast("int"))
+      .drop("__d")
+    Cdc.applyChanges(index, ch, "neighbor_id", seqCol, opCol)
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nProbe: Int = 4,
+      trainSample: Int = 4096): DataFrame = {
+    val centroids = trainedCentroids(corpus, idCol, vecCol, nlist, trainSample)
+    ivfSearch(ivfAssign(corpus, idCol, vecCol, centroids), probes,
+      idCol, vecCol, k, centroids, nProbe)
   }
 
   /** Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
