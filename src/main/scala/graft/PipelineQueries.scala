@@ -4640,6 +4640,25 @@ object PipelineQueries {
       |CASE WHEN tdg.d >= 2 THEN (2000 * COALESCE(tpv.n_tri, 0)) // (tdg.d * (tdg.d - 1)) ELSE 0 END AS cc_permille
       |FROM tdg LEFT JOIN tpv ON tpv.id = tdg.u ORDER BY part_id""".stripMargin.replace("\n", " ")
 
+  /** Weighted-triangle oracle: the [[triangleOracle]] 3-way id-ordered
+    * self-join with each triangle carrying LEAST of its three edge
+    * weights, per-vertex COUNT + SUM over the unrolled corner list —
+    * exact longs end to end (SUM over BIGINT is HUGEINT in DuckDB,
+    * cast back). */
+  private val weightedTriangleOracle: String =
+    """WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+      |prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ted AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+      |tdg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ted GROUP BY u),
+      |tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c, LEAST(e1.w, e2.w, e3.w) AS mw FROM prs e1
+      |JOIN prs e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+      |JOIN prs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+      |tpv AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri, CAST(SUM(mw) AS BIGINT) AS ws FROM
+      |(SELECT a AS id, mw FROM tri UNION ALL SELECT b, mw FROM tri UNION ALL SELECT c, mw FROM tri) GROUP BY id)
+      |SELECT tdg.u AS part_id, tdg.d AS degree, COALESCE(tpv.n_tri, 0) AS n_tri,
+      |COALESCE(tpv.ws, 0) AS tri_wmin_sum
+      |FROM tdg LEFT JOIN tpv ON tpv.id = tdg.u ORDER BY part_id""".stripMargin.replace("\n", " ")
+
   private val RaMaxDeg = 64L
   private val RaTopK = 20
 
@@ -4877,6 +4896,41 @@ object PipelineQueries {
     sb.result()
   }
 
+  // Bottleneck-mass threshold for the weighted truss peel: with
+  // co-order multiplicities ≥ 2 a single reinforced triangle (min
+  // weight ≥ 4) or two baseline ones carry an edge — strictly
+  // stronger than the unweighted 3-truss's "any one triangle".
+  private val WtrussMinSup = 4L
+
+  /** Weighted-truss oracle: the [[ktrussOracle]] unrolled peel with
+    * each triangle carrying LEAST of its three edge weights and the
+    * per-edge support a SUM of bottleneck weights instead of a COUNT
+    * — same rounds_stable derivation over the per-round edge counts. */
+  private val weightedKtrussOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "te0 AS MATERIALIZED (SELECT pa AS a, pb AS b, w FROM prs), "
+    (1 to KtrussRounds).foreach { t =>
+      sb ++= s"tt$t AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z, LEAST(e1.w, e2.w, e3.w) AS mw FROM te${t - 1} e1 " +
+        s"JOIN te${t - 1} e2 ON e2.a = e1.a AND e1.b < e2.b " +
+        s"JOIN te${t - 1} e3 ON e3.a = e1.b AND e3.b = e2.b), "
+      sb ++= s"ts$t AS (SELECT a, b, CAST(SUM(mw) AS BIGINT) AS sup FROM (" +
+        s"SELECT x AS a, y AS b, mw FROM tt$t UNION ALL SELECT x, z, mw FROM tt$t " +
+        s"UNION ALL SELECT y, z, mw FROM tt$t) GROUP BY a, b), "
+      sb ++= s"te$t AS MATERIALIZED (SELECT e.a, e.b, e.w FROM te${t - 1} e " +
+        s"JOIN ts$t s ON s.a = e.a AND s.b = e.b WHERE s.sup >= $WtrussMinSup), "
+    }
+    sb ++= (0 to KtrussRounds).map(t =>
+      s"SELECT $t AS t, (SELECT COUNT(*) FROM te$t) AS c").mkString(
+      "tcs AS (", " UNION ALL ", "), ")
+    sb ++= s"trs AS (SELECT COALESCE(MIN(a.t), $KtrussRounds) AS rounds_stable FROM tcs a JOIN tcs b ON b.t = a.t + 1 AND b.c = a.c) "
+    sb ++= s"SELECT v.a AS pa, v.b AS pb, (s.a IS NOT NULL) AS in_truss, " +
+      s"CAST(trs.rounds_stable AS BIGINT) AS rounds_stable " +
+      s"FROM te0 v LEFT JOIN te$KtrussRounds s ON s.a = v.a AND s.b = v.b CROSS JOIN trs"
+    sb.result()
+  }
+
   /** Connected-components oracle: min reachable id per vertex via the
     * recursive closure (the semDedup `sdr` idiom over the co-purchase
     * edges). */
@@ -5054,6 +5108,16 @@ object PipelineQueries {
       (s, d) => operators.Graph.triangleCounts(copurchaseEdges(s, d), "pa", "pb")
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(triangleOracle)),
+    // Weighted triangle participation: each triangle contributes its
+    // BOTTLENECK weight (min of its 3 co-order multiplicities), so a
+    // vertex's triangle mass measures reinforced cohesion, not
+    // incidental closure — same degree-oriented O(E^{3/2}) wedge
+    // enumeration, with the closing edge inner-joined for its weight.
+    Q("graph_triangles_weighted",
+      (s, d) => operators.Graph.weightedTriangleCounts(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w")
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(weightedTriangleOracle)),
     // Degree assortativity: the one-number hubs-link-to-hubs (+) vs
     // hubs-link-to-leaves (−) structural summary. Over the symmetric
     // edge list both endpoint marginals coincide, so Pearson's
@@ -5197,6 +5261,17 @@ object PipelineQueries {
         k = KtrussK, rounds = KtrussRounds)
         .orderBy("pa", "pb"),
       Some(ktrussOracle)),
+    // Weighted truss: the edge peel on accumulated triangle MASS
+    // (Σ bottleneck weights ≥ WtrussMinSup) — two incidental
+    // single-co-order triangles no longer outrank one heavily-
+    // reinforced triangle. Uniform weights with minSupport = c·(k−2)
+    // reduce exactly to the unweighted truss (GraphSpec pin).
+    Q("graph_ktruss_weighted",
+      (s, d) => operators.Graph.weightedKTruss(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w",
+        minSupport = WtrussMinSup, rounds = KtrussRounds)
+        .orderBy("pa", "pb"),
+      Some(weightedKtrussOracle)),
     // HyperBall neighborhood function + effective diameter, the
     // PRODUCTION sketch path (audit = false): per-hop reachable-pair
     // sketch totals from the sampled source set with the 90% crossing

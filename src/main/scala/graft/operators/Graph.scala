@@ -124,6 +124,70 @@ object Graph {
           .otherwise(lit(0L)).as("cc_permille"))
   }
 
+  /** Weighted per-vertex triangle participation: [[triangleCounts]]
+    * with each triangle contributing its BOTTLENECK WEIGHT — the MIN
+    * of its three edge weights, the standard weighted-support notion
+    * (a triangle is only as reinforced as its weakest tie). Answers
+    * what the unweighted count cannot: a vertex in 50 incidental
+    * single-co-order triangles reads as cohesive by count but carries
+    * almost no triangle mass, while a vertex in 5 heavily-reinforced
+    * triangles is the one an evidence-weighted curator keeps. Output
+    * one row per vertex: `(id, degree, n_tri, tri_wmin_sum)` — all
+    * exact longs (Σ min-weights ≤ n_tri·max_w; co-order multiplicities
+    * keep the per-vertex sum far below 2⁶³ at any plausible scale —
+    * widen to decimal past ~10¹⁸ like the assortativity family).
+    * Uniform weight c makes tri_wmin_sum = c·n_tri exactly
+    * (GraphSpec reduction pin).
+    *
+    * Scale shape: identical to [[triangleCounts]] — degree-oriented
+    * wedge enumeration, O(E^{3/2}) candidates — with the closing-edge
+    * semi-join upgraded to an inner join to FETCH the closing weight
+    * (multiplicity unchanged: the oriented frame holds exactly one
+    * row per undirected edge). */
+  def weightedTriangleCounts(pairs: DataFrame, aCol: String, bCol: String,
+      wCol: String, persist: Boolean = true): DataFrame = {
+    val canon = pairs.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"),
+        col(wCol).cast("long").as("__w"))
+      .groupBy("__a", "__b").agg(max(col("__w")).as("__w"))
+    val ed = canon.select(explode(array(
+        struct(col("__a").as("__u"), col("__b").as("__v"), col("__w")),
+        struct(col("__b").as("__u"), col("__a").as("__v"), col("__w"))))
+        .as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
+        col("__e.__w").as("__w"))
+    val deg = Caching.maybePersist(
+      ed.groupBy("__u").agg(count(lit(1)).as("__d")), persist)
+    val oriented = Caching.maybePersist(
+      ed.join(deg.select(col("__u"), col("__d").as("__du")), "__u")
+        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
+        .filter(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")))
+        .select(col("__u").as("s"), col("__v").as("t"),
+          col("__dv").as("dt"), col("__w").as("wt")),
+      persist)
+    val w1 = oriented.select(col("s"), col("t").as("x"),
+      col("dt").as("dx"), col("wt").as("wx"))
+    val w2 = oriented.select(col("s"), col("t").as("y"),
+      col("dt").as("dy"), col("wt").as("wy"))
+    val tris = w1.join(w2, Seq("s"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("s").as("x"), col("t").as("y"),
+        col("wt").as("wxy")), Seq("x", "y"))
+      .select(col("s"), col("x"), col("y"),
+        least(col("wx"), col("wy"), col("wxy")).as("__mw"))
+    val perVertex = tris
+      .select(explode(array(col("s"), col("x"), col("y"))).as("id"),
+        col("__mw"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"),
+        sum(col("__mw")).as("tri_wmin_sum"))
+    deg.select(col("__u").as("id"), col("__d").as("degree"))
+      .join(perVertex, Seq("id"), "left")
+      .na.fill(0L, Seq("n_tri", "tri_wmin_sum"))
+  }
+
   /** Personalized PageRank: the teleport term returns ONLY to the
     * `seedFilter` vertex set, so ranks measure proximity-weighted
     * reachability FROM the seeds — the SOFT blast radius
@@ -874,6 +938,101 @@ object Graph {
       Caching.freeLocalCheckpoint(prevFree)
     orig
       .join(edges.withColumn("__in", lit(true)), Seq("a", "b"), "left")
+      .select(col("a").as(aCol), col("b").as(bCol),
+        coalesce(col("__in"), lit(false)).as("in_truss"),
+        lit(stableAt.toLong).as("rounds_stable"))
+  }
+
+  /** Weighted k-truss: the [[kTruss]] edge peel with WEIGHTED support
+    * — an edge survives a round iff the sum of its supporting
+    * triangles' bottleneck weights (min of the 3 edge weights, the
+    * [[weightedTriangleCounts]] notion) reaches `minSupport`. The
+    * unweighted truss demands k−2 triangles regardless of evidence;
+    * this one demands accumulated triangle MASS, so two incidental
+    * single-co-order triangles no longer outrank one heavily-
+    * reinforced triangle. Uniform weight c makes weighted support =
+    * c·(triangle count), so `minSupport = c·(k−2)` reproduces
+    * [[kTruss]]'s in_truss flags EXACTLY (GraphSpec reduction pin).
+    *
+    * Same fixed synchronous rounds + `rounds_stable` self-audit, same
+    * per-round O(E^{3/2}) degree-oriented enumeration (closing edge
+    * fetched by inner join for its weight — multiplicity 1), same
+    * localCheckpoint + block-freeing loop hygiene. Output one row per
+    * input edge: `(aCol, bCol, in_truss, rounds_stable)`. */
+  def weightedKTruss(pairs: DataFrame, aCol: String, bCol: String,
+      wCol: String, minSupport: Long, rounds: Int = 4): DataFrame = {
+    require(minSupport >= 1 && rounds >= 1,
+      s"weightedKTruss: need minSupport >= 1 and rounds >= 1, " +
+        s"got minSupport=$minSupport rounds=$rounds")
+    val orig = pairs
+      .filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("a", "b").agg(max(col("w")).as("w"))
+      .localCheckpoint(true)
+    var edges = orig
+    var prevFree: DataFrame = null
+    var stableAt = rounds
+    var stopped = false
+    var r = 1
+    while (r <= rounds && !stopped) {
+      val ed = edges.select(explode(array(
+          struct(col("a").as("__u"), col("b").as("__v"), col("w")),
+          struct(col("b").as("__u"), col("a").as("__v"), col("w"))))
+          .as("__e"))
+        .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
+          col("__e.w").as("__w"))
+      val deg = ed.groupBy("__u").agg(count(lit(1)).as("__d"))
+      val oriented = ed
+        .join(deg.select(col("__u"), col("__d").as("__du")), "__u")
+        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
+        .filter(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")))
+        .select(col("__u").as("s"), col("__v").as("t"),
+          col("__dv").as("dt"), col("__w").as("wt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w1 = oriented.select(col("s"), col("t").as("x"),
+        col("dt").as("dx"), col("wt").as("wx"))
+      val w2 = oriented.select(col("s"), col("t").as("y"),
+        col("dt").as("dy"), col("wt").as("wy"))
+      val tris = w1.join(w2, Seq("s"))
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(oriented.select(col("s").as("x"), col("t").as("y"),
+          col("wt").as("wxy")), Seq("x", "y"))
+        .select(col("s"), col("x"), col("y"),
+          least(col("wx"), col("wy"), col("wxy")).as("__mw"))
+      // each triangle supports its three canonical edges with its
+      // bottleneck weight
+      val sup = tris.select(col("__mw"), explode(array(
+          struct(least(col("s"), col("x")).as("a"),
+            greatest(col("s"), col("x")).as("b")),
+          struct(least(col("s"), col("y")).as("a"),
+            greatest(col("s"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__mw"))
+        .groupBy("a", "b").agg(sum(col("__mw")).as("__sup"))
+      val next = edges.join(sup.filter(col("__sup") >= minSupport)
+          .select("a", "b"), Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      oriented.unpersist()
+      if (next.count() == edges.count()) {
+        stableAt = r - 1
+        stopped = true
+      }
+      if ((prevFree ne null) && (prevFree ne orig))
+        Caching.freeLocalCheckpoint(prevFree)
+      prevFree = edges
+      edges = next
+      r += 1
+    }
+    if ((prevFree ne null) && (prevFree ne orig))
+      Caching.freeLocalCheckpoint(prevFree)
+    orig
+      .join(edges.select("a", "b").withColumn("__in", lit(true)),
+        Seq("a", "b"), "left")
       .select(col("a").as(aCol), col("b").as(bCol),
         coalesce(col("__in"), lit(false)).as("in_truss"),
         lit(stableAt.toLong).as("rounds_stable"))

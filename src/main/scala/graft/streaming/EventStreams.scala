@@ -283,6 +283,52 @@ object EventStreams {
       .select("purchase_id", "user_id", "purchase_time", "click_id", "click_time")
   }
 
+  /** Streaming twin of
+    * [[graft.operators.TemporalJoins.intervalOverlapJoin]]: all pairs
+    * of equal-key rows whose half-open TIME intervals intersect
+    * (`lStart < rEnd && rStart < lEnd`), as a watermarked
+    * stream-stream join. The batch operator gets exactly-once from
+    * canonical slot buckets; here the symmetric-hash join emits each
+    * qualifying pair exactly once by construction (Append-mode inner
+    * join), and the batch slot-width intuition reappears as the STATE
+    * BOUND: interval lengths are capped at `maxLenSeconds` — asserted
+    * IN-PLAN on both sides, because the cap is a correctness premise
+    * of the join condition, not advice — so overlap implies
+    * |lStart − rStart| < maxLen, the explicit event-time-distance
+    * conjunct below, which is exactly what lets Spark evict buffered
+    * rows once the opposite side's watermark passes. State ∝ arrival
+    * rate × (maxLen + watermark delay), independent of stream length.
+    * Losslessness of the added conjunct: rStart < lEnd ≤ lStart +
+    * maxLen and lStart < rEnd ≤ rStart + maxLen, so every truly
+    * overlapping pair survives it. Both sides must carry distinct
+    * column names (rename on the way in — the
+    * [[purchasesWithRecentClicks]] contract). Crash recovery is the
+    * engine's stream-stream join state in the checkpoint, pinned by
+    * EventStreamsSpec's kill-and-restart test. */
+  def streamingIntervalOverlap(left: DataFrame, right: DataFrame,
+      lKey: String, rKey: String, lStart: String, lEnd: String,
+      rStart: String, rEnd: String, maxLenSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxLenSeconds >= 1,
+      s"maxLenSeconds must be >= 1, got $maxLenSeconds")
+    def capped(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) > col(s)) // half-open: empty intervals join nothing
+      .filter(assert_true(
+        col(e) <= col(s) + expr(s"INTERVAL $maxLenSeconds SECONDS"),
+        concat(lit("streamingIntervalOverlap: interval ["), col(s),
+          lit(", "), col(e),
+          lit(s") exceeds maxLenSeconds=$maxLenSeconds — the distance " +
+            "conjunct would silently drop its matches")))
+        .isNull)
+    val l = capped(left, lStart, lEnd).withWatermark(lStart, watermarkDelay)
+    val r = capped(right, rStart, rEnd).withWatermark(rStart, watermarkDelay)
+    l.join(r,
+      col(lKey) === col(rKey) &&
+        col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col(rStart) > col(lStart) - expr(s"INTERVAL $maxLenSeconds SECONDS") &&
+        col(rStart) < col(lStart) + expr(s"INTERVAL $maxLenSeconds SECONDS"))
+  }
+
   /** Per-window trending top-k: the k most frequent event types of
     * every tumbling window, emitted ONCE, when the watermark passes the
     * window's end — the finalize-on-watermark pattern streaming sort/

@@ -245,6 +245,95 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval overlap: equals the batch intervalOverlapJoin on real events") {
+    // intervals: [event_time, event_time + (event_id % 600 + 1) s),
+    // clicks vs purchases per user — length cap 601 s by construction
+    val ev = EventStreams.readEvents(spark, dir)
+      .withColumn("end_time",
+        expr("timestampadd(SECOND, event_id % 600 + 1, event_time)"))
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("event_time").as("l_st"), col("end_time").as("l_en"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("event_time").as("r_st"), col("end_time").as("r_en"))
+    val q = EventStreams.streamingIntervalOverlap(l, r, "l_user", "r_user",
+        "l_st", "l_en", "r_st", "r_en", maxLenSeconds = 601L)
+      .select("l_id", "r_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("siov_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("siov_out").as[(Long, Long)].collect().toSet
+
+    val be = batchEvents
+      .withColumn("en_s", col("ts_s") + col("event_id") % 600 + 1)
+    val bl = be.filter(col("event_type") === "click")
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts_s").as("l_st"), col("en_s").as("l_en"))
+    val br = be.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts_s").as("r_st"), col("en_s").as("r_en"))
+    val want = graft.operators.TemporalJoins.intervalOverlapJoin(
+        bl.withColumnRenamed("l_user", "user_id"),
+        br.withColumnRenamed("r_user", "user_id"),
+        Seq("user_id"), "l_st", "l_en", "r_st", "r_en", slot = 128L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == want, s"stream ${got.size} pairs != batch ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming interval overlap: kill-and-restart matches intervals across the crash boundary") {
+    // run 1 buffers left interval L1 in join state; run 2's right
+    // interval R102 overlaps it — the pair exists ONLY if the
+    // recovered checkpoint still holds L1. Sink is parquet (the
+    // memory sink refuses Append-mode checkpoint recovery).
+    val src = java.nio.file.Files.createTempDirectory("siov_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("siov_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("siov_out").toString
+    def addFile(rows: (String, Long, Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("side", "uid", "iid", "st_s", "en_s")
+        .coalesce(1).write.mode("append").parquet(src)
+    addFile(("L", 1L, 1L, 1000L, 1300L), ("R", 1L, 101L, 1200L, 1400L))
+    val schema = spark.read.parquet(src).schema
+    def startQuery() = {
+      val all = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("st", timestamp_seconds(col("st_s")))
+        .withColumn("en", timestamp_seconds(col("en_s")))
+      val l = all.filter(col("side") === "L")
+        .select(col("uid").as("l_user"), col("iid").as("l_id"),
+          col("st").as("l_st"), col("en").as("l_en"))
+      val r = all.filter(col("side") === "R")
+        .select(col("uid").as("r_user"), col("iid").as("r_id"),
+          col("st").as("r_st"), col("en").as("r_en"))
+      EventStreams.streamingIntervalOverlap(l, r, "l_user", "r_user",
+          "l_st", "l_en", "r_st", "r_en", maxLenSeconds = 600L)
+        .select("l_id", "r_id")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    def readOut(): Set[(Long, Long)] = {
+      val s = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r_id",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(s).parquet(out).as[(Long, Long)].collect().toSet
+    }
+    assert(readOut() == Set((1L, 101L)),
+      s"run 1 must emit exactly the in-flight pair; got ${readOut()}")
+    // R102 overlaps L1 (buffered in run 1); L2 on another key matches
+    // nothing; both verdicts need the RECOVERED state
+    addFile(("R", 1L, 102L, 1250L, 1350L), ("L", 2L, 2L, 5000L, 5100L))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readOut() == Set((1L, 101L), (1L, 102L)),
+      s"recovered run must match across the crash boundary; got ${readOut()}")
+  }
+
   test("checkpoint recovery: restart resumes aggregation state exactly") {
     // split events into 4 files; feed 2, stop, add 2, restart from the
     // SAME checkpoint — the recovered state must make the final result

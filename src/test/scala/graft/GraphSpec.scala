@@ -553,6 +553,62 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(_._4 == 2L), s"cascade needs exactly two rounds, got $got")
   }
 
+  test("weightedTriangleCounts: hand fixture — bottleneck weights, uniform reduction") {
+    // triangle {1,2,3} with weights 5/2/9 → bottleneck 2 at every
+    // corner; the pendant edge (3,4) closes nothing
+    val gw = Seq((1L, 2L, 5L), (2L, 3L, 2L), (1L, 3L, 9L), (3L, 4L, 7L))
+      .toDF("pa", "pb", "w")
+    val r = Graph.weightedTriangleCounts(gw, "pa", "pb", "w")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L) == (2L, 1L, 2L) && r(2L) == (2L, 1L, 2L))
+    assert(r(3L) == (3L, 1L, 2L) && r(4L) == (1L, 0L, 0L))
+    // uniform weight c: n_tri matches the unweighted operator exactly
+    // and tri_wmin_sum = c·n_tri — the degree form recovered, pinned
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("pa", "pb")
+    val plain = Graph.triangleCounts(g, "pa", "pb")
+      .select("id", "degree", "n_tri")
+      .as[(Long, Long, Long)].collect().toSet
+    val wtd = Graph.weightedTriangleCounts(g.withColumn("w", lit(7L)),
+        "pa", "pb", "w")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(wtd.map(t => (t._1, t._2, t._3)) == plain)
+    assert(wtd.forall(t => t._4 == 7L * t._3),
+      s"uniform weights must give tri_wmin_sum = c·n_tri: $wtd")
+  }
+
+  test("weightedKTruss: bottleneck mass peels what the count keeps; uniform reduction to kTruss") {
+    // two triangles: {1,2,3} reinforced (min weight 4), {2,3,4} weak
+    // (min weight 2). Unweighted 3-truss keeps all six edges; weighted
+    // minSupport=4 peels the weak triangle's private edges — and the
+    // CASCADE must then re-check (2,3), which retains exactly the
+    // reinforced triangle's mass.
+    val gw = Seq((1L, 2L, 4L), (1L, 3L, 5L), (2L, 3L, 4L),
+      (2L, 4L, 2L), (3L, 4L, 9L)).toDF("pa", "pb", "w")
+    val got = Graph.weightedKTruss(gw, "pa", "pb", "w",
+        minSupport = 4L, rounds = 4)
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    val in = got.filter(_._3).map(r => (r._1, r._2)).toSet
+    assert(in == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $in")
+    val unw = Graph.kTruss(gw.select("pa", "pb"), "pa", "pb",
+        k = 3, rounds = 4)
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    assert(unw.filter(_._3).map(r => (r._1, r._2)).toSet == gw.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "the unweighted 3-truss keeps all five edges — the contrast the weighted peel exists for")
+    // uniform weight c with minSupport = c·(k−2) ≡ the unweighted truss
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("pa", "pb")
+    val plainT = Graph.kTruss(g, "pa", "pb", k = 3, rounds = 4)
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    val wtdT = Graph.weightedKTruss(g.withColumn("w", lit(3L)),
+        "pa", "pb", "w", minSupport = 3L, rounds = 4)
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(wtdT == plainT,
+      s"uniform-weight truss must reduce exactly: $wtdT vs $plainT")
+  }
+
   test("kTruss: randomized model check against driver-side peel-to-fixpoint") {
     val rng = new scala.util.Random(20260815L)
     for (trial <- 1 to 3) {
