@@ -72,12 +72,15 @@ object Bench {
     // proves per-core speed (throttling, descheduling) but is blind to
     // ALL-CORE contention: BENCH_r16 carried a uniform 1.1–1.8× wall
     // inflation on plan-identical queries with a FLAT single-thread
-    // calib, and attributing it needed an idle-box re-run. An idle box
-    // finishes this in ≈ the single-thread time (every thread gets its
-    // own core); a box whose cores are shared with another process
-    // inflates proportionally to the stolen core share. With
-    // both columns in the JSON, "the engine regressed" vs "the box was
-    // busy" is decidable from the artifact alone.
+    // calib, and attributing it needed an idle-box re-run. READING THE
+    // COLUMN: compare iter_calib_mt_sec / calib_mt_min_sec ACROSS runs
+    // of the same box, never against the single-thread column — even a
+    // fully idle box shows calibMt > calib (all-core turbo clocks sit
+    // 10-30% below single-core turbo, and an N-thread spin on fewer
+    // than N cores serializes). A shifted query minimum with a FLAT
+    // mt floor is a real regression; a uniform shift TRACKING the mt
+    // floor is the box (measured this round: r15's byte-identical jar
+    // at 1.6× its own minima — see BASELINE.md's re-baseline note).
     val mtThreads = math.max(2, Runtime.getRuntime.availableProcessors())
     def calibMtSec: Double = {
       val t0 = System.nanoTime()

@@ -76,9 +76,11 @@ object Analytics {
     require(absTol >= 0 && relTol >= 0 && (absTol > 0 || relTol > 0),
       s"uniqueOverlapDays: need a positive tolerance, got $absTol/$relTol")
     // floor, not truncate-toward-zero: pre-1970 seconds must land on
-    // the same day key the oracle's `// 86400` floor division produces
-    val days = df.select(floor(tsSec.cast("long") / lit(86400L))
-      .cast("long").as("day"), idCol.as("__id"))
+    // the same day key the oracle's `// 86400` floor division produces;
+    // ExactMath keeps it exact even for a (mis-fed) micros column
+    val days = df.select(
+      graft.functions.ExactMath.floorDiv(tsSec.cast("long"), 86400L)
+        .as("day"), idCol.as("__id"))
     val sk = days.groupBy("day").agg(hll_sketch_agg(col("__id")).as("__sk"),
       count_distinct(col("__id")).as("__n"))
     val du = days.distinct()

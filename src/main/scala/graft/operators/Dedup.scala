@@ -608,7 +608,7 @@ object Dedup {
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val w = 2L * maxDist + 1
-    def slot(l: Column): Column = (l - pmod(l, lit(w))) / w
+    def slot(l: Column): Column = graft.functions.ExactMath.floorDiv(l, w)
     def classCount(s: Column): Column =
       (length(s) - length(translate(s, "abcdefghijklm", ""))).cast(LongType)
     val names = df.select(col(strCol).as("a")).distinct()

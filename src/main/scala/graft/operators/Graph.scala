@@ -80,39 +80,24 @@ object Graph {
     * out-neighbors (join on the shared source), giving Σ outdeg² ≤
     * O(E^{3/2}) candidate wedges instead of Σ deg² — the difference
     * between a bounded shuffle and a quadratic blow-up on a power-law
-    * co-purchase graph. The closing-edge check is a semi-join back on
+    * co-purchase graph. The closing-edge check is a join back on
     * the oriented edge list; each triangle is produced exactly once
     * (its vertices appear in orientation-rank order). Everything is
-    * joins + one explode — no driver state, no iteration.
+    * joins + one explode — no driver state, no iteration. Self-loops
+    * are excluded (they close no triangle and do not count into
+    * degree — uniform across the whole cohesion family via
+    * [[canonicalWeighted]], whose unit-weight mode makes this
+    * operator, [[weightedTriangleCounts]], [[kTruss]] and
+    * [[weightedKTruss]] four views over ONE enumerator + ONE peel).
     *
     * Reference: /root/reference/sqlengine.py has no graph surface
     * (extension per the brief's quality-weighting family). */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String,
       persist: Boolean = true): DataFrame = {
-    // ed is the symmetric adjacency list
-    val ed = symmetricEdges(pairs, aCol, bCol)
-    val deg = Caching.maybePersist(
-      ed.groupBy("__u").agg(count(lit(1)).as("__d")), persist)
-    // orient low-(deg, id) → high-(deg, id); keep the dst rank for the
-    // wedge ordering below so the loop joins ONE standing frame
-    val oriented = Caching.maybePersist(
-      ed.join(deg.select(col("__u"), col("__d").as("__du")), "__u")
-        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
-        .filter(col("__du") < col("__dv") ||
-          (col("__du") === col("__dv") && col("__u") < col("__v")))
-        .select(col("__u").as("s"), col("__v").as("t"), col("__dv").as("dt")),
-      persist)
-    // wedge (s → x, s → y) with rank(x) < rank(y): the closing edge, if
-    // the triangle exists, is oriented exactly x → y
-    val w1 = oriented.select(col("s"), col("t").as("x"), col("dt").as("dx"))
-    val w2 = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
-    val tris = w1.join(w2, Seq("s"))
-      .filter(col("dx") < col("dy") ||
-        (col("dx") === col("dy") && col("x") < col("y")))
-      .join(oriented.select(col("s").as("x"), col("t").as("y")),
-        Seq("x", "y"), "left_semi")
-      .select(col("s"), col("x"), col("y"))
-    val perVertex = tris
+    val p = (df: DataFrame) => Caching.maybePersist(df, persist)
+    val (deg, oriented) =
+      orientEdges(canonicalWeighted(pairs, aCol, bCol, None), p, p)
+    val perVertex = enumTriangles(oriented)
       .select(explode(array(col("s"), col("x"), col("y"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
     deg.select(col("__u").as("id"), col("__d").as("degree"))
@@ -122,6 +107,70 @@ object Graph {
         when(col("degree") >= 2,
           expr("(2000 * n_tri) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("cc_permille"))
+  }
+
+  /** Canonical weighted edge frame shared by the cohesion (triangle)
+    * family: self-loops dropped (a loop closes no triangle; counting
+    * it into degree made the weighted/unweighted operators disagree
+    * by 1 on loop graphs), endpoints ordered a < b, parallel rows
+    * collapsed keeping MAX weight. `wCol = None` assigns unit
+    * weights, under which every weighted statistic below reduces
+    * exactly to its count form — the reduction the uniform-weight
+    * GraphSpec pins verify. */
+  private def canonicalWeighted(pairs: DataFrame, aCol: String,
+      bCol: String, wCol: Option[String]): DataFrame =
+    pairs.filter(col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        wCol.map(c => col(c).cast("long")).getOrElse(lit(1L)).as("w"))
+      .groupBy("a", "b").agg(max(col("w")).as("w"))
+
+  /** Degree orientation of a canonical edge frame: every undirected
+    * edge directed from its lower-(degree, id) endpoint to the
+    * higher, so oriented out-degree is O(√E) regardless of raw degree
+    * (Suri & Vassilvitskii, WWW'11) — the bound that keeps wedge
+    * candidates at O(E^{3/2}) on power-law graphs. Persistence is
+    * caller-owned via the two hooks (the eager loops persist per
+    * round and free; the one-shot counts persist under the Caching
+    * contract). Returns (deg(__u, __d), oriented(s, t, dt, wt)). */
+  private def orientEdges(canon: DataFrame,
+      persistDeg: DataFrame => DataFrame,
+      persistOriented: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val ed = canon.select(explode(array(
+        struct(col("a").as("__u"), col("b").as("__v"), col("w")),
+        struct(col("b").as("__u"), col("a").as("__v"), col("w")))).as("__e"))
+      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
+        col("__e.w").as("__w"))
+    val deg = persistDeg(ed.groupBy("__u").agg(count(lit(1)).as("__d")))
+    val oriented = persistOriented(
+      ed.join(deg.select(col("__u"), col("__d").as("__du")), "__u")
+        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
+        .filter(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")))
+        .select(col("__u").as("s"), col("__v").as("t"),
+          col("__dv").as("dt"), col("__w").as("wt")))
+    (deg, oriented)
+  }
+
+  /** Every triangle exactly once (vertices in orientation-rank order)
+    * with its BOTTLENECK weight `__mw` = min of the three edge
+    * weights: wedge (s→x, s→y) with rank(x) < rank(y) closes iff the
+    * edge x→y exists in the oriented frame, fetched by an inner join
+    * whose multiplicity is 1 (one oriented row per undirected edge).
+    * Unit weights make `__mw` ≡ 1, so Σ __mw ≡ triangle COUNT — the
+    * identity that lets one enumerator serve the whole family. */
+  private def enumTriangles(oriented: DataFrame): DataFrame = {
+    val w1 = oriented.select(col("s"), col("t").as("x"),
+      col("dt").as("dx"), col("wt").as("wx"))
+    val w2 = oriented.select(col("s"), col("t").as("y"),
+      col("dt").as("dy"), col("wt").as("wy"))
+    w1.join(w2, Seq("s"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("s").as("x"), col("t").as("y"),
+        col("wt").as("wxy")), Seq("x", "y"))
+      .select(col("s"), col("x"), col("y"),
+        least(col("wx"), col("wy"), col("wxy")).as("__mw"))
   }
 
   /** Weighted per-vertex triangle participation: [[triangleCounts]]
@@ -146,39 +195,10 @@ object Graph {
     * row per undirected edge). */
   def weightedTriangleCounts(pairs: DataFrame, aCol: String, bCol: String,
       wCol: String, persist: Boolean = true): DataFrame = {
-    val canon = pairs.filter(col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("__a"),
-        greatest(col(aCol), col(bCol)).as("__b"),
-        col(wCol).cast("long").as("__w"))
-      .groupBy("__a", "__b").agg(max(col("__w")).as("__w"))
-    val ed = canon.select(explode(array(
-        struct(col("__a").as("__u"), col("__b").as("__v"), col("__w")),
-        struct(col("__b").as("__u"), col("__a").as("__v"), col("__w"))))
-        .as("__e"))
-      .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
-        col("__e.__w").as("__w"))
-    val deg = Caching.maybePersist(
-      ed.groupBy("__u").agg(count(lit(1)).as("__d")), persist)
-    val oriented = Caching.maybePersist(
-      ed.join(deg.select(col("__u"), col("__d").as("__du")), "__u")
-        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
-        .filter(col("__du") < col("__dv") ||
-          (col("__du") === col("__dv") && col("__u") < col("__v")))
-        .select(col("__u").as("s"), col("__v").as("t"),
-          col("__dv").as("dt"), col("__w").as("wt")),
-      persist)
-    val w1 = oriented.select(col("s"), col("t").as("x"),
-      col("dt").as("dx"), col("wt").as("wx"))
-    val w2 = oriented.select(col("s"), col("t").as("y"),
-      col("dt").as("dy"), col("wt").as("wy"))
-    val tris = w1.join(w2, Seq("s"))
-      .filter(col("dx") < col("dy") ||
-        (col("dx") === col("dy") && col("x") < col("y")))
-      .join(oriented.select(col("s").as("x"), col("t").as("y"),
-        col("wt").as("wxy")), Seq("x", "y"))
-      .select(col("s"), col("x"), col("y"),
-        least(col("wx"), col("wy"), col("wxy")).as("__mw"))
-    val perVertex = tris
+    val p = (df: DataFrame) => Caching.maybePersist(df, persist)
+    val (deg, oriented) =
+      orientEdges(canonicalWeighted(pairs, aCol, bCol, Some(wCol)), p, p)
+    val perVertex = enumTriangles(oriented)
       .select(explode(array(col("s"), col("x"), col("y"))).as("id"),
         col("__mw"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"),
@@ -875,51 +895,43 @@ object Graph {
     require(k >= 3 && rounds >= 1,
       s"kTruss: need k >= 3 (k−2 triangles per edge) and rounds >= 1, " +
         s"got k=$k rounds=$rounds")
-    val minSup = (k - 2).toLong
-    val orig = pairs
-      .filter(col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    // unit weights make Σ bottleneck weights ≡ triangle COUNT, so the
+    // count truss IS the weighted peel at minSupport = k−2 — one peel
+    // implementation serves both (the reduction GraphSpec pins)
+    trussPeel(canonicalWeighted(pairs, aCol, bCol, None), aCol, bCol,
+      minSupport = (k - 2).toLong, rounds = rounds)
+  }
+
+  /** The shared truss peel: fixed synchronous rounds over a canonical
+    * weighted edge frame, each round re-enumerating triangles among
+    * the CURRENT survivors ([[orientEdges]] + [[enumTriangles]]) and
+    * keeping edges whose summed bottleneck support reaches
+    * `minSupport`. Size-equality fixpoint early-exit (the survivor
+    * set only shrinks, so an unchanged count is a set-equality
+    * proof); per-round localCheckpoint with previous-round freeing. */
+  private def trussPeel(orig0: DataFrame, aCol: String, bCol: String,
+      minSupport: Long, rounds: Int): DataFrame = {
+    val orig = orig0.localCheckpoint(true)
     var edges = orig
     var prevFree: DataFrame = null
     var stableAt = rounds
     var stopped = false
     var r = 1
     while (r <= rounds && !stopped) {
-      // symmetric view + degree orientation of the CURRENT survivors
-      val ed = edges.select(explode(array(
-          struct(col("a").as("__u"), col("b").as("__v")),
-          struct(col("b").as("__u"), col("a").as("__v")))).as("__e"))
-        .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"))
-      val deg = ed.groupBy("__u").agg(count(lit(1)).as("__d"))
-      val oriented = ed
-        .join(deg.select(col("__u"), col("__d").as("__du")), "__u")
-        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
-        .filter(col("__du") < col("__dv") ||
-          (col("__du") === col("__dv") && col("__u") < col("__v")))
-        .select(col("__u").as("s"), col("__v").as("t"), col("__dv").as("dt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w1 = oriented.select(col("s"), col("t").as("x"), col("dt").as("dx"))
-      val w2 = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
-      val tris = w1.join(w2, Seq("s"))
-        .filter(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")))
-        .join(oriented.select(col("s").as("x"), col("t").as("y")),
-          Seq("x", "y"), "left_semi")
-        .select(col("s"), col("x"), col("y"))
-      // each triangle supports its three canonical edges
-      val sup = tris.select(explode(array(
+      val (_, oriented) = orientEdges(edges, identity,
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // each triangle supports its three canonical edges with its
+      // bottleneck weight (≡ 1 under unit weights)
+      val sup = enumTriangles(oriented).select(col("__mw"), explode(array(
           struct(least(col("s"), col("x")).as("a"),
             greatest(col("s"), col("x")).as("b")),
           struct(least(col("s"), col("y")).as("a"),
             greatest(col("s"), col("y")).as("b")),
           struct(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b")))).as("__e"))
-        .select(col("__e.a").as("a"), col("__e.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("__sup"))
-      val next = edges.join(sup.filter(col("__sup") >= minSup)
+        .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__mw"))
+        .groupBy("a", "b").agg(sum(col("__mw")).as("__sup"))
+      val next = edges.join(sup.filter(col("__sup") >= minSupport)
           .select("a", "b"), Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
       oriented.unpersist()
@@ -937,7 +949,8 @@ object Graph {
     if ((prevFree ne null) && (prevFree ne orig))
       Caching.freeLocalCheckpoint(prevFree)
     orig
-      .join(edges.withColumn("__in", lit(true)), Seq("a", "b"), "left")
+      .join(edges.select("a", "b").withColumn("__in", lit(true)),
+        Seq("a", "b"), "left")
       .select(col("a").as(aCol), col("b").as(bCol),
         coalesce(col("__in"), lit(false)).as("in_truss"),
         lit(stableAt.toLong).as("rounds_stable"))
@@ -964,78 +977,8 @@ object Graph {
     require(minSupport >= 1 && rounds >= 1,
       s"weightedKTruss: need minSupport >= 1 and rounds >= 1, " +
         s"got minSupport=$minSupport rounds=$rounds")
-    val orig = pairs
-      .filter(col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"),
-        col(wCol).cast("long").as("w"))
-      .groupBy("a", "b").agg(max(col("w")).as("w"))
-      .localCheckpoint(true)
-    var edges = orig
-    var prevFree: DataFrame = null
-    var stableAt = rounds
-    var stopped = false
-    var r = 1
-    while (r <= rounds && !stopped) {
-      val ed = edges.select(explode(array(
-          struct(col("a").as("__u"), col("b").as("__v"), col("w")),
-          struct(col("b").as("__u"), col("a").as("__v"), col("w"))))
-          .as("__e"))
-        .select(col("__e.__u").as("__u"), col("__e.__v").as("__v"),
-          col("__e.w").as("__w"))
-      val deg = ed.groupBy("__u").agg(count(lit(1)).as("__d"))
-      val oriented = ed
-        .join(deg.select(col("__u"), col("__d").as("__du")), "__u")
-        .join(deg.select(col("__u").as("__v"), col("__d").as("__dv")), "__v")
-        .filter(col("__du") < col("__dv") ||
-          (col("__du") === col("__dv") && col("__u") < col("__v")))
-        .select(col("__u").as("s"), col("__v").as("t"),
-          col("__dv").as("dt"), col("__w").as("wt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w1 = oriented.select(col("s"), col("t").as("x"),
-        col("dt").as("dx"), col("wt").as("wx"))
-      val w2 = oriented.select(col("s"), col("t").as("y"),
-        col("dt").as("dy"), col("wt").as("wy"))
-      val tris = w1.join(w2, Seq("s"))
-        .filter(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")))
-        .join(oriented.select(col("s").as("x"), col("t").as("y"),
-          col("wt").as("wxy")), Seq("x", "y"))
-        .select(col("s"), col("x"), col("y"),
-          least(col("wx"), col("wy"), col("wxy")).as("__mw"))
-      // each triangle supports its three canonical edges with its
-      // bottleneck weight
-      val sup = tris.select(col("__mw"), explode(array(
-          struct(least(col("s"), col("x")).as("a"),
-            greatest(col("s"), col("x")).as("b")),
-          struct(least(col("s"), col("y")).as("a"),
-            greatest(col("s"), col("y")).as("b")),
-          struct(least(col("x"), col("y")).as("a"),
-            greatest(col("x"), col("y")).as("b")))).as("__e"))
-        .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__mw"))
-        .groupBy("a", "b").agg(sum(col("__mw")).as("__sup"))
-      val next = edges.join(sup.filter(col("__sup") >= minSupport)
-          .select("a", "b"), Seq("a", "b"), "left_semi")
-        .localCheckpoint(true)
-      oriented.unpersist()
-      if (next.count() == edges.count()) {
-        stableAt = r - 1
-        stopped = true
-      }
-      if ((prevFree ne null) && (prevFree ne orig))
-        Caching.freeLocalCheckpoint(prevFree)
-      prevFree = edges
-      edges = next
-      r += 1
-    }
-    if ((prevFree ne null) && (prevFree ne orig))
-      Caching.freeLocalCheckpoint(prevFree)
-    orig
-      .join(edges.select("a", "b").withColumn("__in", lit(true)),
-        Seq("a", "b"), "left")
-      .select(col("a").as(aCol), col("b").as(bCol),
-        coalesce(col("__in"), lit(false)).as("in_truss"),
-        lit(stableAt.toLong).as("rounds_stable"))
+    trussPeel(canonicalWeighted(pairs, aCol, bCol, Some(wCol)), aCol, bCol,
+      minSupport = minSupport, rounds = rounds)
   }
 
   /** Degree assortativity (Newman, PRL 2002): the Pearson correlation

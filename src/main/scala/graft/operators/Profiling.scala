@@ -351,18 +351,28 @@ object Profiling {
     require(lookback >= 2 && minObs >= 2 && maxMinutes > 0,
       s"rateSpikes: need lookback/minObs >= 2 and maxMinutes > 0, " +
         s"got $lookback/$minObs/$maxMinutes")
-    // floor division (DuckDB `// 60` semantics; exact for |ts| < 2^53)
-    val m = df.groupBy(floor(tsSec.cast("long") / 60).cast("long").as("minute"))
+    // exact floor division for any long, any sign (DuckDB `// 60`
+    // semantics) — see ExactMath; the earlier double `/`+floor rounded
+    // the numerator above 2^53
+    val m = df.groupBy(
+        graft.functions.ExactMath.floorDiv(tsSec.cast("long"), 60L)
+          .as("minute"))
       .agg(count(lit(1)).as("c"))
     val guarded = guardedCardinality(m, maxMinutes, "rateSpikes",
       "minute", "maxMinutes")
     val w = Window.orderBy(col("minute")).rowsBetween(-lookback, -1)
     val mean = col("sp").cast("double") / col("np")
     val vr = col("sq").cast("double") / col("np") - mean * mean
+    // c² accumulates in DECIMAL(38,0): a 10⁹-events/minute stream puts
+    // c² at 10¹⁸ and the 60-minute lookback sum past 2⁶³ — the long
+    // product would wrap silently in non-ANSI mode (the
+    // weightedAssortativity lesson); the z arithmetic reads it only
+    // through the double cast, so the value is unchanged below 2⁶³
+    val cDec = col("c").cast(org.apache.spark.sql.types.DecimalType(38, 0))
     guarded
       .withColumn("np", count(col("c")).over(w))
       .withColumn("sp", sum(col("c")).over(w))
-      .withColumn("sq", sum(col("c") * col("c")).over(w))
+      .withColumn("sq", sum(cDec * cDec).over(w))
       .filter(col("np") >= minObs && vr > 0)
       .withColumn("z", (col("c") - mean) / sqrt(vr))
       .filter(col("z") > zThreshold)
@@ -379,8 +389,13 @@ object Profiling {
       keyCol: Column, bucketSec: Int, maxPoints: Long,
       op: String): DataFrame = {
     require(bucketSec >= 1, s"$op: bucketSec must be >= 1, got $bucketSec")
+    // ExactMath.floorDiv: the double `/`+floor idiom rounds the
+    // numerator above 2^53 — epoch-SECONDS never get there, but the
+    // column is caller-supplied and a micros feed would land whole
+    // series one bucket off with no error
     val m = df.groupBy(keyCol.as("key"),
-        floor(tsSec.cast("long") / bucketSec).cast("long").as("bucket"))
+        graft.functions.ExactMath.floorDiv(tsSec.cast("long"),
+          bucketSec.toLong).as("bucket"))
       .agg(count(lit(1)).as("c"))
     guardedCardinality(m, maxPoints, op, "(key, bucket)", "maxPoints")
   }

@@ -88,12 +88,10 @@ object TemporalJoins {
       payload: Seq[String] = Nil): DataFrame = {
     require(hi > lo, "hi must exceed lo")
     val width = hi - lo
-    // exact long floor-division: floor(x/w) = (x - pmod(x,w)) div w.
-    // Every step stays integral — `/` would route through double and
-    // round the NUMERATOR once |ts| exceeds 2^53 (epoch-nanos), which
-    // silently shifts rows one slot and drops matches
+    // exact for any long incl. past 2^53 (epoch-nanos) and floor-
+    // consistent with DuckDB `//` on negatives — see ExactMath
     def slot(ts: Column): Column =
-      call_function("div", ts - pmod(ts, lit(width)), lit(width))
+      graft.functions.ExactMath.floorDiv(ts, width)
     val lSlots = left
       .withColumn("__slot", explode(array_distinct(array(
         slot(col(leftTs) + lo), slot(col(leftTs) + hi - 1)))))
@@ -133,12 +131,11 @@ object TemporalJoins {
       keyCols: Seq[String], lStart: String, lEnd: String,
       rStart: String, rEnd: String, slot: Long): DataFrame = {
     require(slot >= 1, s"intervalOverlapJoin: slot must be >= 1, got $slot")
-    // exact long floor-division (the boundedRangeJoin idiom): every
-    // step integral via `div` — the earlier double `/` rounded the
-    // numerator above 2^53 (epoch-micros ~1.7e18 land there), which
-    // can shift a row one bucket and silently drop overlapping pairs
+    // exact for any long incl. past 2^53 (epoch-micros ~1.7e18 land
+    // there) — the earlier double `/` rounded the numerator and could
+    // shift a row one bucket, silently dropping overlapping pairs
     def bucket(ts: Column): Column =
-      call_function("div", ts - pmod(ts, lit(slot)), lit(slot))
+      graft.functions.ExactMath.floorDiv(ts, slot)
     def slotted(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(e) > col(s))
         .withColumn("__slot",

@@ -768,10 +768,16 @@ object TextAnalysis {
         .agg(count(lit(1)).as("__tf")),
       persist)
     val vocab = tf.groupBy(col("__tok")).agg(sum(col("__tf")).as("__cnt"))
+    // tf·cnt widens to DECIMAL(38,0) before multiply and sum: cnt is a
+    // CORPUS count (≈10¹³ for "the" at 100 TB), so Σ tf·cnt per doc
+    // reaches n_tokens·corpus_tokens ≈ 10¹⁸ — at the long wrap point;
+    // only the double ratio is emitted, so the value is unchanged
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     tf.join(vocab, "__tok")
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tokens"),
-        (sum(col("__tf") * col("__cnt")).cast(DoubleType) / sum(col("__tf")))
+        (sum(col("__tf").cast(dec38) * col("__cnt").cast(dec38))
+          .cast(DoubleType) / sum(col("__tf")))
           .as("mean_tok_freq"),
         sum(when(col("__cnt") <= rareMax, col("__tf")).otherwise(0L)).as("n_rare"))
   }

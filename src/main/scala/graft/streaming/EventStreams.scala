@@ -304,22 +304,40 @@ object EventStreams {
     * column names (rename on the way in — the
     * [[purchasesWithRecentClicks]] contract). Crash recovery is the
     * engine's stream-stream join state in the checkpoint, pinned by
-    * EventStreamsSpec's kill-and-restart test. */
+    * EventStreamsSpec's kill-and-restart test.
+    *
+    * `onOverlong` picks the violation policy — and it matters MORE
+    * here than in the batch guards this idiom comes from, because a
+    * failed micro-batch replays from the checkpoint and fails again
+    * forever (one bad row is a poison pill until someone edits the
+    * source): "fail" (default) keeps the in-plan assert — integrity
+    * over availability, the pipeline stops rather than silently
+    * missing matches; "drop" filters violating intervals out instead
+    * — availability over completeness, the documented trade that a
+    * violating row loses ITS matches but the stream keeps flowing
+    * (pair it with a dead-letter audit of the source if dropped rows
+    * must be accounted). */
   def streamingIntervalOverlap(left: DataFrame, right: DataFrame,
       lKey: String, rKey: String, lStart: String, lEnd: String,
       rStart: String, rEnd: String, maxLenSeconds: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      onOverlong: String = "fail"): DataFrame = {
     require(maxLenSeconds >= 1,
       s"maxLenSeconds must be >= 1, got $maxLenSeconds")
-    def capped(df: DataFrame, s: String, e: String): DataFrame = df
-      .filter(col(e) > col(s)) // half-open: empty intervals join nothing
-      .filter(assert_true(
-        col(e) <= col(s) + expr(s"INTERVAL $maxLenSeconds SECONDS"),
-        concat(lit("streamingIntervalOverlap: interval ["), col(s),
-          lit(", "), col(e),
-          lit(s") exceeds maxLenSeconds=$maxLenSeconds — the distance " +
-            "conjunct would silently drop its matches")))
-        .isNull)
+    require(onOverlong == "fail" || onOverlong == "drop",
+      s"onOverlong must be 'fail' or 'drop', got $onOverlong")
+    def capped(df: DataFrame, s: String, e: String): DataFrame = {
+      val fitsCap = col(e) <= col(s) + expr(s"INTERVAL $maxLenSeconds SECONDS")
+      val gate =
+        if (onOverlong == "drop") fitsCap
+        else assert_true(fitsCap,
+          concat(lit("streamingIntervalOverlap: interval ["), col(s),
+            lit(", "), col(e),
+            lit(s") exceeds maxLenSeconds=$maxLenSeconds — the distance " +
+              "conjunct would silently drop its matches"))).isNull
+      // half-open: empty intervals join nothing
+      df.filter(col(e) > col(s)).filter(gate)
+    }
     val l = capped(left, lStart, lEnd).withWatermark(lStart, watermarkDelay)
     val r = capped(right, rStart, rEnd).withWatermark(rStart, watermarkDelay)
     l.join(r,

@@ -64,7 +64,8 @@ object EwmaStream {
         window(col("event_time"), s"$bucketSec seconds"))
       .agg(count(lit(1)).as("c"))
       .select(col("key"),
-        (col("window.start").cast("long") / bucketSec).cast("long").as("bucket"),
+        graft.functions.ExactMath.floorDiv(
+          col("window.start").cast("long"), bucketSec.toLong).as("bucket"),
         col("c"))
   }
 

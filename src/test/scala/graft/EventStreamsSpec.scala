@@ -282,6 +282,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming interval overlap: onOverlong policies — drop sheds the poison row, fail kills the batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // i99's 2000-s interval exceeds the 600-s cap; i1/i101 overlap
+    def run(onOverlong: String): Set[(Long, Long)] = {
+      val mem = MemoryStream[(String, Long, Long, Long, Long)]
+      val all = mem.toDF().toDF("side", "uid", "iid", "st_s", "en_s")
+        .withColumn("st", timestamp_seconds(col("st_s")))
+        .withColumn("en", timestamp_seconds(col("en_s")))
+      val l = all.filter(col("side") === "L")
+        .select(col("uid").as("l_user"), col("iid").as("l_id"),
+          col("st").as("l_st"), col("en").as("l_en"))
+      val r = all.filter(col("side") === "R")
+        .select(col("uid").as("r_user"), col("iid").as("r_id"),
+          col("st").as("r_st"), col("en").as("r_en"))
+      val q = EventStreams.streamingIntervalOverlap(l, r, "l_user", "r_user",
+          "l_st", "l_en", "r_st", "r_en", maxLenSeconds = 600L,
+          onOverlong = onOverlong)
+        .select("l_id", "r_id")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(s"siov_pol_$onOverlong").start()
+      try {
+        mem.addData(("L", 1L, 1L, 1000L, 1300L), ("L", 1L, 99L, 1000L, 3000L),
+          ("R", 1L, 101L, 1200L, 1400L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(s"siov_pol_$onOverlong").as[(Long, Long)].collect().toSet
+    }
+    assert(run("drop") == Set((1L, 101L)),
+      "drop mode must shed ONLY the overlong interval and keep flowing")
+    val e = intercept[Exception] { run("fail") }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("exceeds maxLenSeconds")),
+      s"fail mode must name the violated cap: $msgs")
+  }
+
   test("streaming interval overlap: kill-and-restart matches intervals across the crash boundary") {
     // run 1 buffers left interval L1 in join state; run 2's right
     // interval R102 overlaps it — the pair exists ONLY if the
