@@ -438,7 +438,7 @@ object PipelineQueries {
   private def hybridRrfOracle: String = {
     def term(r: String) =
       s"CASE WHEN $r IS NOT NULL THEN 1.0::DOUBLE / ($RrfK0.0::DOUBLE + CAST($r AS DOUBLE)) ELSE 0.0::DOUBLE END"
-    s"""WITH ${bm25ScoredCtes(Bm25Terms, "hb")},
+    s"""WITH ${bm25FromCte("hb")}, ${bm25ScoredCtes(Bm25Terms, "hb")},
        |hlx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM
        |(SELECT doc_id, score FROM hbsc ORDER BY score DESC, doc_id ASC LIMIT $RrfLexK)),
        |hv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -572,13 +572,36 @@ object PipelineQueries {
     val scoreTerms = terms.indices.map { i =>
       s"((n - df$i + 0.5::DOUBLE) / (df$i + 0.5::DOUBLE)) * ((tf$i * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf$i + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * (dl / (CAST(sdl AS DOUBLE) / n)))))"
     }.mkString(" + ")
-    s"""${p}d AS (SELECT doc_id, len($ToksSql) AS dl, $tfDefs FROM documents),
+    s"""${p}d AS (SELECT doc_id, len($ToksSql) AS dl, $tfDefs FROM ${p}from),
        |${p}s AS (SELECT count(*) AS n, sum(dl) AS sdl, $dfDefs FROM ${p}d),
        |${p}sc AS (SELECT doc_id, $scoreTerms AS score FROM ${p}d CROSS JOIN ${p}s)""".stripMargin
   }
 
+  /** The corpus a BM25 chain scores: the plain table by default, or a
+    * caller-supplied transformed body (the incremental-index oracle's
+    * merged corpus). Always emitted as CTE `<p>from` so
+    * [[bm25ScoredCtes]] needs no other seam. */
+  private def bm25FromCte(p: String,
+      body: String = "SELECT doc_id, text FROM documents"): String =
+    s"${p}from AS ($body)"
+
   private def bm25Oracle(terms: Seq[String], k: Int): String =
-    s"""WITH ${bm25ScoredCtes(terms, "bm")}
+    s"""WITH ${bm25FromCte("bm")}, ${bm25ScoredCtes(terms, "bm")}
+       |SELECT doc_id, score FROM bmsc
+       |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** Incremental-text-index oracle: the [[bm25Oracle]] chain scored
+    * over the MERGED corpus (deletes ≡ 3 mod 10 absent, updates
+    * ≡ 1 mod 10 with ' merge merge' appended — which moves tf, dl,
+    * AND the global df/avgdl stats, so stale stats cannot pass —
+    * plus the held-out fifth inserted). The Spark side must reach the
+    * same ranked doubles THROUGH the maintained postings/lengths
+    * frames, pinning maintained-index ≡ rebuilt end-to-end. */
+  private def bm25IncrementalOracle(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25FromCte("bm",
+        "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text " +
+          "FROM documents WHERE doc_id % 10 <> 3")},
+       |${bm25ScoredCtes(terms, "bm")}
        |SELECT doc_id, score FROM bmsc
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
@@ -3906,6 +3929,44 @@ object PipelineQueries {
       (s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Bm25Terms, k = 25),
       Some(bm25Oracle(Bm25Terms, 25))),
+    // Text-index freshness under CDC — the lexical sibling of
+    // ann_ivf_incremental: the postings + lengths frames are
+    // BOOTSTRAPPED from 4/5 of the corpus, one change batch lands
+    // (updates ≡ 1 mod 10 append ' merge merge' — a QUERY term, so
+    // tf, dl, df, and avgdl all move and stale stats cannot pass;
+    // deletes ≡ 3 mod 10; the held-out fifth inserted) through the
+    // grouped CDC apply (old rows dropped by one key anti-join, fresh
+    // rows re-derived from the winning change — the base is never
+    // rescanned), and BM25 runs over the MAINTAINED index while the
+    // oracle recomputes from scratch over the merged corpus. The
+    // scoring tail is the SAME expression tree as doc_bm25_topk
+    // (TextAnalysis.bm25Rank), so the doubles pin bit-exactly.
+    Q("doc_bm25_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val boot = docs.filter(col("doc_id") % 5 =!= 4)
+        val ups = docs.filter(col("doc_id") % 10 === 1)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" merge merge")).as("text"))
+        val dels = docs.filter(col("doc_id") % 10 === 3)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("string").as("text"))
+        val ins = docs.filter(col("doc_id") % 5 === 4)
+          .select(lit("I").as("op"), col("doc_id"), col("text"))
+        val feed = ups.unionByName(dels).unionByName(ins)
+          .withColumn("seq", lit(1000000L) + col("doc_id"))
+        val post1 = operators.Cdc.applyChangesGrouped(
+          TextAnalysis.tokenIndex(boot, "doc_id", "text"),
+          feed, "doc_id", "seq", "op")(
+          ch => TextAnalysis.tokenIndex(ch, "doc_id", "text"))
+        val len1 = operators.Cdc.applyChangesGrouped(
+          TextAnalysis.docLengths(boot, "doc_id", "text"),
+          feed, "doc_id", "seq", "op")(
+          ch => TextAnalysis.docLengths(ch, "doc_id", "text"))
+        TextAnalysis.bm25TopKFromIndex(post1, len1, "doc_id",
+          Bm25Terms, k = 25)
+      },
+      Some(bm25IncrementalOracle(Bm25Terms, 25))),
     // per-language z-score outliers over token counts — group stats
     // from exact integer sums broadcast back onto the scan, z computed
     // map-side; |z| > 2 flags the length anomalies a quality gate drops

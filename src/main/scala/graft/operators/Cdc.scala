@@ -59,6 +59,33 @@ object Cdc {
             when(col("__op").isNotNull, latest(c)).otherwise(snapshot(c)).as(c)): _*)
   }
 
+  /** [[applyChanges]] for ONE-TO-MANY payloads: each key's latest
+    * change row EXPANDS to any number of derived snapshot rows (an
+    * inverted index's postings, a document's chunk list) instead of
+    * exactly one. Per batch: latest-wins max_by picks each changed
+    * key's winning row, the carried snapshot DROPS every changed
+    * key's old rows through one key anti-join (the only touch of the
+    * base — key-pruned, never a rescan), and `expand` maps the
+    * surviving upserts (op ≠ D, in the CHANGES' column shape minus
+    * seq/op/__op) to their fresh rows. The result equals `expand`
+    * over the fully-merged key-level corpus whenever `expand` is
+    * per-row deterministic — which is what the doc_bm25_incremental
+    * oracle pins end-to-end. */
+  def applyChangesGrouped(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String, seqCol: String, opCol: String)(
+      expand: DataFrame => DataFrame): DataFrame = {
+    val ord = struct(col(seqCol), col(opCol))
+    val payload = changes.columns
+      .filterNot(Seq(keyCol, seqCol, opCol).contains)
+    val latest = changes.groupBy(col(keyCol)).agg(
+      max_by(col(opCol), ord).as("__op"),
+      payload.map(c => max_by(col(c), ord).as(c)): _*)
+    val survivors = snapshot
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val fresh = expand(latest.filter(col("__op") =!= "D").drop("__op"))
+    survivors.unionByName(fresh)
+  }
+
   /** Incrementally maintain a grouped COUNT/SUM view under the change
     * log — incremental view maintenance, the reason warehouses keep
     * aggregates fresh without rescanning the base table. The base

@@ -662,11 +662,22 @@ object TextAnalysis {
       .withColumn("__dl", size(col("__toks")))
       .select(col(idCol) +: col("__dl") +: terms.indices.map(i =>
         size(filter(col("__toks"), w => w === lit(terms(i)))).as(s"__tf$i")): _*)
+    bm25Rank(base, idCol, terms.length, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the scan path ([[bm25TopK]]) and
+    * the index path ([[bm25TopKFromIndex]]): ONE expression tree over
+    * a `(idCol, __dl, __tf0..__tfN-1)` frame, so the two paths are
+    * bit-equal by construction, not by parallel maintenance. Stats
+    * (N, Σdl, per-term df) are one partial-agg pass broadcast back;
+    * the final top-k is TakeOrderedAndProject. */
+  private def bm25Rank(base: DataFrame, idCol: String, nTerms: Int,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val stats = base.agg(count(lit(1)).as("__n"),
-      sum(col("__dl")).as("__sdl") +: terms.indices.map(i =>
+      sum(col("__dl")).as("__sdl") +: (0 until nTerms).map(i =>
         sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
     val avgdl = col("__sdl").cast(DoubleType) / col("__n")
-    val score = terms.indices.map { i =>
+    val score = (0 until nTerms).map { i =>
       val idf = (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5))
       val num = col(s"__tf$i") * (lit(k1) + lit(1.0))
       val den = col(s"__tf$i") +
@@ -677,6 +688,50 @@ object TextAnalysis {
       .select(col(idCol), score.as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** The postings side of a text index: one row per (doc, token) with
+    * its term frequency — what [[bm25TopKFromIndex]] seeks into and
+    * the unit [[graft.operators.Cdc.applyChangesGrouped]] maintains
+    * under a document change feed (the text sibling of the
+    * incremental-IVF freshness story). Map-side explode + one
+    * (doc, token) partial-agg shuffle; at lake scale, bucket the
+    * output by token so query-term seeks prune. */
+  def tokenIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** Per-document token count — the second, tiny state frame of the
+    * text index, kept separate from the postings so ZERO-token
+    * documents still count into N and Σdl (they have no posting row
+    * but BM25's stats are corpus-wide). */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(tokens(col(textCol))).as("dl"))
+
+  /** BM25 over a MAINTAINED index instead of a corpus scan: per-term
+    * tf via one seek into the postings (filter on the query terms —
+    * token-bucketed layout makes it pruning at scale) pivoted to the
+    * [[bm25Rank]] frame shape, lengths supplying dl and corpus
+    * membership. Bit-equal to [[bm25TopK]] over the same corpus — the
+    * shared scoring tail plus exact integer tf/df/dl make the doubles
+    * identical, which is what doc_bm25_incremental's oracle (a
+    * scratch recompute over the merged corpus) pins through the
+    * incremental maintenance path. */
+  def bm25TopKFromIndex(postings: DataFrame, lengths: DataFrame,
+      idCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs at least one query term")
+    val hits = postings.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("token") === terms.head, col("tf")).otherwise(0L))
+          .as("__tf0"),
+        terms.indices.tail.map(i =>
+          sum(when(col("token") === terms(i), col("tf")).otherwise(0L))
+            .as(s"__tf$i")): _*)
+    val base = lengths.select(col(idCol), col("dl").as("__dl"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, terms.indices.map(i => s"__tf$i"))
+    bm25Rank(base, idCol, terms.length, k, k1, b)
   }
 
   /** Fixed-size overlapping token chunks — training-sample prep
