@@ -1523,6 +1523,52 @@ object PipelineQueries {
            |SELECT v.tok AS token, CAST(v.cnt AS BIGINT) AS cnt, CAST(e.est AS BIGINT) AS est
            |FROM cmv v JOIN cme e USING (tok)""".stripMargin.replace("\n", " ")
       })),
+    // Sketch freshness under CDC — the LINEAR-sketch retraction story:
+    // CMS counters are ± sums, so document deletes genuinely SUBTRACT
+    // where the HLL family's register-max is monotone and cannot
+    // forget. The sketch is bootstrapped from 4/5 of the corpus, one
+    // Debezium-style change batch lands (updates ≡ 1 mod 10 append
+    // two tokens with the pre-image carried; deletes ≡ 3 mod 10;
+    // the held-out fifth inserted), delta mass = +tokens(new)
+    // −tokens(old) folds through the SAME double-hash grid in one
+    // d×w-row join — never a corpus rescan — and the oracle rebuilds
+    // the sketch from scratch over the merged corpus: linearity is
+    // pinned, not assumed. A negative-folding counter (lying
+    // before-image) trips an in-plan assert.
+    Q("doc_cms_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val boot = docs.filter(col("doc_id") % 5 =!= 4)
+        val sk0 = TextAnalysis.cmsSketch(boot, "text", depth = 4, width = 16)
+        val ups = docs.filter(col("doc_id") % 10 === 1)
+          .select(lit("U").as("op"), col("doc_id"),
+            concat(col("text"), lit(" merge merge")).as("text"),
+            col("text").as("old_text"))
+        val dels = docs.filter(col("doc_id") % 10 === 3)
+          .select(lit("D").as("op"), col("doc_id"),
+            lit(null).cast("string").as("text"),
+            col("text").as("old_text"))
+        val ins = docs.filter(col("doc_id") % 5 === 4)
+          .select(lit("I").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text"))
+        val feed = ups.unionByName(dels).unionByName(ins)
+          .withColumn("seq", lit(1000000L) + col("doc_id"))
+        TextAnalysis.cmsMaintain(sk0, feed, "doc_id", "text", "old_text",
+            "seq", "op", depth = 4, width = 16)
+          .orderBy("r", "bucket")
+      },
+      Some({
+        import Xxh64Sql._
+        s"""WITH cifrom AS (SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text FROM documents WHERE doc_id % 10 <> 3),
+           |citk AS (SELECT unnest($ToksSql) AS tok FROM cifrom),
+           |civ AS (SELECT tok, COUNT(*) AS cnt FROM citk GROUP BY tok),
+           |cisrc AS (SELECT tok AS doc_id, tok FROM civ),
+           |${tokenHashStages("ci")},
+           |cihh AS (SELECT doc_id AS tok, hu % 4294967296 AS h1, hu // 4294967296 AS h2 FROM cih),
+           |cib AS (SELECT tok, r, (h1 + r * h2) % 16 AS bucket FROM cihh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r))
+           |SELECT CAST(r AS BIGINT) AS r, CAST(bucket AS BIGINT) AS bucket, CAST(SUM(cnt) AS BIGINT) AS tot
+           |FROM cib JOIN civ USING (tok) GROUP BY r, bucket""".stripMargin.replace("\n", " ")
+      })),
     // overlapping token-window chunking (training-sample prep):
     // 64-token chunks every 48 tokens
     Q("doc_chunks",

@@ -783,21 +783,93 @@ object TextAnalysis {
     // probe; persisting it (vocab-sized × depth, bounded by vocabulary
     // not corpus) keeps the corpus-sized explode+groupBy to ONE scan
     val buckets = Caching.maybePersist(
-      df.select(explode(tokens(col(textCol))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .withColumn("__h", xxhash64(col("token")))
-        .withColumn("__h1", col("__h").bitwiseAND(lit(0xFFFFFFFFL)))
-        .withColumn("__h2", shiftrightunsigned(col("__h"), 32))
-        .select(col("token"), col("cnt"), col("__h1"), col("__h2"),
-          explode(sequence(lit(0L), lit(depth - 1L))).as("__r"))
-        .withColumn("__bucket",
-          (col("__h1") + col("__r") * col("__h2")) % width)
-        .drop("__h1", "__h2"),
+      cmsBucketed(df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")), depth, width),
       persist)
     val sketch = buckets.groupBy("__r", "__bucket").agg(sum("cnt").as("__tot"))
     buckets.join(sketch, Seq("__r", "__bucket"))
       .groupBy("token", "cnt").agg(min("__tot").as("est"))
       .select(col("token"), col("cnt"), col("est"))
+  }
+
+  /** Per-(token, sketch row) bucket assignment — the
+    * Kirsch–Mitzenmacher double-hash grid `(h1 + r·h2) mod width`
+    * over the xxh64 halves, shared by the one-shot sketch
+    * ([[cmsTokenCounts]]), the standalone builder ([[cmsSketch]]),
+    * and the maintained fold ([[cmsMaintain]]) so the three can never
+    * hash apart. Input (token, cnt); output adds (__r, __bucket). */
+  private def cmsBucketed(tokenCounts: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    tokenCounts
+      .withColumn("__h", xxhash64(col("token")))
+      .withColumn("__h1", col("__h").bitwiseAND(lit(0xFFFFFFFFL)))
+      .withColumn("__h2", shiftrightunsigned(col("__h"), 32))
+      .select(col("token"), col("cnt"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("__r"))
+      .withColumn("__bucket",
+        (col("__h1") + col("__r") * col("__h2")) % width)
+      .drop("__h1", "__h2")
+
+  /** The raw CMS counter frame — one row per non-empty (sketch row,
+    * bucket) with its collision-mass total — built from a corpus
+    * scan. This IS the sketch's state: d×w longs, the thing
+    * [[cmsMaintain]] keeps fresh under a change feed. */
+  def cmsSketch(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 16): DataFrame =
+    cmsBucketed(df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")), depth, width)
+      .groupBy(col("__r").as("r"), col("__bucket").as("bucket"))
+      .agg(sum("cnt").as("tot"))
+
+  /** Maintain a CMS counter frame under a DOCUMENT change feed — the
+    * sketch-family freshness story: CMS is a LINEAR sketch (counters
+    * are ± sums), so deletions genuinely RETRACT — the thing the HLL
+    * family structurally cannot do (register-max is monotone). Feed
+    * contract (the [[graft.streaming.IvmStream]] group-twin shape):
+    * `(seqCol, opCol, idCol, textCol, oldTextCol)` with op ∈ I/U/D,
+    * `oldTextCol` the document's text immediately before its FIRST
+    * change of the batch (NULL ⇔ the doc did not exist), seq
+    * feed-monotone. Per batch: latest-wins picks the final text,
+    * min_by the pre-batch old text; delta mass = +tokens(new)
+    * −tokens(old), hashed through the SAME grid and folded into the
+    * carried counters with one (r, bucket) full-outer join — d×w
+    * rows, never a corpus rescan. A counter folding negative — only
+    * possible when before-images LIE — trips an in-plan assert; one
+    * folding to exactly 0 is dropped (absence ≡ zero, matching a
+    * scratch rebuild). Result ≡ [[cmsSketch]] over the merged corpus
+    * (linearity — pinned by the doc_cms_incremental oracle, not
+    * assumed). */
+  def cmsMaintain(sketch: DataFrame, changes: DataFrame, idCol: String,
+      textCol: String, oldTextCol: String, seqCol: String, opCol: String,
+      depth: Int = 4, width: Int = 16): DataFrame = {
+    val ord = struct(col(seqCol), col(opCol))
+    val latest = changes.groupBy(col(idCol)).agg(
+      max_by(col(opCol), ord).as("__op"),
+      max_by(col(textCol), ord).as("__text"),
+      min_by(col(oldTextCol), ord).as("__old"))
+    def signedCounts(src: DataFrame, c: String, sign: Long): DataFrame =
+      src.select(explode(tokens(col(c))).as("token"))
+        .groupBy("token").agg((count(lit(1)) * sign).as("cnt"))
+    val delta = cmsBucketed(
+        signedCounts(latest.filter(col("__op") =!= "D"), "__text", 1L)
+          .unionByName(
+            signedCounts(latest.filter(col("__old").isNotNull), "__old", -1L))
+          .groupBy("token").agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") =!= 0L),
+        depth, width)
+      .groupBy(col("__r").as("r"), col("__bucket").as("bucket"))
+      .agg(sum("cnt").as("__d"))
+    sketch.join(delta, Seq("r", "bucket"), "full_outer")
+      .select(col("r"), col("bucket"),
+        (coalesce(col("tot"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+          .as("tot"))
+      .filter(assert_true(col("tot") >= 0L,
+        concat(lit("cmsMaintain: counter (r="), col("r"),
+          lit(", bucket="), col("bucket"),
+          lit(") folded negative to "), col("tot"),
+          lit(" — the feed's before-images are inconsistent")))
+        .isNull)
+      .filter(col("tot") > 0L)
   }
 
   /** Corpus-unigram frequency scoring — the shuffle-only core of an

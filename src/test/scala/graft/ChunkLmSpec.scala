@@ -63,6 +63,43 @@ class ChunkLmSpec extends SparkSpec {
     assert(exact.filter(col("est") =!= col("cnt")).count() == 0)
   }
 
+  test("cmsMaintain: deletes RETRACT counter mass; maintained ≡ rebuilt; lying before-image trips the guard") {
+    def sk(rows: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+      TextAnalysis.cmsSketch(rows.toDF("doc_id", "text"), "text",
+          depth = 4, width = 16)
+        .as[(Long, Long, Long)].collect().toSet
+    val boot = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c"))
+    val sk0 = TextAnalysis.cmsSketch(boot.toDF("doc_id", "text"), "text",
+      depth = 4, width = 16)
+    // doc 1 rewritten, doc 3 deleted, doc 4 inserted — merged corpus:
+    val feed = Seq(
+      (10L, "U", 1L, "b b b", "a a b"),
+      (11L, "D", 3L, null, "c c c"),
+      (12L, "I", 4L, "a d", null))
+      .toDF("seq", "op", "doc_id", "text", "old_text")
+    val got = TextAnalysis.cmsMaintain(sk0, feed, "doc_id", "text",
+        "old_text", "seq", "op", depth = 4, width = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = sk(Seq((1L, "b b b"), (2L, "b c"), (4L, "a d")))
+    assert(got == want, s"maintained $got != rebuilt $want")
+    // the retraction is REAL: total sketch mass per row fell from 8
+    // tokens (a a b | b c | c c c) to 7 (b b b | b c | a d) — a
+    // monotone sketch (HLL) structurally cannot do this
+    val mass = got.toSeq.filter(_._1 == 0L).map(_._3).sum
+    assert(mass == 7L, s"row-0 mass $mass != 7 post-retraction tokens")
+    // a before-image claiming text the corpus never held drives some
+    // counter negative ('z z z' retracts mass no bucket carries)
+    val lying = Seq((20L, "D", 2L, null, "z z z"))
+      .toDF("seq", "op", "doc_id", "text", "old_text")
+    val e = intercept[Throwable] {
+      TextAnalysis.cmsMaintain(sk0, lying, "doc_id", "text",
+        "old_text", "seq", "op", depth = 4, width = 16).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("folded negative")), s"guard: $msgs")
+  }
+
   test("ev_dedup: one row per (user, type), and it is the earliest") {
     val q = PipelineQueries.all.find(_.name == "ev_dedup").get
     val out = q.run(spark, "/root/testdata/sf0.001")
