@@ -585,6 +585,41 @@ object PipelineQueries {
       body: String = "SELECT doc_id, text FROM documents"): String =
     s"${p}from AS ($body)"
 
+  /** ONE definition of the document-freshness fixture shared by every
+    * incremental-maintenance query over `documents`
+    * (doc_bm25_incremental, doc_cms_incremental) AND, as
+    * [[IncrMergedDocsSql]], by their oracles — so the Spark feed and
+    * the SQL merged corpus cannot drift apart: bootstrap = 4/5 of the
+    * corpus (doc_id ≢ 4 mod 5); one change batch with updates
+    * (≡ 1 mod 10, text + ' merge merge' — a BM25 query term, moving
+    * tf, dl, df, avgdl together), deletes (≡ 3 mod 10), and the
+    * held-out fifth inserted; Debezium before-images carried in
+    * `old_text`; seq = 10⁶ + doc_id (feed-monotone). Returns
+    * (bootstrap, feed). */
+  private def incrementalDocFeed(docs: DataFrame): (DataFrame, DataFrame) = {
+    val boot = docs.filter(col("doc_id") % 5 =!= 4)
+    val ups = docs.filter(col("doc_id") % 10 === 1)
+      .select(lit("U").as("op"), col("doc_id"),
+        concat(col("text"), lit(" merge merge")).as("text"),
+        col("text").as("old_text"))
+    val dels = docs.filter(col("doc_id") % 10 === 3)
+      .select(lit("D").as("op"), col("doc_id"),
+        lit(null).cast("string").as("text"),
+        col("text").as("old_text"))
+    val ins = docs.filter(col("doc_id") % 5 === 4)
+      .select(lit("I").as("op"), col("doc_id"), col("text"),
+        lit(null).cast("string").as("old_text"))
+    (boot, ups.unionByName(dels).unionByName(ins)
+      .withColumn("seq", lit(1000000L) + col("doc_id")))
+  }
+
+  /** The merged corpus [[incrementalDocFeed]]'s batch produces, as the
+    * oracle-side SELECT body — the scratch-rebuild input every
+    * freshness pin compares against. */
+  private val IncrMergedDocsSql: String =
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 10 <> 3"
+
   private def bm25Oracle(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25FromCte("bm")}, ${bm25ScoredCtes(terms, "bm")}
        |SELECT doc_id, score FROM bmsc
@@ -598,9 +633,7 @@ object PipelineQueries {
     * same ranked doubles THROUGH the maintained postings/lengths
     * frames, pinning maintained-index ≡ rebuilt end-to-end. */
   private def bm25IncrementalOracle(terms: Seq[String], k: Int): String =
-    s"""WITH ${bm25FromCte("bm",
-        "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text " +
-          "FROM documents WHERE doc_id % 10 <> 3")},
+    s"""WITH ${bm25FromCte("bm", IncrMergedDocsSql)},
        |${bm25ScoredCtes(terms, "bm")}
        |SELECT doc_id, score FROM bmsc
        |ORDER BY score DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
@@ -1537,29 +1570,16 @@ object PipelineQueries {
     // before-image) trips an in-plan assert.
     Q("doc_cms_incremental",
       (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val boot = docs.filter(col("doc_id") % 5 =!= 4)
+        val (boot, feed) = incrementalDocFeed(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
         val sk0 = TextAnalysis.cmsSketch(boot, "text", depth = 4, width = 16)
-        val ups = docs.filter(col("doc_id") % 10 === 1)
-          .select(lit("U").as("op"), col("doc_id"),
-            concat(col("text"), lit(" merge merge")).as("text"),
-            col("text").as("old_text"))
-        val dels = docs.filter(col("doc_id") % 10 === 3)
-          .select(lit("D").as("op"), col("doc_id"),
-            lit(null).cast("string").as("text"),
-            col("text").as("old_text"))
-        val ins = docs.filter(col("doc_id") % 5 === 4)
-          .select(lit("I").as("op"), col("doc_id"), col("text"),
-            lit(null).cast("string").as("old_text"))
-        val feed = ups.unionByName(dels).unionByName(ins)
-          .withColumn("seq", lit(1000000L) + col("doc_id"))
         TextAnalysis.cmsMaintain(sk0, feed, "doc_id", "text", "old_text",
             "seq", "op", depth = 4, width = 16)
           .orderBy("r", "bucket")
       },
       Some({
         import Xxh64Sql._
-        s"""WITH cifrom AS (SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text FROM documents WHERE doc_id % 10 <> 3),
+        s"""WITH cifrom AS ($IncrMergedDocsSql),
            |citk AS (SELECT unnest($ToksSql) AS tok FROM cifrom),
            |civ AS (SELECT tok, COUNT(*) AS cnt FROM citk GROUP BY tok),
            |cisrc AS (SELECT tok AS doc_id, tok FROM civ),
@@ -3989,18 +4009,8 @@ object PipelineQueries {
     // (TextAnalysis.bm25Rank), so the doubles pin bit-exactly.
     Q("doc_bm25_incremental",
       (s, d) => {
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-        val boot = docs.filter(col("doc_id") % 5 =!= 4)
-        val ups = docs.filter(col("doc_id") % 10 === 1)
-          .select(lit("U").as("op"), col("doc_id"),
-            concat(col("text"), lit(" merge merge")).as("text"))
-        val dels = docs.filter(col("doc_id") % 10 === 3)
-          .select(lit("D").as("op"), col("doc_id"),
-            lit(null).cast("string").as("text"))
-        val ins = docs.filter(col("doc_id") % 5 === 4)
-          .select(lit("I").as("op"), col("doc_id"), col("text"))
-        val feed = ups.unionByName(dels).unionByName(ins)
-          .withColumn("seq", lit(1000000L) + col("doc_id"))
+        val (boot, feed) = incrementalDocFeed(
+          t(s, d, "documents").select(col("doc_id"), col("text")))
         val post1 = operators.Cdc.applyChangesGrouped(
           TextAnalysis.tokenIndex(boot, "doc_id", "text"),
           feed, "doc_id", "seq", "op")(

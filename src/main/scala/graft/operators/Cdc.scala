@@ -73,13 +73,31 @@ object Cdc {
     * oracle pins end-to-end. */
   def applyChangesGrouped(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, seqCol: String, opCol: String)(
-      expand: DataFrame => DataFrame): DataFrame = {
+      expand: DataFrame => DataFrame): DataFrame =
+    applyGroupedFromLatest(snapshot,
+      latestChanges(changes, keyCol, seqCol, opCol), keyCol)(expand)
+
+  /** The latest-wins reduction of a change batch alone — one winner
+    * row per key, `__op` carrying the final op, payload columns the
+    * winning images. Exposed so a MULTI-FRAME maintainer (e.g.
+    * [[graft.streaming.TextIndexStream]]'s postings + lengths) can
+    * compute — and persist — the batch reduction ONCE and feed it to
+    * several [[applyGroupedFromLatest]] expansions, instead of paying
+    * the groupBy per maintained frame. */
+  def latestChanges(changes: DataFrame, keyCol: String, seqCol: String,
+      opCol: String): DataFrame = {
     val ord = struct(col(seqCol), col(opCol))
     val payload = changes.columns
       .filterNot(Seq(keyCol, seqCol, opCol).contains)
-    val latest = changes.groupBy(col(keyCol)).agg(
+    changes.groupBy(col(keyCol)).agg(
       max_by(col(opCol), ord).as("__op"),
       payload.map(c => max_by(col(c), ord).as(c)): _*)
+  }
+
+  /** [[applyChangesGrouped]] from a precomputed [[latestChanges]]
+    * frame. */
+  def applyGroupedFromLatest(snapshot: DataFrame, latest: DataFrame,
+      keyCol: String)(expand: DataFrame => DataFrame): DataFrame = {
     val survivors = snapshot
       .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
     val fresh = expand(latest.filter(col("__op") =!= "D").drop("__op"))

@@ -71,20 +71,9 @@ object IvfStream {
       emptyIndex(batch, vecCol))
     val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
       batch.select(lit(Long.MinValue).as("last_seq")).filter(lit(false)))
-    // the IvmStream monotone-seq guard, verbatim: a replayed or
-    // regressed feed would re-apply changes the index already folded
-    val frontier = fPrev
-      .agg(coalesce(max(col("last_seq")), lit(Long.MinValue)).as("__pf"))
-      .crossJoin(batch.agg(min(col("seq")).as("__bmin"),
-        max(col("seq")).as("__bmax")))
-      .filter(assert_true(
-        col("__bmin").isNull || col("__bmin") > col("__pf"),
-        concat(lit("IvfStream: batch seq "), col("__bmin"),
-          lit(" not after carried last_seq "), col("__pf"),
-          lit(" — the feed regressed")))
-        .isNull)
-      .select(greatest(col("__pf"), coalesce(col("__bmax"), col("__pf")))
-        .as("last_seq"))
+    // the shared monotone-seq guard (SnapshotStore.seqFrontier): a
+    // replayed or regressed feed would re-apply folded changes
+    val frontier = SnapshotStore.seqFrontier(fPrev, batch, "IvfStream")
     val next = Similarity.ivfMaintain(prev, batch, "id", vecCol,
         "seq", "op", centroids)
       // cell-clustered layout: a search opens only its probe cells

@@ -210,18 +210,8 @@ object IvmStream {
     val bCh = batch.filter(col("side") === "B")
       .select((Seq("seq", "op") ++ bCols).map(col(_)): _*)
     // same monotone-seq guard as the group twin, over the whole feed
-    val frontier = fPrev
-      .agg(coalesce(max(col("last_seq")), lit(Long.MinValue)).as("__pf"))
-      .crossJoin(batch.agg(min(col("seq")).as("__bmin"),
-        max(col("seq")).as("__bmax")))
-      .filter(assert_true(
-        col("__bmin").isNull || col("__bmin") > col("__pf"),
-        concat(lit("IvmStream join: batch seq "), col("__bmin"),
-          lit(" not after carried last_seq "), col("__pf"),
-          lit(" — the feed regressed")))
-        .isNull)
-      .select(greatest(col("__pf"), coalesce(col("__bmax"), col("__pf")))
-        .as("last_seq"))
+    // (the shared one-home implementation — SnapshotStore.seqFrontier)
+    val frontier = SnapshotStore.seqFrontier(fPrev, batch, "IvmStream join")
     val aNext = Cdc.applyChanges(aPrev, aCh, aKey, "seq", "op")
     val bNext = Cdc.applyChanges(bPrev, bCh, joinCol, "seq", "op")
     // persist = false: a long-lived stream would leak one pinned

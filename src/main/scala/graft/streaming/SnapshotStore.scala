@@ -83,6 +83,33 @@ private[streaming] object SnapshotStore {
       what: String): DataFrame =
     readLatest(spark, stateDir, what).localCheckpoint(true)
 
+  /** The global monotone-seq frontier guard shared by every
+    * feed-keyed maintainer with a dedicated `f/` home
+    * ([[IvmStream.joinFoldBatch]], [[IvfStream]], [[TextIndexStream]])
+    * — the [[foldPrelude]] one-home convention applied to the
+    * whole-feed frontier, so a guard fix cannot silently miss a
+    * sibling: bound the batch's seq range, assert it starts strictly
+    * after the carried frontier (a regressed or replayed-out-of-
+    * protocol feed would re-apply changes the state already folded),
+    * and return the advanced 1-row `(last_seq)` frame. The assert
+    * rides THIS frame's plan, so the caller must COMMIT THE FRONTIER
+    * HOME FIRST — materializing it is what evaluates the guard, and
+    * with state homes first a regressed feed would land mis-folded
+    * snapshots that every failing replay kept serving. */
+  def seqFrontier(fPrev: DataFrame, batch: DataFrame,
+      op: String): DataFrame =
+    fPrev.agg(coalesce(max(col("last_seq")), lit(Long.MinValue)).as("__pf"))
+      .crossJoin(batch.agg(min(col("seq")).as("__bmin"),
+        max(col("seq")).as("__bmax")))
+      .filter(assert_true(
+        col("__bmin").isNull || col("__bmin") > col("__pf"),
+        concat(lit(s"$op: batch seq "), col("__bmin"),
+          lit(" not after carried last_seq "), col("__pf"),
+          lit(" — the feed regressed")))
+        .isNull)
+      .select(greatest(col("__pf"), coalesce(col("__bmax"), col("__pf")))
+        .as("last_seq"))
+
   /** The finalized-bucket fold prelude shared by every
     * cumulative-state twin ([[EwmaStream]], [[CusumStream]],
     * [[HoltWintersStream]]) — ONE home for the protocol the

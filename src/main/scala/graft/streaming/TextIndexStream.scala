@@ -47,8 +47,32 @@ object TextIndexStream {
     batch.select(col("id").as("doc_id"), lit(0).as("dl"))
       .filter(lit(false))
 
-  /** Latest committed postings / lengths (the `post/` and `len/`
-    * homes under `rootDir`). */
+  /** BOTH index frames pinned to ONE committed batch id — the
+    * torn-read guard a two-home index needs and the single-home twins
+    * don't: `post/` and `len/` commit as separate snapshots, so
+    * reading each home's own latest can pair postings from batch n
+    * with lengths from n−1 mid-commit — a doc deleted in n absent
+    * from the postings but still inflating N and avgdl, or an updated
+    * doc's new tf scored against its stale dl, with no error. This
+    * reader pins both frames to the HIGHEST id committed in BOTH
+    * homes and materializes them ([[SnapshotStore.readPinned]]
+    * semantics — release via
+    * [[graft.operators.Caching.freeLocalCheckpoint]]). */
+  def readIndex(spark: SparkSession, rootDir: String)
+      : (DataFrame, DataFrame) = {
+    val common = SnapshotStore.committed(spark, s"$rootDir/post").toSet
+      .intersect(SnapshotStore.committed(spark, s"$rootDir/len").toSet)
+    if (common.isEmpty) throw new IllegalStateException(
+      s"no batch committed in BOTH text-index homes under $rootDir")
+    val k = common.max
+    (spark.read.parquet(s"$rootDir/post/b=$k").localCheckpoint(true),
+      spark.read.parquet(s"$rootDir/len/b=$k").localCheckpoint(true))
+  }
+
+  /** Single-frame convenience views. For any read that pairs the two
+    * frames (every BM25 query), use [[readIndex]] — these two resolve
+    * their versions independently and can tear across a mid-commit
+    * batch boundary. */
   def readPostings(spark: SparkSession, rootDir: String): DataFrame =
     SnapshotStore.readLatest(spark, rootDir + "/post", "text-index postings")
 
@@ -67,30 +91,24 @@ object TextIndexStream {
       emptyLengths(batch))
     val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
       batch.select(lit(Long.MinValue).as("last_seq")).filter(lit(false)))
-    val frontier = fPrev
-      .agg(coalesce(max(col("last_seq")), lit(Long.MinValue)).as("__pf"))
-      .crossJoin(batch.agg(min(col("seq")).as("__bmin"),
-        max(col("seq")).as("__bmax")))
-      .filter(assert_true(
-        col("__bmin").isNull || col("__bmin") > col("__pf"),
-        concat(lit("TextIndexStream: batch seq "), col("__bmin"),
-          lit(" not after carried last_seq "), col("__pf"),
-          lit(" — the feed regressed")))
-        .isNull)
-      .select(greatest(col("__pf"), coalesce(col("__bmax"), col("__pf")))
-        .as("last_seq"))
+    val frontier = SnapshotStore.seqFrontier(fPrev, batch, "TextIndexStream")
     val ch = batch.select(col("seq"), col("op"),
       col("id").as("doc_id"), col("text"))
-    val postNext = Cdc.applyChangesGrouped(postPrev, ch,
-      "doc_id", "seq", "op")(
-      c => TextAnalysis.tokenIndex(c, "doc_id", "text"))
-    val lenNext = Cdc.applyChangesGrouped(lenPrev, ch,
-      "doc_id", "seq", "op")(
-      c => TextAnalysis.docLengths(c, "doc_id", "text"))
-    // frontier FIRST — the guard must throw before any state advances
-    SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
-    SnapshotStore.commit(postNext, s"$rootDir/post", id, retainBelow)
-    SnapshotStore.commit(lenNext, s"$rootDir/len", id, retainBelow)
+    // the batch reduction runs ONCE and is persisted across the two
+    // frame expansions — each home's commit is its own action, so an
+    // unshared plan would re-reduce the batch per home
+    val latest = Cdc.latestChanges(ch, "doc_id", "seq", "op")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postNext = Cdc.applyGroupedFromLatest(postPrev, latest, "doc_id")(
+        c => TextAnalysis.tokenIndex(c, "doc_id", "text"))
+      val lenNext = Cdc.applyGroupedFromLatest(lenPrev, latest, "doc_id")(
+        c => TextAnalysis.docLengths(c, "doc_id", "text"))
+      // frontier FIRST — the guard must throw before any state advances
+      SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
+      SnapshotStore.commit(postNext, s"$rootDir/post", id, retainBelow)
+      SnapshotStore.commit(lenNext, s"$rootDir/len", id, retainBelow)
+    } finally latest.unpersist()
   }
 
   /** Sink a document change feed as a continuously-maintained BM25

@@ -58,9 +58,8 @@ class TextIndexStreamSpec extends SparkSpec {
     // the zero-token doc holds a lengths row but no postings
     assert(wantLen.contains((4L, 0)) && !wantPost.exists(_._1 == 4L))
     val terms = Seq("vector", "stream")
-    val viaIndex = TextAnalysis.bm25TopKFromIndex(
-        TextIndexStream.readPostings(spark, root),
-        TextIndexStream.readLengths(spark, root),
+    val (pIdx, lIdx) = TextIndexStream.readIndex(spark, root)
+    val viaIndex = TextAnalysis.bm25TopKFromIndex(pIdx, lIdx,
         "doc_id", terms, k = 3)
       .as[(Long, Double)].collect().toSeq
     val viaScan = TextAnalysis.bm25TopK(mergedCorpus, "doc_id", "text",
@@ -73,6 +72,20 @@ class TextIndexStreamSpec extends SparkSpec {
     TextIndexStream.foldBatch(fDf(fb2), 2L, root)
     assert(postRows(TextIndexStream.readPostings(spark, root)) == wantPost)
     assert(new java.io.File(s"$root/post/b=2/_SUCCESS").delete())
+    // TORN WINDOW: len/ is at b=2 but post/ lost its b=2 commit — the
+    // independent per-home readers would pair postings@1 with
+    // lengths@2 (a deleted doc inflating N); readIndex pins BOTH to
+    // the highest id committed in both homes
+    val (pTorn, lTorn) = TextIndexStream.readIndex(spark, root)
+    val prevCorpus = Seq( // state after fb0+fb1 only
+      (1L, "spark merges vector streams"),
+      (2L, "rewritten about vector search"),
+      (4L, "")).toDF("doc_id", "text")
+    assert(postRows(pTorn) ==
+      postRows(TextAnalysis.tokenIndex(prevCorpus, "doc_id", "text")))
+    assert(lenRows(lTorn) ==
+      lenRows(TextAnalysis.docLengths(prevCorpus, "doc_id", "text")),
+      "readIndex must serve the CONSISTENT b=1 pair, not lengths@2")
     TextIndexStream.foldBatch(fDf(fb2), 2L, root)
     assert(postRows(TextIndexStream.readPostings(spark, root)) == wantPost)
     assert(lenRows(TextIndexStream.readLengths(spark, root)) == wantLen)
