@@ -2187,7 +2187,7 @@ object PipelineQueries {
             k = 10, centroids, nProbe = 4)
           .withColumn("rank", col("rank").cast(LongType))
       },
-      Some(ivfIncrementalOracle)),
+      Some(ivfIncrementalOracle), bench = true),
     // SQ8 scalar quantization: the fit (per-dim min/max), the 8-bit
     // encode, the midpoint decode, and the search are ALL closed-form
     // arithmetic, so the oracle re-derives the entire quantization
@@ -4022,7 +4022,7 @@ object PipelineQueries {
         TextAnalysis.bm25TopKFromIndex(post1, len1, "doc_id",
           Bm25Terms, k = 25)
       },
-      Some(bm25IncrementalOracle(Bm25Terms, 25))),
+      Some(bm25IncrementalOracle(Bm25Terms, 25)), bench = true),
     // per-language z-score outliers over token counts — group stats
     // from exact integer sums broadcast back onto the scan, z computed
     // map-side; |z| > 2 flags the length anomalies a quality gate drops
