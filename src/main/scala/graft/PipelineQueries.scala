@@ -364,6 +364,42 @@ object PipelineQueries {
        |WHERE rank <= 10""".stripMargin.replace("\n", " ")
   }
 
+  /** IVF×PQ oracle — the two pinned re-derivations COMPOSED, nothing
+    * new derived: candidates come from the IVF chain's `ivcell`
+    * (corpus cell assignment) joined to the probe side's rn ≤ nProbe
+    * cell ranking (both exactly as [[ivfOracle]]), each candidate is
+    * ADC-scored through its [[pqSubspaceCtes]] codes (exactly as
+    * [[pqOracle]]), the per-probe shortlist is cut at rank ≤
+    * `PqShortlist`, and the final top-10 re-ranks the shortlist by
+    * exact cosine. A Spark row passes only if coarse assignment, probe
+    * ranking, PQ encode, ADC arithmetic, AND the re-rank all agree
+    * bit-for-bit. */
+  private def ivfPqOracle: String = {
+    val subCtes = (0 until PqM).map(pqSubspaceCtes).mkString(",\n")
+    val joins = (0 until PqM).map(s =>
+      s"JOIN pq${s}code k$s ON k$s.vec_id = c.vec_id JOIN pq${s}cb b$s ON b$s.cell = k$s.cell").mkString(" ")
+    val adot = (0 until PqM).map { s =>
+      val lo = s * PqSub
+      s"list_dot_product(p.pv[${lo + 1}:${lo + PqSub}], b$s.clist)"
+    }.reduce((a, b) => s"($a + $b)")
+    val cnorm = (0 until PqM).map(s => s"b$s.cnorm").reduce((a, b) => s"($a + $b)")
+    s"""WITH $kmeansCellCtes,
+       |$subCtes,
+       |qpp AS (SELECT vec_id AS probe_id, v AS pv FROM ivv WHERE vec_id < 10),
+       |qpc AS (SELECT vec_id AS probe_id, v AS pv, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ivd WHERE vec_id < 10) WHERE rn <= 4),
+       |qsc AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+       |$adot / (sqrt(list_dot_product(p.pv, p.pv)) * sqrt($cnorm)) AS qcos
+       |FROM ivcell c JOIN qpc p ON p.cell = c.cell $joins WHERE c.vec_id <> p.probe_id),
+       |qsl AS (SELECT probe_id, neighbor_id FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id ASC) AS rn FROM qsc)
+       |WHERE rn <= $PqShortlist),
+       |qrr AS (SELECT sl.probe_id, sl.neighbor_id, ${cosSql("p.pv", "t.v")} AS cosine
+       |FROM qsl sl JOIN ivv t ON t.vec_id = sl.neighbor_id JOIN qpp p ON p.probe_id = sl.probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM qrr)
+       |WHERE rank <= 10""".stripMargin.replace("\n", " ")
+  }
+
   /** Semantic-dedup oracle: the same k-means cells, within-cell cosine
     * pairs at the same threshold, then the transitive closure via a
     * RECURSIVE CTE (min reachable id per component — the fixpoint the
@@ -1513,6 +1549,51 @@ object PipelineQueries {
       (s, d) => TextAnalysis.duplicatedPassageStats(t(s, d, "documents"),
         "doc_id", "text", n = 3),
       Some(dupPassagesOracle)),
+    // ExactSubstr-style maximal duplicated spans (Lee et al. '21): the
+    // BOUNDARIES of each cross-document duplicated region — maximal
+    // runs of consecutive shared 3-token window starts, merged by a
+    // per-doc gaps-and-islands window. Where dup_passages counts and
+    // segment_dedup edits on a fixed grid, this recovers (start,
+    // length) of the exact region an ExactSubstr pipeline cuts.
+    Q("doc_dup_spans",
+      (s, d) => TextAnalysis.duplicatedSpans(t(s, d, "documents"),
+        "doc_id", "text", n = 3),
+      Some(s"""WITH dxk AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE len($ToksSql) >= 3),
+             |dxw AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 3)) AS i, toks FROM dxk),
+             |dxg AS (SELECT doc_id, i, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS win FROM dxw),
+             |dxf AS (SELECT win FROM (SELECT DISTINCT doc_id, win FROM dxg) GROUP BY win HAVING COUNT(*) >= 2),
+             |dxs AS (SELECT g.doc_id, g.i FROM dxg g JOIN dxf f USING (win)),
+             |dxr AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM dxs)
+             |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             |CAST(MAX(i) - MIN(i) + 3 AS BIGINT) AS span_tokens
+             |FROM dxr GROUP BY doc_id, grp""".stripMargin.replace("\n", " "))),
+    // the ExactSubstr EDIT step: cut every token covered by a
+    // duplicated span of ≥ 5 tokens, keep shorter shared grams
+    // (ordinary language — the paper's threshold exists to avoid
+    // over-deletion), reassemble survivors in order. At sf0.01 this
+    // edits 485 of the ~2k docs and fully empties the boilerplate
+    // ones (93-token spans), so cut / keep / NULL paths all run
+    // against real mass.
+    Q("doc_dup_span_removal",
+      (s, d) => TextAnalysis.removeDuplicatedSpans(t(s, d, "documents"),
+        "doc_id", "text", n = 3, minSpanTokens = 5),
+      Some(s"""WITH dyk AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE len($ToksSql) > 0),
+             |dyw AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 3)) AS i, toks FROM dyk WHERE len(toks) >= 3),
+             |dyg AS (SELECT doc_id, i, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS win FROM dyw),
+             |dyf AS (SELECT win FROM (SELECT DISTINCT doc_id, win FROM dyg) GROUP BY win HAVING COUNT(*) >= 2),
+             |dys AS (SELECT g.doc_id, g.i FROM dyg g JOIN dyf f USING (win)),
+             |dyr AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM dys),
+             |dyspan AS (SELECT doc_id, MIN(i) AS s, MAX(i) - MIN(i) + 3 AS l FROM dyr GROUP BY doc_id, grp HAVING MAX(i) - MIN(i) + 3 >= 5),
+             |dycov0 AS (SELECT doc_id, s + unnest(generate_series(0, l - 1)) AS p FROM dyspan),
+             |dycov AS (SELECT DISTINCT doc_id, p FROM dycov0),
+             |dyp AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p, toks FROM dyk),
+             |dyt AS (SELECT doc_id, p, toks[p + 1] AS tok FROM dyp),
+             |dykept AS (SELECT t.doc_id, t.p, t.tok FROM dyt t LEFT JOIN dycov c ON c.doc_id = t.doc_id AND c.p = t.p WHERE c.p IS NULL),
+             |dyagg AS (SELECT doc_id, COUNT(*) AS n_kept, string_agg(tok, ' ' ORDER BY p) AS kept FROM dykept GROUP BY doc_id)
+             |SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens,
+             |CAST(len(k.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+             |CASE WHEN COALESCE(a.n_kept, 0) = 0 THEN NULL ELSE a.kept END AS text_kept
+             |FROM dyk k LEFT JOIN dyagg a USING (doc_id)""".stripMargin.replace("\n", " "))),
     // first-seen novelty in doc_id order: a gram is novel only for the
     // document that introduces it (min-id aggregation, same two-
     // partial-agg + equi-join shape as dup_passages)
@@ -2212,6 +2293,21 @@ object PipelineQueries {
           .withColumn("rank", col("rank").cast(LongType))
       },
       Some(pqOracle)),
+    // IVF × PQ — the Faiss IndexIVFPQ layout the component scaladocs
+    // point at: IVF prunes candidates (nProbe of 16 cells), PQ
+    // compresses the payload (candidates scored by ADC over m=8
+    // codes), exact re-rank over the ≤100-row-per-probe shortlist.
+    // Both quantizers are the already-pinned trainers, so the oracle
+    // composes the ivf + pq re-derivations unchanged.
+    Q("ann_ivfpq_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Quantization.ivfPqTopK(e, probes(e), "vec_id", "embedding",
+          k = 10, m = PqM, nlist = PqNlist, ivfNlist = 16, nProbe = 4,
+          shortlist = PqShortlist)
+          .withColumn("rank", col("rank").cast(LongType))
+      },
+      Some(ivfPqOracle), bench = true),
     // Measured recall@10 of every approximate ANN method against the
     // exact brute-force truth — the before-you-trust-the-settings
     // table (the dedup_lsh_recall discipline applied to the ANN
@@ -2241,11 +2337,15 @@ object PipelineQueries {
           .unionByName(recallOf("pq", Quantization.pqTopK(e, p, "vec_id",
             "embedding", k = 10, m = PqM, nlist = PqNlist,
             shortlist = PqShortlist)))
+          .unionByName(recallOf("ivfpq", Quantization.ivfPqTopK(e, p,
+            "vec_id", "embedding", k = 10, m = PqM, nlist = PqNlist,
+            ivfNlist = 16, nProbe = 4, shortlist = PqShortlist)))
           .unionByName(recallOf("sq", Quantization.sqTopK(e, p, "vec_id",
             "embedding", k = 10)))
           .orderBy("method")
       },
-      Some(Seq("ivf" -> ivfOracle, "lsh" -> annLshOracle,
+      Some(Seq("ivf" -> ivfOracle, "ivfpq" -> ivfPqOracle,
+          "lsh" -> annLshOracle,
           "pq" -> pqOracle, "sq" -> sqOracle).map { case (m, osql) =>
         s"""SELECT '$m' AS method, CAST(COUNT(*) AS BIGINT) AS n_truth,
            |CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
@@ -4882,6 +4982,27 @@ object PipelineQueries {
     sb.result()
   }
 
+  /** Weighted-PPR oracle: the [[weightedPrOracle]] unrolled chain with
+    * the teleport base gated on the seed predicate (the same
+    * part_id ≡ 0 mod 50 set [[pprOracle]] uses) — r0 is 1e6 on seeds /
+    * 0 elsewhere, each round re-injects 150000 on seeds only,
+    * contribution `(r·w) // Σw` per edge. */
+  private val weightedPprOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "ed AS (SELECT pa AS u, pb AS v, w FROM prs UNION SELECT pb, pa, w FROM prs), "
+    sb ++= "st AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY u), "
+    sb ++= "r0 AS (SELECT u AS id, CAST(CASE WHEN u % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM st), "
+    (1 to PrIters).foreach { i =>
+      sb ++= s"r$i AS (SELECT e.v AS id, CAST(CASE WHEN e.v % 50 = 0 THEN 150000 ELSE 0 END AS BIGINT) + (85 * CAST(SUM((p.r * e.w) // st.s) AS BIGINT)) // 100 AS r " +
+        s"FROM ed e JOIN r${i - 1} p ON p.id = e.u JOIN st ON st.u = e.u GROUP BY e.v), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT id AS part_id, r AS rank_micro FROM r$PrIters"
+    sb.result()
+  }
+
   private val LpaRounds = 3
 
   /** Synchronous label-propagation oracle: `LpaRounds` unrolled rounds
@@ -5252,6 +5373,29 @@ object PipelineQueries {
       (s, d) => operators.Graph.weightedAssortativity(
         copurchaseWeightedEdges(s, d), "pa", "pb", "w"),
       Some(weightedAssortativityOracle)),
+    // Bipartite HITS over the customer×part purchase relation (who
+    // ordered what, distinct pairs): 2 exact-integer power-iteration
+    // rounds, no normalization (a positive global scale cannot
+    // reorder), hub = customer side, authority = part side. The
+    // oracle unrolls the same four half-steps; round 1's authority
+    // is exactly part degree (h0 ≡ 1), pinned in GraphSpec.
+    Q("graph_hits",
+      (s, d) => operators.Graph.bipartiteHits(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")),
+        "c", "p", rounds = 2)
+        .orderBy("side", "node_id"),
+      Some("""WITH hbe AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |hba1 AS (SELECT p, CAST(COUNT(*) AS HUGEINT) AS a FROM hbe GROUP BY p),
+             |hbh1 AS (SELECT c, SUM(a) AS h FROM hbe JOIN hba1 USING (p) GROUP BY c),
+             |hba2 AS (SELECT p, SUM(h) AS a FROM hbe JOIN hbh1 USING (c) GROUP BY p),
+             |hbh2 AS (SELECT c, SUM(a) AS h FROM hbe JOIN hba2 USING (p) GROUP BY c)
+             |SELECT side, node_id, score FROM (
+             |SELECT 'authority' AS side, p AS node_id, CAST(a AS BIGINT) AS score FROM hba2
+             |UNION ALL SELECT 'hub' AS side, c AS node_id, CAST(h AS BIGINT) AS score FROM hbh2)
+             |ORDER BY side, node_id""".stripMargin.replace("\n", " "))),
     // Resource-allocation link prediction (which absent edges the
     // graph most implies): Σ 1/deg over common neighbors in exact
     // nano-units — RA instead of Adamic–Adar's 1/log(deg) precisely
@@ -5319,6 +5463,18 @@ object PipelineQueries {
         "pa", "pb", id => id % 50 === 0, iterations = PrIters)
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(pprOracle)),
+    // Weighted personalized PageRank — the weighted family's last
+    // member: strength-proportional mass flow ((r·w) div Σw per edge)
+    // with the teleport gated on the same seed set, so the score is
+    // weighted proximity to the seeds (a 40×-co-ordered tie carries
+    // 20× the recommendation pull of a twice-ordered one). Uniform
+    // weights reduce bit-exactly to graph_ppr (GraphSpec pin).
+    Q("graph_ppr_weighted",
+      (s, d) => operators.Graph.weightedPersonalizedPageRank(
+        copurchaseWeightedEdges(s, d), "pa", "pb", "w",
+        id => id % 50 === 0, iterations = PrIters)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(weightedPprOracle)),
     // Connected components of the co-purchase graph as first-class
     // surface (the same pointer-jumping resolution dedup_clusters
     // applies to near-dup pairs, here over relational edges): min

@@ -338,7 +338,26 @@ object Graph {
     * Reference: /root/reference/sqlengine.py has no graph surface
     * (extension per the brief's quality-weighting family). */
   def weightedPageRank(pairs: DataFrame, aCol: String, bCol: String,
-      wCol: String, iterations: Int = 10): DataFrame = {
+      wCol: String, iterations: Int = 10): DataFrame =
+    weightedPersonalizedPageRank(pairs, aCol, bCol, wCol, _ => lit(true),
+      iterations)
+
+  /** Weighted PERSONALIZED PageRank: [[weightedPageRank]]'s
+    * strength-proportional walk with the teleport term gated on
+    * `seedFilter` — rank starts at 1e6 on seeds / 0 elsewhere and each
+    * iteration re-injects the 0.15 teleport mass on seeds only, so the
+    * scores measure weighted proximity TO THE SEED SET (the
+    * recommendation / crawl-frontier form), exactly as
+    * [[personalizedPageRank]] does for the unweighted walk. The global
+    * form is this with every vertex a seed (the teleport degenerates
+    * to the constant), so the iteration loop lives here once —
+    * mirroring the pageRank/personalizedPageRank split. Uniform
+    * weights reduce bit-exactly to [[personalizedPageRank]]:
+    * (r·c) div (c·Σdeg) = r div Σdeg for any positive c (floor of the
+    * same rational — pinned in GraphSpec, not assumed). */
+  def weightedPersonalizedPageRank(pairs: DataFrame, aCol: String,
+      bCol: String, wCol: String, seedFilter: Column => Column,
+      iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val edges = symmetricWeightedEdges(pairs, aCol, bCol, wCol)
     val strength = edges.groupBy("__u").agg(sum(col("__w")).as("__s"))
@@ -346,7 +365,8 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var ranks = strength.select(col("__u").as("id"),
-        lit(1000000L).as("rank_micro"))
+        when(seedFilter(col("__u")), lit(1000000L)).otherwise(lit(0L))
+          .as("rank_micro"))
       for (_ <- 1 to iterations) {
         val prev = ranks
         ranks = edgesStr
@@ -356,7 +376,8 @@ object Graph {
           .groupBy(col("__v"))
           .agg(sum(col("__contrib")).as("__sum"))
           .select(col("__v").as("id"),
-            (lit(150000L) + expr("(85 * __sum) div 100")).as("rank_micro"))
+            (when(seedFilter(col("__v")), lit(150000L)).otherwise(lit(0L)) +
+              expr("(85 * __sum) div 100")).as("rank_micro"))
           .localCheckpoint(true)
         Caching.freeLocalCheckpoint(prev)
       }
@@ -1080,6 +1101,76 @@ object Graph {
         when(den === zero, lit(0.0))
           .otherwise(num.cast("double") / den.cast("double"))
           .as("assortativity"))
+  }
+
+  /** Bipartite HITS — hubs and authorities (Kleinberg, "Authoritative
+    * Sources in a Hyperlinked Environment", JACM '99, public paper)
+    * over a two-sided relation frame `edges(leftCol, rightCol)`, e.g.
+    * customers × the parts they ordered. The mutual-reinforcement
+    * recurrence from h₀ ≡ 1:
+    *   aₜ(v) = Σ_{(u,v)∈E} hₜ₋₁(u)   (an authority is valued by the
+    *                                   hubs that reach it)
+    *   hₜ(u) = Σ_{(u,v)∈E} aₜ(v)     (a hub by the authorities it
+    *                                   reaches)
+    * On a BIPARTITE relation the two sides never mix, so hub and
+    * authority answer two different ranking questions (which buyers
+    * have the widest reach into well-bought parts; which parts are
+    * bought by the widest-reaching buyers) — on a symmetric graph the
+    * distinction collapses into plain eigenvector centrality, which is
+    * why this operator takes the two-sided frame, not the co-purchase
+    * edge list.
+    *
+    * Determinism/exactness: `rounds` fixed power-iteration rounds with
+    * NO per-round normalization — a positive global scale cannot
+    * reorder scores, and skipping it keeps every score an exact
+    * integer so the result hashes bit-identically cross-engine. Sums
+    * accumulate as DECIMAL(38,0) (score mass multiplies by ~avg-degree
+    * each half-round; long products are the w1Drift overflow lesson);
+    * the emitted `score` casts to long, exact while the final mass
+    * stays under 2⁶³ — at the default 2 rounds that is ≥ petabyte-SF
+    * headroom on this schema (score ≤ maxdeg⁴·|V|, measured ~10⁷ at
+    * sf0.01), and a caller raising `rounds` on a denser relation
+    * should emit the decimal directly instead. Round 1's authority is
+    * exactly the right-side degree (h₀ ≡ 1) — the uniform-start
+    * anchor GraphSpec pins.
+    *
+    * Scale shape: each half-round is ONE equi-join of the edge list
+    * against the ≤|V|-row score frame plus ONE partial-agg groupBy —
+    * O(E·rounds) total, no windows, no driver state, no per-round
+    * actions; with `rounds` small and fixed the whole chain stays one
+    * lazy plan (no checkpointing needed — contrast the open-ended
+    * fixpoint loops, which checkpoint per round). Duplicate (left,
+    * right) rows collapse first so the relation's row multiplicity
+    * does not silently weight the walk.
+    *
+    * Returns one row per node: (side ∈ 'authority' | 'hub', node_id,
+    * score) — authorities are right-side nodes, hubs left-side.
+    *
+    * Reference: /root/reference/sqlengine.py has no graph surface
+    * (extension per the brief's quality-weighting family). */
+  def bipartiteHits(edges: DataFrame, leftCol: String, rightCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "bipartiteHits needs at least one round")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ed = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .distinct()
+    def authOf(h: DataFrame): DataFrame =
+      ed.join(h, "__l").groupBy("__r").agg(sum(col("__h")).cast(dec).as("__a"))
+    def hubOf(a: DataFrame): DataFrame =
+      ed.join(a, "__r").groupBy("__l").agg(sum(col("__a")).cast(dec).as("__h"))
+    val h0 = ed.select("__l").distinct()
+      .select(col("__l"), lit(1).cast(dec).as("__h"))
+    var auth = authOf(h0)
+    var hub = hubOf(auth)
+    for (_ <- 2 to rounds) {
+      auth = authOf(hub)
+      hub = hubOf(auth)
+    }
+    auth.select(lit("authority").as("side"), col("__r").as("node_id"),
+        col("__a").cast(org.apache.spark.sql.types.LongType).as("score"))
+      .unionByName(hub.select(lit("hub").as("side"),
+        col("__l").as("node_id"),
+        col("__h").cast(org.apache.spark.sql.types.LongType).as("score")))
   }
 
   /** Approximate neighborhood function (ANF) with an exact audit —

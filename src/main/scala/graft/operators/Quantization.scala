@@ -162,65 +162,152 @@ object Quantization {
       vecCol: String, k: Int, dim: Int = 64, m: Int = 4, nlist: Int = 16,
       trainSample: Int = 4096, shortlist: Int = 0): DataFrame = {
     import graft.functions.TopKAggregate.topK
-    import graft.functions.VectorOps.dotNative
     val sub = dim / m
     val books = fitPqCodebooks(corpus, idCol, vecCol, dim, m, nlist, trainSample)
     // ‖centroid‖² per codebook entry, summed in ascending-j order (the
     // oracle's list_sum matches this fold exactly)
     val norms = books.map(_.map(c => c.map(x => x * x).sum))
 
-    def subCol(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
-    // argmin_{cell} (‖v_s‖² − 2·v_s·c) + ‖c‖² — identical expression
-    // tree (and tie-break: first minimal cell) to the oracle's ranked
-    // re-derivation
-    def code(v: Column, s: Int): Column = {
-      val vs = subCol(v, s)
-      val d = array(books(s).zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(lit): _*)
-        (dotNative(vs, vs) - lit(2.0) * dotNative(vs, cLit)) + lit(norms(s)(i))
-      }: _*)
-      array_position(d, array_min(d)).cast("int")
-    }
-
     // the codes frame IS the standing index: m small ints per vector
     val enc = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .select(col("neighbor_id"),
-        array((0 until m).map(s => code(col("cv"), s)): _*).as("codes"))
+      .select(col("neighbor_id"), pqCodes(books, norms, sub, col("cv")).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-
-    // ADC: Σ_s  pv_s · centroid_s(code_s)  /  (‖pv‖ · sqrt(Σ_s ‖centroid_s(code_s)‖²))
-    val adot = (0 until m).map { s =>
-      val bookLit = array(books(s).map(c => array(c.map(lit): _*)): _*)
-      dotNative(subCol(col("pv"), s), element_at(bookLit, element_at(col("codes"), s + 1)))
-    }.reduce(_ + _)
-    val cnorm = (0 until m).map { s =>
-      val nLit = array(norms(s).map(lit): _*)
-      element_at(nLit, element_at(col("codes"), s + 1))
-    }.reduce(_ + _)
 
     val adcK = math.max(k, shortlist)
     val adc = enc.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("qcos", adot / (sqrt(dotNative(col("pv"), col("pv"))) * sqrt(cnorm)))
+      .withColumn("qcos", pqAdcCos(books, norms, sub, col("pv"), col("codes")))
       .groupBy(col("probe_id"))
       .agg(topK(col("qcos"), col("neighbor_id"), col("neighbor_id"), adcK).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
         col("entry.score").as("qcos"), (col("pos") + 1).as("rank"))
     if (shortlist <= k) adc
-    else {
-      // exact re-rank: raw vectors for shortlist×probes rows only — a
-      // semi-join-sized fetch, never a second corpus-wide float scan
-      val raw = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      adc.select("probe_id", "neighbor_id")
-        .join(raw, Seq("neighbor_id"))
-        .join(broadcast(p), Seq("probe_id"))
-        .withColumn("cosine", cosine(col("pv"), col("cv")))
-        .groupBy(col("probe_id"))
-        .agg(topK(col("cosine"), col("neighbor_id"), col("neighbor_id"), k).as("top"))
-        .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
-        .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
-          col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
-    }
+    else exactRerank(corpus, idCol, vecCol, adc, p, k)
+  }
+
+  /** The m-entry PQ code array of vector `v`: per-subspace
+    * argmin_{cell} (‖v_s‖² − 2·v_s·c) + ‖c‖², 1-based, ties to the
+    * first minimal cell — identical expression tree to the oracle's
+    * ranked re-derivation. Factored verbatim out of [[pqTopK]] so
+    * [[ivfPqTopK]]'s encode cannot drift from the pinned one. */
+  private def pqCodes(books: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]], sub: Int, v: Column): Column = {
+    import graft.functions.VectorOps.dotNative
+    array(books.indices.map { s =>
+      val vs = slice(v, s * sub + 1, sub)
+      val d = array(books(s).zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        (dotNative(vs, vs) - lit(2.0) * dotNative(vs, cLit)) + lit(norms(s)(i))
+      }: _*)
+      array_position(d, array_min(d)).cast("int")
+    }: _*)
+  }
+
+  /** ADC cosine of exact probe `pv` vs code array `codes`:
+    * Σ_s pv_s · centroid_s(code_s) / (‖pv‖ · sqrt(Σ_s ‖centroid_s(code_s)‖²))
+    * — the probe side stays exact (the "asymmetric" in ADC). Codebooks
+    * ship as literals; factored verbatim out of [[pqTopK]]. */
+  private def pqAdcCos(books: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]], sub: Int, pv: Column,
+      codes: Column): Column = {
+    import graft.functions.VectorOps.dotNative
+    val adot = books.indices.map { s =>
+      val bookLit = array(books(s).map(c => array(c.map(lit): _*)): _*)
+      dotNative(slice(pv, s * sub + 1, sub),
+        element_at(bookLit, element_at(codes, s + 1)))
+    }.reduce(_ + _)
+    val cnorm = books.indices.map { s =>
+      val nLit = array(norms(s).map(lit): _*)
+      element_at(nLit, element_at(codes, s + 1))
+    }.reduce(_ + _)
+    adot / (sqrt(dotNative(pv, pv)) * sqrt(cnorm))
+  }
+
+  /** Exact-cosine re-rank of a per-probe shortlist: raw vectors are
+    * fetched for shortlist×probes rows only — a semi-join-sized fetch,
+    * never a second corpus-wide float scan. Factored verbatim out of
+    * [[pqTopK]]; shared with [[ivfPqTopK]]. */
+  private def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
+      shortPairs: DataFrame, p: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    val raw = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    shortPairs.select("probe_id", "neighbor_id")
+      .join(raw, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .groupBy(col("probe_id"))
+      .agg(topK(col("cosine"), col("neighbor_id"), col("neighbor_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
+        col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
+  /** IVF × PQ — the Faiss `IndexIVFPQ` serving layout both component
+    * scaladocs point at ([[pqTopK]]: "compose with IVF cells for
+    * sublinear candidate generation"; [[Similarity.ivfTopK]]'s cell
+    * join): the coarse IVF quantizer prunes CANDIDATES — each probe
+    * searches only its `nProbe` nearest of `ivfNlist` cells — while PQ
+    * compresses the PAYLOAD — candidates are scored by ADC over their
+    * `m` small-int codes, never their float vectors — and the final
+    * top-k re-ranks the per-probe ADC shortlist by exact cosine over
+    * the shortlist rows' raw vectors alone. The two knobs stay
+    * independent exactly as the component operators document: recall
+    * lost to cell pruning is tuned by `nProbe`/`ivfNlist`, recall lost
+    * to code coarseness by `m`/`nlist`/`shortlist`.
+    *
+    * Both quantizers train on the SAME hash-ordered bounded driver
+    * sample their standalone operators use ([[Similarity
+    * .trainedCentroids]], [[fitPqCodebooks]] — the Faiss protocol:
+    * train on a sample, hold fixed), so cell assignment is bit-equal
+    * to the plain IVF index's and codes are bit-equal to the plain PQ
+    * index's — the composed oracle reuses both pinned re-derivations
+    * unchanged.
+    *
+    * Scale shape at 100 TB: the standing index row is (cell, m codes)
+    * — ~m+1 small ints per vector, the only thing the ADC scan ever
+    * shuffles or stores (a 64-dim float corpus compresses ~30×);
+    * candidate generation is the IVF equi-join on cell id (candidates
+    * ∝ nProbe·N/ivfNlist per probe, never N); ADC runs map-side
+    * against literal codebooks; the exact re-rank fetches raw floats
+    * for shortlist×probes rows only. Grow `ivfNlist` ∝ N to hold cell
+    * size constant — the same dial as [[Similarity.ivfTopK]].
+    *
+    * Output (probe_id, neighbor_id, cosine, rank) when re-ranking
+    * (`shortlist > k`, the serving default), else the raw ADC ranking
+    * with its `qcos` score. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int = 64, m: Int = 4, nlist: Int = 16,
+      ivfNlist: Int = 16, nProbe: Int = 4, trainSample: Int = 4096,
+      shortlist: Int = 0): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val centroids = Similarity.trainedCentroids(corpus, idCol, vecCol,
+      ivfNlist, trainSample)
+    val books = fitPqCodebooks(corpus, idCol, vecCol, dim, m, nlist, trainSample)
+    val norms = books.map(_.map(c => c.map(x => x * x).sum))
+    // the standing index: coarse cell + m PQ codes per vector — the
+    // raw floats drop out right after encode
+    val idx = Similarity.ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col("neighbor_id"), col("cell"),
+        pqCodes(books, norms, sub, col("cv")).as("codes"))
+    val pc = Similarity.probeCells(probes, idCol, vecCol, centroids, nProbe)
+    val adcK = math.max(k, shortlist)
+    // every (probe, candidate) pair meets at most once: the corpus
+    // side files under exactly ONE cell (rn=1 argmin), so no distinct
+    // is needed after the cell join
+    val adc = idx.join(pc, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qcos", pqAdcCos(books, norms, sub, col("pv"), col("codes")))
+      .groupBy(col("probe_id"))
+      .agg(topK(col("qcos"), col("neighbor_id"), col("neighbor_id"), adcK).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
+        col("entry.score").as("qcos"), (col("pos") + 1).as("rank"))
+    if (shortlist <= k) adc
+    else exactRerank(corpus, idCol, vecCol,
+      adc, probes.select(col(idCol).as("probe_id"),
+        asDouble(col(vecCol)).as("pv")), k)
   }
 }

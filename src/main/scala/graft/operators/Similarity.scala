@@ -205,8 +205,11 @@ object Similarity {
   }
 
   /** Squared-distance columns to each centroid:
-    * ‖v‖² − 2·v·c + ‖c‖² — one native dot per centroid. */
-  private def centroidDists(v: Column, centroids: Array[Array[Double]]): Column = {
+    * ‖v‖² − 2·v·c + ‖c‖² — one native dot per centroid.
+    * `private[operators]`: [[Quantization.ivfPqTopK]] rides the same
+    * coarse quantizer so its cell assignment cannot drift from the
+    * IVF family's. */
+  private[operators] def centroidDists(v: Column, centroids: Array[Array[Double]]): Column = {
     val vNormSq = normSq(v)
     array(centroids.map { c =>
       val cLit = array(c.map(lit): _*)
@@ -264,16 +267,7 @@ object Similarity {
       vecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int): DataFrame = {
     import graft.functions.TopKAggregate.topK
-    val nlist = centroids.length
-    require(nProbe <= nlist)
-    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-      .withColumn("__d", centroidDists(col("pv"), centroids))
-      .withColumn("__ranked",
-        slice(array_sort(zip_with(col("__d"),
-          sequence(lit(1), lit(nlist)),
-          (d, i) => struct(d.as("d"), i.as("cell")))), 1, nProbe))
-      .select(col("probe_id"), col("pv"),
-        explode(col("__ranked.cell")).as("cell"))
+    val p = probeCells(probes, idCol, vecCol, centroids, nProbe)
     index.join(p, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
@@ -282,6 +276,28 @@ object Similarity {
       .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("probe_id"), col("entry.payload").as("neighbor_id"),
         col("entry.score").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
+  /** The probe side of every IVF-family search: each probe exploded
+    * into its `nProbe` nearest cells (full centroid ranking via one
+    * array_sort over `nlist` struct entries — ties break to the lower
+    * cell id through the struct's second field). Output one row per
+    * (probe, probed cell): (probe_id, pv, cell). Factored verbatim
+    * out of [[ivfSearch]] so [[Quantization.ivfPqTopK]]'s probe
+    * ranking is the identical expression tree the IVF oracles pin. */
+  private[operators] def probeCells(probes: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val nlist = centroids.length
+    require(nProbe <= nlist)
+    probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("__d", centroidDists(col("pv"), centroids))
+      .withColumn("__ranked",
+        slice(array_sort(zip_with(col("__d"),
+          sequence(lit(1), lit(nlist)),
+          (d, i) => struct(d.as("d"), i.as("cell")))), 1, nProbe))
+      .select(col("probe_id"), col("pv"),
+        explode(col("__ranked.cell")).as("cell"))
   }
 
   /** Maintain an inverted file under a CDC change feed — the "index

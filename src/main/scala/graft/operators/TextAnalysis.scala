@@ -558,6 +558,131 @@ object TextAnalysis {
         sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
   }
 
+  /** Exact-substring duplicated SPANS (Lee et al. '21 "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499
+    * §4.1, public paper — there found via a suffix array over the
+    * concatenated corpus; this is the distributed fixed-window
+    * equivalent): every length-`n` token window that also occurs in at
+    * least one OTHER document marks its start position as covered, and
+    * maximal runs of consecutive covered positions merge into the
+    * maximal cross-document duplicated spans. Where
+    * [[duplicatedPassageStats]] counts shared grams and
+    * [[segmentDedup]] judges fixed non-overlapping segments, this
+    * recovers the BOUNDARIES — span start and token length — of each
+    * duplicated region, the unit an ExactSubstr-style pipeline cuts
+    * out of training text (the paper removes spans ≥ 50 tokens; the
+    * caller thresholds on `span_tokens`). A window repeated only
+    * WITHIN one document is not "duplicated" here (document frequency
+    * counts distinct docs), matching the paper's cross-example target.
+    *
+    * Soundness of the merge: windows at consecutive starts i, i+1
+    * overlap in n−1 tokens, so a run of shared starts i..j certifies
+    * every token in [i, j+n) lies inside SOME cross-doc duplicate of
+    * ≥ n tokens; conversely a duplicated region of length L ≥ n covers
+    * exactly its L−n+1 window starts, so the run reconstructs maximal
+    * regions exactly (no over- or under-merge).
+    *
+    * Shape at 100 TB: positional explode (one row per window start) →
+    * distinct (doc, window) partial-agg groupBy → window document
+    * frequency (one row per distinct window text) → equi-join back on
+    * the window key (both sides hash-partitioned by it, AQE reuses the
+    * exchange) → the gaps-and-islands window PARTITIONED BY document
+    * (per-doc sort of ≤ len−n+1 covered positions — never a global
+    * sort) → per-(doc, run) rollup, which reuses the doc partitioning
+    * the window just established. Returns one row per maximal span:
+    * (idCol, span_start, n_windows, span_tokens), span_start 0-based
+    * in tokens. Documents shorter than `n` tokens have no windows and
+    * emit nothing. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "window width must be at least 1 token")
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  i -> array_join(slice(__toks, i + 1, $n), ' '))"""
+          .stripMargin)).as(Seq("__i", "__w")))
+    // document frequency via distinct-then-count (two partial-agg
+    // stages), never a one-stage count-distinct on a skewable text key
+    val winDf = wins.select(col(idCol), col("__w")).distinct()
+      .groupBy("__w").agg(count(lit(1)).as("__df"))
+    val shared = wins.join(winDf, "__w")
+      .filter(col("__df") >= 2L)
+      .select(col(idCol), col("__i"))
+    // gaps-and-islands: consecutive covered starts share (i − rank)
+    val run = col("__i") - row_number()
+      .over(Window.partitionBy(col(idCol)).orderBy(col("__i")))
+    shared.withColumn("__run", run)
+      .groupBy(col(idCol), col("__run"))
+      .agg(
+        min(col("__i")).cast(LongType).as("span_start"),
+        count(lit(1)).as("n_windows"),
+        (max(col("__i")) - min(col("__i")) + n).cast(LongType)
+          .as("span_tokens"))
+      .select(col(idCol), col("span_start"), col("n_windows"),
+        col("span_tokens"))
+  }
+
+  /** The ExactSubstr EDIT step (Lee et al. '21 §4.1's ExactSubstrDedup
+    * transformation): cut every token covered by a cross-document
+    * duplicated span of at least `minSpanTokens` tokens
+    * ([[duplicatedSpans]] with the paper's length threshold — there 50
+    * BPE tokens; the knob is the caller's) and reassemble the
+    * surviving tokens in order. Spans SHORTER than the threshold stay:
+    * short shared n-grams are ordinary language, and cutting them is
+    * exactly the over-deletion the paper's threshold exists to avoid.
+    * Complements [[segmentDedup]] (fixed non-overlapping grid, df > 1
+    * on the segment text) with the paper's maximal-region semantics:
+    * a duplicated region is removed WHEREVER it starts, not only when
+    * it happens to align to a grid.
+    *
+    * Shape at 100 TB: [[duplicatedSpans]]'s chain (positional explode,
+    * window df, equi-join, per-doc islands window), plus one bounded
+    * explode of qualifying spans into their covered positions (≤ doc
+    * length rows per doc), a LEFT ANTI join of token positions against
+    * covered positions on (doc, pos) — both sides hash-partitioned by
+    * doc — and the same collect-and-sort-within-one-row reassembly as
+    * [[segmentDedup]] (array_sort over ≤ len structs; no global
+    * sort). Returns (idCol, n_tokens, n_removed, text_kept) for every
+    * document with ≥ 1 token; `text_kept` is NULL when the whole
+    * document was duplicated mass (the row survives so the caller
+    * sees what was dropped — the segmentDedup contract). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minSpanTokens: Int = 5): DataFrame = {
+    require(minSpanTokens >= n,
+      s"minSpanTokens=$minSpanTokens must be >= the window width n=$n " +
+        "(no span shorter than one window exists)")
+    val toks = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val pos = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__p", "__tok")))
+    // qualifying spans → covered positions [start, start+len)
+    // adjacent maximal spans (separated by one unshared START) can
+    // still overlap in covered TOKENS when n ≥ 3; no distinct needed —
+    // an anti join is multiplicity-insensitive on its right side
+    val covered = duplicatedSpans(df, idCol, textCol, n)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col(idCol), explode(sequence(col("span_start"),
+        col("span_start") + col("span_tokens") - 1)).as("__p"))
+    pos.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok"))).as("__kept"))
+      .join(toks.select(col(idCol), size(col("__toks")).cast(LongType)
+        .as("n_tokens")), Seq(idCol), "right")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        when(coalesce(col("__n_kept"), lit(0L)) === 0L, lit(null))
+          .otherwise(col("__kept")).as("text_kept"))
+  }
+
   /** CCNet-style corpus-level duplicated-segment removal (Wenzek et
     * al. '19 §4.1, public paper — there applied to lines; this corpus
     * is newline-free, so the unit is the fixed-width `n`-token

@@ -831,4 +831,55 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(uni == unw3)
   }
+
+  test("weightedPersonalizedPageRank: uniform weights reduce bit-exactly " +
+      "to PPR; a heavy edge redirects seed mass") {
+    val w1 = Seq((1L, 2L, 7L), (2L, 3L, 7L), (1L, 3L, 7L), (3L, 4L, 7L))
+      .toDF("pa", "pb", "w")
+    val seeds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 2 === 0
+    val uni = Graph.weightedPersonalizedPageRank(w1, "pa", "pb", "w",
+      seeds, iterations = 5).as[(Long, Long)].collect().toMap
+    val unw = Graph.personalizedPageRank(edges, "pa", "pb",
+      seeds, iterations = 5).as[(Long, Long)].collect().toMap
+    // (r·c) div (c·Σdeg) = r div Σdeg: same floor of the same rational
+    assert(uni == unw)
+    // seed {1} with a 9:1 weight split: the heavy neighbor takes 9×
+    // the mass the light one gets, where uniform weights tie them
+    val star = Seq((1L, 2L, 1L), (1L, 3L, 9L)).toDF("pa", "pb", "w")
+    val r = Graph.weightedPersonalizedPageRank(star, "pa", "pb", "w",
+      id => id === 1L, iterations = 1).as[(Long, Long)].collect().toMap
+    assert(r(3L) == 9L * r(2L), s"heavy neighbor mass: $r")
+  }
+
+  test("bipartiteHits: round-1 authority is right-side degree; round-2 " +
+      "unrolls exactly; duplicate relation rows collapse") {
+    // c1—{p10, p20}, c2—{p20}; the duplicate (2, 20) row must not
+    // double-weight the walk
+    val rel = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 20L)).toDF("c", "p")
+    def scores(rounds: Int): Map[(String, Long), Long] =
+      Graph.bipartiteHits(rel, "c", "p", rounds)
+        .as[(String, Long, Long)].collect()
+        .map { case (s, n, v) => (s, n) -> v }.toMap
+    // h0 ≡ 1: a1(p) = deg(p); h1(c) = Σ a1 over c's parts
+    val r1 = scores(1)
+    assert(r1 == Map(
+      ("authority", 10L) -> 1L, ("authority", 20L) -> 2L,
+      ("hub", 1L) -> 3L, ("hub", 2L) -> 2L), s"round 1: $r1")
+    // a2(10) = h1(c1) = 3; a2(20) = h1(c1) + h1(c2) = 5;
+    // h2(c1) = a2(10) + a2(20) = 8; h2(c2) = a2(20) = 5
+    val r2 = scores(2)
+    assert(r2 == Map(
+      ("authority", 10L) -> 3L, ("authority", 20L) -> 5L,
+      ("hub", 1L) -> 8L, ("hub", 2L) -> 5L), s"round 2: $r2")
+  }
+
+  test("bipartiteHits is partition-layout invariant (exact integers)") {
+    val rel = Seq((1L, 10L), (1L, 20L), (2L, 20L), (3L, 30L), (3L, 20L),
+      (2L, 30L)).toDF("c", "p")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.bipartiteHits(df, "c", "p", rounds = 2)
+        .as[(String, Long, Long)].collect().toSet
+    assert(run(rel) == run(rel.repartition(7)))
+  }
 }

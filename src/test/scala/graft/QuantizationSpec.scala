@@ -82,4 +82,40 @@ class QuantizationSpec extends SparkSpec {
     // measured per-config numbers live in Recall.scala's report
     assert(recall >= 0.7, s"PQ+rerank recall $recall unexpectedly low")
   }
+
+  test("ivfPqTopK with every cell probed reduces bit-exactly to plain PQ") {
+    // nProbe = ivfNlist turns cell pruning OFF: the candidate set is
+    // the whole corpus, so ADC scores, shortlist, and exact re-rank
+    // must reproduce pqTopK row-for-row (cosines included) — the
+    // composition adds pruning and nothing else
+    val probes = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val pure = rows(Quantization.pqTopK(emb, probes, "vec_id", "embedding",
+      k = 10, m = 8, nlist = 16, shortlist = 100))
+    val composed = rows(Quantization.ivfPqTopK(emb, probes, "vec_id",
+      "embedding", k = 10, m = 8, nlist = 16, ivfNlist = 16, nProbe = 16,
+      shortlist = 100))
+    assert(pure == composed)
+  }
+
+  test("ivfPqTopK cell pruning keeps k rows per probe and a recall floor") {
+    val probes = emb.filter($"vec_id" < 5)
+    val got = Quantization.ivfPqTopK(emb, probes, "vec_id", "embedding",
+      k = 10, m = 8, nlist = 16, ivfNlist = 16, nProbe = 4, shortlist = 100)
+    val perProbe = got.groupBy("probe_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perProbe.values.forall(_ == 10L), s"per-probe rows: $perProbe")
+    val exact = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding",
+      k = 10).select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val found = got.select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(found).size.toDouble / exact.size
+    // pruning to 4 of 16 cells composes with the PQ shortlist loss; on
+    // the structure-free synthetic corpus the combined recall floor is
+    // deliberately loose — the measured value is an honesty signal,
+    // not a tuning target
+    assert(recall >= 0.4, s"IVF×PQ recall $recall unexpectedly low")
+  }
 }

@@ -63,6 +63,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((1L, 2L, 0L)))
   }
 
+  test("duplicatedSpans merges consecutive shared windows into maximal spans") {
+    // docs 1 and 2 share the 5-token run "a b c d e" → 3 consecutive
+    // shared window starts merge into ONE span of 5 tokens; doc 1's
+    // "x y z" repeats only WITHIN itself (df counts distinct docs →
+    // not duplicated); doc 3 is shorter than the window → no rows
+    val df = Seq(
+      (1L, "a b c d e q x y z w x y z"),
+      (2L, "p p a b c d e r"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 3L, 5L), (2L, 2L, 3L, 5L)), s"got: $got")
+  }
+
+  test("duplicatedSpans keeps separated shared regions as separate spans") {
+    // "m n o" and "t u v" are shared but the middles differ → two
+    // single-window spans per doc, not one over-merged region
+    val df = Seq(
+      (4L, "m n o k t u v"),
+      (5L, "m n o z z t u v")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (4L, 0L, 1L, 3L), (4L, 4L, 1L, 3L),
+      (5L, 0L, 1L, 3L), (5L, 5L, 1L, 3L)), s"got: $got")
+  }
+
+  test("removeDuplicatedSpans cuts long shared spans, keeps short ones, " +
+      "NULLs a fully-duplicated doc") {
+    val df = Seq(
+      (1L, "a b c d e q r s"),   // shares "a b c d e" (5 ≥ 5) with doc 2
+      (2L, "z z a b c d e y"),
+      (3L, "p q r"),             // shares only a 3-token span with doc 4
+      (4L, "p q r"),             //   (< 5 → kept)
+      (5L, "m m m m m"),         // fully shared with doc 6 → NULL
+      (6L, "m m m m m")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeDuplicatedSpans(df, "doc_id", "text",
+      n = 3, minSpanTokens = 5)
+      .as[(Long, Long, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 8L, 5L, Some("q r s")),
+      (2L, 8L, 5L, Some("z z y")),
+      (3L, 3L, 0L, Some("p q r")),
+      (4L, 3L, 0L, Some("p q r")),
+      (5L, 5L, 5L, None),
+      (6L, 5L, 5L, None)), s"got: $got")
+  }
+
   test("bpePairCounts weights pairs by word frequency with multiplicity") {
     val df = Seq((1L, "aaa bb"), (2L, "aaa cc")).toDF("doc_id", "text")
     // "aaa" (freq 2) → "aa" twice per occurrence = 4; "bb"/"cc" = 1 each;
