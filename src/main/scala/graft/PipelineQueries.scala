@@ -4388,6 +4388,20 @@ object PipelineQueries {
   private def phashOracle: String =
     s"WITH ${phashCtes("documents")} SELECT doc_id AS id, h AS phash FROM phsg ORDER BY id"
 
+  /** Incremental-phash oracle: a scratch [[phashCtes]] rebuild over
+    * the MERGED replica-extended media corpus — the change feed's net
+    * effect as one relational transform (deletes ≡ 3 mod 10 absent,
+    * updates ≡ 1 mod 10 re-rendered with ' merge merge' appended —
+    * the payload, and therefore the hash, must move — held-out fifth
+    * present). The Spark side must reach the same bit pattern THROUGH
+    * the maintained index (bootstrap hash + one folded change batch),
+    * pinning maintained ≡ rebuilt end to end. */
+  private val phashIncrementalOracle: String =
+    s"""WITH $MediaReplicaSql,
+       |mmer AS (SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text FROM mdocs WHERE doc_id % 10 <> 3),
+       |${phashCtes("mmer")}
+       |SELECT doc_id AS id, h AS phash FROM phsg ORDER BY id""".stripMargin.replace("\n", " ")
+
   /** Pair oracle over originals + seeded replicas: the O(n²) hamming
     * check (affordable at sf0.01; the Spark side's pigeonhole buckets
     * are the scale path, same output). */
@@ -4500,6 +4514,30 @@ object PipelineQueries {
              |mcr(u, r) AS (SELECT doc_id, doc_id FROM phsg UNION SELECT e.u, p.r FROM mce e JOIN mcr p ON p.u = e.v)
              |SELECT u AS id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
              |FROM mcr GROUP BY u ORDER BY u""".stripMargin.replace("\n", " "))),
+    // Index freshness for the MEDIA column — the phash index joins the
+    // freshness family (group-agg view, join view, dedup signatures,
+    // IVF, BM25 postings, CMS sketch): bootstrapped from 4/5 of the
+    // replica-extended corpus, one Debezium-style change batch lands
+    // (updates ≡ 1 mod 10 re-rendered — the hash must move; deletes
+    // ≡ 3 mod 10; the held-out fifth inserted), each I/U payload
+    // re-hashed map-side and folded key-level. The emitted frame IS
+    // the maintained index; near-dup search over such an index is
+    // mm_phash_pairs unchanged; the crash/exactly-once protocol is
+    // streaming/PhashStream, pinned in PhashStreamSpec.
+    Q("mm_phash_incremental",
+      (s, d) => {
+        val media = withMediaReplicas(t(s, d, "documents"))
+        val (boot, feed) = incrementalDocFeed(media)
+        val idx0 = operators.Multimodal.perceptualHash(
+          withPayload(boot), "doc_id", "payload")
+        operators.Multimodal.phashMaintain(idx0,
+            withPayload(feed.filter(col("op") =!= "D"))
+              .unionByName(feed.filter(col("op") === "D")
+                .withColumn("payload", lit(null).cast(BinaryType))),
+            "doc_id", "payload", "seq", "op")
+          .orderBy("id")
+      },
+      Some(phashIncrementalOracle)),
     Q("mm_phash_pairs",
       (s, d) => operators.Dedup.hammingNearPairsMih(
         operators.Multimodal.perceptualHash(

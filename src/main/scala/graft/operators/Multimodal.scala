@@ -383,6 +383,36 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Maintain a perceptual-hash index under a CDC media change feed —
+    * the media column joining the freshness family ([[Similarity
+    * .ivfMaintain]]'s protocol applied to [[perceptualHash]]): the
+    * standing index is one (id, phash) row per live medium, each
+    * changed payload is re-hashed MAP-SIDE (the hash is a pure
+    * function of the payload bytes, so the maintained index is
+    * bit-equal to [[perceptualHash]] over the merged corpus — pinned
+    * by the mm_phash_incremental oracle and PhashStreamSpec, not
+    * assumed), a delete carries a NULL hash, and the fold is
+    * [[Cdc.applyChanges]]'s latest-wins key-level join. Near-dup
+    * search over the maintained index is [[graft.operators.Dedup
+    * .hammingNearPairsMih]] unchanged. Cost per batch: one map pass
+    * over the batch + one key shuffle — the index is touched only
+    * through the key join, never rescanned. `changes` carries
+    * `(seqCol, opCol, idCol, binCol)` with op ∈ I/U/D, payload NULL
+    * on deletes, seq feed-monotone; `index` is keyed `id` (the
+    * [[perceptualHash]] output shape). */
+  def phashMaintain(index: DataFrame, changes: DataFrame, idCol: String,
+      binCol: String, seqCol: String, opCol: String,
+      blocks: Int = 64): DataFrame = {
+    val iu = perceptualHash(changes.filter(col(opCol) =!= "D"),
+        idCol, binCol, blocks)
+      .join(changes.select(col(idCol).cast(LongType).as("id"),
+        col(seqCol), col(opCol)), Seq("id"))
+    val dels = changes.filter(col(opCol) === "D")
+      .select(col(idCol).cast(LongType).as("id"),
+        lit(null).cast(LongType).as("phash"), col(seqCol), col(opCol))
+    Cdc.applyChanges(index, iu.unionByName(dels), "id", seqCol, opCol)
+  }
+
   /** Frame sampling stub: every `stride`-th fake frame offset of a
     * video payload — demonstrates the explode-to-frames shape
     * (id, frame_idx, frame_off) a real pipeline uses. Pure column expr. */
