@@ -3061,6 +3061,40 @@ object PipelineQueries {
       Some("""SELECT event_type, COUNT(*) AS n,
              |CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
              |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "))),
+    // Per-day event-type CONCENTRATION (Herfindahl–Hirschman index):
+    // HHI = Σ share² — the diversity-collapse monitor the drift family
+    // (chi²/KS/TV/W1 measure SHIFT between windows) does not cover: a
+    // day whose traffic collapses onto one type alarms here even if
+    // yesterday looked identical. Deliberately RATIONAL (unlike
+    // entropy, whose log has no cross-engine bit contract — the
+    // BM25-idf lesson): hhi_micro = (10⁶·Σc²) div N², exact integers
+    // end to end. Products widen to DECIMAL(38,0) before multiplying
+    // (the w1Drift overflow lesson: a busy day's N² wraps a long past
+    // ~3e9 events/day) and Spark's integral divide on decimals
+    // returns the same floor long DuckDB's HUGEINT // yields. Two
+    // partial-agg shuffles — (day, type) counts, then per-day rollup.
+    Q("ev_type_hhi",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val c = events(s, d)
+          .select(graft.functions.ExactMath.floorDiv(col("ts_s"), 86400L)
+            .as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("__c"))
+        c.groupBy("day").agg(
+            sum(col("__c")).as("n_events"),
+            sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__sq"))
+          .select(col("day"), col("n_events"),
+            call_function("div",
+              lit(1000000L).cast(dec) * col("__sq").cast(dec),
+              col("n_events").cast(dec) * col("n_events").cast(dec))
+              .as("hhi_micro"))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(day AS BIGINT) AS day, CAST(n_events AS BIGINT) AS n_events,
+             |CAST((1000000::HUGEINT * sum_sq) // (CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS BIGINT) AS hhi_micro
+             |FROM (SELECT day, SUM(c) AS n_events, SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sum_sq FROM (
+             |SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2) GROUP BY day)
+             |ORDER BY day""".stripMargin.replace("\n", " "))),
     // At-least-once delivery collapse: deterministic first event per
     // (user, type). Spark side uses min_by over a (ts, event_id) struct
     // ordering — a PARTIAL-AGGREGABLE one-shuffle plan (map-side

@@ -69,6 +69,14 @@ object Recall {
       report(s"ann_pq rerank=$sl", topkPairs(operators.Quantization.pqTopK(
         emb, probes, "vec_id", "embedding", k, m = 8, nlist = 16,
         shortlist = sl)), exact)
+    // IVF×PQ: registered knobs, then each pruning dial opened a notch —
+    // the composition's recall is bounded by min(ivf, pq+rerank) and
+    // the table shows which knob is binding
+    for ((np, sl) <- Seq((4, 100), (8, 100), (4, 200)))
+      report(s"ann_ivfpq np=$np sl=$sl", topkPairs(
+        operators.Quantization.ivfPqTopK(emb, probes, "vec_id", "embedding",
+          k, m = 8, nlist = 16, ivfNlist = 16, nProbe = np,
+          shortlist = sl)), exact)
 
     // --- exact all-pairs ground truth at the dedup threshold ---
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
