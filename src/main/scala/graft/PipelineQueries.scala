@@ -4798,6 +4798,32 @@ object PipelineQueries {
              |WHERE l.op IS NULL OR l.op <> 'D')
              |SELECT o_orderstatus, count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM cdcm GROUP BY o_orderstatus""".stripMargin.replace("\n", " "))),
+    // IVM for the NON-invertible aggregates: per-customer (count, MIN,
+    // MAX) order-price view maintained under the same change feed —
+    // count/sum retract by subtraction, but deleting a group's
+    // extremal row leaves second-smallest unknowable from the view,
+    // so only the groups whose retracted old image EQUALS their
+    // current min/max recompute, from the snapshot key-pruned to those
+    // groups (the maintainJoinView affected-key discipline). The feed
+    // hits the recompute path with real mass (≡0 mod 10 deletes land
+    // on many per-customer extremes) AND the cheap path (non-extremal
+    // retractions, inserts). Oracle recomputes from the merged
+    // snapshot, so the hash proves the split maintenance ≡ recompute.
+    Q("cdc_ivm_minmax",
+      (s, d) => operators.Cdc.maintainMinMaxView(cdcSnapshot(s, d),
+        cdcChanges(s, d), "o_orderkey", "seq", "op", "o_custkey",
+        "o_totalprice")
+        .orderBy("o_custkey"),
+      Some(s"""WITH $cdcChangesSql,
+             |cdcl AS (SELECT k, op, c, st, tp FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM cdcch) WHERE rn = 1),
+             |cdcm AS (SELECT
+             |CASE WHEN l.k IS NOT NULL THEN l.c ELSE s.o_custkey END AS o_custkey,
+             |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS o_totalprice
+             |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
+             |WHERE l.op IS NULL OR l.op <> 'D')
+             |SELECT o_custkey, count(*) AS n, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+             |FROM cdcm GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
     // Incremental JOIN-view maintenance (delta-join algebra): the
     // denormalized orders⋈customer view kept fresh under change feeds
     // on BOTH sides — affected join keys only (old FK ∪ new FK ∪

@@ -147,6 +147,94 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Incrementally maintain a per-group (COUNT, MIN, MAX) view under
+    * the change log — the IVM case [[maintainGroupAgg]]'s delta
+    * algebra CANNOT express: count and sum retract by subtraction,
+    * but MIN/MAX are not group-invertible — deleting a group's
+    * extremal row leaves the second-smallest unknowable from the view
+    * alone. The standard strategy, implemented honestly rather than
+    * papered over:
+    *
+    *  - ADD-side mass folds in O(|Δ|): extremes only extend
+    *    monotonically (mn′ = least(mn₀, min of added values));
+    *  - a retraction of a NON-extremal old image folds in O(|Δ|) too
+    *    (the count moves; the extremes are provably unchanged — the
+    *    retracted value was strictly inside the range);
+    *  - ONLY groups where some retracted old image EQUALS the group's
+    *    current min or max are RECOMPUTED — from the merged snapshot
+    *    restricted to exactly those groups by a key-pruned anti/semi
+    *    join pair, never a base rescan. (Equality is the right
+    *    trigger even under duplicate extremal values: recomputing a
+    *    group whose surviving duplicate still holds the extreme is
+    *    conservative, skipping one never is.)
+    *
+    * Affected-group count is bounded by the feed (≤ one group per
+    * retraction), so maintaining the view over a 100 TB base under a
+    * 1 TB/day feed costs the feed plus the affected groups' members —
+    * the [[maintainJoinView]] affected-key discipline applied to the
+    * aggregate that needs it. Same latest-wins `max_by` reduction,
+    * same old-image fetch through one key equi-join; output equals a
+    * full recompute over the merged snapshot (the oracle's pin) and a
+    * group whose count reaches 0 vanishes. MIN/MAX copy stored values
+    * (no arithmetic), so any orderable value type hashes cross-engine.
+    * Output: (group, n, mn, mx). */
+  def maintainMinMaxView(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String, seqCol: String, opCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val prevAgg = snapshot.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n0"),
+      min(col(valueCol)).as("__mn0"), max(col(valueCol)).as("__mx0"))
+    val ord = struct(col(seqCol), col(opCol))
+    val latest = changes.groupBy(col(keyCol)).agg(
+      max_by(col(opCol), ord).as("__op"),
+      max_by(col(groupCol), ord).as("__g"),
+      max_by(col(valueCol), ord).as("__v"))
+    val snapKeyed = snapshot.select(col(keyCol),
+      col(groupCol).as("__og"), col(valueCol).as("__ov"))
+    // old images of every changed key present in the snapshot — each
+    // is retracted from its OLD group (updates that MOVE a row between
+    // groups retract here and add below, the maintainJoinView case)
+    val retract = latest.join(snapKeyed, Seq(keyCol))
+      .select(col("__og").as(groupCol), col("__ov"))
+    val add = latest.filter(col("__op") =!= "D")
+      .select(col("__g").as(groupCol), col("__v"))
+    val retrAgg = retract.join(prevAgg, Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__rn"),
+        max(when(col("__ov") === col("__mn0") ||
+          col("__ov") === col("__mx0"), 1L).otherwise(0L)).as("__hit"))
+    val addAgg = add.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__an"),
+      min(col("__v")).as("__amn"), max(col("__v")).as("__amx"))
+    val cheap = prevAgg
+      .join(retrAgg, Seq(groupCol), "full_outer")
+      .join(addAgg, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("__n0"), lit(0L)) - coalesce(col("__rn"), lit(0L)) +
+          coalesce(col("__an"), lit(0L))).as("n"),
+        least(col("__mn0"), col("__amn")).as("mn"),
+        greatest(col("__mx0"), col("__amx")).as("mx"),
+        coalesce(col("__hit"), lit(0L)).as("__hit"))
+    // merged members of ONLY the extremal-retraction groups: snapshot
+    // survivors (anti join on changed keys) ∪ latest non-delete
+    // winners, semi-joined to the affected group set
+    val affected = cheap.filter(col("__hit") === 1L).select(col(groupCol))
+    val members = snapshot
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(col(groupCol), col(valueCol).as("__v"))
+      .unionByName(add)
+    val recomputed = members.join(affected, Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__n2"),
+        min(col("__v")).as("__mn2"), max(col("__v")).as("__mx2"))
+    cheap.join(recomputed, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("__n2"), col("n")).as("n"),
+        coalesce(col("__mn2"), col("mn")).as("mn"),
+        coalesce(col("__mx2"), col("mx")).as("mx"))
+      .filter(col("n") > 0)
+  }
+
   /** Incrementally maintain a JOIN view under change logs on BOTH
     * inputs — the other half of incremental view maintenance
     * ([[maintainGroupAgg]] keeps aggregates fresh; this keeps a

@@ -180,4 +180,49 @@ class CdcSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       prevThreshold)
   }
+
+  test("maintainMinMaxView: duplicate-extreme survival, second-smallest " +
+      "recovery, group move, emptied group, cheap insert path") {
+    val snap = Seq(
+      (1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 9.0), // duplicate min 5
+      (4L, "b", 1.0), (5L, "b", 7.0),                 // unique min 1
+      (6L, "c", 3.0),                                 // will empty out
+      (7L, "d", 2.0), (8L, "d", 8.0)                  // max moves away
+    ).toDF("k", "g", "v")
+    val ch = Seq(
+      (1L, 1L, "D", null.asInstanceOf[String], 0.0), // one copy of a's dup min
+      (4L, 1L, "D", null.asInstanceOf[String], 0.0), // b's unique min
+      (6L, 1L, "D", null.asInstanceOf[String], 0.0), // c emptied
+      (8L, 1L, "U", "e", 8.5),                       // d's max MOVES to new group e
+      (9L, 1L, "I", "a", 4.0)                        // new min into a (add path)
+    ).toDF("k", "seq", "op", "g", "v")
+    val got = Cdc.maintainMinMaxView(snap, ch, "k", "seq", "op", "g", "v")
+      .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 4.0, 9.0), // dup min survived the recompute; insert lowered it
+      ("b", 1L, 7.0, 7.0), // second-smallest recovered
+      ("d", 1L, 2.0, 2.0), // old group shrank after the move-out
+      ("e", 1L, 8.5, 8.5)  // move-in created the group
+    ), s"got: $got")
+  }
+
+  test("maintainMinMaxView equals full recompute on a randomized feed (model check)") {
+    val rnd = new scala.util.Random(42)
+    val snap = (1L to 200L).map(k =>
+      (k, s"g${rnd.nextInt(12)}", rnd.nextInt(50).toDouble)).toDF("k", "g", "v")
+    val ops = (1 to 150).map { i =>
+      val k = rnd.nextInt(260).toLong + 1 // keys beyond 200 are inserts
+      rnd.nextInt(3) match {
+        case 0 => (k, i.toLong, "D", null.asInstanceOf[String], 0.0)
+        case 1 => (k, i.toLong, "U", s"g${rnd.nextInt(12)}", rnd.nextInt(50).toDouble)
+        case _ => (k, i.toLong, "I", s"g${rnd.nextInt(12)}", rnd.nextInt(50).toDouble)
+      }
+    }.toDF("k", "seq", "op", "g", "v")
+    val got = Cdc.maintainMinMaxView(snap, ops, "k", "seq", "op", "g", "v")
+      .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
+    val want = Cdc.applyChanges(snap, ops, "k", "seq", "op")
+      .groupBy("g").agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == want, s"split maintenance diverged from recompute:\n$got\n$want")
+  }
 }
