@@ -4824,6 +4824,30 @@ object PipelineQueries {
              |WHERE l.op IS NULL OR l.op <> 'D')
              |SELECT o_custkey, count(*) AS n, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
              |FROM cdcm GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
+    // Top-k IVM — the leaderboard materialization, minmax's story
+    // generalized from k = 1: per-customer top-3 orders by price kept
+    // fresh under the feed; only groups whose retracted old image sat
+    // INSIDE the current top-3 recompute (exact in-list membership
+    // probe), adds merge through bounded map-side heaps. Oracle
+    // recomputes the ranking from the merged snapshot.
+    Q("cdc_ivm_topk",
+      (s, d) => operators.Cdc.maintainTopKView(cdcSnapshot(s, d),
+        cdcChanges(s, d), "o_orderkey", "seq", "op", "o_custkey",
+        "o_totalprice", k = 3)
+        .orderBy("o_custkey", "rank"),
+      Some(s"""WITH $cdcChangesSql,
+             |cdcl AS (SELECT k, op, c, st, tp FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM cdcch) WHERE rn = 1),
+             |cdcm AS (SELECT
+             |CASE WHEN l.k IS NOT NULL THEN l.c ELSE s.o_custkey END AS o_custkey,
+             |CASE WHEN l.k IS NOT NULL THEN l.k ELSE s.o_orderkey END AS o_orderkey,
+             |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS o_totalprice
+             |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
+             |WHERE l.op IS NULL OR l.op <> 'D')
+             |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank FROM cdcm)
+             |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin.replace("\n", " "))),
     // Incremental JOIN-view maintenance (delta-join algebra): the
     // denormalized orders⋈customer view kept fresh under change feeds
     // on BOTH sides — affected join keys only (old FK ∪ new FK ∪

@@ -235,6 +235,96 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Incrementally maintain a per-group TOP-K view (the leaderboard
+    * materialization) under the change log — [[maintainMinMaxView]]'s
+    * non-invertible story generalized from k = 1: a retraction INSIDE
+    * the current top-k exposes the unknowable runner-up, everything
+    * else folds in O(|Δ|). The split, with the exact trigger:
+    *
+    *  - adds fold cheaply: only the batch's own per-group top-k can
+    *    enter the view ([[graft.functions.TopKAggregate]]'s bounded
+    *    map-side heaps reduce the batch), merged with the previous
+    *    list by one array expression and re-cut at k;
+    *  - a retraction whose (value, key) entry is NOT in the previous
+    *    list cannot change it (it ranked below k; exact membership —
+    *    duplicates and boundary ties included — via an `exists` probe
+    *    on the carried list);
+    *  - ONLY groups with an in-list retraction recompute, from the
+    *    merged snapshot key-pruned to those groups, through the same
+    *    bounded-heap aggregate (ordering: value DESC, key ASC — the
+    *    one ordering all three paths and the oracle share).
+    *
+    * Affected-group count is bounded by the feed; the base is touched
+    * through one old-image key join + the affected groups' members.
+    * Output: (group, rank, key, value) exploded rows, rank 1-based;
+    * emptied groups vanish. `valueCol` must be numeric (ranked as
+    * double — the TopKAggregate score contract). */
+  def maintainTopKView(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String, seqCol: String, opCol: String, groupCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topK
+    require(k >= 1, s"k must be >= 1, got $k")
+    val prevTop = snapshot.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n0"),
+      topK(col(valueCol).cast("double"), col(keyCol), col(keyCol), k)
+        .as("__prev"))
+    val ord = struct(col(seqCol), col(opCol))
+    val latest = changes.groupBy(col(keyCol)).agg(
+      max_by(col(opCol), ord).as("__op"),
+      max_by(col(groupCol), ord).as("__g"),
+      max_by(col(valueCol), ord).as("__v"))
+    val snapKeyed = snapshot.select(col(keyCol),
+      col(groupCol).as("__og"), col(valueCol).cast("double").as("__ov"))
+    val retract = latest.join(snapKeyed, Seq(keyCol))
+      .select(col("__og").as(groupCol), col("__ov"), col(keyCol).as("__ok"))
+    val adds = latest.filter(col("__op") =!= "D")
+      .select(col("__g").as(groupCol),
+        col("__v").cast("double").as("__v"), col(keyCol))
+    val addsTop = adds.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__an"),
+      topK(col("__v"), col(keyCol), col(keyCol), k).as("__adds"))
+    // exact in-list membership of each retracted old image
+    val retrAgg = retract.join(prevTop, Seq(groupCol))
+      .withColumn("__in", exists(col("__prev"),
+        e => e.getField("score") === col("__ov") &&
+          e.getField("payload") === col("__ok")))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__rn"),
+        max(when(col("__in"), 1L).otherwise(0L)).as("__hit"))
+    // (value DESC, key ASC) — TopKAggregate's exact output ordering,
+    // applied to the merged list so cheap and recomputed paths agree
+    val cmp = "(l, r) -> CASE WHEN l.score > r.score THEN -1 " +
+      "WHEN l.score < r.score THEN 1 WHEN l.payload < r.payload THEN -1 " +
+      "WHEN l.payload > r.payload THEN 1 ELSE 0 END"
+    val cheap = prevTop
+      .join(addsTop, Seq(groupCol), "full_outer")
+      .join(retrAgg, Seq(groupCol), "left")
+      .select(col(groupCol),
+        (coalesce(col("__n0"), lit(0L)) - coalesce(col("__rn"), lit(0L)) +
+          coalesce(col("__an"), lit(0L))).as("__n"),
+        expr(s"""slice(array_sort(concat(
+          coalesce(__prev, slice(__adds, 1, 0)),
+          coalesce(__adds, slice(__prev, 1, 0))), $cmp), 1, $k)""")
+          .as("__list"),
+        coalesce(col("__hit"), lit(0L)).as("__hit"))
+    val affected = cheap.filter(col("__hit") === 1L).select(col(groupCol))
+    val members = snapshot
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"),
+        col(keyCol))
+      .unionByName(adds)
+    val recomputed = members.join(affected, Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(topK(col("__v"), col(keyCol), col(keyCol), k).as("__list2"))
+    cheap.filter(col("__n") > 0L)
+      .join(recomputed, Seq(groupCol), "left")
+      .select(col(groupCol),
+        posexplode(coalesce(col("__list2"), col("__list")))
+          .as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.payload").as(keyCol), col("__e.score").as(valueCol))
+  }
+
   /** Incrementally maintain a JOIN view under change logs on BOTH
     * inputs — the other half of incremental view maintenance
     * ([[maintainGroupAgg]] keeps aggregates fresh; this keeps a

@@ -225,4 +225,50 @@ class CdcSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Double, Double)].collect().toSeq
     assert(got == want, s"split maintenance diverged from recompute:\n$got\n$want")
   }
+
+  test("maintainTopKView: in-list retraction recomputes, below-k retraction " +
+      "is cheap, adds merge and re-rank, emptied group vanishes") {
+    val snap = Seq(
+      (1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 7.0), (4L, "a", 6.0),
+      (5L, "b", 5.0), (6L, "b", 4.0),
+      (7L, "c", 1.0)
+    ).toDF("k", "g", "v")
+    val ch = Seq(
+      (2L, 1L, "D", null.asInstanceOf[String], 0.0), // inside a's top-2 → recompute
+      (6L, 1L, "D", null.asInstanceOf[String], 0.0), // b has < k members: in list too
+      (7L, 1L, "D", null.asInstanceOf[String], 0.0), // c emptied
+      (8L, 1L, "I", "a", 7.5)                        // add enters a's new top-2
+    ).toDF("k", "seq", "op", "g", "v")
+    val got = Cdc.maintainTopKView(snap, ch, "k", "seq", "op", "g", "v", k = 2)
+      .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
+    // a after: {1→9, 3→7, 4→6, 8→7.5} → top-2 = (1, 9.0), (8, 7.5)
+    // b after: {5→5} → (5, 5.0); c gone
+    assert(got == Seq(
+      ("a", 1L, 1L, 9.0), ("a", 2L, 8L, 7.5),
+      ("b", 1L, 5L, 5.0)), s"got: $got")
+  }
+
+  test("maintainTopKView: below-top-k retraction stays on the cheap path " +
+      "and still matches the recompute (model check, randomized)") {
+    val rnd = new scala.util.Random(7)
+    val snap = (1L to 200L).map(kk =>
+      (kk, s"g${rnd.nextInt(10)}", rnd.nextInt(100).toDouble)).toDF("k", "g", "v")
+    val ops = (1 to 120).map { i =>
+      val kk = rnd.nextInt(250).toLong + 1
+      rnd.nextInt(3) match {
+        case 0 => (kk, i.toLong, "D", null.asInstanceOf[String], 0.0)
+        case 1 => (kk, i.toLong, "U", s"g${rnd.nextInt(10)}", rnd.nextInt(100).toDouble)
+        case _ => (kk, i.toLong, "I", s"g${rnd.nextInt(10)}", rnd.nextInt(100).toDouble)
+      }
+    }.toDF("k", "seq", "op", "g", "v")
+    val got = Cdc.maintainTopKView(snap, ops, "k", "seq", "op", "g", "v", k = 3)
+      .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
+    val merged = Cdc.applyChanges(snap, ops, "k", "seq", "op")
+    val want = merged.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("v").desc, col("k").asc)).cast("long"))
+      .filter(col("rank") <= 3).select("g", "rank", "k", "v")
+      .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"split maintenance diverged:\n$got\n$want")
+  }
 }
