@@ -1543,6 +1543,36 @@ object PipelineQueries {
       (s, d) => TextAnalysis.bpeTokenCounts(t(s, d, "documents"), "doc_id",
         "text", merges = 3).orderBy("doc_id"),
       Some(bpeTokenizeOracle)),
+    // WordPiece greedy longest-match tokenization: fit the 48 most
+    // frequent length-2..4 substrings (word-frequency weighted, total
+    // (cnt DESC, piece ASC) cut), then per-doc token counts under the
+    // longest-match rule with the char fallback. The oracle re-derives
+    // vocab, jump table, and the cursor walk (a pointer-following
+    // recursion — pos strictly increases, aggregate-free), so the hash
+    // pins fit + inference end to end. BPE's bottom-up merge twin is
+    // doc_bpe_tokenize; this is the top-down segmenter.
+    Q("doc_wordpiece_tokens",
+      (s, d) => TextAnalysis.wordpieceTokenCounts(t(s, d, "documents"),
+        "doc_id", "text", vocabSize = 48, maxPieceLen = 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE wpw AS (SELECT doc_id, unnest($ToksSql) AS w FROM documents),
+             |wpf AS (SELECT w, COUNT(*) AS freq FROM wpw GROUP BY w),
+             |wpl AS (SELECT w, freq, unnest(generate_series(2, 4)) AS l FROM wpf),
+             |wpi AS (SELECT w, freq, l, unnest(generate_series(1, length(w) - l + 1)) AS i FROM wpl WHERE length(w) >= l),
+             |wpp AS (SELECT substring(w, i, l) AS p, SUM(freq) AS cnt FROM wpi GROUP BY p),
+             |wpv AS (SELECT p FROM wpp ORDER BY cnt DESC, p ASC LIMIT 48),
+             |wpg AS (SELECT w, length(w) AS len, unnest(generate_series(0, length(w) - 1)) AS pos FROM wpf),
+             |wpc AS (SELECT w, len, pos, unnest(generate_series(2, 4)) AS l FROM wpg),
+             |wpm AS (SELECT c.w, c.pos, MAX(c.l) AS bestl FROM wpc c JOIN wpv v
+             |ON c.pos + c.l <= c.len AND substring(c.w, c.pos + 1, c.l) = v.p GROUP BY c.w, c.pos),
+             |wpb AS (SELECT g.w, g.pos, g.pos + COALESCE(m.bestl, 1) AS nxt FROM wpg g
+             |LEFT JOIN wpm m ON m.w = g.w AND m.pos = g.pos),
+             |wps(w, pos, cnt) AS (SELECT w, 0, 0 FROM wpf
+             |UNION ALL SELECT s.w, b.nxt, s.cnt + 1 FROM wps s JOIN wpb b ON b.w = s.w AND b.pos = s.pos),
+             |wpt AS (SELECT w, MAX(cnt) AS n_tok FROM wps GROUP BY w)
+             |SELECT d.doc_id, CAST(SUM(t.n_tok) AS BIGINT) AS n_wp_tokens
+             |FROM wpw d JOIN wpt t ON t.w = d.w GROUP BY d.doc_id ORDER BY d.doc_id"""
+        .stripMargin.replace("\n", " "))),
     // RefinedWeb-style duplicated-passage counts: distinct word 3-grams
     // per doc, flagged when shared with ≥1 other document
     Q("doc_dup_passages",

@@ -625,6 +625,95 @@ object TextAnalysis {
         col("span_tokens"))
   }
 
+  /** WordPiece-style tokenization by GREEDY LONGEST MATCH (Wu et al.
+    * '16, arXiv:1609.08144 §4.1 — the BERT tokenizer's inference
+    * rule, public): fit a piece vocabulary (the `vocabSize` most
+    * frequent substrings of length 2..`maxPieceLen` across the
+    * corpus, occurrences weighted by word frequency; single
+    * characters are always available as the fallback, outside the
+    * learned budget — the unk→char convention), then tokenize every
+    * word left to right, at each position consuming the LONGEST
+    * vocabulary piece that matches (else one character). Completes
+    * the tokenizer family: BPE learns merges bottom-up
+    * ([[bpeTrain]]/[[bpeTokenCounts]]), this segments top-down
+    * against a fixed vocabulary — the two dominant subword inference
+    * rules, both now oracle-pinned.
+    *
+    * Everything is deterministic: the vocabulary cut is a total
+    * (count DESC, piece ASC) order; the longest match is unique by
+    * maximality. Returns (idCol, n_wp_tokens).
+    *
+    * Shape at 100 TB: the fit aggregates over DISTINCT words
+    * (vocabulary-bounded by Heaps' law, not corpus-bounded) and
+    * collects `vocabSize` rows to the driver (the
+    * [[bpeTokenCounts]]/fitCentroids bounded-fit protocol); the jump
+    * table (word, position) → longest-match length is one map-only
+    * pass over the distinct-word grid against the literal vocabulary
+    * array; the tokenize loop advances every word's cursor through
+    * its jump pointers in `max word length` rounds (a 1-row bounded
+    * driver agg), each round one equi-join on the distinct-word
+    * frame with per-round localCheckpoint + freeing (the
+    * [[graft.operators.Graph.pageRank]] lineage discipline); the
+    * per-document rollup joins words to their counts — one shuffle
+    * on the word key, partial-aggregated. */
+  def wordpieceTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 48, maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val words = df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val wf = words.groupBy("__w").agg(count(lit(1)).as("__freq"))
+    // piece candidates: every substring of length 2..maxPieceLen of
+    // every distinct word, weighted by the word's corpus frequency
+    val pieces = wf
+      .select(col("__freq"), explode(expr(
+        s"""flatten(transform(sequence(2, $maxPieceLen), l ->
+           |  slice(transform(sequence(1, greatest(length(__w) - l + 1, 1)),
+           |    i -> substring(__w, i, l)),
+           |  1, greatest(length(__w) - l + 1, 0))))""".stripMargin))
+        .as("__p"))
+      .groupBy("__p").agg(sum(col("__freq")).as("__cnt"))
+    val vocabPieces = pieces
+      .orderBy(col("__cnt").desc, col("__p").asc).limit(vocabSize)
+      .select("__p").collect().map(_.getString(0)).toSeq
+    val vocabLit = array(vocabPieces.map(lit): _*)
+    // jump table over the distinct-word position grid: the longest
+    // vocabulary match at each cursor, else 1 (the char fallback)
+    val jump = wf
+      .select(col("__w"), length(col("__w")).as("__len"))
+      .withColumn("__pos", explode(sequence(lit(0), col("__len") - 1)))
+      .withColumn("__vv", vocabLit)
+      .withColumn("__best", coalesce(array_max(filter(
+        expr(s"""transform(sequence(2, $maxPieceLen), l ->
+                |  CASE WHEN __pos + l <= __len
+                |    AND array_contains(__vv, substring(__w, __pos + 1, l))
+                |  THEN l END)""".stripMargin),
+        x => x.isNotNull)), lit(1)))
+      .select(col("__w"), col("__len"), col("__pos"),
+        (col("__pos") + col("__best")).as("__next"))
+    val maxLen = wf.agg(max(length(col("__w")))).head().getInt(0)
+    // cursor loop: every word advances through its jump pointers;
+    // finished words (cursor at len) carry through unchanged
+    var state = jump.select(col("__w"), col("__len")).distinct()
+      .select(col("__w"), col("__len"), lit(0).as("__pos"),
+        lit(0L).as("__cnt"))
+    var round = 0
+    while (round < maxLen) {
+      val prev = state
+      state = state.join(jump.select(col("__w"), col("__pos"), col("__next")),
+          Seq("__w", "__pos"), "left")
+        .select(col("__w"), col("__len"),
+          when(col("__pos") < col("__len"), col("__next"))
+            .otherwise(col("__pos")).as("__pos"),
+          (col("__cnt") + when(col("__pos") < col("__len"), 1L)
+            .otherwise(0L)).as("__cnt"))
+        .localCheckpoint(true)
+      graft.operators.Caching.freeLocalCheckpoint(prev)
+      round += 1
+    }
+    words.join(state.select(col("__w"), col("__cnt")), Seq("__w"))
+      .groupBy(col(idCol)).agg(sum(col("__cnt")).as("n_wp_tokens"))
+  }
+
   /** The ExactSubstr EDIT step (Lee et al. '21 §4.1's ExactSubstrDedup
     * transformation): cut every token covered by a cross-document
     * duplicated span of at least `minSpanTokens` tokens

@@ -874,6 +874,29 @@ class GraphSpec extends SparkSpec {
       ("hub", 1L) -> 8L, ("hub", 2L) -> 5L), s"round 2: $r2")
   }
 
+  test("bipartiteHits matches a driver-side reference on a randomized relation") {
+    val rnd = new scala.util.Random(11)
+    val rel = Seq.fill(300)((rnd.nextInt(20).toLong + 1, rnd.nextInt(30).toLong + 100))
+    val relDf = rel.toDF("c", "p")
+    val got = Graph.bipartiteHits(relDf, "c", "p", rounds = 2)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, v) => (s, n) -> v }.toMap
+    // reference: the same four half-steps over a Set-based edge list
+    val edges = rel.toSet
+    val lefts = edges.map(_._1)
+    var h = lefts.map(_ -> BigInt(1)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      a = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.toSeq.map(e => h(e._1)).sum }
+      h = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.toSeq.map(e => a(e._2)).sum }
+    }
+    val want = a.map { case (p, v) => ("authority", p) -> v.toLong } ++
+      h.map { case (c, v) => ("hub", c) -> v.toLong }
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("bipartiteHits is partition-layout invariant (exact integers)") {
     val rel = Seq((1L, 10L), (1L, 20L), (2L, 20L), (3L, 30L), (3L, 20L),
       (2L, 30L)).toDF("c", "p")

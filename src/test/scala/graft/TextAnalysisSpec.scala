@@ -111,6 +111,23 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, 5L, 5L, None)), s"got: $got")
   }
 
+  test("wordpieceTokenCounts: longest match wins, char fallback, " +
+      "frequency-weighted vocab cut") {
+    // distinct words: abcd(freq 3), ab(1), cd(1), xy(1); piece counts
+    // ab=4, cd=4, bc=3, abc=3, bcd=3, abcd=3, xy=1 → top-3 cut by
+    // (cnt DESC, piece ASC) = {ab, cd, abc}
+    val df = Seq(
+      (1L, "abcd ab cd"),
+      (2L, "abcd abcd"),
+      (3L, "xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceTokenCounts(df, "doc_id", "text",
+      vocabSize = 3, maxPieceLen = 4)
+      .as[(Long, Long)].collect().toMap
+    // "abcd" → abc|d (abcd not in vocab, abc beats ab at pos 0) = 2;
+    // "ab"/"cd" → 1 each; "xy" → x|y char fallback = 2
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 2L), s"got: $got")
+  }
+
   test("bpePairCounts weights pairs by word frequency with multiplicity") {
     val df = Seq((1L, "aaa bb"), (2L, "aaa cc")).toDF("doc_id", "text")
     // "aaa" (freq 2) → "aa" twice per occurrence = 4; "bb"/"cc" = 1 each;
