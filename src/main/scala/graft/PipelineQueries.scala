@@ -1905,24 +1905,43 @@ object PipelineQueries {
     // master-data contract. Same pointer-jumping CC as dedup_clusters
     // (string labels: `least` is lexicographic in both engines).
     Q("er_clusters",
-      (s, d) => {
-        val names = t(s, d, "part")
-          .select(col("p_name").as("name")).distinct()
-        Dedup.connectedComponents(names, "name",
-            Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 3)
-              .select("a", "b"), "a", "b")
-          .withColumnRenamed("cluster_id", "entity_id")
-          .withColumnRenamed("keep", "is_canonical")
-          .orderBy("name")
-      },
-      Some("""WITH RECURSIVE ern AS (SELECT DISTINCT p_name AS name FROM part),
-             |erp AS (SELECT a.name AS a, b.name AS b FROM ern a JOIN ern b ON a.name < b.name
-             |WHERE levenshtein(a.name, b.name) <= 3),
-             |ere AS (SELECT a AS u, b AS v FROM erp UNION SELECT b, a FROM erp),
-             |erc(u, r) AS (SELECT name, name FROM ern
-             |UNION SELECT e.u, p.r FROM ere e JOIN erc p ON p.u = e.v)
+      (s, d) => erEntityMap(s, d)
+        .withColumnRenamed("cluster_id", "entity_id")
+        .withColumnRenamed("keep", "is_canonical")
+        .orderBy("name"),
+      Some(s"""WITH RECURSIVE $erClusterCtes
              |SELECT u AS name, MIN(r) AS entity_id, (MIN(r) = u) AS is_canonical
              |FROM erc GROUP BY u ORDER BY name""".stripMargin.replace("\n", " "))),
+    // the MDM terminal step on top of er_clusters: one GOLDEN RECORD
+    // per resolved entity, attributes consolidated from every member
+    // record by deterministic survivorship rules both engines replay —
+    // representative key = min partkey, price = max over members (the
+    // latest-list proxy), size = min, plus record/name counts so the
+    // consolidation's mass is visible. Shape: the cluster map joins
+    // the record table on the match key and one partial-agg rollup —
+    // survivorship never re-reads the pair graph.
+    Q("er_golden_record",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("p_size"))
+        .join(erEntityMap(s, d).select(col("name"),
+          col("cluster_id").as("entity_id")),
+          col("p_name") === col("name"))
+        .groupBy("entity_id").agg(
+          count(lit(1)).as("n_records"),
+          countDistinct(col("p_name")).as("n_names"),
+          min(col("p_partkey")).as("record_key"),
+          max(col("p_retailprice")).as("price_max"),
+          min(col("p_size")).as("size_min"))
+        .orderBy("entity_id"),
+      Some(s"""WITH RECURSIVE $erClusterCtes,
+             |erg AS (SELECT u AS name, MIN(r) AS entity_id FROM erc GROUP BY u)
+             |SELECT g.entity_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+             |CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
+             |MIN(p.p_partkey) AS record_key, MAX(p.p_retailprice) AS price_max,
+             |CAST(MIN(p.p_size) AS INTEGER) AS size_min
+             |FROM part p JOIN erg g ON g.name = p.p_name
+             |GROUP BY g.entity_id ORDER BY entity_id""".stripMargin.replace("\n", " "))),
     // EXACT prefix-filtered set-similarity join: the oracle brute-
     // forces ALL pairs, so the hash match proves the prefix filter
     // dropped no qualifying candidate (completeness, not just output
@@ -4951,6 +4970,26 @@ object PipelineQueries {
   // chain (the IVF-oracle idiom — DuckDB needs no recursion support).
   // ---------------------------------------------------------------------
   private val PrIters = 10
+
+  /** The ER resolution shared by er_clusters and er_golden_record:
+    * fuzzy-match edges over distinct part names → pointer-jumping CC.
+    * Output: (name, cluster_id, keep). */
+  private def erEntityMap(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").select(col("p_name").as("name")).distinct()
+    Dedup.connectedComponents(names, "name",
+      Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 3)
+        .select("a", "b"), "a", "b")
+  }
+
+  /** The same resolution in DuckDB, ending in `erc(u, r)` — the
+    * reachability frame both ER oracles aggregate. */
+  private def erClusterCtes: String =
+    """ern AS (SELECT DISTINCT p_name AS name FROM part),
+      |erp AS (SELECT a.name AS a, b.name AS b FROM ern a JOIN ern b ON a.name < b.name
+      |WHERE levenshtein(a.name, b.name) <= 3),
+      |ere AS (SELECT a AS u, b AS v FROM erp UNION SELECT b, a FROM erp),
+      |erc(u, r) AS (SELECT name, name FROM ern
+      |UNION SELECT e.u, p.r FROM ere e JOIN erc p ON p.u = e.v)""".stripMargin.replace("\n", " ")
 
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
