@@ -5194,6 +5194,36 @@ object PipelineQueries {
     sb.result()
   }
 
+  /** Sampled-betweenness oracle: σ-BFS as UNROLLED per-level CTEs
+    * (the pageRankOracle idiom — a recursive CTE cannot aggregate in
+    * its recursive term, and UNION ALL walk-counting would explode
+    * through hubs): level σ = Σ over previous-level neighbors,
+    * new-vertex anti via NOT EXISTS against the cumulative frame,
+    * then the middle-vertex pair join with the exact
+    * d1 + d2 = d(s,t) shortest-path test and HUGEINT σ products. */
+  private val betweennessOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "bed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs), "
+    sb ++= "bsd AS (SELECT DISTINCT u FROM bed WHERE u % 50 = 0), "
+    sb ++= "b0 AS (SELECT u AS s, u, CAST(1 AS HUGEINT) AS sg FROM bsd), "
+    sb ++= "a0 AS MATERIALIZED (SELECT s, u, 0 AS d, sg FROM b0), "
+    for (i <- 1 to KhopHops) {
+      sb ++= s"c$i AS (SELECT w.s, e.v AS u, SUM(w.sg) AS sg FROM bed e JOIN b${i - 1} w ON w.u = e.u GROUP BY w.s, e.v), "
+      sb ++= s"b$i AS MATERIALIZED (SELECT c.s, c.u, c.sg FROM c$i c WHERE NOT EXISTS (SELECT 1 FROM a${i - 1} p WHERE p.s = c.s AND p.u = c.u)), "
+      sb ++= s"a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT s, u, $i, sg FROM b$i), "
+    }
+    sb ++= s"bsf AS (SELECT s, u, d, sg FROM a$KhopHops), "
+    sb ++= "bst AS (SELECT f.s, f.u AS t, f.d AS dst FROM bsf f JOIN bsd sd ON sd.u = f.u WHERE f.s < f.u), "
+    sb ++= "bpp AS (SELECT x.u AS v, x.s, y.s AS t, x.d AS d1, y.d AS d2, x.sg AS sg1, y.sg AS sg2 FROM bsf x JOIN bsf y ON y.u = x.u AND x.s < y.s) "
+    sb ++= "SELECT p.v AS part_id, CAST(SUM(p.sg1 * p.sg2) AS BIGINT) AS pair_paths " +
+      "FROM bpp p JOIN bst t ON t.s = p.s AND t.t = p.t " +
+      "WHERE p.d1 + p.d2 = t.dst AND p.v <> p.s AND p.v <> p.t " +
+      "GROUP BY p.v ORDER BY part_id"
+    sb.result()
+  }
+
   private val LpaRounds = 3
 
   /** Synchronous label-propagation oracle: `LpaRounds` unrolled rounds
@@ -5654,6 +5684,19 @@ object PipelineQueries {
         "pa", "pb", id => id % 50 === 0, iterations = PrIters)
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(pprOracle)),
+    // Bounded-horizon sampled betweenness over the khop/ppr seed
+    // panel: exact integer pair-path mass through each interior
+    // vertex (σ(s,v)·σ(t,v) summed over panel pairs whose shortest
+    // path passes it) — deliberately the UNNORMALIZED Brandes
+    // numerator, because the classic δ-accumulation divides path
+    // counts and division has no cross-engine bit contract. The
+    // which-vertex-carries-the-graph question PageRank (stationary
+    // mass) and closeness (average distance) both miss.
+    Q("graph_betweenness",
+      (s, d) => operators.Graph.sampledBetweenness(copurchaseEdges(s, d),
+        "pa", "pb", id => id % 50 === 0, maxHops = KhopHops)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some(betweennessOracle)),
     // Weighted personalized PageRank — the weighted family's last
     // member: strength-proportional mass flow ((r·w) div Σw per edge)
     // with the teleport gated on the same seed set, so the score is

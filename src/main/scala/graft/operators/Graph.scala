@@ -1173,6 +1173,95 @@ object Graph {
         col("__h").cast(org.apache.spark.sql.types.LongType).as("score")))
   }
 
+  /** Bounded-horizon sampled BETWEENNESS mass — exact integer
+    * pair-dependency counting over a deterministic seed panel
+    * (Brandes' source-sampling idea, JMS 2001 §4 / the
+    * bounded-distance variant of Brandes–Pich '07, public papers),
+    * formulated to stay RATIONAL-FREE: the classic accumulation
+    * δ(v) = Σ σ(s,v)/σ(s,w)(1+δ) divides path counts — no
+    * cross-engine bit contract — so this reports the UNNORMALIZED
+    * pair-path mass instead:
+    *   B(v) = Σ_{s<t ∈ panel, v ∉ {s,t}}
+    *          [d(s,v) + d(t,v) = d(s,t)] · σ(s,v)·σ(t,v)
+    * — the number of (pair, shortest-path) incidences through v,
+    * horizon-capped at `maxHops`. Every quantity is an exact integer
+    * (σ counts shortest paths; a length-d(s,v) walk cannot revisit a
+    * vertex, so walks at minimal length ARE the simple shortest
+    * paths), which is what lets the DuckDB oracle re-derive the mass
+    * bit-for-bit where normalized betweenness never could.
+    *
+    * Scale shape: the σ-BFS is the [[bfsHops]] loop with ONE extra
+    * aggregate — each round one edge equi-join against the (seed,
+    * vertex)-keyed frontier, a partial-agg σ-sum per new vertex, an
+    * anti-join vs settled, localCheckpoint + freeing; total O(|panel|
+    * ·E·h) like [[seedCloseness]]. The pair assembly self-joins the
+    * settled frame on the MIDDLE vertex — Σ_v reach(v)² rows, the
+    * price of pair-level betweenness, bounded by |panel|²·V and
+    * independent of E; the panel (a fixed deterministic sample, the
+    * ANF/closeness discipline) is the knob that holds it flat as the
+    * graph grows. σ sums stay in longs (σ ≤ maxdeg^h — document the
+    * horizon before raising it); the pair products and the final mass
+    * accumulate in DECIMAL(38,0) and emit as long.
+    *
+    * Returns one row per interior vertex with nonzero mass:
+    * (id, pair_paths). */
+  def sampledBetweenness(pairs: DataFrame, aCol: String, bCol: String,
+      seedFilter: Column => Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var settled = edges.select(col("__u").as("id")).distinct()
+        .filter(seedFilter(col("id")))
+        .select(col("id").as("s"), col("id").as("v"),
+          lit(0L).as("d"), lit(1L).as("sigma"))
+        .localCheckpoint(true)
+      var frontier = settled
+      var lastRound: Seq[DataFrame] = Seq(settled)
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        // σ of a layer-h vertex = Σ σ over its layer-(h−1) neighbors
+        val grown = edges.join(frontier, edges("__u") === frontier("v"))
+          .groupBy(col("s"), col("__v"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("s"), col("__v").as("v"),
+            lit(h.toLong).as("d"), col("sigma"))
+          .join(settled.select("s", "v"), Seq("s", "v"), "left_anti")
+          .localCheckpoint(true)
+        val allNow = settled.unionByName(grown).localCheckpoint(true)
+        lastRound.foreach(Caching.freeLocalCheckpoint)
+        lastRound = Seq(grown, allNow)
+        settled = allNow
+        frontier = grown
+        exhausted = grown.isEmpty
+        h += 1
+      }
+      Caching.freeLocalCheckpoint(lastRound.head)
+      // pair distances: reached vertices that are themselves seeds
+      val st = settled
+        .join(settled.filter(col("d") === 0L).select(col("v")).distinct(),
+          Seq("v"), "left_semi")
+        .select(col("s"), col("v").as("t"), col("d").as("dst"))
+        .filter(col("s") < col("t"))
+      val x = settled.select(col("s"), col("v"),
+        col("d").as("d1"), col("sigma").cast(dec).as("sg1"))
+      val y = settled.select(col("s").as("t"), col("v"),
+        col("d").as("d2"), col("sigma").cast(dec).as("sg2"))
+      x.join(y, Seq("v"))
+        .filter(col("s") < col("t"))
+        .join(st, Seq("s", "t"))
+        .filter(col("d1") + col("d2") === col("dst") &&
+          col("v") =!= col("s") && col("v") =!= col("t"))
+        .groupBy(col("v"))
+        .agg(sum(col("sg1") * col("sg2")).cast(dec).as("__mass"))
+        .select(col("v").as("id"),
+          col("__mass").cast(org.apache.spark.sql.types.LongType)
+            .as("pair_paths"))
+    } finally edges.unpersist()
+  }
+
   /** Approximate neighborhood function (ANF) with an exact audit —
     * the HyperBall algorithm (Boldi–Rosa–Vigna, WWW 2011; ANF:
     * Palmer–Gibbons–Faloutsos, KDD 2002): N(h) = how many

@@ -874,6 +874,25 @@ class GraphSpec extends SparkSpec {
       ("hub", 1L) -> 8L, ("hub", 2L) -> 5L), s"round 2: $r2")
   }
 
+  test("sampledBetweenness: path-graph interior mass by hand; diamond " +
+      "counts both shortest paths") {
+    // path 1—2—3—4—5, every vertex a seed: pair (s,t) contributes 1
+    // to each strict interior vertex → B(2)=3 (pairs 1-3,1-4,1-5),
+    // B(3)=4 (1-4,1-5,2-4,2-5), B(4)=3 (1-5,2-5,3-5)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val gotP = Graph.sampledBetweenness(path, "pa", "pb",
+        _ => lit(true), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotP == Map(2L -> 3L, 3L -> 4L, 4L -> 3L), s"path: $gotP")
+    // diamond 1—2—4, 1—3—4: pair (1,4) has σ = 2 via two interiors
+    // (each carries 1·1); pair (2,3) passes through 1 AND 4
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("pa", "pb")
+    val gotD = Graph.sampledBetweenness(diamond, "pa", "pb",
+        _ => lit(true), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(gotD == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"diamond: $gotD")
+  }
+
   test("bipartiteHits matches a driver-side reference on a randomized relation") {
     val rnd = new scala.util.Random(11)
     val rel = Seq.fill(300)((rnd.nextInt(20).toLong + 1, rnd.nextInt(30).toLong + 100))
