@@ -5201,12 +5201,14 @@ object PipelineQueries {
     * new-vertex anti via NOT EXISTS against the cumulative frame,
     * then the middle-vertex pair join with the exact
     * d1 + d2 = d(s,t) shortest-path test and HUGEINT σ products. */
+  private val BetweennessSeedCap = 2048
+
   private val betweennessOracle: String = {
     val sb = new StringBuilder
     sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
     sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
     sb ++= "bed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs), "
-    sb ++= "bsd AS (SELECT DISTINCT u FROM bed WHERE u % 50 = 0), "
+    sb ++= s"bsd AS (SELECT DISTINCT u FROM bed WHERE u % 50 = 0 AND u < $BetweennessSeedCap), "
     sb ++= "b0 AS (SELECT u AS s, u, CAST(1 AS HUGEINT) AS sg FROM bsd), "
     sb ++= "a0 AS MATERIALIZED (SELECT s, u, 0 AS d, sg FROM b0), "
     for (i <- 1 to KhopHops) {
@@ -5691,10 +5693,16 @@ object PipelineQueries {
     // numerator, because the classic δ-accumulation divides path
     // counts and division has no cross-engine bit contract. The
     // which-vertex-carries-the-graph question PageRank (stationary
-    // mass) and closeness (average distance) both miss.
+    // mass) and closeness (average distance) both miss. The panel is
+    // mod-sampled AND absolute-capped (the AnfSourceCap lesson,
+    // re-measured here: the mod-only panel grows with the graph and
+    // the |panel|²-quadratic pair join took 383 s at 10× vs 3 s at
+    // 1×; the cap — inactive at sf0.01, every part id < 2048 — pins
+    // the panel, and with it the pair join, at any scale).
     Q("graph_betweenness",
       (s, d) => operators.Graph.sampledBetweenness(copurchaseEdges(s, d),
-        "pa", "pb", id => id % 50 === 0, maxHops = KhopHops)
+        "pa", "pb", id => id % 50 === 0 && id < BetweennessSeedCap,
+        maxHops = KhopHops)
         .withColumnRenamed("id", "part_id").orderBy("part_id"),
       Some(betweennessOracle)),
     // Weighted personalized PageRank — the weighted family's last
