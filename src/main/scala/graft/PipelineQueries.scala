@@ -4847,6 +4847,42 @@ object PipelineQueries {
              |WHERE l.op IS NULL OR l.op <> 'D')
              |SELECT o_orderstatus, count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM cdcm GROUP BY o_orderstatus""".stripMargin.replace("\n", " "))),
+    // The INVERSE of cdc_apply: derive the change feed FROM two keyed
+    // snapshots (CDC bootstrap when no log exists; replica audit when
+    // one does — the diff IS the repair feed). One full-outer key join
+    // classifies I/D/U with NULL-safe payload comparison; new image on
+    // I/U, old image on D — exactly applyChanges' input shape, and
+    // applyChanges(prev, diff) ≡ next is spec-pinned, not assumed.
+    // Registered against the merged snapshot the cdc feed produces, so
+    // the diff must recover that feed's NET effect.
+    Q("cdc_snapshot_diff",
+      (s, d) => {
+        val prev = cdcSnapshot(s, d)
+        val next = operators.Cdc.applyChanges(prev, cdcChanges(s, d),
+          "o_orderkey", "seq", "op")
+        operators.Cdc.diffSnapshots(prev, next, "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""WITH $cdcChangesSql,
+             |cdcl AS (SELECT k, op, c, st, tp FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn FROM cdcch) WHERE rn = 1),
+             |cdck AS (SELECT COALESCE(l.k, s.o_orderkey) AS k,
+             |CASE WHEN l.k IS NOT NULL THEN l.c ELSE s.o_custkey END AS c,
+             |CASE WHEN l.k IS NOT NULL THEN l.st ELSE s.o_orderstatus END AS st,
+             |CASE WHEN l.k IS NOT NULL THEN l.tp ELSE s.o_totalprice END AS tp
+             |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
+             |WHERE l.op IS NULL OR l.op <> 'D'),
+             |dfo AS (SELECT p.o_orderkey AS pk, m.k AS nk,
+             |p.o_custkey AS pc, p.o_orderstatus AS pst, p.o_totalprice AS ptp,
+             |m.c AS nc, m.st AS nst, m.tp AS ntp
+             |FROM orders p FULL OUTER JOIN cdck m ON m.k = p.o_orderkey),
+             |dcl AS (SELECT CASE WHEN pk IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+             |WHEN pc IS DISTINCT FROM nc OR pst IS DISTINCT FROM nst OR ptp IS DISTINCT FROM ntp THEN 'U' END AS op, * FROM dfo)
+             |SELECT op, COALESCE(pk, nk) AS o_orderkey,
+             |CASE WHEN op = 'D' THEN pc ELSE nc END AS o_custkey,
+             |CASE WHEN op = 'D' THEN pst ELSE nst END AS o_orderstatus,
+             |CASE WHEN op = 'D' THEN ptp ELSE ntp END AS o_totalprice
+             |FROM dcl WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
     // IVM for the NON-invertible aggregates: per-customer (count, MIN,
     // MAX) order-price view maintained under the same change feed —
     // count/sum retract by subtraction, but deleting a group's

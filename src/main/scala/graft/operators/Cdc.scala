@@ -147,6 +147,45 @@ object Cdc {
       .filter(col("n") > 0)
   }
 
+  /** Derive the CHANGE FEED between two keyed snapshots — the INVERSE
+    * of [[applyChanges]], and the reconciliation primitive a CDC
+    * pipeline needs twice: bootstrapping a feed from two full loads
+    * (no log exists yet), and auditing that a maintained replica
+    * matches its source (diff = the repair feed). One full-outer key
+    * join classifies every key: present only in `next` → I, present
+    * only in `prev` → D, present in both with ANY payload column
+    * differing → U (NULL-safe comparison — a column going NULL↔value
+    * is a change; identical rows emit nothing, so the diff of a
+    * snapshot with itself is empty). Output: (op, key, payload…)
+    * with the NEW image on I/U and the OLD image on D — exactly the
+    * shape [[applyChanges]] consumes, so
+    * `applyChanges(prev, diffSnapshots(prev, next) + any seq) ≡ next`
+    * row-for-row (the round-trip CdcSpec pins). Map-side: one key
+    * shuffle of each snapshot, no windows, no driver state. */
+  def diffSnapshots(prev: DataFrame, next: DataFrame,
+      keyCol: String): DataFrame = {
+    val payload = prev.columns.filter(_ != keyCol)
+    require(next.columns.filter(_ != keyCol).sorted.sameElements(payload.sorted),
+      "diffSnapshots: snapshots must share one schema")
+    // presence sentinels ride each side into the full-outer join so an
+    // all-NULL payload row cannot be mistaken for an absent key
+    val p = prev.select(col(keyCol) +: lit(1).as("__inp") +:
+      payload.map(c => col(c).as(s"__p_$c")): _*)
+    val n = next.select(col(keyCol) +: lit(1).as("__inn") +:
+      payload.map(c => col(c).as(s"__n_$c")): _*)
+    val changed = payload.map(c =>
+      !(col(s"__p_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    p.join(n, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__inp").isNull, lit("I"))
+          .when(col("__inn").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col(keyCol) +: payload.map(c =>
+        when(col("op") === "D", col(s"__p_$c"))
+          .otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   /** Incrementally maintain a per-group (COUNT, MIN, MAX) view under
     * the change log — the IVM case [[maintainGroupAgg]]'s delta
     * algebra CANNOT express: count and sum retract by subtraction,

@@ -181,6 +181,31 @@ class CdcSpec extends SparkSpec {
       prevThreshold)
   }
 
+  test("diffSnapshots: I/D/U classification, NULL-safe change test, " +
+      "self-diff empty, applyChanges round-trip") {
+    val next = Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "v", "amt")
+    val diff = Cdc.diffSnapshots(snapshot, next, "k")
+    val got = diff.as[(String, Long, String, Double)].collect().toSet
+    assert(got == Set(
+      ("U", 1L, "a2", 12.0),  // new image on U
+      ("D", 2L, "b", 20.0),   // old image on D
+      ("I", 4L, "d", 40.0)), s"got: $got")
+    // round-trip: applying the derived feed reproduces `next` exactly
+    val rt = Cdc.applyChanges(snapshot, diff.withColumn("seq", lit(1L)),
+        "k", "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(rt == Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // a snapshot diffed with itself is empty
+    assert(Cdc.diffSnapshots(snapshot, snapshot, "k").isEmpty)
+    // NULL ↔ value transitions are changes (null-safe compare)
+    val withNull = Seq((1L, null.asInstanceOf[String], 10.0),
+      (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "v", "amt")
+    val nd = Cdc.diffSnapshots(snapshot, withNull, "k")
+      .as[(String, Long, Option[String], Double)].collect().toSet
+    assert(nd == Set(("U", 1L, None, 10.0)), s"null transition: $nd")
+  }
+
   test("maintainMinMaxView: duplicate-extreme survival, second-smallest " +
       "recovery, group move, emptied group, cheap insert path") {
     val snap = Seq(
