@@ -148,6 +148,30 @@ object Bench {
     // could not prove that by itself.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters > 0, s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters")
+    // Contention GATE (BENCH_r17 proved the mt-calib column can
+    // attribute a polluted minimum — q_window_rank's three iterations
+    // ran under 3.1-4.5× mt-calib inflation and the 1.42 s "minimum"
+    // was 10.9× the same jar's idle-box floor; detection after the
+    // fact still left a dirty committed artifact). This run DISCARDS
+    // and retries any iteration bracketed by an inflated all-core
+    // spin: the mt-calib is sampled immediately before AND after the
+    // timed exec, the run keeps a monotone floor (min of every mt
+    // sample this run, seeded by 3 pre-loop spins), and an iteration
+    // whose bracket max exceeds `gate × floor` is thrown away — up to
+    // `maxRetries` times per iteration, after which the attempt is
+    // kept (bounded wall time; the calib columns still attribute it).
+    // Discard counts land in the artifact (`iter_discarded`), so a
+    // clean-looking minimum is clean BY CONSTRUCTION, not by luck.
+    val gateRatio = sys.env.getOrElse("SPARK_GRAFT_CALIB_GATE", "1.3").toDouble
+    val gateRetries = sys.env.getOrElse("SPARK_GRAFT_CALIB_RETRIES", "2").toInt
+    require(gateRetries >= 0,
+      s"SPARK_GRAFT_CALIB_RETRIES must be >= 0, got $gateRetries")
+    var mtFloor = (1 to 3).map(_ => calibMtSec).min
+    def sampleMt(): Double = {
+      val v = calibMtSec
+      if (v < mtFloor) mtFloor = v
+      v
+    }
     // A query that THROWS must never be recorded as a (fast!) time:
     // r11 reported 0.05 s for three queries whose "time" was the cost
     // of an analysis exception — fake-green numbers worse than a
@@ -163,25 +187,45 @@ object Bench {
       // state (measured 17.8 → 7.0 → 4.5 → 3.8 → 3.8 s on repeat-5)
       warmExec(q)
       var err: Option[String] = None
+      var discardTotal = 0
       val times = (1 to iters).map { _ =>
-        val calib = calibSec
-        val calibMt = calibMtSec
-        val g0 = gcMillis
-        val c0 = cpuNanos
-        val t0 = System.nanoTime()
-        try {
-          val storageBytes = exec(q)
-          val wallSec = (System.nanoTime() - t0) / 1e9
-          val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
-          Some((wallSec, gcMillis - g0, cpuSec, storageBytes, calib, calibMt))
+        var kept: Option[(Double, Long, Double, Long, Double, Double)] = None
+        var failed = false
+        var tries = 0
+        while (kept.isEmpty && !failed) {
+          val calib = calibSec
+          val calibMt = sampleMt()
+          val g0 = gcMillis
+          val c0 = cpuNanos
+          val t0 = System.nanoTime()
+          try {
+            val storageBytes = exec(q)
+            val wallSec = (System.nanoTime() - t0) / 1e9
+            val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
+            val calibMtPost = sampleMt()
+            val contended = gateRatio > 0 &&
+              math.max(calibMt, calibMtPost) > gateRatio * mtFloor
+            if (contended && tries < gateRetries) {
+              tries += 1
+              discardTotal += 1
+              System.err.println(f"[bench] ${q.name}: discarding " +
+                f"contended iteration (wall $wallSec%.3f s, mt-calib " +
+                f"${math.max(calibMt, calibMtPost)}%.3f vs floor " +
+                f"$mtFloor%.3f), retry $tries/$gateRetries")
+            } else {
+              kept = Some((wallSec, gcMillis - g0, cpuSec, storageBytes,
+                calib, calibMt))
+            }
+          }
+          catch { case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            failed = true
+          }
         }
-        catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-          None
-        }
+        kept
       }
-      (q.name, times, err)
+      (q.name, times, err, discardTotal)
     }
     // truncate BEFORE escaping: cutting after could split an escape
     // sequence and emit invalid JSON. Escape ALL control chars < 0x20
@@ -197,7 +241,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, ts, _) =>
+    val qs = results.map { case (k, ts, _, _) =>
       val ok = ts.flatten.map(_._1)
       "\"" + k + "\":" + (if (ok.isEmpty) "null" else ok.min)
     }.mkString("{", ",", "}")
@@ -205,7 +249,7 @@ object Bench {
     // (failed iterations are null in every array).
     def iterObj(
         f: ((Double, Long, Double, Long, Double, Double)) => String): String =
-      results.map { case (k, ts, _) =>
+      results.map { case (k, ts, _, _) =>
         "\"" + k + "\":" +
           ts.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -225,14 +269,22 @@ object Bench {
     val calibMtMin = results.flatMap(_._2.flatten.map(_._6)) match {
       case Seq() => "null"; case vs => vs.min.toString
     }
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val errs = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":" + jstr(m)
     }.mkString("{", ",", "}")
-    val total = results.flatMap { case (_, ts, _) =>
+    // contention-gate audit: per-query count of discarded (retried)
+    // iterations, and the run total — a clean minimum next to a 0 here
+    // means NO iteration needed protection, a nonzero count means the
+    // gate absorbed the contention the old artifacts could only explain
+    val discarded = results.map { case (k, _, _, d) =>
+      "\"" + k + "\":" + d
+    }.mkString("{", ",", "}")
+    val discardedTotal = results.map(_._4).sum
+    val total = results.flatMap { case (_, ts, _, _) =>
       val ok = ts.flatten.map(_._1); if (ok.isEmpty) None else Some(ok.min)
     }.sum
     val nFailed = results.count(_._2.flatten.isEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"iter_calib_mt_sec":$iterCalibMtSec,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"calib_mt_threads":$mtThreads,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"iter_calib_mt_sec":$iterCalibMtSec,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"calib_mt_threads":$mtThreads,"calib_gate":$gateRatio,"iter_discarded":$discarded,"discarded_total":$discardedTotal,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     // The detailed line first (full per-iteration attribution — also
     // landed in files below), then a COMPACT final line. The driver
     // keeps only the LAST ~2000 characters of stdout and parses a JSON
@@ -247,7 +299,7 @@ object Bench {
       val v = math.rint(d * 1e4) / 1e4
       if (v == v.toLong) v.toLong.toString else v.toString
     }
-    val qsCompact = results.map { case (k, ts, _) =>
+    val qsCompact = results.map { case (k, ts, _, _) =>
       val ok = ts.flatten.map(_._1)
       "\"" + k + "\":" + (if (ok.isEmpty) "null" else r4(ok.min))
     }.mkString("{", ",", "}")
@@ -259,10 +311,10 @@ object Bench {
     // pre-escape chars identify the failure; the full message is one
     // line up and in bench_out.json.
     def jstrShort(s: String): String = jstr(s.take(60))
-    val errsCompact = results.collect { case (k, _, Some(m)) =>
+    val errsCompact = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":" + jstrShort(m)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"discarded_total":$discardedTotal,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
     println(json)
     println(compact)
     // Also land the line in files: the driver scrapes stdout through

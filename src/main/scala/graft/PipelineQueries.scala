@@ -1623,7 +1623,11 @@ object PipelineQueries {
              |SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens,
              |CAST(len(k.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
              |CASE WHEN COALESCE(a.n_kept, 0) = 0 THEN NULL ELSE a.kept END AS text_kept
-             |FROM dyk k LEFT JOIN dyagg a USING (doc_id)""".stripMargin.replace("\n", " "))),
+             |FROM dyk k LEFT JOIN dyagg a USING (doc_id)""".stripMargin.replace("\n", " ")),
+      // benched: the span-dedup family's hard member by plan shape
+      // (positional explode → window df → islands window → anti-join
+      // cut) — regression-timed every round per the r17 verdict
+      bench = true),
     // first-seen novelty in doc_id order: a gram is novel only for the
     // document that introduces it (min-id aggregation, same two-
     // partial-agg + equi-join shape as dup_passages)
@@ -4908,7 +4912,11 @@ object PipelineQueries {
              |FROM orders s FULL OUTER JOIN cdcl l ON s.o_orderkey = l.k
              |WHERE l.op IS NULL OR l.op <> 'D')
              |SELECT o_custkey, count(*) AS n, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
-             |FROM cdcm GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
+             |FROM cdcm GROUP BY o_custkey ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+      // benched: the freshness family's non-invertible member — the
+      // key-pruned extremal-retraction recompute is the plan shape
+      // worth regression-timing every round (r17 verdict #8)
+      bench = true),
     // Top-k IVM — the leaderboard materialization, minmax's story
     // generalized from k = 1: per-customer top-3 orders by price kept
     // fresh under the feed; only groups whose retracted old image sat
@@ -5149,8 +5157,12 @@ object PipelineQueries {
     * alias behavior that changed across DuckDB releases (green under
     * 1.0.0, hash-red under the driver's build). Per-edge products
     * cast to HUGEINT before multiplying so no BIGINT term can
-    * overflow at any SF; the DECIMAL(38,0) casts exist only in the
-    * final projection to match the Spark schema. */
+    * overflow at any SF; the final projection emits the diagnostic
+    * sums as BIGINT — round 17's DECIMAL(38,0) wire type was the
+    * ONLY decimal output of 278 rows and the one code path the
+    * driver's hash canonicalization disagreed on, so the Spark side
+    * now guards-and-narrows to long (the w1Drift pattern) and the
+    * oracle mirrors it. */
   private val weightedAssortativityOracle: String =
     """WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
       |prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
@@ -5162,7 +5174,7 @@ object PipelineQueries {
       |wfin AS (SELECT wt_b, sx_h, sxy_h, sx2_h,
       |CAST(wt_b AS HUGEINT) * sxy_h - sx_h * sx_h AS num_h,
       |CAST(wt_b AS HUGEINT) * sx2_h - sx_h * sx_h AS den_h FROM wag)
-      |SELECT wt_b AS w_total, CAST(sx_h AS DECIMAL(38,0)) AS s_x, CAST(sxy_h AS DECIMAL(38,0)) AS s_xy, CAST(sx2_h AS DECIMAL(38,0)) AS s_x2,
+      |SELECT wt_b AS w_total, CAST(sx_h AS BIGINT) AS s_x, CAST(sxy_h AS BIGINT) AS s_xy, CAST(sx2_h AS BIGINT) AS s_x2,
       |CASE WHEN den_h = 0 THEN 0.0 ELSE CAST(num_h AS DOUBLE) / CAST(den_h AS DOUBLE) END AS assortativity
       |FROM wfin""".stripMargin.replace("\n", " ")
 
@@ -5530,6 +5542,22 @@ object PipelineQueries {
        |CASE WHEN SUM(h) > 0 THEN (1000000 * CAST(COUNT(*) - 1 AS BIGINT)) // CAST(SUM(h) AS BIGINT) ELSE 0 END AS closeness_micro
        |FROM cbm GROUP BY s ORDER BY seed""".stripMargin.replace("\n", " ")
 
+  /** Harmonic-centrality oracle: the [[closenessOracle]] (seed,
+    * vertex) recursion with the per-seed fold swapped — Σ of exact
+    * per-vertex `1000000 // h` terms over h > 0 (per-term flooring is
+    * the operator contract), unreachable contributes nothing. */
+  private val harmonicOracle: String =
+    s"""WITH RECURSIVE bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+       |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |ced AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+       |csd AS (SELECT DISTINCT u FROM ced WHERE u % $ClosenessSeedMod = 0),
+       |cbf(s, u, h) AS (SELECT u, u, 0 FROM csd
+       |UNION SELECT p.s, e.v, p.h + 1 FROM ced e JOIN cbf p ON p.u = e.u WHERE p.h < $ClosenessHops),
+       |cbm AS (SELECT s, u, MIN(h) AS h FROM cbf GROUP BY s, u)
+       |SELECT s AS seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       |CAST(COALESCE(SUM(CASE WHEN h > 0 THEN 1000000 // h END), 0) AS BIGINT) AS harmonic_micro
+       |FROM cbm GROUP BY s ORDER BY seed""".stripMargin.replace("\n", " ")
+
   private val AnfSourceMod = 4
   private val AnfSourceCap = 2048
   // 7, not 8: at hops=8 the sf0.01 exact curve sits at 91.86% of its
@@ -5655,6 +5683,26 @@ object PipelineQueries {
              |SELECT 'authority' AS side, p AS node_id, CAST(a AS BIGINT) AS score FROM hba2
              |UNION ALL SELECT 'hub' AS side, c AS node_id, CAST(h AS BIGINT) AS score FROM hbh2)
              |ORDER BY side, node_id""".stripMargin.replace("\n", " "))),
+    // Eigenvector centrality on the co-purchase graph — HITS's
+    // recurrence collapsed to the symmetric case: 2 unnormalized
+    // power-iteration rounds from x0 ≡ 1, so score(v) is the EXACT
+    // count of length-2 walks ending at v — the undamped
+    // "important because my neighbors are important" ranking
+    // PageRank's teleport deliberately smooths away (a clique member
+    // outranks an equal-degree star center here). DECIMAL(38,0)
+    // accumulation, guarded BIGINT emit; round 1 ≡ degree is the
+    // GraphSpec anchor.
+    Q("graph_eigenvector",
+      (s, d) => operators.Graph.eigenvectorCentrality(
+        copurchaseEdges(s, d), "pa", "pb", rounds = 2)
+        .withColumnRenamed("id", "part_id").orderBy("part_id"),
+      Some("""WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+             |prs AS (SELECT a.p AS pa, b.p AS pb FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |eed AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+             |ex1 AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS x FROM eed GROUP BY v),
+             |ex2 AS (SELECT e.v, SUM(p.x) AS x FROM eed e JOIN ex1 p ON p.v = e.u GROUP BY e.v)
+             |SELECT v AS part_id, CAST(x AS BIGINT) AS score FROM ex2
+             |ORDER BY part_id""".stripMargin.replace("\n", " "))),
     // Resource-allocation link prediction (which absent edges the
     // graph most implies): Σ 1/deg over common neighbors in exact
     // nano-units — RA instead of Adamic–Adar's 1/log(deg) precisely
@@ -5677,6 +5725,17 @@ object PipelineQueries {
         "pa", "pb", id => id % ClosenessSeedMod === 0,
         maxHops = ClosenessHops).orderBy("seed"),
       Some(closenessOracle)),
+    // Harmonic centrality over the SAME panel/horizon — the
+    // disconnection-robust closeness (Boldi–Vigna axioms): Σ of exact
+    // per-vertex 10⁶ div d terms, so every extra reachable vertex
+    // adds mass where closeness's n/Σd ratio lets a seed touching one
+    // close neighbor tie a hub touching a thousand. Same shared BFS,
+    // same micro-unit convention, per-term flooring in the contract.
+    Q("graph_harmonic",
+      (s, d) => operators.Graph.harmonicCentrality(copurchaseEdges(s, d),
+        "pa", "pb", id => id % ClosenessSeedMod === 0,
+        maxHops = ClosenessHops).orderBy("seed"),
+      Some(harmonicOracle)),
     // Weighted closeness over the SAME seed panel: 10⁶·n div Σdist on
     // min-plus distances with proximity costs 1000 div w — a seed knit
     // to its neighborhood by heavy ties scores higher than the hop

@@ -167,6 +167,13 @@ object Cdc {
     val payload = prev.columns.filter(_ != keyCol)
     require(next.columns.filter(_ != keyCol).sorted.sameElements(payload.sorted),
       "diffSnapshots: snapshots must share one schema")
+    // `op` is the emitted classification column and __inp/__inn ride
+    // the join internally — a payload column reusing any of them
+    // would emit duplicate/ambiguous names (the schema-require
+    // discipline above, applied to the reserved names)
+    Seq("op", "__inp", "__inn").foreach(r =>
+      require(!payload.contains(r) && keyCol != r,
+        s"diffSnapshots: column name '$r' is reserved by the diff output"))
     // presence sentinels ride each side into the full-outer join so an
     // all-NULL payload row cannot be mistaken for an absent key
     val p = prev.select(col(keyCol) +: lit(1).as("__inp") +:

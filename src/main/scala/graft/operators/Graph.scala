@@ -766,6 +766,46 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Per-seed HARMONIC centrality, horizon-bounded: Σ over reached
+    * vertices of 1/d(s,v) — the closeness variant that is ROBUST to
+    * disconnection (Boldi–Vigna, "Axioms for Centrality", Internet
+    * Math. 2014, public paper: harmonic is the member of the
+    * closeness family satisfying all their axioms). The distinction
+    * [[seedCloseness]] structurally cannot make: closeness divides
+    * n by Σd, so a seed reaching ONE vertex at distance 1 scores the
+    * maximal 10⁶ — identical to a hub reaching its whole component
+    * at distance 1 — while harmonic SUMS reciprocals, so every extra
+    * reachable vertex adds mass and the isolated-pair seed scores
+    * 10⁶ total vs the hub's (n·10⁶). Under a horizon every closeness
+    * is implicitly "within h"; harmonic's unreachable-means-zero-term
+    * convention makes that exact rather than a truncation artifact.
+    *
+    * Exactness: each term is the exact integer `10⁶ div d` and the
+    * sum stays a long (≤ V·10⁶ ≪ 2⁶³) — rational micro-units, the
+    * closeness/PPR family convention, so DuckDB re-derives the score
+    * bit-for-bit. Per-term flooring (Σ⌊10⁶/d⌋, not ⌊10⁶·Σ1/d⌋) is
+    * part of the contract and mirrored in the oracle.
+    *
+    * Scale shape: exactly [[seedCloseness]] — the shared
+    * [[multiSourceBfs]] rounds plus one per-seed aggregate; the
+    * bounded seed panel is the cost knob, O(|panel|·E·h) total.
+    *
+    * Returns one row per seed: (seed, n_reached, harmonic_micro);
+    * n_reached excludes the seed, a seed reaching nothing scores 0. */
+  def harmonicCentrality(pairs: DataFrame, aCol: String, bCol: String,
+      seedFilter: Column => Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      multiSourceBfs(edges, seedFilter, maxHops)
+        .groupBy(col("s").as("seed"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          coalesce(sum(when(col("hops") > 0L,
+            expr("1000000 div hops"))), lit(0L)).as("harmonic_micro"))
+    } finally edges.unpersist()
+  }
+
   /** Weighted per-seed closeness: [[seedCloseness]] with SUM-OF-COSTS
     * distances instead of hop counts — per seed,
     * `closeness = 10⁶ · n_reached div Σ dist` over the min-plus
@@ -1060,12 +1100,20 @@ object Graph {
     * graph already wraps a long SUM (the w1Drift gap-factor lesson,
     * measured: ANSI overflow at 335× the edges) — so w widens to
     * DECIMAL(38,0) BEFORE any multiply and the three product sums
-    * accumulate AND emit as exact DECIMAL(38,0); no long product
-    * exists anywhere in the chain. ONE final double division of
-    * the exact decimal num/den; degenerate denominator reports 0.0
-    * (the drift-family convention). Uniform weights c scale num and
-    * den by exactly c⁴ in integer arithmetic, so the statistic
-    * reduces to the degree form (pinned, not assumed).
+    * ACCUMULATE as exact DECIMAL(38,0); no long product exists
+    * anywhere in the chain. The diagnostic sums EMIT as BIGINT
+    * behind a loud `assert_true` boundary guard (the exact w1Drift
+    * pattern, which hashes green): decimal128 output was the one
+    * column type no other query surfaced and the driver's DECIMAL
+    * canonicalization is client-library-dependent, so the internal
+    * accumulator stays wide while the wire type is the plain long
+    * every other row uses. A corpus whose sums genuinely exceed
+    * 2⁶³−1 fails fast with the measured value instead of wrapping.
+    * ONE final double division of the exact decimal num/den;
+    * degenerate denominator reports 0.0 (the drift-family
+    * convention). Uniform weights c scale num and den by exactly c⁴
+    * in integer arithmetic, so the statistic reduces to the degree
+    * form (pinned, not assumed).
     *
     * Scale shape: identical to the degree form — two joins of the
     * edge list with the strength table + one global aggregate, O(E),
@@ -1094,10 +1142,18 @@ object Graph {
           zero).as("s_xy"),
         coalesce(sum(wDec * col("sx").cast(dec) * col("sx").cast(dec)),
           zero).as("s_x2"))
+      .filter(assert_true(
+        col("s_xy") <= lit(Long.MaxValue).cast(dec) &&
+          col("s_x2") <= lit(Long.MaxValue).cast(dec) &&
+          col("s_x") <= lit(Long.MaxValue).cast(dec),
+        concat(lit("weightedAssortativity: diagnostic sum exceeds "
+            + "BIGINT (s_x="), col("s_x"), lit(", s_xy="), col("s_xy"),
+          lit(", s_x2="), col("s_x2"),
+          lit(") — widen the output to decimal"))).isNull)
       .select(col("w_total"),
-        col("s_x").cast(dec).as("s_x"),
-        col("s_xy").cast(dec).as("s_xy"),
-        col("s_x2").cast(dec).as("s_x2"),
+        col("s_x").cast("long").as("s_x"),
+        col("s_xy").cast("long").as("s_xy"),
+        col("s_x2").cast("long").as("s_x2"),
         when(den === zero, lit(0.0))
           .otherwise(num.cast("double") / den.cast("double"))
           .as("assortativity"))
@@ -1173,6 +1229,55 @@ object Graph {
         col("__h").cast(org.apache.spark.sql.types.LongType).as("score")))
   }
 
+  /** Eigenvector centrality on the SYMMETRIC graph — fixed-round
+    * unnormalized power iteration from x₀ ≡ 1 (Bonacich 1972, public;
+    * the [[bipartiteHits]] discipline applied to a one-sided graph,
+    * where hub ≡ authority and the recurrence collapses to
+    * xₜ(v) = Σ_{(u,v)∈E} xₜ₋₁(u)). The ranking PageRank's teleport
+    * deliberately dampens: xₜ(v) counts the WALKS of length t ending
+    * at v exactly, so a vertex inside a dense clique outranks an
+    * equal-degree vertex whose neighbors are leaves — "important
+    * because my neighbors are important", undamped. Round 1 is the
+    * degree (the uniform-start anchor the spec pins); the default 2
+    * rounds already separates neighborhoods by second-order structure
+    * while keeping the walk-count interpretation auditable.
+    *
+    * Determinism/exactness: NO per-round normalization (a positive
+    * global scale cannot reorder scores), so every score is an exact
+    * integer — walk counts — accumulated in DECIMAL(38,0) (score mass
+    * multiplies by ~avg-degree per round; long products are the
+    * w1Drift overflow lesson) and emitted as BIGINT behind a loud
+    * `assert_true` boundary guard (the [[weightedAssortativity]]
+    * emit-narrow pattern: decimal128 output is the one wire type the
+    * driver's hash canonicalization disagreed on).
+    *
+    * Scale shape: each round is ONE equi-join of the edge list
+    * against the ≤V-row score frame + ONE partial-agg groupBy —
+    * O(E·rounds), no windows, no driver state; `rounds` small and
+    * fixed keeps the whole chain one lazy plan (the bipartiteHits
+    * contract).
+    *
+    * Returns one row per vertex: (id, score). */
+  def eigenvectorCentrality(pairs: DataFrame, aCol: String,
+      bCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "eigenvectorCentrality needs at least one round")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ed = symmetricEdges(pairs, aCol, bCol)
+    var x = ed.select(col("__u")).distinct()
+      .select(col("__u"), lit(1).cast(dec).as("__x"))
+    for (_ <- 1 to rounds)
+      x = ed.join(x, "__u")
+        .groupBy(col("__v").as("__u"))
+        .agg(sum(col("__x")).cast(dec).as("__x"))
+    x.filter(assert_true(
+        col("__x") <= lit(Long.MaxValue).cast(dec),
+        concat(lit("eigenvectorCentrality: walk count "), col("__x"),
+          lit(" exceeds BIGINT — lower `rounds` or emit the decimal")))
+        .isNull)
+      .select(col("__u").as("id"),
+        col("__x").cast(org.apache.spark.sql.types.LongType).as("score"))
+  }
+
   /** Bounded-horizon sampled BETWEENNESS mass — exact integer
     * pair-dependency counting over a deterministic seed panel
     * (Brandes' source-sampling idea, JMS 2001 §4 / the
@@ -1202,6 +1307,15 @@ object Graph {
     * graph grows. σ sums stay in longs (σ ≤ maxdeg^h — document the
     * horizon before raising it); the pair products and the final mass
     * accumulate in DECIMAL(38,0) and emit as long.
+    *
+    * Panel honesty (GraphSpec's measured eval at sf0.01): the mass
+    * exists only over panel pairs, so support and ranking are
+    * PANEL-RELATIVE — the registered mod-50 panel's top-20 overlaps
+    * a 5×-denser panel's by 6/20 while denser panels agree with each
+    * other ~3× better (19/50). Compare betweenness across corpora
+    * only under one fixed panel; densify the mod (the absolute cap,
+    * not the mod, is the scale guard) when absolute hub identity
+    * matters.
     *
     * Returns one row per interior vertex with nonzero mass:
     * (id, pair_paths). */

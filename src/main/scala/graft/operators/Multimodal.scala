@@ -391,26 +391,32 @@ object Multimodal {
     * function of the payload bytes, so the maintained index is
     * bit-equal to [[perceptualHash]] over the merged corpus — pinned
     * by the mm_phash_incremental oracle and PhashStreamSpec, not
-    * assumed), a delete carries a NULL hash, and the fold is
-    * [[Cdc.applyChanges]]'s latest-wins key-level join. Near-dup
-    * search over the maintained index is [[graft.operators.Dedup
-    * .hammingNearPairsMih]] unchanged. Cost per batch: one map pass
-    * over the batch + one key shuffle — the index is touched only
-    * through the key join, never rescanned. `changes` carries
-    * `(seqCol, opCol, idCol, binCol)` with op ∈ I/U/D, payload NULL
-    * on deletes, seq feed-monotone; `index` is keyed `id` (the
-    * [[perceptualHash]] output shape). */
+    * assumed), and the fold is [[Cdc.latestChanges]] →
+    * [[Cdc.applyGroupedFromLatest]]: the batch reduces to ONE winner
+    * row per key BEFORE any payload is hashed. Hashing first and
+    * joining back on id alone was the round-17 shape — with two
+    * upserts for one key in a batch that join is many-to-many, both
+    * payloads' hashes tag the winning seq, and the max_by tie-break
+    * could commit the STALE payload's hash; reducing first makes the
+    * committed hash a pure function of the winning payload (the
+    * [[graft.operators.Similarity.ivfMaintain]] derived-column
+    * discipline). Near-dup search over the maintained index is
+    * [[graft.operators.Dedup.hammingNearPairsMih]] unchanged. Cost
+    * per batch: one key-reduce of the batch + one map pass over the
+    * winners + one key anti-join — the index is touched only through
+    * the key join, never rescanned. `changes` carries `(seqCol,
+    * opCol, idCol, binCol)` with op ∈ I/U/D, payload NULL on deletes,
+    * seq feed-monotone; `index` is keyed `id` (the [[perceptualHash]]
+    * output shape). */
   def phashMaintain(index: DataFrame, changes: DataFrame, idCol: String,
       binCol: String, seqCol: String, opCol: String,
       blocks: Int = 64): DataFrame = {
-    val iu = perceptualHash(changes.filter(col(opCol) =!= "D"),
-        idCol, binCol, blocks)
-      .join(changes.select(col(idCol).cast(LongType).as("id"),
-        col(seqCol), col(opCol)), Seq("id"))
-    val dels = changes.filter(col(opCol) === "D")
-      .select(col(idCol).cast(LongType).as("id"),
-        lit(null).cast(LongType).as("phash"), col(seqCol), col(opCol))
-    Cdc.applyChanges(index, iu.unionByName(dels), "id", seqCol, opCol)
+    val latest = Cdc.latestChanges(
+      changes.select(col(idCol).cast(LongType).as("id"),
+        col(seqCol), col(opCol), col(binCol)),
+      "id", seqCol, opCol)
+    Cdc.applyGroupedFromLatest(index, latest, "id")(ups =>
+      perceptualHash(ups, "id", binCol, blocks))
   }
 
   /** Frame sampling stub: every `stride`-th fake frame offset of a

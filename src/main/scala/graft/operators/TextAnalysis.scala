@@ -649,13 +649,18 @@ object TextAnalysis {
     * [[bpeTokenCounts]]/fitCentroids bounded-fit protocol); the jump
     * table (word, position) → longest-match length is one map-only
     * pass over the distinct-word grid against the literal vocabulary
-    * array; the tokenize loop advances every word's cursor through
-    * its jump pointers in `max word length` rounds (a 1-row bounded
-    * driver agg), each round one equi-join on the distinct-word
-    * frame with per-round localCheckpoint + freeing (the
-    * [[graft.operators.Graph.pageRank]] lineage discipline); the
-    * per-document rollup joins words to their counts — one shuffle
-    * on the word key, partial-aggregated. */
+    * array; the tokenize walk POINTER-DOUBLES the jump table —
+    * composing jump^(2^i) with itself over the (word, position) grid
+    * — so the whole corpus tokenizes in ⌈log₂ max word length⌉
+    * self-join rounds (a 1-row bounded driver agg picks the horizon)
+    * instead of the round-17 O(max word length) cursor loop: a
+    * pathological 300-char token is 9 rounds, not 300 jobs. Each
+    * round is one equi-join on the grid with per-round
+    * localCheckpoint + freeing (the [[graft.operators.Graph
+    * .pageRank]] lineage discipline); steps saturate at word end, so
+    * the final table read at position 0 IS the per-word token count.
+    * The per-document rollup joins words to their counts — one
+    * shuffle on the word key, partial-aggregated. */
   def wordpieceTokenCounts(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 48, maxPieceLen: Int = 4): DataFrame = {
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
@@ -675,7 +680,20 @@ object TextAnalysis {
     val vocabPieces = pieces
       .orderBy(col("__cnt").desc, col("__p").asc).limit(vocabSize)
       .select("__p").collect().map(_.getString(0)).toSeq
-    val vocabLit = array(vocabPieces.map(lit): _*)
+    // a token-free corpus (or an all-1-char one with no 2+-substrings)
+    // must short-circuit: max(length) over zero words is NULL, and an
+    // empty array() literal is ARRAY<NULL> which array_contains rejects
+    if (vocabPieces.isEmpty && wf.isEmpty) {
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          df.schema(idCol),
+          org.apache.spark.sql.types.StructField("n_wp_tokens",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val vocabLit =
+      if (vocabPieces.isEmpty) lit(Array.empty[String])
+      else array(vocabPieces.map(lit): _*)
     // jump table over the distinct-word position grid: the longest
     // vocabulary match at each cursor, else 1 (the char fallback)
     val jump = wf
@@ -691,26 +709,39 @@ object TextAnalysis {
       .select(col("__w"), col("__len"), col("__pos"),
         (col("__pos") + col("__best")).as("__next"))
     val maxLen = wf.agg(max(length(col("__w")))).head().getInt(0)
-    // cursor loop: every word advances through its jump pointers;
-    // finished words (cursor at len) carry through unchanged
-    var state = jump.select(col("__w"), col("__len")).distinct()
-      .select(col("__w"), col("__len"), lit(0).as("__pos"),
-        lit(0L).as("__cnt"))
-    var round = 0
-    while (round < maxLen) {
-      val prev = state
-      state = state.join(jump.select(col("__w"), col("__pos"), col("__next")),
-          Seq("__w", "__pos"), "left")
-        .select(col("__w"), col("__len"),
-          when(col("__pos") < col("__len"), col("__next"))
-            .otherwise(col("__pos")).as("__pos"),
-          (col("__cnt") + when(col("__pos") < col("__len"), 1L)
-            .otherwise(0L)).as("__cnt"))
+    // pointer-doubling walk: tbl holds, for every grid position, the
+    // landing position and step count of min(2^i, steps-to-end)
+    // jumps. Every grid position starts one jump ahead (__steps = 1;
+    // positions ≥ len have no row — a composition lookup that misses
+    // is a saturated cursor and composes as the identity with 0
+    // steps). After ⌈log₂ maxLen⌉ squarings 2^i ≥ maxLen ≥ every
+    // word's jump count, so the row at position 0 carries the word's
+    // exact total token count.
+    var tbl = jump
+      .select(col("__w"), col("__len"), col("__pos"), col("__next"),
+        lit(1L).as("__steps"))
+      .localCheckpoint(true)
+    var span = 1L
+    while (span < maxLen) {
+      val prev = tbl
+      tbl = prev.as("a")
+        .join(prev.as("b").select(col("__w").as("__bw"),
+            col("__pos").as("__bpos"), col("__next").as("__bnext"),
+            col("__steps").as("__bsteps")),
+          col("a.__w") === col("__bw") && col("a.__next") === col("__bpos"),
+          "left")
+        .select(col("a.__w").as("__w"), col("a.__len").as("__len"),
+          col("a.__pos").as("__pos"),
+          coalesce(col("__bnext"), col("a.__next")).as("__next"),
+          (col("a.__steps") + coalesce(col("__bsteps"), lit(0L)))
+            .as("__steps"))
         .localCheckpoint(true)
       graft.operators.Caching.freeLocalCheckpoint(prev)
-      round += 1
+      span *= 2
     }
-    words.join(state.select(col("__w"), col("__cnt")), Seq("__w"))
+    val counts = tbl.filter(col("__pos") === 0)
+      .select(col("__w"), col("__steps").as("__cnt"))
+    words.join(counts, Seq("__w"))
       .groupBy(col(idCol)).agg(sum(col("__cnt")).as("n_wp_tokens"))
   }
 

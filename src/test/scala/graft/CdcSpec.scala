@@ -296,4 +296,52 @@ class CdcSpec extends SparkSpec {
       .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
     assert(got == want, s"split maintenance diverged:\n$got\n$want")
   }
+
+  test("maintainTopKView: retract-and-re-add of one key inside one batch " +
+      "(latest wins) and k-ties straddling the list boundary") {
+    // group a: four members, k = 2, with a VALUE TIE straddling the
+    // cut (keys 2 and 3 both at 8.0 — only key 2 is in the list by
+    // the (value DESC, key ASC) order). The batch deletes key 1 at
+    // seq 1 and re-inserts it at seq 2 (latest wins ⇒ the key stays,
+    // with the NEW value), deletes tied-IN-list key 2 (the exists
+    // probe must hit on (8.0, 2) and not be fooled by (8.0, 3)), and
+    // deletes tied-OUT-of-list key 3 (strictly below the cut only by
+    // the key tiebreak — a sloppy membership probe on value alone
+    // would force a useless recompute, a sloppy list cut could have
+    // dropped the wrong twin).
+    val snap = Seq(
+      (1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 8.0), (4L, "a", 6.0)
+    ).toDF("k", "g", "v")
+    val ch = Seq(
+      (1L, 1L, "D", null.asInstanceOf[String], 0.0),
+      (1L, 2L, "I", "a", 7.0), // same key re-added in the same batch
+      (2L, 3L, "D", null.asInstanceOf[String], 0.0),
+      (3L, 4L, "D", null.asInstanceOf[String], 0.0)
+    ).toDF("k", "seq", "op", "g", "v")
+    val got = Cdc.maintainTopKView(snap, ch, "k", "seq", "op", "g", "v", k = 2)
+      .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
+    // merged base: {1→7.0, 4→6.0} → top-2 = (1, 7.0), (4, 6.0)
+    assert(got == Seq(("a", 1L, 1L, 7.0), ("a", 2L, 4L, 6.0)), s"got: $got")
+    // the mirror case: the re-add ARRIVES FIRST in seq order reversed
+    // (I at seq 1, D at seq 2) — latest wins D, the key must vanish
+    val ch2 = Seq(
+      (1L, 1L, "I", "a", 7.0),
+      (1L, 2L, "D", null.asInstanceOf[String], 0.0)
+    ).toDF("k", "seq", "op", "g", "v")
+    val got2 = Cdc.maintainTopKView(snap, ch2, "k", "seq", "op", "g", "v", k = 2)
+      .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
+    // merged base: {2→8.0, 3→8.0, 4→6.0} → top-2 = (2, 8.0), (3, 8.0)
+    assert(got2 == Seq(("a", 1L, 2L, 8.0), ("a", 2L, 3L, 8.0)),
+      s"got: $got2")
+    // ONLY the out-of-list twin (key 3, same 8.0 value as in-list key
+    // 2) retracts: the exists probe must MISS — (8.0, 3) is not
+    // (8.0, 2) — keeping the group on the cheap path, and the cheap
+    // path's merged list must still be exactly the recompute's
+    val ch3 = Seq((3L, 1L, "D", null.asInstanceOf[String], 0.0))
+      .toDF("k", "seq", "op", "g", "v")
+    val got3 = Cdc.maintainTopKView(snap, ch3, "k", "seq", "op", "g", "v", k = 2)
+      .orderBy("g", "rank").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got3 == Seq(("a", 1L, 1L, 9.0), ("a", 2L, 2L, 8.0)),
+      s"got: $got3")
+  }
 }

@@ -360,11 +360,12 @@ class GraphSpec extends SparkSpec {
     assert(rw == rd, s"uniform-weight $rw != degree $rd")
     // non-uniform weights against an exact driver-side model
     val wes = es.map(e => (e._1, e._2, 1L + (e._1 + e._2) % 5))
-    val gotRow = Graph.weightedAssortativity(wes.toDF("pa", "pb", "w"),
+    // diagnostic sums emit as plain BIGINT (the only decimal128 wire
+    // type of the registry proved driver-hash-fragile; the internal
+    // accumulator stays DECIMAL(38,0) behind the assert_true guard)
+    val got = Graph.weightedAssortativity(wes.toDF("pa", "pb", "w"),
         "pa", "pb", "w")
-      .as[(Long, BigDecimal, BigDecimal, BigDecimal, Double)].head()
-    val got = (gotRow._1, gotRow._2.toLongExact, gotRow._3.toLongExact,
-      gotRow._4.toLongExact, gotRow._5)
+      .as[(Long, Long, Long, Long, Double)].head()
     val sym = (wes ++ wes.map(e => (e._2, e._1, e._3)))
       .groupBy(e => (e._1, e._2)).map { case (k, v) => (k._1, k._2, v.map(_._3).max) }
       .toSeq
@@ -923,5 +924,130 @@ class GraphSpec extends SparkSpec {
       Graph.bipartiteHits(df, "c", "p", rounds = 2)
         .as[(String, Long, Long)].collect().toSet
     assert(run(rel) == run(rel.repartition(7)))
+  }
+
+  test("harmonicCentrality: star-vs-leaf contrast closeness cannot make, " +
+      "horizon cut, per-term flooring, isolated seed scores 0") {
+    // star 1—{2,3,4,5} plus an isolated pair 10—11
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L))
+      .toDF("pa", "pb")
+    val got = Graph.harmonicCentrality(star, "pa", "pb",
+        _ => lit(true), maxHops = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // center: 4 neighbors at d=1 → 4·10⁶; each leaf: center at 1 +
+    // 3 leaves at 2 → 10⁶ + 3·500000; pair members: 10⁶ each. THE
+    // CONTRAST: closeness scores center and pair-member identically
+    // (n/Σd = 10⁶ both); harmonic separates 4·10⁶ vs 10⁶.
+    assert(got == Map(
+      1L -> (4L, 4000000L),
+      2L -> (4L, 2500000L), 3L -> (4L, 2500000L),
+      4L -> (4L, 2500000L), 5L -> (4L, 2500000L),
+      10L -> (1L, 1000000L), 11L -> (1L, 1000000L)), s"got: $got")
+    val cl = Graph.seedCloseness(star, "pa", "pb", _ => lit(true), 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(cl(1L) == cl(10L), "closeness ties center and pair-member " +
+      s"(the blindness harmonic fixes): ${cl(1L)} vs ${cl(10L)}")
+    // horizon cut: path 1—2—3—4 at maxHops=2 from seed 1 — d=3 is
+    // beyond the horizon and contributes NOTHING (exact, not
+    // truncated); per-term flooring: 10⁶ div 3 = 333333 at hops 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val h2 = Graph.harmonicCentrality(path, "pa", "pb",
+        id => id === 1L, maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h2 == Seq((1L, 2L, 1500000L)), s"horizon: $h2")
+    val h3 = Graph.harmonicCentrality(path, "pa", "pb",
+        id => id === 1L, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(h3 == Seq((1L, 3L, 1833333L)), s"flooring: $h3")
+  }
+
+  test("eigenvectorCentrality: round 1 is the degree, round 2 counts " +
+      "length-2 walks; clique member outranks equal-degree star center") {
+    // path 1—2—3: degrees 1,2,1; round 2: x(1)=x(2)... walks of
+    // length 2 ending at v: x2(v) = Σ_{u~v} deg(u)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val r1 = Graph.eigenvectorCentrality(path, "pa", "pb", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"round 1: $r1")
+    val r2 = Graph.eigenvectorCentrality(path, "pa", "pb", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"round 2: $r2")
+    // triangle 1-2-3 (clique, deg 2 each) vs star 10—{11,12} center
+    // (deg 2): equal degree, but the clique member's neighbors are
+    // better-connected — round 2 separates 4 vs 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (10L, 12L)).toDF("pa", "pb")
+    val r = Graph.eigenvectorCentrality(g, "pa", "pb", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == 4L && r(10L) == 2L,
+      s"clique 4 vs star-center 2 expected: $r")
+    // randomized model check vs a driver-side adjacency walk count
+    val rnd = new scala.util.Random(23)
+    val es = (0 until 60).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sym = (es ++ es.map(e => (e._2, e._1))).distinct
+    var x = sym.map(_._1).distinct.map(_ -> BigInt(1)).toMap
+    for (_ <- 1 to 3)
+      x = sym.groupBy(_._1).map { case (v, nbrs) =>
+        v -> nbrs.map(e => x(e._2)).sum }
+    val gotR = Graph.eigenvectorCentrality(es.toDF("pa", "pb"), "pa", "pb",
+        rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotR == x.map { case (k, v) => k -> v.toLong },
+      s"model check: $gotR vs $x")
+  }
+
+  test("sampledBetweenness honesty eval: the seed panel's top-k fidelity " +
+      "against denser panels is MEASURED, not assumed (sf0.01)") {
+    // The ann_recall_eval / graph_anf discipline applied to the
+    // newest approximation: graph_betweenness registers the mod-50
+    // (∧ id < 2048) seed panel as its cost knob, and this pin
+    // quantifies what that panel buys on the live sf0.01 co-purchase
+    // graph by ranking the SAME exact-integer pair-path mass under
+    // 5×- and 10×-denser panels (mod-10: 188 seed ids; mod-5: 376).
+    // MEASURED (2026-08-16 testdata; exact integers, deterministic
+    // (mass DESC, id ASC) tie-break — re-pin on regeneration):
+    //   nonzero-mass support: mod-50 → 23 vertices, mod-10 → 396,
+    //     mod-5 → 823 (of 1880) — the unnormalized mass only exists
+    //     over panel pairs, so the SUPPORT ITSELF is panel-relative;
+    //   top-20 overlap: mod-50 vs mod-10 = 6/20, mod-50 vs mod-5 =
+    //     2/20, mod-10 vs mod-5 = 7/20;
+    //   top-50 overlap: 10/50, 6/50, and 19/50 respectively.
+    // The honest conclusion, stated rather than hidden: at this
+    // graph's sparsity a 39-seed panel ranks hub mass RELATIVE TO
+    // ITS OWN PANEL only — denser panels agree with each other
+    // (19/50) about 3× more than the sparse panel agrees with either
+    // (6/50), so a caller comparing betweenness ACROSS corpora must
+    // fix the panel, and a caller needing absolute hub identity
+    // should budget a denser panel (the 2048 cap, not the mod, is
+    // the 100 TB guard — mod-5 at sf0.01 is 1.7 s).
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2).select("pa", "pb").cache()
+    def mass(mod: Int) = Graph.sampledBetweenness(edges, "pa", "pb",
+      id => id % mod === 0 && id < 2048, maxHops = 3).cache()
+    def topIds(df: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+      df.orderBy(col("pair_paths").desc, col("id").asc).limit(k)
+        .select("id").as[Long].collect().toSet
+    val (m50, m10, m5) = (mass(50), mass(10), mass(5))
+    val support = Seq(m50.count(), m10.count(), m5.count())
+    assert(support == Seq(23L, 396L, 823L),
+      s"nonzero-mass support moved (re-pin the measured block): $support")
+    val overlaps = for {
+      k <- Seq(20, 50)
+      (a, b) <- Seq((m50, m10), (m50, m5), (m10, m5))
+    } yield (topIds(a, k) & topIds(b, k)).size
+    assert(overlaps == Seq(6, 2, 7, 10, 6, 19),
+      s"panel-fidelity overlaps moved (re-pin the measured block): $overlaps")
+    // the convergence direction itself, robust to regeneration: the
+    // two denser panels must agree with each other at least as well
+    // as the sparse panel agrees with the densest
+    assert(overlaps(5) >= overlaps(3),
+      s"denser panels diverged more than the sparse one: $overlaps")
+    Seq(m50, m10, m5, edges).foreach(_.unpersist())
   }
 }

@@ -128,6 +128,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 2L), s"got: $got")
   }
 
+  test("wordpieceTokenCounts: token-free and 1-char-only corpora " +
+      "(empty word grid / empty vocabulary)") {
+    // zero tokens anywhere: the fit has no words — must return an
+    // EMPTY (doc_id, n_wp_tokens) frame, not NPE on max(length)=NULL
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val gotEmpty = TextAnalysis.wordpieceTokenCounts(empty, "doc_id", "text")
+    assert(gotEmpty.columns.toSeq == Seq("doc_id", "n_wp_tokens"))
+    assert(gotEmpty.count() == 0L)
+    // only 1-char words: no 2+-char substrings exist, the vocabulary
+    // is empty, and every word tokenizes by the char fallback
+    val chars = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val gotChars = TextAnalysis.wordpieceTokenCounts(chars, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(gotChars == Map(1L -> 3L, 2L -> 1L), s"got: $gotChars")
+  }
+
+  test("wordpieceTokenCounts: pointer-doubling handles a word far " +
+      "longer than the vocabulary pieces") {
+    // one 17-char word (non-power-of-two, > 4 squarings' 16 only via
+    // saturation) among short ones: walk must count exactly
+    val df = Seq((1L, "ababababababababa ab"), (2L, "zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceTokenCounts(df, "doc_id", "text",
+      vocabSize = 2, maxPieceLen = 3)
+      .as[(Long, Long)].collect().toMap
+    // piece counts: ab=9, ba=8, aba=8, bab=7, zz=1 → top-2 cut by
+    // (cnt DESC, piece ASC) = {ab, aba} (the 8-tie resolves aba < ba).
+    // The 17-char word walks aba|b|aba|b|aba|b|aba|b|a = 9 tokens —
+    // pinned against the greedy driver model below, not hand-assumed.
+    val word = "ababababababababa"
+    val vocab = Set("ab", "aba")
+    def count(w: String): Long = {
+      var p = 0; var c = 0L
+      while (p < w.length) {
+        val best = (3 to 2 by -1).find(l =>
+          p + l <= w.length && vocab(w.substring(p, p + l))).getOrElse(1)
+        p += best; c += 1
+      }
+      c
+    }
+    assert(got == Map(1L -> (count(word) + count("ab")), 2L -> count("zz")),
+      s"got: $got, want model ${count(word)}+${count("ab")}")
+  }
+
   test("bpePairCounts weights pairs by word frequency with multiplicity") {
     val df = Seq((1L, "aaa bb"), (2L, "aaa cc")).toDF("doc_id", "text")
     // "aaa" (freq 2) → "aa" twice per occurrence = 4; "bb"/"cc" = 1 each;
