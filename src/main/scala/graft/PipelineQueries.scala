@@ -1050,9 +1050,14 @@ object PipelineQueries {
     * are the scale path, same output). */
   /** CTE chain ending in `shpairs`(a, b, hamming) — shared by the
     * simhash-pairs oracle and the cluster-resolution oracle. */
-  private def simhashPairCtes: String = {
+  private def simhashPairCtes: String = simhashPairCtesFrom("documents")
+
+  /** [[simhashPairCtes]] with the corpus source parameterized — the
+    * incremental-clusters oracle runs the identical hash → vote →
+    * pair chain over the MERGED corpus instead of `documents`. */
+  private def simhashPairCtesFrom(src: String): String = {
     import Xxh64Sql._
-    s"""shsrc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS tok FROM documents),
+    s"""shsrc AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS tok FROM $src),
        |${tokenHashStages("sh")},
        |shb AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b, hu FROM shh),
        |shv AS (SELECT doc_id, b, SUM(CASE WHEN (hu // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v FROM shb GROUP BY doc_id, b),
@@ -1097,6 +1102,42 @@ object PipelineQueries {
        |)
        |SELECT u AS doc_id, MIN(r) AS cluster_id, (MIN(r) = u) AS keep
        |FROM reach GROUP BY u""".stripMargin.replace("\n", " ")
+
+  /** Incremental-clusters oracle: the [[clustersOracle]] transitive
+    * closure re-derived from scratch over the MERGED corpus (updates'
+    * appended text moves their simhashes, deletes' vertices and edges
+    * are gone, inserts present) — the maintained map must equal this
+    * scratch rebuild bit-for-bit, splits and merges included. */
+  private def clustersIncrementalOracle: String =
+    s"""WITH RECURSIVE ${simhashPairCtesFrom(s"($IncrMergedDocsSql)")},
+       |cedge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
+       |reach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM ($IncrMergedDocsSql)
+       |  UNION
+       |  SELECT e.u, p.r FROM cedge e JOIN reach p ON p.u = e.v
+       |)
+       |SELECT u AS doc_id, MIN(r) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Keep-best survivorship oracle: the [[clustersOracle]] transitive
+    * closure, then the argmax window (sc DESC, doc_id ASC) — the same
+    * total order the Spark side encodes as max_by over
+    * (score, -id). */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |kedge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
+       |reach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u, p.r FROM kedge e JOIN reach p ON p.u = e.v
+       |),
+       |kcl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+       |ksc AS (SELECT c.doc_id, c.cluster_id, CAST(LENGTH(d.text) AS BIGINT) AS sc FROM kcl c JOIN documents d USING (doc_id)),
+       |kb AS (SELECT doc_id, cluster_id,
+       |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id ORDER BY sc DESC, doc_id ASC) AS keeper_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members FROM ksc)
+       |SELECT doc_id, cluster_id, n_members, keeper_id, (doc_id = keeper_id) AS keep
+       |FROM kb ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   private val LeakTestPermille = 200
 
@@ -1864,6 +1905,21 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(clustersOracle)),
+    // Quality-aware survivorship over the SAME clusters: keep the
+    // member maximizing a quality proxy (here LENGTH — the C4/CCNet
+    // keep-the-fullest-copy rule) instead of dedup_clusters' min-id
+    // representative; ties to the smallest id, one total order both
+    // engines replay. A truncated mirror must lose to the full
+    // original even when its id is smaller.
+    Q("dedup_keep_best",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.keepBestPerCluster(docs, "doc_id",
+          Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3),
+          length(col("text")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(keepBestOracle)),
     // Leakage-safe train/test split: the gate hashes the near-dup
     // CLUSTER id (same simhash pairs → CC as dedup_clusters), so a
     // paraphrase of a training document can never land in test — the
@@ -2006,6 +2062,28 @@ object PipelineQueries {
           .orderBy("doc_id", "index_id")
       },
       Some(incrementalOracle)),
+    // Cluster-map freshness — the family's GRAPH member and its
+    // second non-invertible one: a deleted bridge doc SPLITS its
+    // component (unknowable from the map alone — the maintainer
+    // carries the edge set), one inserted near-dup can MERGE standing
+    // clusters. Bootstrap from 4/5 of the corpus, fold one Debezium
+    // batch (updates re-hash and may re-wire, deletes drop vertices +
+    // edges, held-out fifth inserted; new pairs via the batch-vs-
+    // index hamming screen, never a corpus self-join), recompute ONLY
+    // the touched clusters' induced subgraph. Min-member-id cluster
+    // ids are a pure function of membership, so the maintained map is
+    // bit-equal to the oracle's scratch rebuild over the merged
+    // corpus — splits and merges included.
+    Q("dedup_clusters_incremental",
+      (s, d) => {
+        val (boot, feed) = incrementalDocFeed(t(s, d, "documents"))
+        val st = Dedup.clustersMaintain(
+          Dedup.clustersBootstrap(boot, "doc_id", "text"),
+          feed.select("seq", "op", "doc_id", "text"),
+          "doc_id", "text", "seq", "op")
+        st.clusters.orderBy("doc_id")
+      },
+      Some(clustersIncrementalOracle)),
     // the real customer path end-to-end: near-dup pairs → connected
     // components → keep-filter, composed from the SAME operators the
     // individual rows verify — this row pins that the stages compose

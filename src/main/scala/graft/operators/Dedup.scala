@@ -886,4 +886,199 @@ object Dedup {
         coalesce(col("__lbl"), col(idCol)).as("cluster_id"),
         (coalesce(col("__lbl"), col(idCol)) === col(idCol)).as("keep"))
   }
+
+  /** Quality-aware cluster survivorship: [[connectedComponents]]'s
+    * min-id keeper replaced by the keeper a curation pipeline
+    * actually wants — the member that MAXIMIZES `score` (ties broken
+    * by smallest id; a total deterministic order, so both engines
+    * agree bit-for-bit). This is the "keep the best copy" rule of
+    * the public dedup pipelines (C4 / CCNet-style near-dup
+    * resolution keeps the longest or highest-LM-quality member, not
+    * an arbitrary representative): min-id keeps WHICH cluster
+    * deterministic, this keeps WHAT survives principled — a
+    * truncated mirror of a page must lose to the full original even
+    * when its id happens to be smaller.
+    *
+    * Scale shape: the CC labels (pointer-jumping, endpoint-only
+    * rounds) plus one score join and one per-cluster `max_by`
+    * argmax — a single extra key shuffle over the cluster id on top
+    * of the CC cost; no windows over the corpus, no driver state.
+    *
+    * Returns one row per input document: (idCol, cluster_id,
+    * n_members, keeper_id, keep) — `keep` marks the argmax member,
+    * singletons keep themselves. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column, aCol: String = "a", bCol: String = "b",
+      maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(df.select(col(idCol)), idCol, pairs,
+        aCol, bCol, maxIter)
+      .select(col(idCol), col("cluster_id"))
+    val scored = df.select(col(idCol), score.as("__score"))
+    val members = cc.join(scored, Seq(idCol))
+    // argmax by (score, -id): lexicographic struct max = highest
+    // score, ties to the SMALLEST id — one total order shared with
+    // the oracle's (sc DESC, doc_id ASC) window
+    val best = members.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("n_members"),
+      max_by(col(idCol), struct(col("__score"), -col(idCol)))
+        .as("keeper_id"))
+    members.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("n_members"),
+        col("keeper_id"), (col(idCol) === col("keeper_id")).as("keep"))
+  }
+
+  /** The maintained near-dup cluster index: signatures (one 64-bit
+    * simhash per live doc), the near-pair edge set, and the cluster
+    * map — the three frames [[clustersMaintain]] folds a change batch
+    * onto. */
+  final case class ClusterIndexState(sigs: DataFrame, pairs: DataFrame,
+      clusters: DataFrame)
+
+  /** Build the [[ClusterIndexState]] from scratch over a corpus — the
+    * bootstrap, and the scratch-rebuild reference every maintenance
+    * pin compares against. */
+  def clustersBootstrap(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): ClusterIndexState = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val pairs = hammingNearPairs(sigs, idCol, "simhash", maxHamming, chunks)
+      .select(col("a"), col("b"))
+    val clusters = connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col(idCol), col("cluster_id"))
+    ClusterIndexState(sigs, pairs, clusters)
+  }
+
+  /** Batch-vs-index hamming screen: the [[hammingNearPairs]] chunked
+    * pigeonhole with the two sides SPLIT — batch hashes probe, the
+    * full index files once — so a change batch finds its near
+    * neighbors in the whole live corpus without the corpus ever
+    * joining itself. Returns normalized (a, b) pairs, a < b, each
+    * touching ≥ 1 batch document. */
+  private[graft] def hammingScreen(batchSigs: DataFrame, allSigs: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int,
+      chunks: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val mB = batchSigs.select(col(hashCol).as("h"), col(idCol).as("a"))
+    val mAll = allSigs.select(col(hashCol).as("h"), col(idCol).as("b"))
+    val eqPairs = mB.join(mAll, "h").filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+    def buckets(reps: DataFrame, out: String) = {
+      val chunkKeys = array((0 until chunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftright(col(hashCol), c * width).bitwiseAND(mask).as("cv"))
+      }: _*)
+      reps.select(col(hashCol).as(out), explode(chunkKeys).as("ck"))
+        .select(col("ck.ci").as("ci"), col("ck.cv").as("cv"), col(out))
+    }
+    val hashPairs = buckets(batchSigs.select(hashCol).distinct(), "h_a")
+      .join(buckets(allSigs.select(hashCol).distinct(), "h_b"),
+        Seq("ci", "cv"))
+      .filter(col("h_a") =!= col("h_b"))
+      .select("h_a", "h_b").distinct()
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+    val crossPairs = hashPairs
+      .join(mB.withColumnRenamed("h", "h_a"), "h_a")
+      .join(mAll.withColumnRenamed("h", "h_b"), "h_b")
+      .select(col("a"), col("b"))
+    // batch-vs-batch pairs surface in both orders — normalize + distinct
+    eqPairs.unionByName(crossPairs)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
+  /** Maintain the near-dup CLUSTER MAP under a document change feed —
+    * the freshness family's graph member, and its second genuinely
+    * NON-INVERTIBLE one: like MIN/MAX under deletes
+    * ([[graft.operators.Cdc.maintainMinMaxView]]), cluster membership
+    * cannot be repaired from the view alone — deleting a bridge
+    * document SPLITS its component into parts no algebra can derive
+    * without the edges, and one inserted near-dup can MERGE several
+    * standing clusters. The honest split, same discipline:
+    *
+    *  - signatures fold in O(|Δ|): changed docs re-hash map-side, the
+    *    carried index is touched by ONE key anti-join;
+    *  - the new-pair search is the [[hammingScreen]] batch-vs-index
+    *    probe — O(|Δ| · collisions), the corpus never self-joins;
+    *  - pairs touching a changed key drop by two key anti-joins;
+    *  - ONLY the clusters touched by the batch recompute: the
+    *    affected set is the old clusters of changed keys plus those
+    *    of new-pair endpoints (≤ feed-bounded), their members are
+    *    key-pruned from the carried map, and [[connectedComponents]]
+    *    reruns on that induced subgraph alone. Untouched clusters
+    *    carry over by one anti-join — correct because a carried
+    *    cluster shares no vertex and (hence) no edge with the
+    *    affected subgraph, so merged-graph components never span the
+    *    cut (the closure argument the spec pins by scratch-rebuild
+    *    equality).
+    *
+    * Cluster ids are min-member-id — a pure function of membership —
+    * so maintained ids are bit-equal to a scratch
+    * [[clustersBootstrap]] over the merged corpus (the oracle's pin),
+    * splits and merges included.
+    *
+    * Feed contract: `(seqCol, opCol, idCol, textCol)`, op ∈ I/U/D,
+    * payload NULL on deletes, seq feed-monotone. Cost per batch
+    * tracks the FEED and the affected clusters' members — never the
+    * corpus. */
+  def clustersMaintain(prev: ClusterIndexState, changes: DataFrame,
+      idCol: String, textCol: String, seqCol: String, opCol: String,
+      maxHamming: Int = 3, chunks: Int = 4,
+      persist: Boolean = true): ClusterIndexState = {
+    val latest = Cdc.latestChanges(
+      changes.select(col(idCol), col(seqCol), col(opCol), col(textCol)),
+      idCol, seqCol, opCol)
+    val changedKeys = latest.select(col(idCol))
+    val ups = latest.filter(col("__op") =!= "D")
+      .select(col(idCol), col(textCol))
+    val upsSigs = Caching.maybePersist(
+      simhashSignatures(ups, idCol, textCol), persist)
+    val nextSigs = Caching.maybePersist(
+      prev.sigs.join(changedKeys, Seq(idCol), "left_anti")
+        .unionByName(upsSigs), persist)
+    val newPairs = hammingScreen(upsSigs, nextSigs, idCol, "simhash",
+      maxHamming, chunks)
+    val carriedPairs = prev.pairs
+      .join(changedKeys.select(col(idCol).as("a")), Seq("a"), "left_anti")
+      .join(changedKeys.select(col(idCol).as("b")), Seq("b"), "left_anti")
+      // a USING join surfaces its key first — restore (a, b) so the
+      // state schema (and positional consumers) stay stable
+      .select(col("a"), col("b"))
+    val nextPairs = Caching.maybePersist(
+      carriedPairs.unionByName(newPairs), persist)
+    val touched = changedKeys
+      .unionByName(newPairs.select(col("a").as(idCol)))
+      .unionByName(newPairs.select(col("b").as(idCol)))
+      .distinct()
+    val affected = prev.clusters.join(touched, Seq(idCol), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val carriedClusters = prev.clusters
+      .join(affected, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+    // localCheckpoint BOTH recompute inputs (eager): the CC loop
+    // re-analyzes its per-round plans ~20×, and planning over the full
+    // maintenance lineage (screen ∪ anti-joins ∪ the carried state's
+    // own history) measured 49 s where the identical data behind a cut
+    // lineage runs in 2.8 s — the pointer-jumping loop needs a flat
+    // plan boundary, which the streaming twin gets for free from its
+    // parquet homes. Both frames are feed-bounded (affected members /
+    // their induced edges), so the checkpoint is small by construction.
+    val members = prev.clusters
+      .join(affected, Seq("cluster_id"), "left_semi")
+      .select(col(idCol))
+      .join(changedKeys, Seq(idCol), "left_anti")
+      .unionByName(ups.select(col(idCol)))
+      .distinct()
+      .localCheckpoint(true)
+    val inducedPairs = nextPairs
+      .join(members.select(col(idCol).as("a")), Seq("a"), "left_semi")
+      .join(members.select(col(idCol).as("b")), Seq("b"), "left_semi")
+      .localCheckpoint(true)
+    val recomputed = connectedComponents(members, idCol, inducedPairs)
+      .select(col(idCol), col("cluster_id"))
+    ClusterIndexState(nextSigs, nextPairs,
+      carriedClusters.unionByName(recomputed))
+  }
 }

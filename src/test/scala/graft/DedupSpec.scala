@@ -266,6 +266,98 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("keepBestPerCluster: argmax-by-score keeper, ties to smallest id, " +
+      "singleton keeps itself — the truncated-mirror case min-id gets wrong") {
+    // cluster {1,2,3}: scores 5, 9, 9 — keeper is 2 (max score, tie
+    // to smaller id); min-id would have kept the TRUNCATED doc 1.
+    // cluster {5,6}: 6 outscores 5 outright. 10 is a singleton.
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (5L, 4L), (6L, 7L),
+      (10L, 1L)).toDF("doc_id", "len")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.keepBestPerCluster(docs, "doc_id", pairs, col("len"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 2L, false), (2L, 1L, 3L, 2L, true),
+      (3L, 1L, 3L, 2L, false),
+      (5L, 5L, 2L, 6L, false), (6L, 5L, 2L, 6L, true),
+      (10L, 10L, 1L, 10L, true)), s"got: $got")
+  }
+
+  test("clustersMaintain: delete SPLITS a cluster, insert MERGES via the " +
+      "batch screen, update re-wires — maintained ≡ scratch rebuild") {
+    // maxHamming 0 (hash-equal pairs only) makes cluster structure a
+    // pure function of exact text, so the fixture is hand-checkable:
+    // boot clusters {1,2,3} (same text), {10}, {20}
+    val boot = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (10L, "delta epsilon"),
+      (20L, "zeta eta theta")).toDF("doc_id", "text")
+    val st0 = Dedup.clustersBootstrap(boot, "doc_id", "text",
+      maxHamming = 0, chunks = 4)
+    assert(st0.clusters.as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (20L, 20L)))
+    // batch: doc 2 re-written (leaves {1,2,3} → joins NOTHING — a
+    // split), doc 1 DELETED (the min-id member — the cluster id must
+    // move to 3), doc 30 inserted equal to 20 (a merge into {20,30}),
+    // doc 40 inserted as a singleton
+    val feed = Seq(
+      (101L, "U", 2L, "rewritten entirely"),
+      (102L, "D", 1L, null.asInstanceOf[String]),
+      (103L, "I", 30L, "zeta eta theta"),
+      (104L, "I", 40L, "iota kappa")).toDF("seq", "op", "doc_id", "text")
+    val st1 = Dedup.clustersMaintain(st0, feed, "doc_id", "text",
+      "seq", "op", maxHamming = 0, chunks = 4)
+    val got = st1.clusters.as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 2L), (3L, 3L), (10L, 10L),
+      (20L, 20L), (30L, 20L), (40L, 40L)), s"got: $got")
+    // the full state equals a scratch rebuild over the merged corpus
+    val merged = Seq(
+      (2L, "rewritten entirely"), (3L, "alpha beta gamma"),
+      (10L, "delta epsilon"), (20L, "zeta eta theta"),
+      (30L, "zeta eta theta"), (40L, "iota kappa")).toDF("doc_id", "text")
+    val ref = Dedup.clustersBootstrap(merged, "doc_id", "text",
+      maxHamming = 0, chunks = 4)
+    assert(st1.sigs.as[(Long, Long)].collect().toSet ==
+      ref.sigs.as[(Long, Long)].collect().toSet, "sigs diverged")
+    assert(st1.pairs.as[(Long, Long)].collect().toSet ==
+      ref.pairs.as[(Long, Long)].collect().toSet, "pairs diverged")
+    assert(got == ref.clusters.as[(Long, Long)].collect().toSet,
+      "clusters diverged from scratch")
+  }
+
+  test("clustersMaintain ≡ scratch rebuild on the real corpus at the " +
+      "registered radius (near pairs, not just hash-equal)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val boot = docs.filter(col("doc_id") % 5 =!= 4)
+    val feed = docs.filter(col("doc_id") % 10 === 1)
+      .select(lit("U").as("op"), col("doc_id"),
+        concat(col("text"), lit(" merge merge")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 4)
+        .select(lit("I").as("op"), col("doc_id"), col("text")))
+      .withColumn("seq", lit(1000000L) + col("doc_id"))
+    val st = Dedup.clustersMaintain(
+      Dedup.clustersBootstrap(boot, "doc_id", "text"),
+      feed, "doc_id", "text", "seq", "op")
+    val merged = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, concat(col("text"), lit(" merge merge")))
+          .otherwise(col("text")).as("text"))
+    val ref = Dedup.clustersBootstrap(merged, "doc_id", "text")
+    val gotC = st.clusters.as[(Long, Long)].collect().toSet
+    val refC = ref.clusters.as[(Long, Long)].collect().toSet
+    assert(gotC == refC,
+      s"maintained clusters diverged: extra=${gotC -- refC} missing=${refC -- gotC}")
+    assert(st.pairs.as[(Long, Long)].collect().toSet ==
+      ref.pairs.as[(Long, Long)].collect().toSet, "pair set diverged")
+    assert(gotC.nonEmpty && gotC.exists(p => p._1 != p._2),
+      "fixture must carry at least one non-trivial cluster")
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2)") {
     // a 9-vertex path: min label must walk the whole chain
     val vertices = (10L to 18L).toDF("doc_id")
