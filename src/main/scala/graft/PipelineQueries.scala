@@ -1123,16 +1123,22 @@ object PipelineQueries {
     * closure, then the argmax window (sc DESC, doc_id ASC) — the same
     * total order the Spark side encodes as max_by over
     * (score, -id). */
-  private def keepBestOracle: String =
-    s"""WITH RECURSIVE $simhashPairCtes,
+  private def keepBestOracle: String = keepBestOracleFrom("documents")
+
+  /** [[keepBestOracle]] with the corpus source parameterized — the
+    * incremental row replays the identical survivorship over the
+    * MERGED corpus, so a maintained-map + fresh-score composition is
+    * pinned against the same scratch decision. */
+  private def keepBestOracleFrom(src: String): String =
+    s"""WITH RECURSIVE ${simhashPairCtesFrom(src)},
        |kedge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
        |reach(u, r) AS (
-       |  SELECT doc_id AS u, doc_id AS r FROM documents
+       |  SELECT doc_id AS u, doc_id AS r FROM $src
        |  UNION
        |  SELECT e.u, p.r FROM kedge e JOIN reach p ON p.u = e.v
        |),
        |kcl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
-       |ksc AS (SELECT c.doc_id, c.cluster_id, CAST(LENGTH(d.text) AS BIGINT) AS sc FROM kcl c JOIN documents d USING (doc_id)),
+       |ksc AS (SELECT c.doc_id, c.cluster_id, CAST(LENGTH(d.text) AS BIGINT) AS sc FROM kcl c JOIN $src d USING (doc_id)),
        |kb AS (SELECT doc_id, cluster_id,
        |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id ORDER BY sc DESC, doc_id ASC) AS keeper_id,
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members FROM ksc)
@@ -2084,6 +2090,30 @@ object PipelineQueries {
         st.clusters.orderBy("doc_id")
       },
       Some(clustersIncrementalOracle)),
+    // The curation DECISION kept fresh: keep-best survivorship
+    // recomputed from the MAINTAINED cluster map + the merged
+    // corpus's scores — an updated doc whose quality proxy grew can
+    // take over its cluster, a deleted keeper's runner-up surfaces,
+    // and the decision equals the scratch keep-best over the merged
+    // corpus (same argmax order) — the composition a pipeline
+    // actually serves from its incremental state.
+    Q("dedup_keep_best_incremental",
+      (s, d) => {
+        val (boot, feed) = incrementalDocFeed(t(s, d, "documents"))
+        val st = Dedup.clustersMaintain(
+          Dedup.clustersBootstrap(boot, "doc_id", "text"),
+          feed.select("seq", "op", "doc_id", "text"),
+          "doc_id", "text", "seq", "op")
+        val merged = operators.Cdc.applyChanges(
+          boot.select("doc_id", "text"),
+          feed.select("doc_id", "text", "seq", "op"),
+          "doc_id", "seq", "op")
+        Dedup.keepBestFromClusters(st.clusters,
+            merged.select(col("doc_id"),
+              length(col("text")).cast("long").as("__score")), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(keepBestOracleFrom(s"($IncrMergedDocsSql)"))),
     // the real customer path end-to-end: near-dup pairs → connected
     // components → keep-filter, composed from the SAME operators the
     // individual rows verify — this row pins that the stages compose
@@ -5601,6 +5631,30 @@ object PipelineQueries {
     sb.result()
   }
 
+  /** Weighted-harmonic oracle: the [[weightedClosenessOracle]]
+    * relaxation with the per-seed fold swapped — Σ of exact
+    * `1000000 // d` terms over d > 0 (per-term flooring, the operator
+    * contract), unreachable contributes nothing. */
+  private val weightedHarmonicOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH bli AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem), "
+    sb ++= "prs AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w FROM bli a JOIN bli b ON a.k = b.k AND a.p < b.p GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+    sb ++= "prc AS (SELECT pa, pb, 1000 // w AS c FROM prs), "
+    sb ++= "wcd AS MATERIALIZED (SELECT pa AS u, pb AS v, c FROM prc UNION SELECT pb, pa, c FROM prc), "
+    sb ++= s"cd0 AS MATERIALIZED (SELECT u AS s, u AS id, CAST(0 AS BIGINT) AS d FROM (SELECT DISTINCT u FROM wcd) WHERE u % $WClosenessSeedMod = 0), "
+    (1 to SsspRounds).foreach { t =>
+      sb ++= s"cd$t AS MATERIALIZED (SELECT s, id, MIN(d) AS d FROM (" +
+        s"SELECT s, id, d FROM cd${t - 1} UNION ALL " +
+        s"SELECT p.s, e.v AS id, p.d + e.c AS d FROM wcd e JOIN cd${t - 1} p ON p.id = e.u" +
+        s") GROUP BY s, id), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT s AS seed, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached, " +
+      s"CAST(COALESCE(SUM(CASE WHEN d > 0 THEN 1000000 // d END), 0) AS BIGINT) AS harmonic_micro " +
+      s"FROM cd$SsspRounds GROUP BY s ORDER BY seed"
+    sb.result()
+  }
+
   private val ClosenessSeedMod = 200
   private val ClosenessHops = 3
 
@@ -5826,6 +5880,17 @@ object PipelineQueries {
         "pa", "pb", "c", id => id % WClosenessSeedMod === 0,
         rounds = SsspRounds).orderBy("seed"),
       Some(weightedClosenessOracle)),
+    // Weighted harmonic over the SAME panel and cost map: Σ exact
+    // 10^6 div dist reciprocals on the min-plus distances — heavy-tie
+    // proximity that stays robust to disconnection where the n/Σd
+    // ratio is not (the graph_harmonic contrast, weighted).
+    Q("graph_harmonic_weighted",
+      (s, d) => operators.Graph.weightedHarmonicCentrality(
+        copurchaseWeightedEdges(s, d)
+          .withColumn("c", expr("1000 div w")),
+        "pa", "pb", "c", id => id % WClosenessSeedMod === 0,
+        rounds = SsspRounds).orderBy("seed"),
+      Some(weightedHarmonicOracle)),
     // Multi-source BFS: hop distance from the seed set (part_id ≡ 0
     // mod 50) within 3 hops — level-synchronous frontier expansion
     // (one edge equi-join + anti-join per round, integer hops), the

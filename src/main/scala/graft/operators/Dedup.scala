@@ -909,12 +909,22 @@ object Dedup {
     * singletons keep themselves. */
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       score: Column, aCol: String = "a", bCol: String = "b",
-      maxIter: Int = 20): DataFrame = {
-    val cc = connectedComponents(df.select(col(idCol)), idCol, pairs,
-        aCol, bCol, maxIter)
-      .select(col(idCol), col("cluster_id"))
-    val scored = df.select(col(idCol), score.as("__score"))
-    val members = cc.join(scored, Seq(idCol))
+      maxIter: Int = 20): DataFrame =
+    keepBestFromClusters(
+      connectedComponents(df.select(col(idCol)), idCol, pairs,
+        aCol, bCol, maxIter).select(col(idCol), col("cluster_id")),
+      df.select(col(idCol), score.as("__score")), idCol)
+
+  /** The survivorship half of [[keepBestPerCluster]] over an ALREADY
+    * RESOLVED cluster map — the piece that composes with
+    * [[clustersMaintain]]'s maintained map so the curation DECISION
+    * itself stays fresh under CDC (an updated doc whose quality grew
+    * can take over its cluster; a deleted keeper's runner-up
+    * surfaces). `clusters` is (idCol, cluster_id); `scored` is
+    * (idCol, __score). One cluster-keyed argmax shuffle. */
+  def keepBestFromClusters(clusters: DataFrame, scored: DataFrame,
+      idCol: String): DataFrame = {
+    val members = clusters.join(scored, Seq(idCol))
     // argmax by (score, -id): lexicographic struct max = highest
     // score, ties to the SMALLEST id — one total order shared with
     // the oracle's (sc DESC, doc_id ASC) window

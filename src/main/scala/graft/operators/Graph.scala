@@ -826,8 +826,51 @@ object Graph {
     * the horizon a 100 TB graph forces anyway. */
   def weightedSeedCloseness(pairs: DataFrame, aCol: String, bCol: String,
       costCol: String, seedFilter: Column => Column,
-      rounds: Int = 12): DataFrame = {
-    require(rounds >= 1, s"weightedSeedCloseness: rounds >= 1, got $rounds")
+      rounds: Int = 12): DataFrame =
+    minPlusFold(pairs, aCol, bCol, costCol, seedFilter, rounds,
+      "weightedSeedCloseness") { dist =>
+      dist.groupBy(col("s").as("seed"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          sum(col("__d")).as("total_dist"))
+        .select(col("seed"), col("n_reached"), col("total_dist"),
+          when(col("total_dist") > 0,
+            expr("(1000000 * n_reached) div total_dist"))
+            .otherwise(lit(0L)).as("closeness_micro"))
+    }
+
+  /** Weighted harmonic centrality: [[harmonicCentrality]]'s
+    * reciprocal-sum fold over the MIN-PLUS distances of
+    * [[weightedSeedCloseness]]'s relaxation — Σ of exact
+    * `10⁶ div dist` terms (per-term flooring, the contract both the
+    * hop form and the oracle share), so a seed knit to its
+    * neighborhood by heavy (cheap, under an inverting cost map) ties
+    * scores higher than hops can express, while staying robust to
+    * disconnection the way the n/Σd closeness ratio is not. Same
+    * (seed, vertex)-keyed relaxation, same (count, sum) fixpoint
+    * proof, one job for all seeds.
+    *
+    * Returns one row per seed: (seed, n_reached, harmonic_micro). */
+  def weightedHarmonicCentrality(pairs: DataFrame, aCol: String,
+      bCol: String, costCol: String, seedFilter: Column => Column,
+      rounds: Int = 12): DataFrame =
+    minPlusFold(pairs, aCol, bCol, costCol, seedFilter, rounds,
+      "weightedHarmonicCentrality") { dist =>
+      dist.groupBy(col("s").as("seed"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          coalesce(sum(when(col("__d") > 0L,
+            expr("1000000 div __d"))), lit(0L)).as("harmonic_micro"))
+    }
+
+  /** The bounded min-plus relaxation shared by the weighted
+    * centrality folds: (seed, vertex)-keyed distances, one edge join
+    * + (s, id)-min per round, (count, Σd) signature fixpoint
+    * early-stop (distances non-increasing, keys never leave — the
+    * [[weightedShortestPaths]] proof), per-round localCheckpoint +
+    * freeing. `fold` reduces the settled (s, id, __d) frame. */
+  private def minPlusFold(pairs: DataFrame, aCol: String, bCol: String,
+      costCol: String, seedFilter: Column => Column, rounds: Int,
+      tag: String)(fold: DataFrame => DataFrame): DataFrame = {
+    require(rounds >= 1, s"$tag: rounds >= 1, got $rounds")
     val edges = symmetricWeightedEdges(pairs, aCol, bCol, costCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -856,13 +899,7 @@ object Graph {
         cur = nsig
         r += 1
       }
-      dist.groupBy(col("s").as("seed"))
-        .agg((count(lit(1)) - 1L).as("n_reached"),
-          sum(col("__d")).as("total_dist"))
-        .select(col("seed"), col("n_reached"), col("total_dist"),
-          when(col("total_dist") > 0,
-            expr("(1000000 * n_reached) div total_dist"))
-            .otherwise(lit(0L)).as("closeness_micro"))
+      fold(dist)
     } finally edges.unpersist()
   }
 

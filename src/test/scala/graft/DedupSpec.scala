@@ -326,6 +326,42 @@ class DedupSpec extends SparkSpec {
       "clusters diverged from scratch")
   }
 
+  test("keepBestFromClusters over a maintained map: a grown update takes " +
+      "over its cluster; the deleted keeper's runner-up surfaces") {
+    // boot: {1,2} same text (keeper by length tie → min id 1), {10}
+    val boot = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (10L, "delta")).toDF("doc_id", "text")
+    val st0 = Dedup.clustersBootstrap(boot, "doc_id", "text",
+      maxHamming = 0, chunks = 4)
+    val scored0 = boot.select(col("doc_id"),
+      length(col("text")).cast("long").as("__score"))
+    val kb0 = Dedup.keepBestFromClusters(st0.clusters, scored0, "doc_id")
+      .filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kb0 == Set(1L, 10L), s"boot keepers: $kb0")
+    // keeper 1 deleted → 2 surfaces; 10's cluster joined by a LONGER
+    // twin 11 → the newcomer takes the cluster over
+    val feed = Seq(
+      (100L, "D", 1L, null.asInstanceOf[String]),
+      (101L, "I", 11L, "delta")).toDF("seq", "op", "doc_id", "text")
+    val st1 = Dedup.clustersMaintain(st0, feed, "doc_id", "text",
+      "seq", "op", maxHamming = 0, chunks = 4)
+    val merged = Seq((2L, "alpha beta"), (10L, "delta"), (11L, "delta"))
+      .toDF("doc_id", "text")
+    // 11 ties 10 on length → tie to the SMALLER id keeps 10; give 11
+    // a longer text via the score column to pin the takeover instead
+    val scored1 = merged.select(col("doc_id"),
+      (length(col("text")).cast("long") +
+        when(col("doc_id") === 11L, 5L).otherwise(0L)).as("__score"))
+    val kb1 = Dedup.keepBestFromClusters(st1.clusters, scored1, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(kb1 == Seq(
+      (2L, 2L, 1L, 2L, true),
+      (10L, 10L, 2L, 11L, false), (11L, 10L, 2L, 11L, true)),
+      s"maintained keep-best: $kb1")
+  }
+
   test("clustersMaintain ≡ scratch rebuild on the real corpus at the " +
       "registered radius (near pairs, not just hash-equal)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

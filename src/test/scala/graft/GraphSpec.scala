@@ -962,6 +962,28 @@ class GraphSpec extends SparkSpec {
     assert(h3 == Seq((1L, 3L, 1833333L)), s"flooring: $h3")
   }
 
+  test("weightedHarmonicCentrality: unit costs reduce to the hop form; " +
+      "heavy ties raise the score hops cannot express") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 4L), (10L, 11L))
+    val unit = es.map(e => (e._1, e._2, 1L)).toDF("pa", "pb", "c")
+    val w = Graph.weightedHarmonicCentrality(unit, "pa", "pb", "c",
+        _ => lit(true), rounds = 8)
+      .as[(Long, Long, Long)].collect().map { case (s, n, h) => s -> (n, h) }.toMap
+    val hop = Graph.harmonicCentrality(es.toDF("pa", "pb"), "pa", "pb",
+        _ => lit(true), maxHops = 8)
+      .as[(Long, Long, Long)].collect().map { case (s, n, h) => s -> (n, h) }.toMap
+    assert(w == hop, s"unit-cost weighted $w != hop $hop")
+    // heavy tie = cheap edge: seed 1 with costs {1-2: 1, 1-4: 5}
+    // scores 10^6 + 10^6/5 + 1/(1+... ) — vs uniform cost 5 where
+    // every term shrinks; the ordering must reflect tie strength
+    val mixed = Seq((1L, 2L, 1L), (1L, 4L, 5L)).toDF("pa", "pb", "c")
+    val got = Graph.weightedHarmonicCentrality(mixed, "pa", "pb", "c",
+        id => id === 1L, rounds = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    // d(1,2)=1, d(1,4)=5 → 10^6 + 200000
+    assert(got == Seq((1L, 2L, 1200000L)), s"got: $got")
+  }
+
   test("eigenvectorCentrality: round 1 is the degree, round 2 counts " +
       "length-2 walks; clique member outranks equal-degree star center") {
     // path 1—2—3: degrees 1,2,1; round 2: x(1)=x(2)... walks of
