@@ -656,6 +656,12 @@ object PipelineQueries {
     "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text " +
       "FROM documents WHERE doc_id % 10 <> 3"
 
+  /** [[IncrMergedDocsSql]] carrying `lang` — the incremental-manifest
+    * oracle's split stage needs it (lang is immutable per doc). */
+  private val IncrMergedDocsLangSql: String =
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text, lang " +
+      "FROM documents WHERE doc_id % 10 <> 3"
+
   private def bm25Oracle(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25FromCte("bm")}, ${bm25ScoredCtes(terms, "bm")}
        |SELECT doc_id, score FROM bmsc
@@ -689,10 +695,11 @@ object PipelineQueries {
     * shared by the per-doc battery oracle and the end-to-end manifest
     * oracle so the stats definitions cannot diverge. Carries the listed
     * extra columns through; ends in `<p>st`. */
-  private def batteryStatsCtes(p: String, extraCols: String = ""): String = {
+  private def batteryStatsCtes(p: String, extraCols: String = "",
+      from: String = "documents"): String = {
     val en = operators.TextAnalysis.StopwordProfiles("en")
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""${p}tk AS (SELECT doc_id$extraCols, $ToksSql AS toks FROM documents),
+    s"""${p}tk AS (SELECT doc_id$extraCols, $ToksSql AS toks FROM $from),
        |${p}st AS (SELECT doc_id$extraCols, CAST(len(toks) AS BIGINT) AS n_tokens,
        |CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS avg_len,
        |CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha,
@@ -765,6 +772,39 @@ object PipelineQueries {
        |$sampleBucketCtes
        |SELECT k.doc_id, b.lang, CASE $cases END AS split
        |FROM tmkeep k JOIN smb b USING (doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Incremental-manifest oracle: the [[trainingManifestOracle]]
+    * chain re-derived from scratch over the MERGED corpus, with the
+    * dedup stage the maintained state uses (simhash radius-3 CC,
+    * min-id keepers) — the manifest the pipeline serves from its
+    * incremental state must equal this scratch rebuild row-for-row:
+    * quality-failing updates are GONE (the feed gate turned them into
+    * deletes), newly-passing docs are in, keepers re-resolved. */
+  private def incrementalManifestOracle: String = {
+    val failAny = batteryRules(minTokens = 30, maxTokens = 100000,
+      minAvgLen = 3.0, maxAvgLen = 10.0, minAlphaRatio = 0.8,
+      minStopwordHits = 2, minDistinctRatio = 0.3)
+      .map { case (_, cond) => s"COALESCE(($cond), FALSE)" }.mkString(" OR ")
+    val bounds = Sampling.splitBounds(Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val cases = bounds.init.map { case (name, upper) =>
+      s"WHEN bucket < $upper THEN '$name'"
+    }.mkString(" ") + s" ELSE '${bounds.last._1}'"
+    s"""WITH RECURSIVE
+       |${batteryStatsCtes("im", extraCols = ", text, lang", from = s"($IncrMergedDocsLangSql)")},
+       |imk AS (SELECT doc_id, text, lang FROM imst WHERE NOT ($failAny)),
+       |${simhashPairCtesFrom("imk")},
+       |imedge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
+       |imreach(u, r) AS (
+       |  SELECT doc_id AS u, doc_id AS r FROM imk
+       |  UNION
+       |  SELECT e.u, p.r FROM imedge e JOIN imreach p ON p.u = e.v
+       |),
+       |imcomp AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM imreach GROUP BY u),
+       |imkeep AS (SELECT doc_id FROM imcomp WHERE doc_id = cluster_id),
+       |${sampleBucketCtesFrom("imk")}
+       |SELECT k.doc_id, b.lang, CASE $cases END AS split
+       |FROM imkeep k JOIN smb b USING (doc_id)""".stripMargin.replace("\n", " ")
   }
 
   private def mixTopkOracle: String =
@@ -1363,11 +1403,13 @@ object PipelineQueries {
     * [[Xxh64Sql.longHashStages]] (Spark's 8-byte hashLong path).
     * DuckDB's % truncates toward zero exactly like Java's, so the
     * ((h % m) + m) % m pmod is bit-identical. */
-  private def sampleBucketCtes: String = {
+  private def sampleBucketCtes: String = sampleBucketCtesFrom("documents")
+
+  private def sampleBucketCtesFrom(from: String): String = {
     val m = Sampling.DefaultDenom
-    s"""smsrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${Xxh64Sql.M64} ELSE doc_id::HUGEINT END) AS v FROM documents),
+    s"""smsrc AS (SELECT doc_id, (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${Xxh64Sql.M64} ELSE doc_id::HUGEINT END) AS v FROM $from),
        |${Xxh64Sql.longHashStages("sm")},
-       |smb AS (SELECT d.doc_id, d.lang, ((h.hs % $m) + $m) % $m AS bucket FROM documents d JOIN smh h USING (doc_id))""".stripMargin.replace("\n", " ")
+       |smb AS (SELECT d.doc_id, d.lang, ((h.hs % $m) + $m) % $m AS bucket FROM $from d JOIN smh h USING (doc_id))""".stripMargin.replace("\n", " ")
   }
 
   /** Temperature-resampling oracle: per-source counts, the ordered
@@ -2161,6 +2203,39 @@ object PipelineQueries {
       // benched: the composed path IS the product — regression-time the
       // whole filter→dedup→split chain, not only its stages
       bench = true),
+    // THE composed freshness story: the training manifest itself
+    // maintained under CDC. The quality filter composes through
+    // Cdc.gateFeed (a failing update RETRACTS the doc from the
+    // curated view — becomes a D; a newly-passing doc enters), the
+    // curated feed folds onto the maintained cluster state, keepers
+    // are the map's min-id representatives, and the split gate is a
+    // pure hash. The served manifest must equal the scratch
+    // filter→dedup→split over the merged corpus row-for-row.
+    Q("pipeline_incremental_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (boot, feed) = incrementalDocFeed(docs)
+        def battery(df: DataFrame): DataFrame =
+          TextAnalysis.filterBattery(df,
+            minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
+            maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
+            minDistinctRatio = 0.3)
+        val bootKept = boot.join(
+          battery(boot).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        val gated = operators.Cdc.gateFeed(
+          feed.select("seq", "op", "doc_id", "text"), "doc_id", "op")(battery)
+        val st = Dedup.clustersMaintain(
+          Dedup.clustersBootstrap(bootKept, "doc_id", "text"),
+          gated, "doc_id", "text", "seq", "op")
+        val keepers = st.clusters
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+        Sampling.assignSplits(
+            keepers.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+            "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      },
+      Some(incrementalManifestOracle)),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",

@@ -457,6 +457,36 @@ object Cdc {
       .select(viewPrev.columns.map(col(_)): _*)
   }
 
+  /** Gate a change feed through a per-row keep predicate, so every
+    * downstream maintainer sees the CURATED view's changes: an
+    * insert/update whose new image FAILS the gate becomes a DELETE
+    * (the doc leaves — or never enters — the curated corpus; a
+    * gated D for a never-present key is a harmless no-op in every
+    * latest-wins fold), a passing upsert rides through unchanged,
+    * and raw deletes pass untouched. This is how a quality filter
+    * composes with incremental maintenance: the gate is a pure
+    * per-row function of the NEW image, so re-classifying only the
+    * batch keeps the curated snapshot exactly equal to filtering the
+    * merged corpus from scratch — an update that degrades below the
+    * bar retracts the doc, one that climbs above it admits it.
+    *
+    * `classify` receives the feed's non-delete rows (full column
+    * shape) and must return one `(idCol, keep)` row per input row —
+    * e.g. [[graft.operators.TextAnalysis.filterBattery]]. Map-side
+    * plus one id-keyed join of the batch against its own flags;
+    * the feed's column order is preserved. */
+  def gateFeed(changes: DataFrame, idCol: String, opCol: String)(
+      classify: DataFrame => DataFrame): DataFrame = {
+    val iu = changes.filter(col(opCol) =!= "D")
+    val flags = classify(iu).select(col(idCol), col("keep"))
+    val gated = iu.join(flags, Seq(idCol))
+      .withColumn(opCol,
+        when(col("keep"), col(opCol)).otherwise(lit("D")))
+      .drop("keep")
+    changes.filter(col(opCol) === "D")
+      .unionByName(gated.select(changes.columns.map(col(_)): _*))
+  }
+
   /** Expand a change log into SCD2 history rows: (key, payload...,
     * valid_from, valid_to, is_current). `valid_to` is the next
     * version's sequence (exclusive) or NULL while current; a `D` op

@@ -297,6 +297,32 @@ class CdcSpec extends SparkSpec {
     assert(got == want, s"split maintenance diverged:\n$got\n$want")
   }
 
+  test("gateFeed: failing upserts become deletes, passing ones ride " +
+      "through, raw deletes untouched — and the fold equals filtering " +
+      "the merged corpus") {
+    val feed = Seq(
+      (1L, "I", 10L, 100L),   // passing insert
+      (2L, "U", 20L, -5L),    // FAILING update → must become D
+      (3L, "D", 30L, 0L),     // raw delete rides through
+      (4L, "I", 40L, -1L)     // failing insert → harmless D
+    ).toDF("seq", "op", "k", "v")
+    val gated = Cdc.gateFeed(feed, "k", "op")(df =>
+      df.select(col("k"), (col("v") >= 0L).as("keep")))
+    val got = gated.select("seq", "op", "k")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "I", 10L), (2L, "D", 20L),
+      (3L, "D", 30L), (4L, "D", 40L)), s"gated: $got")
+    assert(gated.columns.toSeq == feed.columns.toSeq,
+      "gate must preserve the feed's column order")
+    // end-to-end: applyChanges over the gated feed ≡ filtering the
+    // merged corpus — the doc degraded below the bar is RETRACTED
+    val snap = Seq((20L, 7L), (30L, 8L)).toDF("k", "v")
+    val next = Cdc.applyChanges(snap, gated, "k", "seq", "op")
+      .as[(Long, Long)].collect().toSet
+    assert(next == Set((10L, 100L)),
+      s"curated snapshot: $next (20 must be retracted, 30 deleted)")
+  }
+
   test("maintainTopKView: retract-and-re-add of one key inside one batch " +
       "(latest wins) and k-ties straddling the list boundary") {
     // group a: four members, k = 2, with a VALUE TIE straddling the
