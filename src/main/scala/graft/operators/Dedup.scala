@@ -1048,8 +1048,12 @@ object Dedup {
     val nextSigs = Caching.maybePersist(
       prev.sigs.join(changedKeys, Seq(idCol), "left_anti")
         .unionByName(upsSigs), persist)
-    val newPairs = hammingScreen(upsSigs, nextSigs, idCol, "simhash",
-      maxHamming, chunks)
+    // persisted: the screen feeds nextPairs AND (twice, via `touched`)
+    // the affected-cluster derivation — without this its chunk joins
+    // re-execute per consumer
+    val newPairs = Caching.maybePersist(
+      hammingScreen(upsSigs, nextSigs, idCol, "simhash",
+        maxHamming, chunks), persist)
     val carriedPairs = prev.pairs
       .join(changedKeys.select(col(idCol).as("a")), Seq("a"), "left_anti")
       .join(changedKeys.select(col(idCol).as("b")), Seq("b"), "left_anti")
@@ -1062,8 +1066,11 @@ object Dedup {
       .unionByName(newPairs.select(col("a").as(idCol)))
       .unionByName(newPairs.select(col("b").as(idCol)))
       .distinct()
-    val affected = prev.clusters.join(touched, Seq(idCol), "left_semi")
-      .select(col("cluster_id")).distinct()
+    // persisted: consumed by the carried-cluster anti-join AND the
+    // member semi-join — one scan of the corpus-sized map, not two
+    val affected = Caching.maybePersist(
+      prev.clusters.join(touched, Seq(idCol), "left_semi")
+        .select(col("cluster_id")).distinct(), persist)
     val carriedClusters = prev.clusters
       .join(affected, Seq("cluster_id"), "left_anti")
       .select(col(idCol), col("cluster_id"))
