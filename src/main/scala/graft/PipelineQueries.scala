@@ -2223,7 +2223,8 @@ object PipelineQueries {
         val bootKept = boot.join(
           battery(boot).filter(col("keep")).select("doc_id"), Seq("doc_id"))
         val gated = operators.Cdc.gateFeed(
-          feed.select("seq", "op", "doc_id", "text"), "doc_id", "op")(battery)
+          feed.select("seq", "op", "doc_id", "text"),
+          "doc_id", "seq", "op")(battery)
         val st = Dedup.clustersMaintain(
           Dedup.clustersBootstrap(bootKept, "doc_id", "text"),
           gated, "doc_id", "text", "seq", "op")
@@ -2235,7 +2236,11 @@ object PipelineQueries {
           .select("doc_id", "lang", "split")
           .orderBy("doc_id")
       },
-      Some(incrementalManifestOracle)),
+      Some(incrementalManifestOracle),
+      // benched (r18 verdict #7): the capstone composition — gate +
+      // screen + affected-cluster CC + splits — is exactly the shape
+      // to regression-time every round
+      bench = true),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",

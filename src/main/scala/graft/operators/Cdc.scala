@@ -470,20 +470,50 @@ object Cdc {
     * merged corpus from scratch — an update that degrades below the
     * bar retracts the doc, one that climbs above it admits it.
     *
-    * `classify` receives the feed's non-delete rows (full column
+    * The batch is reduced to its [[latestChanges]] winners per key
+    * FIRST — gate the winner, never every version. Classifying all
+    * versions and joining the flags back on the id alone was the
+    * round-17 `phashMaintain` shape (Multimodal.scala's fix note): a
+    * batch legally carrying TWO versions of one key (I at seq₁, U at
+    * seq₂) makes that join many-to-many, each version picks up BOTH
+    * keep flags, and in a downstream latest-wins fold the duplicate
+    * (seq, 'U') row beats its gated (seq, 'D') twin — a
+    * quality-FAILING update silently admitted. Gated losers are
+    * irrelevant under any latest-wins fold, so the reduction is also
+    * the cheapest correct shape: the output carries EXACTLY ONE row
+    * per changed key (the winner, with its winning seq and op).
+    *
+    * `classify` receives the winners' non-delete rows (full column
     * shape) and must return one `(idCol, keep)` row per input row —
-    * e.g. [[graft.operators.TextAnalysis.filterBattery]]. Map-side
-    * plus one id-keyed join of the batch against its own flags;
-    * the feed's column order is preserved. */
-  def gateFeed(changes: DataFrame, idCol: String, opCol: String)(
-      classify: DataFrame => DataFrame): DataFrame = {
-    val iu = changes.filter(col(opCol) =!= "D")
+    * e.g. [[graft.operators.TextAnalysis.filterBattery]]. A classify
+    * that DROPS a row fails loudly (raise_error on the unmatched
+    * winner) instead of silently leaving the stale image live in
+    * every maintained view. One key-reduce plus one id-keyed join of
+    * the winners against their own flags (ids are unique after the
+    * reduce, so the join cannot fan out); the feed's column order is
+    * preserved. */
+  def gateFeed(changes: DataFrame, idCol: String, seqCol: String,
+      opCol: String)(classify: DataFrame => DataFrame): DataFrame = {
+    // the [[latestChanges]] reduction, inlined to RETAIN the winning
+    // seq (latestChanges drops it — a maintainer folding the winner
+    // needs no seq, but a gated FEED must stay a feed)
+    val ord = struct(col(seqCol), col(opCol))
+    val payload = changes.columns.filterNot(Seq(idCol, opCol).contains)
+    val latest = changes.groupBy(col(idCol)).agg(
+        max_by(col(opCol), ord).as(opCol),
+        payload.map(c => max_by(col(c), ord).as(c)): _*)
+      .select(changes.columns.map(col(_)): _*)
+    val iu = latest.filter(col(opCol) =!= "D")
     val flags = classify(iu).select(col(idCol), col("keep"))
-    val gated = iu.join(flags, Seq(idCol))
+    val gated = iu.join(flags, Seq(idCol), "left")
       .withColumn(opCol,
-        when(col("keep"), col(opCol)).otherwise(lit("D")))
+        when(col("keep").isNull, raise_error(concat(
+          lit("gateFeed: classify returned no flag for id "),
+          col(idCol).cast("string"))))
+          .when(col("keep"), col(opCol))
+          .otherwise(lit("D")))
       .drop("keep")
-    changes.filter(col(opCol) === "D")
+    latest.filter(col(opCol) === "D")
       .unionByName(gated.select(changes.columns.map(col(_)): _*))
   }
 

@@ -306,7 +306,7 @@ class CdcSpec extends SparkSpec {
       (3L, "D", 30L, 0L),     // raw delete rides through
       (4L, "I", 40L, -1L)     // failing insert → harmless D
     ).toDF("seq", "op", "k", "v")
-    val gated = Cdc.gateFeed(feed, "k", "op")(df =>
+    val gated = Cdc.gateFeed(feed, "k", "seq", "op")(df =>
       df.select(col("k"), (col("v") >= 0L).as("keep")))
     val got = gated.select("seq", "op", "k")
       .as[(Long, String, Long)].collect().toSet
@@ -321,6 +321,102 @@ class CdcSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(next == Set((10L, 100L)),
       s"curated snapshot: $next (20 must be retracted, 30 deleted)")
+  }
+
+  test("gateFeed: two same-key upserts in one batch gate the WINNER — " +
+      "fail→pass admits, pass→fail retracts, one output row per key") {
+    // the round-18 latent hazard (VERDICT r18 #1): classify over ALL
+    // versions + an id-only flag join is many-to-many, and the
+    // duplicate ('U') row beats its gated ('D') twin in a latest-wins
+    // fold. The fix gates the latestChanges winner only.
+    val feed = Seq(
+      (1L, "I", 10L, -5L),   // fails the bar...
+      (2L, "U", 10L, 100L),  // ...then climbs above it: winner PASSES
+      (3L, "I", 20L, 50L),   // passes...
+      (4L, "U", 20L, -1L)    // ...then degrades: winner FAILS → D
+    ).toDF("seq", "op", "k", "v")
+    val gated = Cdc.gateFeed(feed, "k", "seq", "op")(df =>
+      df.select(col("k"), (col("v") >= 0L).as("keep")))
+    val got = gated.select("seq", "op", "k", "v")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.size == 2, s"one row per key, got: $got")
+    assert(got.toSet == Set((2L, "U", 10L, 100L), (4L, "D", 20L, -1L)),
+      s"gated winners: $got")
+    // and the fold over the gated feed equals filtering the merged
+    // corpus from scratch — for BOTH orderings
+    val next = Cdc.applyChanges(
+        Seq.empty[(Long, Long)].toDF("k", "v"), gated, "k", "seq", "op")
+      .as[(Long, Long)].collect().toSet
+    assert(next == Set((10L, 100L)), s"curated snapshot: $next")
+    // a D winner beats same-batch upserts too (D at the higher seq)
+    val feed2 = Seq(
+      (5L, "U", 30L, 9L),
+      (6L, "D", 30L, 0L)
+    ).toDF("seq", "op", "k", "v")
+    val gated2 = Cdc.gateFeed(feed2, "k", "seq", "op")(df =>
+      df.select(col("k"), lit(true).as("keep")))
+    assert(gated2.select("seq", "op", "k")
+      .as[(Long, String, Long)].collect().toSeq == Seq((6L, "D", 30L)),
+      "a winning delete must ride through untouched")
+  }
+
+  test("gateFeed: a classify that drops a row fails LOUDLY") {
+    val feed = Seq((1L, "I", 10L, 1L), (2L, "I", 20L, 2L))
+      .toDF("seq", "op", "k", "v")
+    val e = intercept[Throwable] {
+      Cdc.gateFeed(feed, "k", "seq", "op")(df =>
+        df.filter(col("k") =!= 20L)
+          .select(col("k"), lit(true).as("keep")))
+        .collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("classify returned no flag"),
+      s"silent row drop must raise, got: $msgs")
+  }
+
+  test("gateFeed ∘ maintainJoinView-style folds: gate∘maintain ≡ " +
+      "filter∘scratch at EVERY batch prefix of an oscillating doc") {
+    // property-style pin (VERDICT r18 task 6): a doc that oscillates
+    // across the quality bar over multiple batches — including a batch
+    // where it crosses TWICE — keeps the maintained curated snapshot
+    // and a maintained grouped view equal to filtering + rebuilding
+    // the merged corpus from scratch after every prefix.
+    val batches = Seq(
+      Seq((1L, "I", 1L, "a", 10L), (2L, "I", 2L, "a", -3L),
+        (3L, "I", 3L, "b", 7L)),
+      // doc 2 climbs above the bar; doc 1 degrades below it
+      Seq((4L, "U", 2L, "a", 5L), (5L, "U", 1L, "a", -9L)),
+      // doc 1 crosses the bar twice IN ONE BATCH (fail → pass)
+      Seq((6L, "U", 1L, "a", -1L), (7L, "U", 1L, "a", 20L),
+        (8L, "D", 3L, null.asInstanceOf[String], 0L)),
+      // and back out again, twice in one batch (pass → fail)
+      Seq((9L, "U", 1L, "a", 2L), (10L, "U", 1L, "a", -7L))
+    ).map(_.toDF("seq", "op", "k", "g", "v"))
+    def classify(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      df.select(col("k"), (col("v") >= 0L).as("keep"))
+    var curated = Seq.empty[(Long, String, Long)].toDF("k", "g", "v")
+    var raw = Seq.empty[(Long, String, Long)].toDF("k", "g", "v")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val gated = Cdc.gateFeed(b, "k", "seq", "op")(classify)
+      // the maintained grouped view folds the GATED feed onto the
+      // curated snapshot BEFORE the snapshot itself advances
+      val view = Cdc.maintainGroupAgg(curated, gated,
+        "k", "seq", "op", "g", "v")
+      curated = Cdc.applyChanges(curated, gated, "k", "seq", "op")
+      raw = Cdc.applyChanges(raw, b, "k", "seq", "op")
+      val scratch = raw.filter(col("v") >= 0L)
+      assert(curated.as[(Long, String, Long)].collect().toSet ==
+        scratch.as[(Long, String, Long)].collect().toSet,
+        s"prefix $i: curated snapshot != filter∘scratch")
+      val wantView = scratch.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      assert(view.as[(String, Long, Double)].collect().toSet ==
+        wantView.as[(String, Long, Double)].collect().toSet,
+        s"prefix $i: maintained grouped view != scratch view")
+    }
   }
 
   test("maintainTopKView: retract-and-re-add of one key inside one batch " +
