@@ -81,6 +81,39 @@ object Bench {
     // mt floor is a real regression; a uniform shift TRACKING the mt
     // floor is the box (measured this round: r15's byte-identical jar
     // at 1.6× its own minima — see BASELINE.md's re-baseline note).
+    // I/O-path calibration sentinel: a FIXED small parquet read+hash
+    // through the same Spark scan path every headline query pays. The
+    // CPU spins above are blind to storage-stack drift — rounds 17 and
+    // 18 both carried non-uniform wall inflation under FLAT CPU-calib
+    // floors and needed a same-box bisect with the prior round's jar
+    // to attribute it (BASELINE.md "Round-18 bisect"); this column
+    // makes that attribution in-artifact. The sentinel table is
+    // written ONCE per run (deterministic content, ~4M rows, 8 files)
+    // and each sample scans + hashes it to one Long. READING THE
+    // COLUMN: iter_calib_io_sec tracking the wall inflation with a
+    // flat iter_calib_mt_sec ⇒ the I/O path (page cache, filesystem,
+    // device) drifted, not the cores; both flat + inflated walls ⇒
+    // bisect territory (scheduler/microarchitectural), but two of the
+    // three known drift families are now self-attributing.
+    val ioSentinelPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bench_io_sentinel")
+      .getAbsolutePath
+    locally {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      spark.range(0, 4000000L, 1, 8)
+        .select(col("id"), xxhash64(col("id")).as("h1"),
+          xxhash64(col("id"), col("id")).as("h2"))
+        .write.mode("overwrite").parquet(ioSentinelPath)
+    }
+    def calibIoSec: Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      val r = spark.read.parquet(ioSentinelPath)
+        .select(xxhash64(col("id"), col("h1"), col("h2")).as("x"))
+        .agg(sum(col("x"))).collect()(0).getLong(0)
+      calibSink = r // observable sink — the scan cannot be elided
+      (System.nanoTime() - t0) / 1e9
+    }
     val mtThreads = math.max(2, Runtime.getRuntime.availableProcessors())
     def calibMtSec: Double = {
       val t0 = System.nanoTime()
@@ -189,11 +222,13 @@ object Bench {
       var err: Option[String] = None
       var discardTotal = 0
       val times = (1 to iters).map { _ =>
-        var kept: Option[(Double, Long, Double, Long, Double, Double)] = None
+        var kept: Option[(Double, Long, Double, Long, Double, Double,
+          Double)] = None
         var failed = false
         var tries = 0
         while (kept.isEmpty && !failed) {
           val calib = calibSec
+          val calibIo = calibIoSec
           val calibMt = sampleMt()
           val g0 = gcMillis
           val c0 = cpuNanos
@@ -203,18 +238,23 @@ object Bench {
             val wallSec = (System.nanoTime() - t0) / 1e9
             val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
             val calibMtPost = sampleMt()
-            val contended = gateRatio > 0 &&
-              math.max(calibMt, calibMtPost) > gateRatio * mtFloor
+            // the kept row records the BRACKET MAX, not the pre-exec
+            // sample alone: an iteration kept after gateRetries
+            // exhausted (contention arriving mid-exec) must not land
+            // in the artifact with a clean-looking calib column next
+            // to an inflated wall time
+            val calibMtRec = math.max(calibMt, calibMtPost)
+            val contended = gateRatio > 0 && calibMtRec > gateRatio * mtFloor
             if (contended && tries < gateRetries) {
               tries += 1
               discardTotal += 1
               System.err.println(f"[bench] ${q.name}: discarding " +
                 f"contended iteration (wall $wallSec%.3f s, mt-calib " +
-                f"${math.max(calibMt, calibMtPost)}%.3f vs floor " +
-                f"$mtFloor%.3f), retry $tries/$gateRetries")
+                f"$calibMtRec%.3f vs floor $mtFloor%.3f), " +
+                f"retry $tries/$gateRetries")
             } else {
               kept = Some((wallSec, gcMillis - g0, cpuSec, storageBytes,
-                calib, calibMt))
+                calib, calibMtRec, calibIo))
             }
           }
           catch { case e: Throwable =>
@@ -248,7 +288,8 @@ object Bench {
     // Per-iteration attribution columns, all aligned with `iters`
     // (failed iterations are null in every array).
     def iterObj(
-        f: ((Double, Long, Double, Long, Double, Double)) => String): String =
+        f: ((Double, Long, Double, Long, Double, Double, Double)) => String)
+        : String =
       results.map { case (k, ts, _, _) =>
         "\"" + k + "\":" +
           ts.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
@@ -259,6 +300,7 @@ object Bench {
     val iterStorageMb = iterObj(t => (t._4 / (1024.0 * 1024.0)).toString)
     val iterCalibSec = iterObj(_._5.toString)
     val iterCalibMtSec = iterObj(_._6.toString)
+    val iterCalibIoSec = iterObj(_._7.toString)
     // the box's best observed single-thread spin this run: the
     // denominator for reading iter_calib_sec ratios at a glance
     val calibMin = results.flatMap(_._2.flatten.map(_._5)) match {
@@ -267,6 +309,12 @@ object Bench {
     // the best all-core spin: flat iter_calib_sec + inflated
     // iter_calib_mt_sec ⇒ the box's cores were shared, not slow
     val calibMtMin = results.flatMap(_._2.flatten.map(_._6)) match {
+      case Seq() => "null"; case vs => vs.min.toString
+    }
+    // the best observed sentinel-parquet scan this run: the
+    // denominator for reading iter_calib_io_sec ratios — an inflated
+    // ratio with a flat mt column attributes storage-stack drift
+    val calibIoMin = results.flatMap(_._2.flatten.map(_._7)) match {
       case Seq() => "null"; case vs => vs.min.toString
     }
     val errs = results.collect { case (k, _, Some(m), _) =>
@@ -284,7 +332,7 @@ object Bench {
       val ok = ts.flatten.map(_._1); if (ok.isEmpty) None else Some(ok.min)
     }.sum
     val nFailed = results.count(_._2.flatten.isEmpty)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"iter_calib_mt_sec":$iterCalibMtSec,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"calib_mt_threads":$mtThreads,"calib_gate":$gateRatio,"iter_discarded":$discarded,"discarded_total":$discardedTotal,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iterArrays,"iter_gc_ms":$iterGcMs,"iter_cpu_sec":$iterCpuSec,"iter_storage_mb":$iterStorageMb,"iter_calib_sec":$iterCalibSec,"iter_calib_mt_sec":$iterCalibMtSec,"iter_calib_io_sec":$iterCalibIoSec,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"calib_io_min_sec":$calibIoMin,"calib_mt_threads":$mtThreads,"calib_gate":$gateRatio,"iter_discarded":$discarded,"discarded_total":$discardedTotal,"errors":$errs,"failed":$nFailed,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
     // The detailed line first (full per-iteration attribution — also
     // landed in files below), then a COMPACT final line. The driver
     // keeps only the LAST ~2000 characters of stdout and parses a JSON
@@ -314,7 +362,7 @@ object Bench {
     val errsCompact = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":" + jstrShort(m)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"discarded_total":$discardedTotal,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsCompact,"calib_min_sec":$calibMin,"calib_mt_min_sec":$calibMtMin,"calib_io_min_sec":$calibIoMin,"discarded_total":$discardedTotal,"errors":$errsCompact,"failed":$nFailed,"warmup_sec":${r4(warmupSec)},"sf":"$sfDir"}"""
     println(json)
     println(compact)
     // Also land the line in files: the driver scrapes stdout through

@@ -13,7 +13,7 @@ import org.apache.spark.storage.StorageLevel
   * repeatedly should either run its terminal action and then
   * `spark.catalog.clearCache()`, or pass `persist = false` and manage
   * caching of its own, wider plan. */
-private[operators] object Caching {
+private[graft] object Caching {
   def maybePersist(df: DataFrame, persist: Boolean): DataFrame =
     if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 

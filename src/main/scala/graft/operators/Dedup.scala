@@ -921,82 +921,148 @@ object Dedup {
     * itself stays fresh under CDC (an updated doc whose quality grew
     * can take over its cluster; a deleted keeper's runner-up
     * surfaces). `clusters` is (idCol, cluster_id); `scored` is
-    * (idCol, __score). One cluster-keyed argmax shuffle. */
+    * (idCol, __score) and MUST cover every clustered id — a cluster
+    * member missing from the score frame fails LOUDLY (raise_error)
+    * instead of silently vanishing from the output, shrinking
+    * n_members and possibly moving keeper_id (the stale/partial
+    * score-frame hazard). Shuffle shape: one cluster-keyed count+max,
+    * then a tie-filtered min — every stage keyed on cluster_id, so
+    * the later exchanges reuse the first shuffle's partitioning. */
   def keepBestFromClusters(clusters: DataFrame, scored: DataFrame,
       idCol: String): DataFrame = {
-    val members = clusters.join(scored, Seq(idCol))
-    // argmax by (score, -id): lexicographic struct max = highest
-    // score, ties to the SMALLEST id — one total order shared with
-    // the oracle's (sc DESC, doc_id ASC) window
+    val members = clusters.join(scored, Seq(idCol), "left")
+      .withColumn("__score",
+        when(col("__score").isNull, raise_error(concat(
+          lit("keepBestFromClusters: no score for clustered id "),
+          col(idCol).cast("string"))))
+          .otherwise(col("__score")))
+    // argmax by (score DESC, id ASC) WITHOUT negating the id — the
+    // -col(idCol) struct tie-break assumed a numeric id (string doc
+    // ids failed to resolve; Long.MinValue negation overflows under
+    // ANSI). Generic shape: per-cluster max score, then the SMALLEST
+    // id among the score ties — the same total order as the oracle's
+    // (sc DESC, doc_id ASC) window, for any orderable id type.
     val best = members.groupBy(col("cluster_id")).agg(
-      count(lit(1)).as("n_members"),
-      max_by(col(idCol), struct(col("__score"), -col(idCol)))
-        .as("keeper_id"))
-    members.join(best, Seq("cluster_id"))
+      count(lit(1)).as("n_members"), max(col("__score")).as("__best"))
+    val withBest = members.join(best, Seq("cluster_id"))
+    val keeper = withBest.filter(col("__score") === col("__best"))
+      .groupBy(col("cluster_id")).agg(min(col(idCol)).as("keeper_id"))
+    withBest.join(keeper, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("n_members"),
         col("keeper_id"), (col(idCol) === col("keeper_id")).as("keep"))
   }
 
   /** The maintained near-dup cluster index: signatures (one 64-bit
-    * simhash per live doc), the near-pair edge set, and the cluster
-    * map — the three frames [[clustersMaintain]] folds a change batch
-    * onto. */
+    * simhash per live doc), the near-pair edge set at the HASH level
+    * — (h_a, h_b) distinct-hash pairs within the radius, h_a < h_b —
+    * and the cluster map. Hash-level edges (r19, replacing doc-level
+    * pairs) make the state a pure function of the live corpus with
+    * size O(docs + near-hash-pairs) instead of O(near-doc-pairs): a
+    * pathological all-duplicates feed used to persist N²/2 hamming-0
+    * edges in the `pairs/` stream home; identical-content
+    * connectivity is now implicit in the signature index and
+    * doc-level edges are derived per CC run by [[docEdges]]. */
   final case class ClusterIndexState(sigs: DataFrame, pairs: DataFrame,
       clusters: DataFrame)
 
   /** Build the [[ClusterIndexState]] from scratch over a corpus — the
     * bootstrap, and the scratch-rebuild reference every maintenance
-    * pin compares against. */
+    * pin compares against (the state is a pure function of the live
+    * corpus, so maintained ≡ bootstrap frame-for-frame). */
   def clustersBootstrap(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): ClusterIndexState = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-    val pairs = hammingNearPairs(sigs, idCol, "simhash", maxHamming, chunks)
-      .select(col("a"), col("b"))
-    val clusters = connectedComponents(df.select(col(idCol)), idCol, pairs)
+      maxHamming: Int = 3, chunks: Int = 4,
+      persist: Boolean = true): ClusterIndexState = {
+    // consumed by the pair search AND docEdges' canon + star
+    val sigs = Caching.maybePersist(
+      simhashSignatures(df, idCol, textCol), persist)
+    val hashPairs = hashNearPairs(sigs, "simhash", maxHamming, chunks)
+    val clusters = connectedComponents(df.select(col(idCol)), idCol,
+        docEdges(sigs, idCol, "simhash", hashPairs))
       .select(col(idCol), col("cluster_id"))
-    ClusterIndexState(sigs, pairs, clusters)
+    ClusterIndexState(sigs, hashPairs, clusters)
   }
 
-  /** Batch-vs-index hamming screen: the [[hammingNearPairs]] chunked
-    * pigeonhole with the two sides SPLIT — batch hashes probe, the
-    * full index files once — so a change batch finds its near
-    * neighbors in the whole live corpus without the corpus ever
-    * joining itself. Returns normalized (a, b) pairs, a < b, each
-    * touching ≥ 1 batch document. */
-  private[graft] def hammingScreen(batchSigs: DataFrame, allSigs: DataFrame,
-      idCol: String, hashCol: String, maxHamming: Int,
+  /** Pigeonhole chunk-bucket keys for a 64-bit hash column — the
+    * candidate-generation core shared by [[hammingNearPairs]]'s
+    * scratch search and [[hashScreen]]'s probe. */
+  private def chunkBuckets(reps: DataFrame, hashCol: String, out: String,
       chunks: Int): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val mB = batchSigs.select(col(hashCol).as("h"), col(idCol).as("a"))
-    val mAll = allSigs.select(col(hashCol).as("h"), col(idCol).as("b"))
-    val eqPairs = mB.join(mAll, "h").filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"))
-    def buckets(reps: DataFrame, out: String) = {
-      val chunkKeys = array((0 until chunks).map { c =>
-        struct(lit(c).as("ci"),
-          shiftright(col(hashCol), c * width).bitwiseAND(mask).as("cv"))
-      }: _*)
-      reps.select(col(hashCol).as(out), explode(chunkKeys).as("ck"))
-        .select(col("ck.ci").as("ci"), col("ck.cv").as("cv"), col(out))
-    }
-    val hashPairs = buckets(batchSigs.select(hashCol).distinct(), "h_a")
-      .join(buckets(allSigs.select(hashCol).distinct(), "h_b"),
-        Seq("ci", "cv"))
-      .filter(col("h_a") =!= col("h_b"))
+    val chunkKeys = array((0 until chunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col(hashCol), c * width).bitwiseAND(mask).as("cv"))
+    }: _*)
+    reps.select(col(hashCol).as(out), explode(chunkKeys).as("ck"))
+      .select(col("ck.ci").as("ci"), col("ck.cv").as("cv"), col(out))
+  }
+
+  /** HASH-level near-pair search: all (h_a, h_b) pairs of DISTINCT
+    * hash values within hamming ≤ maxHamming, h_a < h_b — the
+    * pigeonhole chunk join of [[hammingNearPairs]] stopped BEFORE the
+    * member expansion. This is the cluster index's stored edge
+    * currency (see [[ClusterIndexState]]): hash-level pairs are a
+    * pure function of the distinct-hash set, so N docs sharing one
+    * hash contribute ZERO pair-state rows (identical-content
+    * connectivity is implicit in the signature index) and two
+    * near-dup template groups of sizes N and M contribute ONE row
+    * instead of N·M. */
+  private[graft] def hashNearPairs(sigs: DataFrame, hashCol: String,
+      maxHamming: Int, chunks: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val reps = sigs.select(hashCol).distinct()
+    chunkBuckets(reps, hashCol, "h_a", chunks)
+      .join(chunkBuckets(reps, hashCol, "h_b", chunks), Seq("ci", "cv"))
+      .filter(col("h_a") < col("h_b"))
       .select("h_a", "h_b").distinct()
       .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
-    val crossPairs = hashPairs
-      .join(mB.withColumnRenamed("h", "h_a"), "h_a")
-      .join(mAll.withColumnRenamed("h", "h_b"), "h_b")
-      .select(col("a"), col("b"))
-    // batch-vs-batch pairs surface in both orders — normalize + distinct
-    eqPairs.unionByName(crossPairs)
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+  }
+
+  /** Probe-vs-index twin of [[hashNearPairs]]: hash pairs within the
+    * radius where at least one side is a PROBE hash — the change
+    * batch's (still-live) affected hashes — against the full live
+    * hash set, which files once and never self-joins. Output
+    * normalized (h_a < h_b), covering probe-probe pairs once. */
+  private[graft] def hashScreen(probeHashes: DataFrame, allSigs: DataFrame,
+      hashCol: String, maxHamming: Int, chunks: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    chunkBuckets(probeHashes.select(col("h").as(hashCol)), hashCol,
+        "h_p", chunks)
+      .join(chunkBuckets(allSigs.select(hashCol).distinct(), hashCol,
+        "h_o", chunks), Seq("ci", "cv"))
+      .filter(col("h_p") =!= col("h_o"))
+      .select(least(col("h_p"), col("h_o")).as("h_a"),
+        greatest(col("h_p"), col("h_o")).as("h_b"))
       .distinct()
+      .filter(bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= maxHamming)
+  }
+
+  /** Expand the hash-level edge state into DOC-level edges for a
+    * connected-components run, with O(docs + hash-pairs) output:
+    * within each hash group a STAR to the group's min-id member
+    * (identical docs are near-dups by definition), and ONE edge per
+    * qualifying hash pair between the two groups' min-id members.
+    * Components equal the full pairwise expansion's — every member
+    * reaches its group's representative, and representatives bridge
+    * the groups — while a 500-copy template contributes 499 star
+    * edges instead of ~125k pairs (and ZERO stored state). */
+  private[graft] def docEdges(sigs: DataFrame, idCol: String,
+      hashCol: String, hashPairs: DataFrame): DataFrame = {
+    val canon = sigs.groupBy(col(hashCol)).agg(min(col(idCol)).as("__rep"))
+    val eqStar = sigs.join(canon, Seq(hashCol))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(least(col(idCol), col("__rep")).as("a"),
+        greatest(col(idCol), col("__rep")).as("b"))
+    val cross = hashPairs
+      .join(canon.select(col(hashCol).as("h_a"), col("__rep").as("__ra")),
+        Seq("h_a"))
+      .join(canon.select(col(hashCol).as("h_b"), col("__rep").as("__rb")),
+        Seq("h_b"))
+      .select(least(col("__ra"), col("__rb")).as("a"),
+        greatest(col("__ra"), col("__rb")).as("b"))
+    eqStar.unionByName(cross)
   }
 
   /** Maintain the near-dup CLUSTER MAP under a document change feed —
@@ -1010,24 +1076,34 @@ object Dedup {
     *
     *  - signatures fold in O(|Δ|): changed docs re-hash map-side, the
     *    carried index is touched by ONE key anti-join;
-    *  - the new-pair search is the [[hammingScreen]] batch-vs-index
-    *    probe — O(|Δ| · collisions), the corpus never self-joins;
-    *  - pairs touching a changed key drop by two key anti-joins;
+    *  - the stored edge set is HASH-level (see [[ClusterIndexState]])
+    *    and changes only where the distinct-hash set changes: pairs
+    *    touching an affected hash (a changed key's old hash or an
+    *    upsert's new one) drop by two anti-joins and are re-derived
+    *    by the [[hashScreen]] probe — affected-but-still-live hashes
+    *    against the full live hash set, which files once and never
+    *    self-joins. Pairs between two unaffected hashes carry over
+    *    untouched (their membership may change, their distance
+    *    cannot), so the maintained pair state stays a pure function
+    *    of the live corpus;
     *  - ONLY the clusters touched by the batch recompute: the
-    *    affected set is the old clusters of changed keys plus those
-    *    of new-pair endpoints (≤ feed-bounded), their members are
-    *    key-pruned from the carried map, and [[connectedComponents]]
-    *    reruns on that induced subgraph alone. Untouched clusters
-    *    carry over by one anti-join — correct because a carried
-    *    cluster shares no vertex and (hence) no edge with the
-    *    affected subgraph, so merged-graph components never span the
-    *    cut (the closure argument the spec pins by scratch-rebuild
-    *    equality).
+    *    affected set is the old clusters of changed keys plus the
+    *    clusters holding members of any affected hash or fresh-pair
+    *    endpoint (≤ feed-bounded), their members are key-pruned from
+    *    the carried map, and [[connectedComponents]] reruns on that
+    *    induced subgraph alone over [[docEdges]]-derived edges.
+    *    Untouched clusters carry over by one anti-join — correct
+    *    because a carried cluster shares no vertex, no stored hash
+    *    pair, and no hash group with the affected subgraph (same-hash
+    *    docs always share a cluster), so merged-graph components
+    *    never span the cut (the closure argument the spec pins by
+    *    scratch-rebuild equality).
     *
     * Cluster ids are min-member-id — a pure function of membership —
     * so maintained ids are bit-equal to a scratch
     * [[clustersBootstrap]] over the merged corpus (the oracle's pin),
-    * splits and merges included.
+    * splits and merges included; so are the signature index and the
+    * hash-level pair state.
     *
     * Feed contract: `(seqCol, opCol, idCol, textCol)`, op ∈ I/U/D,
     * payload NULL on deletes, seq feed-monotone. Cost per batch
@@ -1048,23 +1124,45 @@ object Dedup {
     val nextSigs = Caching.maybePersist(
       prev.sigs.join(changedKeys, Seq(idCol), "left_anti")
         .unionByName(upsSigs), persist)
-    // persisted: the screen feeds nextPairs AND (twice, via `touched`)
-    // the affected-cluster derivation — without this its chunk joins
-    // re-execute per consumer
-    val newPairs = Caching.maybePersist(
-      hammingScreen(upsSigs, nextSigs, idCol, "simhash",
-        maxHamming, chunks), persist)
+    // affected hashes: a changed key's OLD hash (its group shrank or
+    // died — one feed-bounded key join) plus every upsert's NEW hash
+    val affectedHashes = Caching.maybePersist(
+      prev.sigs.join(changedKeys, Seq(idCol), "left_semi")
+        .select(col("simhash").as("h"))
+        .unionByName(upsSigs.select(col("simhash").as("h")))
+        .distinct(), persist)
     val carriedPairs = prev.pairs
-      .join(changedKeys.select(col(idCol).as("a")), Seq("a"), "left_anti")
-      .join(changedKeys.select(col(idCol).as("b")), Seq("b"), "left_anti")
-      // a USING join surfaces its key first — restore (a, b) so the
-      // state schema (and positional consumers) stay stable
-      .select(col("a"), col("b"))
+      .join(affectedHashes.select(col("h").as("h_a")), Seq("h_a"),
+        "left_anti")
+      .join(affectedHashes.select(col("h").as("h_b")), Seq("h_b"),
+        "left_anti")
+      // a USING join surfaces its key first — restore (h_a, h_b) so
+      // the state schema (and positional consumers) stay stable
+      .select(col("h_a"), col("h_b"))
+    // re-derive the dropped pairs for affected hashes STILL LIVE in
+    // the merged corpus; dead hashes (last member gone) stay dropped
+    val liveAffected = affectedHashes
+      .join(nextSigs.select(col("simhash").as("h")), Seq("h"), "left_semi")
+    // persisted: feeds nextPairs AND (twice) the touched-hash set
+    val freshPairs = Caching.maybePersist(
+      hashScreen(liveAffected, nextSigs, "simhash", maxHamming, chunks),
+      persist)
     val nextPairs = Caching.maybePersist(
-      carriedPairs.unionByName(newPairs), persist)
+      carriedPairs.unionByName(freshPairs), persist)
+    // clusters that can change: those holding a changed key, a member
+    // of an affected hash (an eq-merge partner group), or a fresh
+    // hash pair's endpoint group. A DEAD hash contributes no members
+    // here — but its former members are the changed keys themselves,
+    // so their (possibly splitting) cluster is affected regardless.
+    val touchedHashes = affectedHashes
+      .unionByName(freshPairs.select(col("h_a").as("h")))
+      .unionByName(freshPairs.select(col("h_b").as("h")))
+      .distinct()
     val touched = changedKeys
-      .unionByName(newPairs.select(col("a").as(idCol)))
-      .unionByName(newPairs.select(col("b").as(idCol)))
+      .unionByName(nextSigs
+        .join(touchedHashes, nextSigs("simhash") === touchedHashes("h"),
+          "left_semi")
+        .select(col(idCol)))
       .distinct()
     // persisted: consumed by the carried-cluster anti-join AND the
     // member semi-join — one scan of the corpus-sized map, not two
@@ -1080,8 +1178,9 @@ object Dedup {
     // own history) measured 49 s where the identical data behind a cut
     // lineage runs in 2.8 s — the pointer-jumping loop needs a flat
     // plan boundary, which the streaming twin gets for free from its
-    // parquet homes. Both frames are feed-bounded (affected members /
-    // their induced edges), so the checkpoint is small by construction.
+    // parquet homes. All frames are feed-bounded (affected members /
+    // their signatures / their induced edges), so the checkpoints are
+    // small by construction.
     val members = prev.clusters
       .join(affected, Seq("cluster_id"), "left_semi")
       .select(col(idCol))
@@ -1089,11 +1188,22 @@ object Dedup {
       .unionByName(ups.select(col(idCol)))
       .distinct()
       .localCheckpoint(true)
-    val inducedPairs = nextPairs
-      .join(members.select(col(idCol).as("a")), Seq("a"), "left_semi")
-      .join(members.select(col(idCol).as("b")), Seq("b"), "left_semi")
+    // every live member of a member's hash group is itself a member
+    // (same-hash docs share a cluster, and that cluster is affected),
+    // so the per-group min over memberSigs is the TRUE canon and
+    // docEdges over the restriction is the true induced edge set
+    val memberSigs = nextSigs.join(members, Seq(idCol), "left_semi")
       .localCheckpoint(true)
-    val recomputed = connectedComponents(members, idCol, inducedPairs)
+    val memberHashes = memberSigs.select(col("simhash")).distinct()
+    val inducedHashPairs = nextPairs
+      .join(memberHashes.select(col("simhash").as("h_a")), Seq("h_a"),
+        "left_semi")
+      .join(memberHashes.select(col("simhash").as("h_b")), Seq("h_b"),
+        "left_semi")
+    val inducedEdges = docEdges(memberSigs, idCol, "simhash",
+        inducedHashPairs)
+      .localCheckpoint(true)
+    val recomputed = connectedComponents(members, idCol, inducedEdges)
       .select(col(idCol), col("cluster_id"))
     ClusterIndexState(nextSigs, nextPairs,
       carriedClusters.unionByName(recomputed))

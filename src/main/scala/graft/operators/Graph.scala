@@ -1276,8 +1276,11 @@ object Graph {
     * equal-degree vertex whose neighbors are leaves — "important
     * because my neighbors are important", undamped. Round 1 is the
     * degree (the uniform-start anchor the spec pins); the default 2
-    * rounds already separates neighborhoods by second-order structure
-    * while keeping the walk-count interpretation auditable.
+    * rounds is MEASURED, not asserted — GraphSpec's honesty eval on
+    * the sf0.01 co-purchase graph pins rounds=2 agreeing with
+    * rounds=3/4 at 18-19/20 of the top-20 (≈ as well as 3 agrees
+    * with 4), with walk counts growing ×~5.3/round and ~21 rounds of
+    * headroom before the BIGINT emit guard.
     *
     * Determinism/exactness: NO per-round normalization (a positive
     * global scale cannot reorder scores), so every score is an exact

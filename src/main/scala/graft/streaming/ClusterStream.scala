@@ -21,8 +21,12 @@ import graft.operators.Dedup
   * op ∈ I/U/D, payload NULL on deletes, `seq` feed-monotone.
   *
   * State lives under FOUR [[SnapshotStore]] homes per root — `sig/`
-  * (one 64-bit simhash per live doc), `pairs/` (the near-pair edge
-  * set), `cl/` (the cluster map), and `f/` (the 1-row feed
+  * (one 64-bit simhash per live doc), `pairs/` (the HASH-level
+  * near-pair edge set, (h_a, h_b) distinct-hash pairs within the
+  * radius — O(docs + near-hash-pairs) state, so an all-duplicates
+  * feed persists ZERO pair rows instead of N²/2; see
+  * [[graft.operators.Dedup.ClusterIndexState]]), `cl/` (the cluster
+  * map), and `f/` (the 1-row feed
   * frontier). Every home is read strictly-below the batch id, so a
   * crash between ANY two commits replays to identical content; the
   * monotone-seq guard rides the frontier plan and the FRONTIER HOME
@@ -38,7 +42,8 @@ object ClusterStream {
       .filter(lit(false))
 
   private def emptyPairs(batch: DataFrame): DataFrame =
-    batch.select(col("id").as("a"), col("id").as("b")).filter(lit(false))
+    batch.select(xxhash64(col("text")).as("h_a"),
+      xxhash64(col("text")).as("h_b")).filter(lit(false))
 
   private def emptyClusters(batch: DataFrame): DataFrame =
     batch.select(col("id"), col("id").as("cluster_id")).filter(lit(false))
@@ -51,7 +56,8 @@ object ClusterStream {
   def readSigs(spark: SparkSession, rootDir: String): DataFrame =
     SnapshotStore.readLatest(spark, rootDir + "/sig", "signature index")
 
-  /** Latest committed near-pair edge set (the `pairs/` home). */
+  /** Latest committed hash-level near-pair edge set (the `pairs/`
+    * home): (h_a, h_b) distinct-hash pairs within the radius. */
   def readPairs(spark: SparkSession, rootDir: String): DataFrame =
     SnapshotStore.readLatest(spark, rootDir + "/pairs", "near-pair set")
 

@@ -284,6 +284,34 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, 1L, 10L, true)), s"got: $got")
   }
 
+  test("keepBestFromClusters: STRING ids resolve (the -id tie-break was " +
+      "numeric-only) and a clustered id missing from the score frame " +
+      "fails loudly instead of silently moving the keeper") {
+    val clusters = Seq(("docA", "docA"), ("docB", "docA"), ("docC", "docA"))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq(("docA", 4.0), ("docB", 9.0), ("docC", 9.0))
+      .toDF("doc_id", "__score")
+    val got = Dedup.keepBestFromClusters(clusters, scored, "doc_id")
+      .orderBy("doc_id")
+      .as[(String, String, Long, String, Boolean)].collect().toSeq
+    // max score 9.0, tie broken to the lexicographically SMALLEST id
+    assert(got == Seq(
+      ("docA", "docA", 3L, "docB", false),
+      ("docB", "docA", 3L, "docB", true),
+      ("docC", "docA", 3L, "docB", false)), s"got: $got")
+    // a stale/partial score frame (docC unscored) must raise, not
+    // shrink n_members and silently hand the cluster to docB
+    val e = intercept[Throwable] {
+      Dedup.keepBestFromClusters(clusters, scored.filter(col("doc_id") =!=
+        "docC"), "doc_id").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("no score for clustered id"),
+      s"partial score frame must raise, got: $msgs")
+  }
+
   test("clustersMaintain: delete SPLITS a cluster, insert MERGES via the " +
       "batch screen, update re-wires — maintained ≡ scratch rebuild") {
     // maxHamming 0 (hash-equal pairs only) makes cluster structure a
@@ -392,6 +420,57 @@ class DedupSpec extends SparkSpec {
       ref.pairs.as[(Long, Long)].collect().toSet, "pair set diverged")
     assert(gotC.nonEmpty && gotC.exists(p => p._1 != p._2),
       "fixture must carry at least one non-trivial cluster")
+  }
+
+  test("adversarial all-duplicates corpus: the cluster-index pair state " +
+      "is HASH-level — zero rows for 500 identical docs (was N²/2 ≈ " +
+      "125k doc edges), one row bridging two near-dup template groups") {
+    // the r18 verdict's pathological feed: N identical docs used to
+    // persist N²/2 hamming-0 edges in the ClusterStream pairs/ home
+    val n = 500
+    val dupes = (1L to n.toLong).map(i => (i, "the exact same template"))
+      .toDF("doc_id", "text")
+    val st = Dedup.clustersBootstrap(dupes, "doc_id", "text")
+    assert(st.pairs.count() == 0L,
+      "identical-content connectivity must be implicit in the sigs, " +
+        "not materialized as pair state")
+    val cl = st.clusters.as[(Long, Long)].collect()
+    assert(cl.length == n && cl.forall(_._2 == 1L),
+      "all 500 copies must still resolve to one min-id cluster")
+    // fold 250 MORE copies on: the pair state must stay empty and the
+    // cluster must absorb them — the state grows O(Δ), not O(Δ·N)
+    val feed = (1L to 250L).map(i =>
+      (1000L + i, "I", n + i, "the exact same template"))
+      .toDF("seq", "op", "doc_id", "text")
+      .select(col("seq"), col("op"), col("doc_id").cast("long"), col("text"))
+    val st1 = Dedup.clustersMaintain(st, feed, "doc_id", "text",
+      "seq", "op")
+    assert(st1.pairs.count() == 0L, "maintained pair state must stay empty")
+    assert(st1.clusters.count() == (n + 250).toLong &&
+      st1.clusters.select("cluster_id").distinct().count() == 1L)
+    // two template groups within the hamming radius: ONE stored hash
+    // pair (not |A|·|B| doc edges), components still merge. maxHamming
+    // 3 ≥ simhash distance of two one-token-apart texts is not
+    // guaranteed — use hash-equal groups plus a direct check instead:
+    // group B identical to itself, distance to A measured first.
+    val a = (1L to 200L).map(i => (i, "template alpha body"))
+    val b = (1L to 200L).map(i => (200L + i, "template alpha bodx"))
+    val both = (a ++ b).toDF("doc_id", "text")
+    val st2 = Dedup.clustersBootstrap(both, "doc_id", "text")
+    val nPairs = st2.pairs.count()
+    assert(nPairs <= 1L,
+      s"two template groups must store ≤1 hash pair, got $nPairs")
+    val nClusters = st2.clusters.select("cluster_id").distinct().count()
+    val dist = st2.sigs.select("simhash").distinct()
+      .as[Long].collect() match {
+        case Array(h1, h2) => java.lang.Long.bitCount(h1 ^ h2)
+        case Array(_) => 0
+        case hs => fail(s"expected ≤2 distinct hashes, got ${hs.length}")
+      }
+    if (dist <= 3) assert(nPairs == 1L && nClusters == 1L,
+      s"groups within radius ($dist) must bridge via one stored pair")
+    else assert(nPairs == 0L && nClusters == 2L,
+      s"groups beyond radius ($dist) must stay apart with zero pairs")
   }
 
   test("connectedComponents converges on a long chain (diameter > 2)") {

@@ -1072,4 +1072,64 @@ class GraphSpec extends SparkSpec {
       s"denser panels diverged more than the sparse one: $overlaps")
     Seq(m50, m10, m5, edges).foreach(_.unpersist())
   }
+
+  test("eigenvectorCentrality honesty eval: the rounds knob's top-k " +
+      "stability is MEASURED on the sf0.01 co-purchase graph, and the " +
+      "walk-count growth vs the BIGINT guard headroom is stated") {
+    // the betweenness-panel discipline applied to the registry's
+    // newest approximation-shaped choice (r18 verdict #5): the
+    // registered default is rounds = 2, justified until now by
+    // narrative ("already separates neighborhoods"). Measure it.
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2).select("pa", "pb").cache()
+    def ev(r: Int) = Graph.eigenvectorCentrality(edges, "pa", "pb",
+      rounds = r).cache()
+    def topIds(df: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+      df.orderBy(col("score").desc, col("id").asc).limit(k)
+        .select("id").as[Long].collect().toSet
+    val (e2, e3, e4) = (ev(2), ev(3), ev(4))
+    val overlaps = for {
+      k <- Seq(20, 50)
+      (a, b) <- Seq((e2, e3), (e2, e4), (e3, e4))
+    } yield (topIds(a, k) & topIds(b, k)).size
+    // MEASURED (this box, sf0.01): top-20 — 2v3 = 18/20, 2v4 = 19/20,
+    // 3v4 = 18/20; top-50 — 42/50, 45/50, 44/50. The default-2
+    // ranking agrees with deeper iterations (~90% at top-20) about as
+    // well as they agree with EACH OTHER — iteration depth past 2 is
+    // reshuffling the same hub set's tail, not finding new hubs. That
+    // is the measured license for the cheap default, and the contrast
+    // with betweenness (whose sparse panel agreed 6/50 with denser
+    // ones) is the point of running the same discipline here.
+    assert(overlaps == Seq(18, 19, 18, 42, 45, 44),
+      s"rounds-stability overlaps moved (re-pin the measured block): $overlaps")
+    // the direction, robust to regeneration: rounds=2 must agree with
+    // deeper iterations at top-20 roughly as well as 3 agrees with 4
+    assert(overlaps.take(2).min >= overlaps(2) - 2,
+      s"rounds=2 no longer matches deeper iterations at top-20: $overlaps")
+    // walk-count growth vs the BIGINT emit guard: score mass
+    // multiplies by ~spectral-radius per round — measure the factor
+    // and state the headroom before the assert_true boundary fires
+    val maxes = Seq(e2, e3, e4).map(
+      _.agg(max(col("score"))).as[Long].collect().head)
+    val growth = maxes(2).toDouble / maxes(1)
+    val headroomRounds =
+      math.log(Long.MaxValue.toDouble / maxes(2)) / math.log(growth)
+    // MEASURED: max walk counts 74 / 446 / 2376 at rounds 2/3/4 —
+    // growth ≈ ×5.3 per round (the graph's spectral radius), leaving
+    // ~21 more rounds before the DECIMAL→BIGINT emit guard fires.
+    // The guard is a distant backstop at THIS density, not a
+    // constraint the default ever brushes; a far denser graph (or a
+    // caller pushing rounds ≫ 4) hits the loud assert_true, never a
+    // silent wrap.
+    assert(maxes == Seq(74L, 446L, 2376L),
+      s"walk-count maxima moved (re-pin the measured block): $maxes")
+    assert(headroomRounds > 5.0,
+      f"BIGINT guard headroom collapsed: growth ×$growth%.1f/round, " +
+        f"$headroomRounds%.1f rounds left after rounds=4")
+    Seq(e2, e3, e4, edges).foreach(_.unpersist())
+  }
 }
