@@ -106,11 +106,14 @@ object Bench {
         .write.mode("overwrite").parquet(ioSentinelPath)
     }
     def calibIoSec: Double = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
       val t0 = System.nanoTime()
+      // XOR-fold, not sum: 4M full-range xxh64 values overflow a long
+      // sum under ANSI; bit_xor is closed over Long and still forces
+      // every row through the scan+hash
       val r = spark.read.parquet(ioSentinelPath)
         .select(xxhash64(col("id"), col("h1"), col("h2")).as("x"))
-        .agg(sum(col("x"))).collect()(0).getLong(0)
+        .agg(bit_xor(col("x"))).collect()(0).getLong(0)
       calibSink = r // observable sink — the scan cannot be elided
       (System.nanoTime() - t0) / 1e9
     }
