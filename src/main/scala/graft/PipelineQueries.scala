@@ -1159,6 +1159,21 @@ object PipelineQueries {
        |SELECT u AS doc_id, MIN(r) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Hash-level pair-state oracle: the maintained cluster index's
+    * edge currency re-derived from scratch — the same simhash chain
+    * over the MERGED corpus, reduced to DISTINCT hash values, then
+    * the quadratic hamming check over hash pairs (the oracle can
+    * afford O(D²) at sf0.01; the Spark side's pigeonhole screen is
+    * the scale path, same output). Pins that the maintained pair
+    * state is a pure function of the live corpus cross-engine, not
+    * just spec-side. */
+  private def pairStateOracle: String =
+    s"""WITH ${simhashPairCtesFrom(s"($IncrMergedDocsSql)")},
+       |shd AS (SELECT DISTINCT h FROM shs)
+       |SELECT x.h AS h_a, y.h AS h_b FROM shd x JOIN shd y ON x.h < y.h
+       |WHERE bit_count(xor(x.h, y.h)) <= 3
+       |ORDER BY h_a, h_b""".stripMargin.replace("\n", " ")
+
   /** Keep-best survivorship oracle: the [[clustersOracle]] transitive
     * closure, then the argmax window (sc DESC, doc_id ASC) — the same
     * total order the Spark side encodes as max_by over
@@ -2241,6 +2256,74 @@ object PipelineQueries {
       // screen + affected-cluster CC + splits — is exactly the shape
       // to regression-time every round
       bench = true),
+    // The maintained cluster index's EDGE STATE itself, driver-checked
+    // (r19): hash-level (h_a, h_b) distinct-hash pairs within the
+    // radius after a bootstrap + one maintenance fold — a pure
+    // function of the live corpus, so the oracle re-derives it from
+    // scratch over the merged corpus with a quadratic hash-pair check.
+    // This is the cross-engine pin for the r19 pair-state redesign
+    // (doc-level O(near-doc-pairs) edges → hash-level
+    // O(near-hash-pairs)); the cluster MAP equality is
+    // dedup_clusters_incremental's row above.
+    Q("dedup_cluster_pair_state",
+      (s, d) => {
+        val (boot, feed) = incrementalDocFeed(t(s, d, "documents"))
+        val st = Dedup.clustersMaintain(
+          Dedup.clustersBootstrap(boot, "doc_id", "text"),
+          feed.select("seq", "op", "doc_id", "text"),
+          "doc_id", "text", "seq", "op")
+        st.pairs.orderBy("h_a", "h_b")
+      },
+      Some(pairStateOracle)),
+    // The capstone's STREAMING twin as a driver-checked row (r19):
+    // the same change feed folded through ManifestStream's six
+    // SnapshotStore homes (gate ∘ cluster fold ∘ meta snapshot ∘
+    // keep-best ∘ splits, frontier-first) — batch 0 is the bootstrap
+    // corpus as inserts (maintaining from empty state ≡ bootstrap:
+    // every home is a pure function of the folded prefix), batch 1
+    // the change batch. Constant score ⇒ min-id keepers, so the
+    // SERVED manifest shares pipeline_incremental_manifest's oracle
+    // verbatim — the stream and the batch capstone are pinned to the
+    // same scratch re-derivation by the driver itself.
+    Q("pipeline_manifest_stream",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").as("id"), col("text"), col("lang"))
+        val fCols = Seq("seq", "op", "id", "text", "lang").map(col(_))
+        val boot = docs.filter(col("id") % 5 =!= 4)
+          .select(col("id").as("seq"), lit("I").as("op"), col("id"),
+            col("text"), col("lang"))
+          .select(fCols: _*)
+        val feed = docs.filter(col("id") % 10 === 1)
+          .select(lit("U").as("op"), col("id"),
+            concat(col("text"), lit(" merge merge")).as("text"),
+            col("lang"))
+          .unionByName(docs.filter(col("id") % 10 === 3)
+            .select(lit("D").as("op"), col("id"),
+              lit(null).cast("string").as("text"),
+              lit(null).cast("string").as("lang")))
+          .unionByName(docs.filter(col("id") % 5 === 4)
+            .select(lit("I").as("op"), col("id"), col("text"),
+              col("lang")))
+          .withColumn("seq", lit(1000000L) + col("id"))
+          .select(fCols: _*)
+        def battery(df: DataFrame): DataFrame =
+          TextAnalysis.filterBattery(df, idCol = "id",
+            minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
+            maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
+            minDistinctRatio = 0.3)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_mf_q").toString
+        val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+        streaming.ManifestStream.foldBatch(boot, 0L, root,
+          battery, lit(0.0), splits)
+        streaming.ManifestStream.foldBatch(feed, 1L, root,
+          battery, lit(0.0), splits)
+        streaming.ManifestStream.readManifest(s, root)
+          .select(col("id").as("doc_id"), col("lang"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(incrementalManifestOracle)),
     // train/test decontamination: every 50th document plays the held-out
     // benchmark; the rest is the training corpus being screened
     Q("dedup_decontaminate",
