@@ -1113,9 +1113,12 @@ object Dedup {
       idCol: String, textCol: String, seqCol: String, opCol: String,
       maxHamming: Int = 3, chunks: Int = 4,
       persist: Boolean = true): ClusterIndexState = {
-    val latest = Cdc.latestChanges(
+    // persisted: the batch reduction feeds changedKeys (four key
+    // anti/semi joins + the touched union) and ups (sigs + members) —
+    // six lazy consumers would re-run the groupBy over the feed each
+    val latest = Caching.maybePersist(Cdc.latestChanges(
       changes.select(col(idCol), col(seqCol), col(opCol), col(textCol)),
-      idCol, seqCol, opCol)
+      idCol, seqCol, opCol), persist)
     val changedKeys = latest.select(col(idCol))
     val ups = latest.filter(col("__op") =!= "D")
       .select(col(idCol), col(textCol))
@@ -1124,6 +1127,11 @@ object Dedup {
     val nextSigs = Caching.maybePersist(
       prev.sigs.join(changedKeys, Seq(idCol), "left_anti")
         .unionByName(upsSigs), persist)
+    // persisted: the carried map is read by the affected derivation,
+    // the carried-cluster anti-join, and the member semi-join — and in
+    // the COMPOSED batch path (bootstrap ∘ maintain) each lazy read
+    // would re-run the bootstrap's final labels join over the corpus
+    val prevClusters = Caching.maybePersist(prev.clusters, persist)
     // affected hashes: a changed key's OLD hash (its group shrank or
     // died — one feed-bounded key join) plus every upsert's NEW hash
     val affectedHashes = Caching.maybePersist(
@@ -1167,9 +1175,9 @@ object Dedup {
     // persisted: consumed by the carried-cluster anti-join AND the
     // member semi-join — one scan of the corpus-sized map, not two
     val affected = Caching.maybePersist(
-      prev.clusters.join(touched, Seq(idCol), "left_semi")
+      prevClusters.join(touched, Seq(idCol), "left_semi")
         .select(col("cluster_id")).distinct(), persist)
-    val carriedClusters = prev.clusters
+    val carriedClusters = prevClusters
       .join(affected, Seq("cluster_id"), "left_anti")
       .select(col(idCol), col("cluster_id"))
     // localCheckpoint BOTH recompute inputs (eager): the CC loop
@@ -1181,7 +1189,7 @@ object Dedup {
     // parquet homes. All frames are feed-bounded (affected members /
     // their signatures / their induced edges), so the checkpoints are
     // small by construction.
-    val members = prev.clusters
+    val members = prevClusters
       .join(affected, Seq("cluster_id"), "left_semi")
       .select(col(idCol))
       .join(changedKeys, Seq(idCol), "left_anti")

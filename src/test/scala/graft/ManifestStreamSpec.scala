@@ -147,6 +147,27 @@ class ManifestStreamSpec extends SparkSpec {
         s"extra=${(got -- capstone).take(5)} missing=${(capstone -- got).take(5)}")
   }
 
+  test("a regressed feed trips the frontier guard BEFORE any home advances") {
+    val root = java.nio.file.Files.createTempDirectory("mf_rg").toString
+    ManifestStream.foldBatch(fDf(fb0), 0L, root, classify,
+      length(col("text")).cast("long"), splits, maxHamming = 0)
+    val before = mRows(ManifestStream.readManifest(spark, root))
+    val e = intercept[Throwable] {
+      // seq 2 ≤ frontier 4 — would re-apply an already-folded change
+      ManifestStream.foldBatch(fDf(Seq(
+        (2L, "U", 1L, "regressed row content", "en"))), 1L, root, classify,
+        length(col("text")).cast("long"), splits, maxHamming = 0)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("feed regressed")), s"frontier guard: $msgs")
+    Seq("f", "sig", "pairs", "cl", "meta", "manifest").foreach { h =>
+      assert(!new java.io.File(s"$root/$h/b=1/_SUCCESS").exists(),
+        s"home $h/ advanced to b=1 despite the guarded batch")
+    }
+    assert(mRows(ManifestStream.readManifest(spark, root)) == before)
+  }
+
   test("real stream with an injected crash replays exactly-once across " +
       "all six homes") {
     val src = java.nio.file.Files.createTempDirectory("mf_src").toString
