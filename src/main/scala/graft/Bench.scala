@@ -95,8 +95,11 @@ object Bench {
     // device) drifted, not the cores; both flat + inflated walls ⇒
     // bisect territory (scheduler/microarchitectural), but two of the
     // three known drift families are now self-attributing.
+    // pid-scoped path: a second bench process on the box must not
+    // overwrite this run's sentinel mid-read; deleted after the run
     val ioSentinelPath = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_bench_io_sentinel")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_bench_io_sentinel_${ProcessHandle.current().pid()}")
       .getAbsolutePath
     locally {
       import org.apache.spark.sql.functions.{col, xxhash64}
@@ -231,8 +234,15 @@ object Bench {
         var tries = 0
         while (kept.isEmpty && !failed) {
           val calib = calibSec
-          val calibIo = calibIoSec
+          // ORDER MATTERS: the MT spins must not sit downstream of a
+          // just-finished Spark job — the io sample IS one, and its
+          // executor/cleanup wind-down reads as all-core contention
+          // (measured: io-before-mt inflated pre-spins 2-6× on an
+          // IDLE box, exhausting the gate's retries). Keep the MT
+          // bracket adjacency exactly as round 18 had it (spin →
+          // exec → spin) and take the io samples outside it.
           val calibMt = sampleMt()
+          val calibIo = calibIoSec
           val g0 = gcMillis
           val c0 = cpuNanos
           val t0 = System.nanoTime()
@@ -241,12 +251,16 @@ object Bench {
             val wallSec = (System.nanoTime() - t0) / 1e9
             val cpuSec = if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9
             val calibMtPost = sampleMt()
+            val calibIoPost = calibIoSec
             // the kept row records the BRACKET MAX, not the pre-exec
             // sample alone: an iteration kept after gateRetries
             // exhausted (contention arriving mid-exec) must not land
             // in the artifact with a clean-looking calib column next
-            // to an inflated wall time
+            // to an inflated wall time — for the I/O column too
+            // (storage drift arriving mid-exec is exactly the shape
+            // the column exists to attribute)
             val calibMtRec = math.max(calibMt, calibMtPost)
+            val calibIoRec = math.max(calibIo, calibIoPost)
             val contended = gateRatio > 0 && calibMtRec > gateRatio * mtFloor
             if (contended && tries < gateRetries) {
               tries += 1
@@ -257,7 +271,7 @@ object Bench {
                 f"retry $tries/$gateRetries")
             } else {
               kept = Some((wallSec, gcMillis - g0, cpuSec, storageBytes,
-                calib, calibMtRec, calibIo))
+                calib, calibMtRec, calibIoRec))
             }
           }
           catch { case e: Throwable =>
@@ -385,5 +399,12 @@ object Bench {
       }
     }
     spark.stop()
+    // drop the sentinel table — tens of MB per run under tmpdir
+    // otherwise accumulate across runs (pid-scoped names never reuse)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(ioSentinelPath))
   }
 }

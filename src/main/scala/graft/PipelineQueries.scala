@@ -649,6 +649,35 @@ object PipelineQueries {
       .withColumn("seq", lit(1000000L) + col("doc_id")))
   }
 
+  /** [[incrementalDocFeed]] carrying `lang` (immutable per doc) in
+    * both frames and keyed/shaped for [[graft.streaming
+    * .ManifestStream]] — `(seq, op, id, text, lang)`, bootstrap as
+    * inserts at seq = id (below the change batch's 10⁶ + id). ONE
+    * definition shared by the `pipeline_manifest_stream` query and
+    * ManifestStreamSpec's capstone pin, so the fixture cannot drift
+    * from [[IncrMergedDocsLangSql]] copy-by-copy. */
+  private[graft] def manifestStreamFeed(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val d = docs.select(col("doc_id").as("id"), col("text"), col("lang"))
+    val fCols = Seq("seq", "op", "id", "text", "lang").map(col(_))
+    val boot = d.filter(col("id") % 5 =!= 4)
+      .select(col("id").as("seq"), lit("I").as("op"), col("id"),
+        col("text"), col("lang"))
+      .select(fCols: _*)
+    val feed = d.filter(col("id") % 10 === 1)
+      .select(lit("U").as("op"), col("id"),
+        concat(col("text"), lit(" merge merge")).as("text"), col("lang"))
+      .unionByName(d.filter(col("id") % 10 === 3)
+        .select(lit("D").as("op"), col("id"),
+          lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang")))
+      .unionByName(d.filter(col("id") % 5 === 4)
+        .select(lit("I").as("op"), col("id"), col("text"), col("lang")))
+      .withColumn("seq", lit(1000000L) + col("id"))
+      .select(fCols: _*)
+    (boot, feed)
+  }
+
   /** The merged corpus [[incrementalDocFeed]]'s batch produces, as the
     * oracle-side SELECT body — the scratch-rebuild input every
     * freshness pin compares against. */
@@ -2287,26 +2316,7 @@ object PipelineQueries {
     // same scratch re-derivation by the driver itself.
     Q("pipeline_manifest_stream",
       (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id").as("id"), col("text"), col("lang"))
-        val fCols = Seq("seq", "op", "id", "text", "lang").map(col(_))
-        val boot = docs.filter(col("id") % 5 =!= 4)
-          .select(col("id").as("seq"), lit("I").as("op"), col("id"),
-            col("text"), col("lang"))
-          .select(fCols: _*)
-        val feed = docs.filter(col("id") % 10 === 1)
-          .select(lit("U").as("op"), col("id"),
-            concat(col("text"), lit(" merge merge")).as("text"),
-            col("lang"))
-          .unionByName(docs.filter(col("id") % 10 === 3)
-            .select(lit("D").as("op"), col("id"),
-              lit(null).cast("string").as("text"),
-              lit(null).cast("string").as("lang")))
-          .unionByName(docs.filter(col("id") % 5 === 4)
-            .select(lit("I").as("op"), col("id"), col("text"),
-              col("lang")))
-          .withColumn("seq", lit(1000000L) + col("id"))
-          .select(fCols: _*)
+        val (boot, feed) = manifestStreamFeed(t(s, d, "documents"))
         def battery(df: DataFrame): DataFrame =
           TextAnalysis.filterBattery(df, idCol = "id",
             minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
@@ -2319,9 +2329,20 @@ object PipelineQueries {
           battery, lit(0.0), splits)
         streaming.ManifestStream.foldBatch(feed, 1L, root,
           battery, lit(0.0), splits)
-        streaming.ManifestStream.readManifest(s, root)
+        // materialize off the state homes (eager localCheckpoint —
+        // the returned frame serves from executor blocks), then drop
+        // the homes: every invocation otherwise leaves six parquet
+        // state directories in /tmp
+        val out = streaming.ManifestStream.readManifest(s, root)
           .select(col("id").as("doc_id"), col("lang"), col("split"))
           .orderBy("doc_id")
+          .localCheckpoint(true)
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree))
+          f.delete(); ()
+        }
+        rmTree(new java.io.File(root))
+        out
       },
       Some(incrementalManifestOracle)),
     // train/test decontamination: every 50th document plays the held-out

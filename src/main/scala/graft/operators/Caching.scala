@@ -17,6 +17,29 @@ private[graft] object Caching {
   def maybePersist(df: DataFrame, persist: Boolean): DataFrame =
     if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 
+  /** A batch-scoped register of the frames an operator persisted, so a
+    * LONG-RUNNING caller (a foreachBatch stream sink folding state
+    * every micro-batch) can release exactly those blocks once its
+    * terminal action commits — `spark.catalog.clearCache()` would
+    * nuke unrelated session caches, and skipping the release
+    * accumulates one corpus-sized cached copy per batch (the
+    * BENCH_r09 eviction-storm shape, rediscovered by review in the
+    * round-19 manifest sink). Not thread-safe; one tracker per fold. */
+  final class PersistTracker {
+    private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private[Caching] def add(df: DataFrame): Unit = frames += df
+    /** Unpersist every tracked frame (non-blocking). Only call after
+      * the fold's terminal action — the frames are lazy. */
+    def release(): Unit = { frames.foreach(_.unpersist(false)); frames.clear() }
+  }
+
+  /** [[maybePersist]] that also registers the persisted frame with
+    * `tracker` for a deterministic post-commit release. */
+  def maybePersist(df: DataFrame, persist: Boolean,
+      tracker: PersistTracker): DataFrame =
+    if (persist) { tracker.add(df); df.persist(StorageLevel.MEMORY_AND_DISK) }
+    else df
+
   /** Free the storage blocks behind a `localCheckpoint(true)`-ed frame.
     *
     * `Dataset.unpersist()` only releases catalog-cached plans; a local

@@ -1111,34 +1111,36 @@ object Dedup {
     * corpus. */
   def clustersMaintain(prev: ClusterIndexState, changes: DataFrame,
       idCol: String, textCol: String, seqCol: String, opCol: String,
-      maxHamming: Int = 3, chunks: Int = 4,
-      persist: Boolean = true): ClusterIndexState = {
+      maxHamming: Int = 3, chunks: Int = 4, persist: Boolean = true,
+      tracker: Caching.PersistTracker = new Caching.PersistTracker)
+      : ClusterIndexState = {
+    def persisted(df: DataFrame): DataFrame =
+      Caching.maybePersist(df, persist, tracker)
     // persisted: the batch reduction feeds changedKeys (four key
     // anti/semi joins + the touched union) and ups (sigs + members) —
     // six lazy consumers would re-run the groupBy over the feed each
-    val latest = Caching.maybePersist(Cdc.latestChanges(
+    val latest = persisted(Cdc.latestChanges(
       changes.select(col(idCol), col(seqCol), col(opCol), col(textCol)),
-      idCol, seqCol, opCol), persist)
+      idCol, seqCol, opCol))
     val changedKeys = latest.select(col(idCol))
     val ups = latest.filter(col("__op") =!= "D")
       .select(col(idCol), col(textCol))
-    val upsSigs = Caching.maybePersist(
-      simhashSignatures(ups, idCol, textCol), persist)
-    val nextSigs = Caching.maybePersist(
+    val upsSigs = persisted(simhashSignatures(ups, idCol, textCol))
+    val nextSigs = persisted(
       prev.sigs.join(changedKeys, Seq(idCol), "left_anti")
-        .unionByName(upsSigs), persist)
+        .unionByName(upsSigs))
     // persisted: the carried map is read by the affected derivation,
     // the carried-cluster anti-join, and the member semi-join — and in
     // the COMPOSED batch path (bootstrap ∘ maintain) each lazy read
     // would re-run the bootstrap's final labels join over the corpus
-    val prevClusters = Caching.maybePersist(prev.clusters, persist)
+    val prevClusters = persisted(prev.clusters)
     // affected hashes: a changed key's OLD hash (its group shrank or
     // died — one feed-bounded key join) plus every upsert's NEW hash
-    val affectedHashes = Caching.maybePersist(
+    val affectedHashes = persisted(
       prev.sigs.join(changedKeys, Seq(idCol), "left_semi")
         .select(col("simhash").as("h"))
         .unionByName(upsSigs.select(col("simhash").as("h")))
-        .distinct(), persist)
+        .distinct())
     val carriedPairs = prev.pairs
       .join(affectedHashes.select(col("h").as("h_a")), Seq("h_a"),
         "left_anti")
@@ -1152,11 +1154,10 @@ object Dedup {
     val liveAffected = affectedHashes
       .join(nextSigs.select(col("simhash").as("h")), Seq("h"), "left_semi")
     // persisted: feeds nextPairs AND (twice) the touched-hash set
-    val freshPairs = Caching.maybePersist(
-      hashScreen(liveAffected, nextSigs, "simhash", maxHamming, chunks),
-      persist)
-    val nextPairs = Caching.maybePersist(
-      carriedPairs.unionByName(freshPairs), persist)
+    val freshPairs = persisted(
+      hashScreen(liveAffected, nextSigs, "simhash", maxHamming, chunks))
+    val nextPairs = persisted(
+      carriedPairs.unionByName(freshPairs))
     // clusters that can change: those holding a changed key, a member
     // of an affected hash (an eq-merge partner group), or a fresh
     // hash pair's endpoint group. A DEAD hash contributes no members
@@ -1174,9 +1175,9 @@ object Dedup {
       .distinct()
     // persisted: consumed by the carried-cluster anti-join AND the
     // member semi-join — one scan of the corpus-sized map, not two
-    val affected = Caching.maybePersist(
+    val affected = persisted(
       prevClusters.join(touched, Seq(idCol), "left_semi")
-        .select(col("cluster_id")).distinct(), persist)
+        .select(col("cluster_id")).distinct())
     val carriedClusters = prevClusters
       .join(affected, Seq("cluster_id"), "left_anti")
       .select(col(idCol), col("cluster_id"))

@@ -37,15 +37,15 @@ import graft.operators.Dedup
   * surface. */
 object ClusterStream {
 
-  private def emptySigs(batch: DataFrame): DataFrame =
+  private[streaming] def emptySigs(batch: DataFrame): DataFrame =
     batch.select(col("id"), xxhash64(col("text")).as("simhash"))
       .filter(lit(false))
 
-  private def emptyPairs(batch: DataFrame): DataFrame =
+  private[streaming] def emptyPairs(batch: DataFrame): DataFrame =
     batch.select(xxhash64(col("text")).as("h_a"),
       xxhash64(col("text")).as("h_b")).filter(lit(false))
 
-  private def emptyClusters(batch: DataFrame): DataFrame =
+  private[streaming] def emptyClusters(batch: DataFrame): DataFrame =
     batch.select(col("id"), col("id").as("cluster_id")).filter(lit(false))
 
   /** Latest committed cluster map (the `cl/` home under `rootDir`). */
@@ -74,13 +74,21 @@ object ClusterStream {
     val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
       batch.select(lit(Long.MinValue).as("last_seq")).filter(lit(false)))
     val frontier = SnapshotStore.seqFrontier(fPrev, batch, "ClusterStream")
-    val next = Dedup.clustersMaintain(prev, batch, "id", "text",
-      "seq", "op", maxHamming, chunks)
-    // frontier FIRST — the guard must throw before any state advances
-    SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
-    SnapshotStore.commit(next.sigs, s"$rootDir/sig", id, retainBelow)
-    SnapshotStore.commit(next.pairs, s"$rootDir/pairs", id, retainBelow)
-    SnapshotStore.commit(next.clusters, s"$rootDir/cl", id, retainBelow)
+    // batch-scoped persist register: a CONTINUOUS sink folding every
+    // micro-batch must release the maintenance's internal caches once
+    // its homes commit, or it accumulates one corpus-sized cached
+    // copy per batch (the caller-clearCache contract assumes a
+    // per-query terminal action the long-running sink never reaches)
+    val tracker = new graft.operators.Caching.PersistTracker
+    try {
+      val next = Dedup.clustersMaintain(prev, batch, "id", "text",
+        "seq", "op", maxHamming, chunks, tracker = tracker)
+      // frontier FIRST — the guard must throw before any state advances
+      SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
+      SnapshotStore.commit(next.sigs, s"$rootDir/sig", id, retainBelow)
+      SnapshotStore.commit(next.pairs, s"$rootDir/pairs", id, retainBelow)
+      SnapshotStore.commit(next.clusters, s"$rootDir/cl", id, retainBelow)
+    } finally tracker.release()
   }
 
   /** Sink a document change feed as a continuously-maintained near-dup

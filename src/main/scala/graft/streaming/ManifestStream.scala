@@ -40,16 +40,10 @@ import graft.operators.{Caching, Cdc, Dedup, Sampling}
   * surface. */
 object ManifestStream {
 
-  private def emptySigs(batch: DataFrame): DataFrame =
-    batch.select(col("id"), xxhash64(col("text")).as("simhash"))
-      .filter(lit(false))
-
-  private def emptyPairs(batch: DataFrame): DataFrame =
-    batch.select(xxhash64(col("text")).as("h_a"),
-      xxhash64(col("text")).as("h_b")).filter(lit(false))
-
-  private def emptyClusters(batch: DataFrame): DataFrame =
-    batch.select(col("id"), col("id").as("cluster_id")).filter(lit(false))
+  // the four ClusterStream homes share its empty-frame schemas — ONE
+  // definition, so a state-schema change cannot silently diverge the
+  // two sinks' layouts (they must stay home-compatible)
+  import ClusterStream.{emptyClusters, emptyPairs, emptySigs}
 
   private def emptyMeta(batch: DataFrame, score: Column): DataFrame =
     batch.select(col("id"), col("lang"), score.as("__score"))
@@ -93,40 +87,50 @@ object ManifestStream {
     val frontier = SnapshotStore.seqFrontier(fPrev, batch, "ManifestStream")
     // gate once, consume thrice (cluster fold, meta fold, and the
     // maintenance-internal key reductions) — eager checkpoint keeps
-    // the batch-bounded curated feed from re-classifying per consumer
+    // the batch-bounded curated feed from re-classifying per consumer;
+    // freed in the finally below so a frontier-guard trip or a
+    // classify contract violation cannot strand the blocks
     val gated = Cdc.gateFeed(
       batch.select(col("seq"), col("op"), col("id"), col("text"),
         col("lang")), "id", "seq", "op")(classify)
       .localCheckpoint(true)
-    val next = Dedup.clustersMaintain(prev,
-      gated.select(col("seq"), col("op"), col("id"), col("text")),
-      "id", "text", "seq", "op", maxHamming, chunks)
-    val metaNext = Cdc.applyChanges(metaPrev,
-      gated.select(col("id"), col("lang"), score.as("__score"),
-        col("seq"), col("op")),
-      "id", "seq", "op")
-    // frontier FIRST — the guard must throw before any state advances
-    SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
-    SnapshotStore.commit(next.sigs, s"$rootDir/sig", id, retainBelow)
-    SnapshotStore.commit(next.pairs, s"$rootDir/pairs", id, retainBelow)
-    SnapshotStore.commit(next.clusters, s"$rootDir/cl", id, retainBelow)
-    SnapshotStore.commit(metaNext, s"$rootDir/meta", id, retainBelow)
-    // survivorship + splits are served FROM THE COMMITTED homes (flat
-    // parquet lineage — the CC map and meta snapshot re-read cheaply,
-    // and the manifest stays a pure function of committed state)
-    val clNow = SnapshotStore.stateSoFar(spark, s"$rootDir/cl", id + 1,
-      emptyClusters(batch))
-    val metaNow = SnapshotStore.stateSoFar(spark, s"$rootDir/meta", id + 1,
-      emptyMeta(batch, score))
-    val keepers = Dedup.keepBestFromClusters(clNow,
-        metaNow.select(col("id"), col("__score")), "id")
-      .filter(col("keep")).select(col("id"))
-    val manifest = Sampling.assignSplits(
-        keepers.join(metaNow.select(col("id"), col("lang")), Seq("id")),
-        "id", splits)
-      .select(col("id"), col("lang"), col("split"))
-    SnapshotStore.commit(manifest, s"$rootDir/manifest", id, retainBelow)
-    Caching.freeLocalCheckpoint(gated)
+    // batch-scoped persist register — the ClusterStream.foldBatch
+    // rationale: a continuous sink must release the maintenance's
+    // internal caches every batch or accumulate corpus-sized copies
+    val tracker = new Caching.PersistTracker
+    try {
+      val next = Dedup.clustersMaintain(prev,
+        gated.select(col("seq"), col("op"), col("id"), col("text")),
+        "id", "text", "seq", "op", maxHamming, chunks, tracker = tracker)
+      val metaNext = Cdc.applyChanges(metaPrev,
+        gated.select(col("id"), col("lang"), score.as("__score"),
+          col("seq"), col("op")),
+        "id", "seq", "op")
+      // frontier FIRST — the guard must throw before any state advances
+      SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
+      SnapshotStore.commit(next.sigs, s"$rootDir/sig", id, retainBelow)
+      SnapshotStore.commit(next.pairs, s"$rootDir/pairs", id, retainBelow)
+      SnapshotStore.commit(next.clusters, s"$rootDir/cl", id, retainBelow)
+      SnapshotStore.commit(metaNext, s"$rootDir/meta", id, retainBelow)
+      // survivorship + splits are served FROM THE COMMITTED homes (flat
+      // parquet lineage — the CC map and meta snapshot re-read cheaply,
+      // and the manifest stays a pure function of committed state)
+      val clNow = SnapshotStore.stateSoFar(spark, s"$rootDir/cl", id + 1,
+        emptyClusters(batch))
+      val metaNow = SnapshotStore.stateSoFar(spark, s"$rootDir/meta", id + 1,
+        emptyMeta(batch, score))
+      val keepers = Dedup.keepBestFromClusters(clNow,
+          metaNow.select(col("id"), col("__score")), "id")
+        .filter(col("keep")).select(col("id"))
+      val manifest = Sampling.assignSplits(
+          keepers.join(metaNow.select(col("id"), col("lang")), Seq("id")),
+          "id", splits)
+        .select(col("id"), col("lang"), col("split"))
+      SnapshotStore.commit(manifest, s"$rootDir/manifest", id, retainBelow)
+    } finally {
+      tracker.release()
+      Caching.freeLocalCheckpoint(gated)
+    }
   }
 
   /** Sink a document change feed as a continuously-maintained

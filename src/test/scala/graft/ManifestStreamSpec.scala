@@ -112,23 +112,11 @@ class ManifestStreamSpec extends SparkSpec {
   test("constant score ⇒ the stream reproduces the registered batch " +
       "capstone (pipeline_incremental_manifest) on the sf0.001 corpus") {
     val d = "/root/testdata/sf0.001"
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-      .select(col("doc_id").as("id"), col("text"), col("lang"))
-    val boot = docs.filter(col("id") % 5 =!= 4)
-      .select(col("id").as("seq"), lit("I").as("op"), col("id"),
-        col("text"), col("lang"))
-      .select(feedCols.map(col(_)): _*)
-    val feed = docs.filter(col("id") % 10 === 1)
-      .select(lit("U").as("op"), col("id"),
-        concat(col("text"), lit(" merge merge")).as("text"), col("lang"))
-      .unionByName(docs.filter(col("id") % 10 === 3)
-        .select(lit("D").as("op"), col("id"),
-          lit(null).cast("string").as("text"),
-          lit(null).cast("string").as("lang")))
-      .unionByName(docs.filter(col("id") % 5 === 4)
-        .select(lit("I").as("op"), col("id"), col("text"), col("lang")))
-      .withColumn("seq", lit(1000000L) + col("id"))
-      .select(feedCols.map(col(_)): _*)
+    // the SHARED fixture builder (also behind the registered
+    // pipeline_manifest_stream row), so this pin and the driver row
+    // cannot drift from the oracle's merged-corpus scheme copy-by-copy
+    val (boot, feed) = PipelineQueries.manifestStreamFeed(
+      spark.read.parquet(s"$d/documents.parquet"))
     def battery(df: DataFrame): DataFrame =
       TextAnalysis.filterBattery(df, idCol = "id",
         minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
