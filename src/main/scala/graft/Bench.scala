@@ -101,6 +101,17 @@ object Bench {
       System.getProperty("java.io.tmpdir"),
       s"graft_bench_io_sentinel_${ProcessHandle.current().pid()}")
       .getAbsolutePath
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    // the sentinel dir is tens of MB and pid-scoped (names never
+    // reuse): the end-of-run delete below only fires on CLEAN
+    // completion, so a crashed or killed bench run would leak one dir
+    // per failure — a shutdown hook covers abnormal exits (SIGTERM,
+    // uncaught throw) too; kill -9 remains unrecoverable by design
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      rmTree(new java.io.File(ioSentinelPath))))
     locally {
       import org.apache.spark.sql.functions.{col, xxhash64}
       spark.range(0, 4000000L, 1, 8)
@@ -399,12 +410,9 @@ object Bench {
       }
     }
     spark.stop()
-    // drop the sentinel table — tens of MB per run under tmpdir
-    // otherwise accumulate across runs (pid-scoped names never reuse)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
+    // drop the sentinel table eagerly on the clean path (the shutdown
+    // hook above also covers this, but deleting before JVM teardown
+    // keeps the hook a no-op in the common case)
     rmTree(new java.io.File(ioSentinelPath))
   }
 }

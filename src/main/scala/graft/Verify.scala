@@ -24,8 +24,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // a row whose result is an eager localCheckpoint (the
+        // streaming-twin rows checkpoint off their temp state homes)
+        // holds RDD storage blocks clearCache below cannot touch —
+        // free them once the result is on disk (no-op for plain plans)
+        operators.Caching.freeLocalCheckpoint(df)
+      }
       catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

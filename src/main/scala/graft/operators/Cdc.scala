@@ -485,13 +485,24 @@ object Cdc {
     *
     * `classify` receives the winners' non-delete rows (full column
     * shape) and must return one `(idCol, keep)` row per input row —
-    * e.g. [[graft.operators.TextAnalysis.filterBattery]]. A classify
-    * that DROPS a row fails loudly (raise_error on the unmatched
-    * winner) instead of silently leaving the stale image live in
-    * every maintained view. One key-reduce plus one id-keyed join of
-    * the winners against their own flags (ids are unique after the
-    * reduce, so the join cannot fan out); the feed's column order is
-    * preserved. */
+    * e.g. [[graft.operators.TextAnalysis.filterBattery]]. Two classify
+    * contract violations fail loudly, each with its own message: a
+    * classify that DROPS a row (no flag for a winner — the stale image
+    * would stay live in every maintained view) and a classify that
+    * returns a NULL `keep` value (neither admit nor retract). One
+    * key-reduce plus one id-keyed join of the winners against their
+    * own flags (ids are unique after the reduce, so the join cannot
+    * fan out); the feed's column order is preserved.
+    *
+    * Two more contract guarantees (r20): the winner reduction orders
+    * by `struct(seq, op)`, so two same-key rows with EQUAL seq would
+    * tie-break by op lexicographically — silently, against the feed
+    * contract's monotone-seq promise; the reduction therefore asserts
+    * per-key seq uniqueness and raises on a duplicated (key, seq).
+    * And a gated retraction emits its `D` with NULL payload columns
+    * (the winning seq is retained — a feed row needs it), honouring
+    * the downstream maintainers' documented "payload NULL on deletes"
+    * contract instead of leaking the failing winner's image. */
   def gateFeed(changes: DataFrame, idCol: String, seqCol: String,
       opCol: String)(classify: DataFrame => DataFrame): DataFrame = {
     // the [[latestChanges]] reduction, inlined to RETAIN the winning
@@ -501,18 +512,41 @@ object Cdc {
     val payload = changes.columns.filterNot(Seq(idCol, opCol).contains)
     val latest = changes.groupBy(col(idCol)).agg(
         max_by(col(opCol), ord).as(opCol),
-        payload.map(c => max_by(col(c), ord).as(c)): _*)
+        payload.map(c => max_by(col(c), ord).as(c)) ++ Seq(
+          count(lit(1)).as("__n"),
+          count_distinct(col(seqCol)).as("__nseq")): _*)
+      .filter(assert_true(col("__nseq") === col("__n"), concat(
+        lit("gateFeed: duplicate (key, seq) in batch for id "),
+        col(idCol).cast("string"),
+        lit(" — the feed contract requires per-key unique, monotone " +
+          "seq; an equal-seq pair would tie-break by op silently")))
+        .isNull)
       .select(changes.columns.map(col(_)): _*)
     val iu = latest.filter(col(opCol) =!= "D")
-    val flags = classify(iu).select(col(idCol), col("keep"))
-    val gated = iu.join(flags, Seq(idCol), "left")
+    // __classified marks "classify emitted a row for this id" so a
+    // dropped winner (flag row absent) and a NULL keep VALUE (flag row
+    // present, keep null) raise distinct messages — they are different
+    // classify bugs and the old single isNull check conflated them
+    val flags = classify(iu)
+      .select(col(idCol), col("keep"), lit(true).as("__classified"))
+    val gatedOps = iu.join(flags, Seq(idCol), "left")
       .withColumn(opCol,
-        when(col("keep").isNull, raise_error(concat(
+        when(col("__classified").isNull, raise_error(concat(
           lit("gateFeed: classify returned no flag for id "),
-          col(idCol).cast("string"))))
+          col(idCol).cast("string"),
+          lit(" (the classify function dropped the row)"))))
+          .when(col("keep").isNull, raise_error(concat(
+            lit("gateFeed: classify returned a NULL keep value for id "),
+            col(idCol).cast("string"))))
           .when(col("keep"), col(opCol))
           .otherwise(lit("D")))
-      .drop("keep")
+    // a gated retraction is a DELETE: null its payload (except the
+    // winning seq) so downstream maintainers' "payload NULL on
+    // deletes" contract holds for gated feeds too
+    val gated = payload.filterNot(_ == seqCol).foldLeft(gatedOps) {
+      (df, c) => df.withColumn(c, when(col(opCol) === "D",
+        lit(null).cast(df.schema(c).dataType)).otherwise(col(c)))
+    }.drop("keep", "__classified")
     latest.filter(col(opCol) === "D")
       .unionByName(gated.select(changes.columns.map(col(_)): _*))
   }

@@ -338,9 +338,12 @@ class CdcSpec extends SparkSpec {
     val gated = Cdc.gateFeed(feed, "k", "seq", "op")(df =>
       df.select(col("k"), (col("v") >= 0L).as("keep")))
     val got = gated.select("seq", "op", "k", "v")
-      .as[(Long, String, Long, Long)].collect().toSeq
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
     assert(got.size == 2, s"one row per key, got: $got")
-    assert(got.toSet == Set((2L, "U", 10L, 100L), (4L, "D", 20L, -1L)),
+    // the retraction carries its winning seq but a NULL payload — the
+    // downstream "payload NULL on deletes" feed contract holds for
+    // gated deletes too (ADVICE r19)
+    assert(got.toSet == Set((2L, "U", 10L, Some(100L)), (4L, "D", 20L, None)),
       s"gated winners: $got")
     // and the fold over the gated feed equals filtering the merged
     // corpus from scratch — for BOTH orderings
@@ -374,6 +377,56 @@ class CdcSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
     assert(msgs.contains("classify returned no flag"),
       s"silent row drop must raise, got: $msgs")
+  }
+
+  test("gateFeed: a classify that returns a NULL keep value fails " +
+      "LOUDLY, with a message distinct from the dropped-row case") {
+    val feed = Seq((1L, "I", 10L, 1L), (2L, "I", 20L, 2L))
+      .toDF("seq", "op", "k", "v")
+    val e = intercept[Throwable] {
+      Cdc.gateFeed(feed, "k", "seq", "op")(df =>
+        df.select(col("k"),
+          when(col("k") =!= 20L, col("v") >= 0L).as("keep")))
+        .collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("NULL keep value"),
+      s"NULL keep must raise its own message, got: $msgs")
+    assert(!msgs.contains("returned no flag"),
+      s"NULL keep must not be conflated with a dropped row: $msgs")
+  }
+
+  test("gateFeed: a duplicated (key, seq) in one batch fails LOUDLY " +
+      "instead of tie-breaking by op silently") {
+    // the winner reduction orders by struct(seq, op); two same-key
+    // rows with EQUAL seq would pick 'U' over 'I' over 'D'
+    // lexicographically — a silent resolution the feed contract
+    // (per-key monotone seq) says can never be needed. Assert it
+    // raises (VERDICT r19 #5).
+    val feed = Seq(
+      (7L, "U", 10L, 1L),
+      (7L, "D", 10L, 0L), // same key, same seq — contract violation
+      (8L, "I", 20L, 2L)
+    ).toDF("seq", "op", "k", "v")
+    val e = intercept[Throwable] {
+      Cdc.gateFeed(feed, "k", "seq", "op")(df =>
+        df.select(col("k"), lit(true).as("keep"))).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("duplicate (key, seq)"),
+      s"equal-seq pair must raise, got: $msgs")
+    // distinct seqs for the same key stay legal (the whole point of
+    // the winner reduction) — same shape, seqs 7 and 9
+    val ok = Cdc.gateFeed(Seq(
+        (7L, "U", 10L, 1L), (9L, "D", 10L, 0L), (8L, "I", 20L, 2L))
+        .toDF("seq", "op", "k", "v"),
+      "k", "seq", "op")(df => df.select(col("k"), lit(true).as("keep")))
+      .select("seq", "op", "k").as[(Long, String, Long)].collect().toSet
+    assert(ok == Set((9L, "D", 10L), (8L, "I", 20L)), s"winners: $ok")
   }
 
   test("gateFeed ∘ maintainJoinView-style folds: gate∘maintain ≡ " +

@@ -1104,8 +1104,17 @@ class GraphSpec extends SparkSpec {
     // is the measured license for the cheap default, and the contrast
     // with betweenness (whose sparse panel agreed 6/50 with denser
     // ones) is the point of running the same discipline here.
-    assert(overlaps == Seq(18, 19, 18, 42, 45, 44),
-      s"rounds-stability overlaps moved (re-pin the measured block): $overlaps")
+    // The assertion is a directional FLOOR (≥75% overlap at both
+    // depths), not the exact vector (VERDICT r19 #6): the measurement
+    // above is deterministic on the committed testdata, but a testdata
+    // regeneration should not red the suite on a cosmetic re-pin —
+    // what the pin protects is "rounds=2 stays in strong agreement
+    // with deeper iterations", and a drop below 75% would be a real
+    // stability break worth investigating, not noise.
+    val floors = Seq(15, 15, 15, 38, 38, 38)
+    assert(overlaps.lazyZip(floors).forall(_ >= _),
+      s"rounds-stability overlap fell below the 75% floor " +
+        s"(measured r19: 18,19,18,42,45,44): $overlaps vs floors $floors")
     // the direction, robust to regeneration: rounds=2 must agree with
     // deeper iterations at top-20 roughly as well as 3 agrees with 4
     assert(overlaps.take(2).min >= overlaps(2) - 2,
@@ -1125,8 +1134,13 @@ class GraphSpec extends SparkSpec {
     // constraint the default ever brushes; a far denser graph (or a
     // caller pushing rounds ≫ 4) hits the loud assert_true, never a
     // silent wrap.
-    assert(maxes == Seq(74L, 446L, 2376L),
-      s"walk-count maxima moved (re-pin the measured block): $maxes")
+    // directional, regeneration-tolerant form of the old exact pin
+    // (measured r19: 74 / 446 / 2376): the walk counts must grow
+    // strictly per round — the spectral-radius multiplication the
+    // headroom formula below rests on — without the exact values
+    assert(maxes(0) > 0L && maxes(1) > maxes(0) && maxes(2) > maxes(1),
+      s"walk-count maxima no longer grow per round " +
+        s"(measured r19: 74, 446, 2376): $maxes")
     assert(headroomRounds > 5.0,
       f"BIGINT guard headroom collapsed: growth ×$growth%.1f/round, " +
         f"$headroomRounds%.1f rounds left after rounds=4")
