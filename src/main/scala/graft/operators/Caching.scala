@@ -27,10 +27,23 @@ private[graft] object Caching {
     * round-19 manifest sink). Not thread-safe; one tracker per fold. */
   final class PersistTracker {
     private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private val ckpts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     private[Caching] def add(df: DataFrame): Unit = frames += df
-    /** Unpersist every tracked frame (non-blocking). Only call after
-      * the fold's terminal action — the frames are lazy. */
-    def release(): Unit = { frames.foreach(_.unpersist(false)); frames.clear() }
+    /** Register an eagerly `localCheckpoint(true)`-ed frame so
+      * [[release]] also frees its RDD storage blocks — the checkpoint
+      * twin of [[add]]: a per-batch stream fold otherwise leaks one
+      * set of (feed-bounded, but real) checkpoint blocks per batch,
+      * at the mercy of the async ContextCleaner. The frame is
+      * unusable after release (see [[freeLocalCheckpoint]]). */
+    def addCheckpoint(df: DataFrame): DataFrame = { ckpts += df; df }
+    /** Unpersist every tracked frame and free every tracked local
+      * checkpoint (non-blocking). Only call after the fold's terminal
+      * action — the frames are lazy and the checkpoints' blocks are
+      * their only storage. */
+    def release(): Unit = {
+      frames.foreach(_.unpersist(false)); frames.clear()
+      ckpts.foreach(freeLocalCheckpoint); ckpts.clear()
+    }
   }
 
   /** [[maybePersist]] that also registers the persisted frame with

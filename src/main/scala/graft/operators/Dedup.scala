@@ -965,6 +965,26 @@ object Dedup {
   final case class ClusterIndexState(sigs: DataFrame, pairs: DataFrame,
       clusters: DataFrame)
 
+  /** The CHANGE a maintenance fold made to each [[ClusterIndexState]]
+    * home, as latest-wins delta rows — `__dop` 'U' (upsert, full
+    * payload) / 'D' (delete, payload NULL) plus the home's columns,
+    * at most one row per key, and every frame FEED-BOUNDED: sigs
+    * tracks the batch's winner keys, pairs the affected-hash edge
+    * churn, clusters the affected clusters' membership. Applying a
+    * delta over the previous home (drop delta keys, add 'U' rows —
+    * [[graft.streaming.DeltaStore.applyDelta]]) reproduces the next
+    * home exactly; the streaming sinks persist THESE instead of the
+    * corpus-sized full states (the r19 verdict's O(corpus)-write-per-
+    * batch gap). */
+  final case class ClusterIndexDeltas(sigs: DataFrame, pairs: DataFrame,
+      clusters: DataFrame)
+
+  /** A maintenance step's full result: the next standing state (what
+    * batch callers consume) plus the per-home deltas (what the
+    * streaming sinks commit). */
+  final case class ClusterIndexUpdate(state: ClusterIndexState,
+      deltas: ClusterIndexDeltas)
+
   /** Build the [[ClusterIndexState]] from scratch over a corpus — the
     * bootstrap, and the scratch-rebuild reference every maintenance
     * pin compares against (the state is a pure function of the live
@@ -1113,7 +1133,24 @@ object Dedup {
       idCol: String, textCol: String, seqCol: String, opCol: String,
       maxHamming: Int = 3, chunks: Int = 4, persist: Boolean = true,
       tracker: Caching.PersistTracker = new Caching.PersistTracker)
-      : ClusterIndexState = {
+      : ClusterIndexState =
+    clustersMaintainUpdate(prev, changes, idCol, textCol, seqCol, opCol,
+      maxHamming, chunks, persist, tracker).state
+
+  /** [[clustersMaintain]] that also returns the per-home DELTAS (see
+    * [[ClusterIndexDeltas]]) — same algebra, same full next state; the
+    * deltas fall out of frames the fold already computes (the batch
+    * winner reduction, the affected-hash pair churn, the affected
+    * clusters' membership), so asking for them adds joins only over
+    * feed-bounded frames. The eager member/edge checkpoints are
+    * registered with `tracker` so a per-batch stream fold can free
+    * their blocks after its commits (a long-lived sink otherwise
+    * leaks one set per batch). */
+  def clustersMaintainUpdate(prev: ClusterIndexState, changes: DataFrame,
+      idCol: String, textCol: String, seqCol: String, opCol: String,
+      maxHamming: Int = 3, chunks: Int = 4, persist: Boolean = true,
+      tracker: Caching.PersistTracker = new Caching.PersistTracker)
+      : ClusterIndexUpdate = {
     def persisted(df: DataFrame): DataFrame =
       Caching.maybePersist(df, persist, tracker)
     // persisted: the batch reduction feeds changedKeys (four key
@@ -1129,6 +1166,14 @@ object Dedup {
     val nextSigs = persisted(
       prev.sigs.join(changedKeys, Seq(idCol), "left_anti")
         .unionByName(upsSigs))
+    // the sig home's delta IS the winner reduction: upserts carry
+    // their new hash, delete winners a NULL one (a D for a key never
+    // in the state is a harmless no-op under latest-wins)
+    val sigDelta = upsSigs
+      .select(lit("U").as("__dop"), col(idCol), col("simhash"))
+      .unionByName(latest.filter(col("__op") === "D")
+        .select(lit("D").as("__dop"), col(idCol),
+          lit(null).cast(upsSigs.schema("simhash").dataType).as("simhash")))
     // persisted: the carried map is read by the affected derivation,
     // the carried-cluster anti-join, and the member semi-join — and in
     // the COMPOSED batch path (bootstrap ∘ maintain) each lazy read
@@ -1158,6 +1203,23 @@ object Dedup {
       hashScreen(liveAffected, nextSigs, "simhash", maxHamming, chunks))
     val nextPairs = persisted(
       carriedPairs.unionByName(freshPairs))
+    // the pair home's delta: every stored pair touching an affected
+    // hash that the screen did NOT re-derive is a delete; the screen's
+    // fresh pairs are the upserts (a fresh pair that already existed
+    // rewrites identical content — idempotent under latest-wins). The
+    // two sides are disjoint by the anti-join, so the delta keeps the
+    // one-row-per-key contract.
+    val pairDelta = freshPairs
+      .select(lit("U").as("__dop"), col("h_a"), col("h_b"))
+      .unionByName(prev.pairs
+        .join(affectedHashes.select(col("h").as("h_a"),
+          lit(true).as("__ta")), Seq("h_a"), "left")
+        .join(affectedHashes.select(col("h").as("h_b"),
+          lit(true).as("__tb")), Seq("h_b"), "left")
+        .filter(col("__ta").isNotNull || col("__tb").isNotNull)
+        .select(col("h_a"), col("h_b"))
+        .join(freshPairs, Seq("h_a", "h_b"), "left_anti")
+        .select(lit("D").as("__dop"), col("h_a"), col("h_b")))
     // clusters that can change: those holding a changed key, a member
     // of an affected hash (an eq-merge partner group), or a fresh
     // hash pair's endpoint group. A DEAD hash contributes no members
@@ -1190,31 +1252,47 @@ object Dedup {
     // parquet homes. All frames are feed-bounded (affected members /
     // their signatures / their induced edges), so the checkpoints are
     // small by construction.
-    val members = prevClusters
+    val oldMembers = prevClusters
       .join(affected, Seq("cluster_id"), "left_semi")
       .select(col(idCol))
+    val members = tracker.addCheckpoint(oldMembers
       .join(changedKeys, Seq(idCol), "left_anti")
       .unionByName(ups.select(col(idCol)))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // every live member of a member's hash group is itself a member
     // (same-hash docs share a cluster, and that cluster is affected),
     // so the per-group min over memberSigs is the TRUE canon and
     // docEdges over the restriction is the true induced edge set
-    val memberSigs = nextSigs.join(members, Seq(idCol), "left_semi")
-      .localCheckpoint(true)
+    val memberSigs = tracker.addCheckpoint(
+      nextSigs.join(members, Seq(idCol), "left_semi")
+        .localCheckpoint(true))
     val memberHashes = memberSigs.select(col("simhash")).distinct()
     val inducedHashPairs = nextPairs
       .join(memberHashes.select(col("simhash").as("h_a")), Seq("h_a"),
         "left_semi")
       .join(memberHashes.select(col("simhash").as("h_b")), Seq("h_b"),
         "left_semi")
-    val inducedEdges = docEdges(memberSigs, idCol, "simhash",
-        inducedHashPairs)
-      .localCheckpoint(true)
+    val inducedEdges = tracker.addCheckpoint(
+      docEdges(memberSigs, idCol, "simhash", inducedHashPairs)
+        .localCheckpoint(true))
     val recomputed = connectedComponents(members, idCol, inducedEdges)
       .select(col(idCol), col("cluster_id"))
-    ClusterIndexState(nextSigs, nextPairs,
-      carriedClusters.unionByName(recomputed))
+    // the cluster home's delta: the affected clusters' NEW membership
+    // as upserts, their vanished members (deleted docs, and docs whose
+    // recomputed cluster carries a different id — covered by the 'U'
+    // overwrite) as deletes. Disjoint by the anti-join; both sides
+    // bounded by the affected clusters' membership.
+    val clusterDelta = recomputed
+      .select(lit("U").as("__dop"), col(idCol), col("cluster_id"))
+      .unionByName(oldMembers
+        .join(recomputed.select(col(idCol)), Seq(idCol), "left_anti")
+        .select(lit("D").as("__dop"), col(idCol),
+          lit(null).cast(prevClusters.schema("cluster_id").dataType)
+            .as("cluster_id")))
+    ClusterIndexUpdate(
+      ClusterIndexState(nextSigs, nextPairs,
+        carriedClusters.unionByName(recomputed)),
+      ClusterIndexDeltas(sigDelta, pairDelta, clusterDelta))
   }
 }

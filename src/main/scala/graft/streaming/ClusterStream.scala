@@ -20,22 +20,40 @@ import graft.operators.Dedup
   * Feed contract (one row per change): `(seq, op, id, text)` with
   * op ∈ I/U/D, payload NULL on deletes, `seq` feed-monotone.
   *
-  * State lives under FOUR [[SnapshotStore]] homes per root — `sig/`
-  * (one 64-bit simhash per live doc), `pairs/` (the HASH-level
-  * near-pair edge set, (h_a, h_b) distinct-hash pairs within the
-  * radius — O(docs + near-hash-pairs) state, so an all-duplicates
-  * feed persists ZERO pair rows instead of N²/2; see
-  * [[graft.operators.Dedup.ClusterIndexState]]), `cl/` (the cluster
-  * map), and `f/` (the 1-row feed
-  * frontier). Every home is read strictly-below the batch id, so a
-  * crash between ANY two commits replays to identical content; the
-  * monotone-seq guard rides the frontier plan and the FRONTIER HOME
-  * COMMITS FIRST (the [[IvmStream]] join-twin lesson).
+  * State lives under FOUR homes per root: three corpus-sized
+  * [[DeltaStore]] delta homes — `sig/` (one 64-bit simhash per live
+  * doc), `pairs/` (the HASH-level near-pair edge set, (h_a, h_b)
+  * distinct-hash pairs within the radius — O(docs + near-hash-pairs)
+  * state, so an all-duplicates feed persists ZERO pair rows instead
+  * of N²/2; see [[graft.operators.Dedup.ClusterIndexState]]), `cl/`
+  * (the cluster map) — plus the 1-row feed frontier `f/`, which stays
+  * a [[SnapshotStore]] snapshot home (rewriting one row per batch is
+  * the snapshot protocol's sweet spot). Each batch WRITES ONLY ITS
+  * DELTAS (the fold computes O(Δ) and now also persists O(Δ) — the
+  * r19 verdict's write-amplification gap); `compactEvery` bounds the
+  * delta-partition count via [[DeltaStore.compact]]'s staged swap.
+  * Every home is read strictly-below the batch id, so a crash between
+  * ANY two commits replays to identical content; the monotone-seq
+  * guard rides the frontier plan and the FRONTIER HOME COMMITS FIRST
+  * (the [[IvmStream]] join-twin lesson). A layout marker under the
+  * root makes a cross-build state-schema change fail with a loud
+  * "rebootstrap" message instead of a bare AnalysisException
+  * (ADVICE r19).
   *
   * The reference engine is read-only over static CSVs
   * (/root/reference/sqlengine.py; SURVEY.md §2.9); extension
   * surface. */
 object ClusterStream {
+
+  /** Layout tag stamped under every root this sink writes: bump it
+    * whenever a home's schema or protocol changes (r19 doc-level →
+    * hash-level pairs taught why; r20 snapshot → delta homes bumped
+    * it again). */
+  private[streaming] val LayoutTag = "cluster-delta-v2"
+
+  private[streaming] val SigKeys = Seq("id")
+  private[streaming] val PairKeys = Seq("h_a", "h_b")
+  private[streaming] val ClKeys = Seq("id")
 
   private[streaming] def emptySigs(batch: DataFrame): DataFrame =
     batch.select(col("id"), xxhash64(col("text")).as("simhash"))
@@ -50,44 +68,61 @@ object ClusterStream {
 
   /** Latest committed cluster map (the `cl/` home under `rootDir`). */
   def readClusters(spark: SparkSession, rootDir: String): DataFrame =
-    SnapshotStore.readLatest(spark, rootDir + "/cl", "cluster map")
+    DeltaStore.readLatest(spark, rootDir + "/cl", "cluster map", ClKeys)
 
   /** Latest committed signature index (the `sig/` home). */
   def readSigs(spark: SparkSession, rootDir: String): DataFrame =
-    SnapshotStore.readLatest(spark, rootDir + "/sig", "signature index")
+    DeltaStore.readLatest(spark, rootDir + "/sig", "signature index",
+      SigKeys)
 
   /** Latest committed hash-level near-pair edge set (the `pairs/`
     * home): (h_a, h_b) distinct-hash pairs within the radius. */
   def readPairs(spark: SparkSession, rootDir: String): DataFrame =
-    SnapshotStore.readLatest(spark, rootDir + "/pairs", "near-pair set")
+    DeltaStore.readLatest(spark, rootDir + "/pairs", "near-pair set",
+      PairKeys)
 
   /** One foreachBatch step, public for spec-driven replay and crash
     * injection: fold change-batch `id` onto the carried cluster index
-    * and commit `f/`, `sig/`, `pairs/`, `cl/` at `b=<id>`. */
+    * and commit the `f/` frontier plus the three homes' DELTAS at
+    * `b=<id>`. `compactEvery > 0` folds a [[DeltaStore.compact]] of
+    * each delta home into every Nth batch (replay-safe: the newest
+    * delta is never merged, and foreachBatch serialization means no
+    * reader races the swap). */
   def foldBatch(batch: DataFrame, id: Long, rootDir: String,
-      maxHamming: Int = 3, chunks: Int = 4, retainBelow: Int = 1): Unit = {
+      maxHamming: Int = 3, chunks: Int = 4, retainBelow: Int = 1,
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    DeltaStore.ensureLayoutMarker(spark, rootDir, LayoutTag)
     val prev = Dedup.ClusterIndexState(
-      SnapshotStore.stateSoFar(spark, s"$rootDir/sig", id, emptySigs(batch)),
-      SnapshotStore.stateSoFar(spark, s"$rootDir/pairs", id, emptyPairs(batch)),
-      SnapshotStore.stateSoFar(spark, s"$rootDir/cl", id, emptyClusters(batch)))
+      DeltaStore.stateSoFar(spark, s"$rootDir/sig", id, emptySigs(batch),
+        SigKeys),
+      DeltaStore.stateSoFar(spark, s"$rootDir/pairs", id, emptyPairs(batch),
+        PairKeys),
+      DeltaStore.stateSoFar(spark, s"$rootDir/cl", id, emptyClusters(batch),
+        ClKeys))
     val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
       batch.select(lit(Long.MinValue).as("last_seq")).filter(lit(false)))
     val frontier = SnapshotStore.seqFrontier(fPrev, batch, "ClusterStream")
     // batch-scoped persist register: a CONTINUOUS sink folding every
-    // micro-batch must release the maintenance's internal caches once
-    // its homes commit, or it accumulates one corpus-sized cached
-    // copy per batch (the caller-clearCache contract assumes a
-    // per-query terminal action the long-running sink never reaches)
+    // micro-batch must release the maintenance's internal caches (and
+    // its eager member/edge checkpoints) once its homes commit, or it
+    // accumulates one set per batch (the caller-clearCache contract
+    // assumes a per-query terminal action the long-running sink never
+    // reaches)
     val tracker = new graft.operators.Caching.PersistTracker
     try {
-      val next = Dedup.clustersMaintain(prev, batch, "id", "text",
+      val upd = Dedup.clustersMaintainUpdate(prev, batch, "id", "text",
         "seq", "op", maxHamming, chunks, tracker = tracker)
       // frontier FIRST — the guard must throw before any state advances
       SnapshotStore.commit(frontier, s"$rootDir/f", id, retainBelow)
-      SnapshotStore.commit(next.sigs, s"$rootDir/sig", id, retainBelow)
-      SnapshotStore.commit(next.pairs, s"$rootDir/pairs", id, retainBelow)
-      SnapshotStore.commit(next.clusters, s"$rootDir/cl", id, retainBelow)
+      DeltaStore.commitDelta(upd.deltas.sigs, s"$rootDir/sig", id)
+      DeltaStore.commitDelta(upd.deltas.pairs, s"$rootDir/pairs", id)
+      DeltaStore.commitDelta(upd.deltas.clusters, s"$rootDir/cl", id)
+      if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+        DeltaStore.compact(spark, s"$rootDir/sig", SigKeys)
+        DeltaStore.compact(spark, s"$rootDir/pairs", PairKeys)
+        DeltaStore.compact(spark, s"$rootDir/cl", ClKeys)
+      }
     } finally tracker.release()
   }
 
@@ -95,12 +130,13 @@ object ClusterStream {
     * cluster map (see [[foldBatch]] for the contract). */
   def clusterSink(changes: DataFrame, rootDir: String, checkpoint: String,
       maxHamming: Int = 3, chunks: Int = 4,
-      retainBelow: Int = 1): StreamingQuery =
+      retainBelow: Int = 1, compactEvery: Int = 0): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        foldBatch(batch, id, rootDir, maxHamming, chunks, retainBelow)
+        foldBatch(batch, id, rootDir, maxHamming, chunks, retainBelow,
+          compactEvery)
       }
       .start()
 }

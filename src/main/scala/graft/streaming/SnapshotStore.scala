@@ -7,7 +7,14 @@ import org.apache.spark.sql.functions._
 /** The versioned-snapshot exactly-once protocol shared by the
   * cumulative-state streaming twins ([[EwmaStream]], [[CusumStream]])
   * — ONE home for the contract so a protocol fix cannot silently miss
-  * a sibling:
+  * a sibling. SCOPE (r20): this protocol is for state that is SMALL
+  * PER BATCH — one scalar row per key (the twins above) or one row
+  * total (the `f/` feed frontiers) — because every batch rewrites the
+  * FULL state. Corpus-sized keyed state (signature indexes, cluster
+  * maps, metadata snapshots, the served manifest) belongs in
+  * [[DeltaStore]], whose per-batch write is the DELTA: the r19
+  * verdict's write-amplification finding, closed by moving
+  * [[ClusterStream]]/[[ManifestStream]] onto it.
   *
   *  - each batch writes the FULL state — one small row per key — to
   *    `stateDir/b=<id>` (overwrite-by-batch-id), so a replay of the

@@ -80,6 +80,99 @@ class ClusterStreamSpec extends SparkSpec {
       "partial-commit replay must converge")
   }
 
+  test("a small batch's written delta rows track the CHANGE, not the " +
+      "corpus — the r19 write-amplification gap, closed") {
+    val root = java.nio.file.Files.createTempDirectory("cl_dl").toString
+    // bootstrap: 60 docs in 20 exact-dup clusters of 3
+    val boot = (0 until 60).map(i =>
+      (i.toLong, "I", i.toLong, s"shared text of group ${i % 20}"))
+    ClusterStream.foldBatch(fDf(boot), 0L, root, maxHamming = 0)
+    // batch 1: ONE doc rewritten out of its cluster into a singleton
+    ClusterStream.foldBatch(fDf(Seq(
+      (100L, "U", 7L, "a rewritten singleton"))), 1L, root, maxHamming = 0)
+    def rows(h: String, b: Long): Long =
+      spark.read.parquet(s"$root/$h/b=$b").count()
+    assert(rows("sig", 0) == 60, "bootstrap delta carries the corpus")
+    assert(rows("sig", 1) == 1,
+      s"sig delta must carry the ONE changed key, got ${rows("sig", 1)}")
+    // cl delta: the affected cluster's membership only — doc 7's old
+    // cluster {7, 27, 47} recomputed (7 now a singleton), 19 other
+    // clusters carry with ZERO written rows
+    assert(rows("cl", 1) <= 4,
+      s"cl delta must track the affected cluster, got ${rows("cl", 1)}")
+    assert(rows("pairs", 1) <= 2,
+      s"pair delta must track the affected hashes, got ${rows("pairs", 1)}")
+    // and the reconstructed state still equals a scratch rebuild
+    val merged = (0 until 60).map(i => (i.toLong,
+      if (i == 7) "a rewritten singleton" else s"shared text of group ${i % 20}"))
+      .toDF("id", "text")
+    val ref = Dedup.clustersBootstrap(merged, "id", "text", maxHamming = 0)
+    assert(clRows(ClusterStream.readClusters(spark, root)) ==
+      clRows(ref.clusters), "delta-reconstructed map != scratch rebuild")
+  }
+
+  test("compaction bounds the delta-partition count, preserves the " +
+      "reconstructed state, and replay after compaction still converges") {
+    val root = java.nio.file.Files.createTempDirectory("cl_cp").toString
+    val batches = Seq(
+      Seq((1L, "I", 1L, "alpha"), (2L, "I", 2L, "alpha"),
+        (3L, "I", 3L, "beta")),
+      Seq((10L, "I", 4L, "alpha"), (11L, "U", 3L, "gamma")),
+      Seq((20L, "D", 2L, null.asInstanceOf[String]),
+        (21L, "I", 5L, "beta")),
+      Seq((30L, "U", 1L, "beta"), (31L, "I", 6L, "alpha")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ClusterStream.foldBatch(fDf(b), i.toLong, root, maxHamming = 0,
+        compactEvery = 2)
+    }
+    // compactEvery = 2 ran at batches 2 and 4 worth of merges: the
+    // sig home must hold fewer committed partitions than batches
+    def parts(h: String): Int = new java.io.File(s"$root/$h").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("b=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    assert(parts("sig") < batches.size,
+      s"compaction never merged: ${parts("sig")} sig partitions")
+    val merged = Seq((1L, "beta"), (3L, "gamma"), (4L, "alpha"),
+      (5L, "beta"), (6L, "alpha")).toDF("id", "text")
+    val ref = Dedup.clustersBootstrap(merged, "id", "text", maxHamming = 0)
+    assert(clRows(ClusterStream.readClusters(spark, root)) ==
+      clRows(ref.clusters), "post-compaction map != scratch rebuild")
+    assert(ClusterStream.readSigs(spark, root)
+      .as[(Long, Long)].collect().toSet ==
+      ref.sigs.as[(Long, Long)].collect().toSet,
+      "post-compaction sigs != scratch")
+    // the newest batch stays replayable after compaction
+    ClusterStream.foldBatch(fDf(batches.last), 3L, root, maxHamming = 0,
+      compactEvery = 2)
+    assert(clRows(ClusterStream.readClusters(spark, root)) ==
+      clRows(ref.clusters), "replay after compaction diverged")
+  }
+
+  test("a pre-marker or foreign-layout state root fails LOUDLY with a " +
+      "rebootstrap message, BEFORE any read can mis-resolve (ADVICE r19)") {
+    // pre-marker state: home content but no _graft_layout file — the
+    // pre-r20 snapshot layout resumed by this build
+    val root = java.nio.file.Files.createTempDirectory("cl_mk").toString
+    assert(new java.io.File(s"$root/cl/b=0").mkdirs())
+    val e1 = intercept[IllegalStateException] {
+      ClusterStream.foldBatch(fDf(fb0), 1L, root, maxHamming = 0)
+    }
+    assert(e1.getMessage.contains("wipe the root"), e1.getMessage)
+    // foreign marker: a root written by some future layout tag
+    val root2 = java.nio.file.Files.createTempDirectory("cl_mk2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root2, "_graft_layout"), "cluster-delta-v99")
+    val e2 = intercept[IllegalStateException] {
+      ClusterStream.foldBatch(fDf(fb0), 0L, root2, maxHamming = 0)
+    }
+    assert(e2.getMessage.contains("state layout changed"), e2.getMessage)
+    // and a matching marker is a silent no-op (the normal path)
+    val root3 = java.nio.file.Files.createTempDirectory("cl_mk3").toString
+    ClusterStream.foldBatch(fDf(fb0), 0L, root3, maxHamming = 0)
+    ClusterStream.foldBatch(fDf(fb1), 1L, root3, maxHamming = 0)
+    assert(clRows(ClusterStream.readClusters(spark, root3)).nonEmpty)
+  }
+
   test("a regressed feed trips the frontier guard BEFORE any home advances") {
     val root = java.nio.file.Files.createTempDirectory("cl_rg").toString
     ClusterStream.foldBatch(fDf(fb0), 0L, root, maxHamming = 0)

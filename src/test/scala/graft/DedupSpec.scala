@@ -354,6 +354,57 @@ class DedupSpec extends SparkSpec {
       "clusters diverged from scratch")
   }
 
+  test("clustersMaintainUpdate: applying each home's delta over the " +
+      "previous state reproduces the next state exactly — and the " +
+      "deltas are per-key unique and feed-bounded") {
+    import graft.streaming.DeltaStore
+    // the split/merge/re-wire fixture above, asked for its DELTAS —
+    // the rows the streaming sinks persist instead of the full state
+    val boot = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (10L, "delta epsilon"),
+      (20L, "zeta eta theta")).toDF("doc_id", "text")
+    val st0 = Dedup.clustersBootstrap(boot, "doc_id", "text",
+      maxHamming = 0, chunks = 4)
+    val feed = Seq(
+      (101L, "U", 2L, "rewritten entirely"),
+      (102L, "D", 1L, null.asInstanceOf[String]),
+      (103L, "I", 30L, "zeta eta theta"),
+      (104L, "I", 40L, "iota kappa")).toDF("seq", "op", "doc_id", "text")
+    val upd = Dedup.clustersMaintainUpdate(st0, feed, "doc_id", "text",
+      "seq", "op", maxHamming = 0, chunks = 4)
+    // delta ∘ prev ≡ next, home by home (the DeltaStore read protocol
+    // folds exactly this application)
+    def sets(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(sets(DeltaStore.applyDelta(st0.sigs, upd.deltas.sigs,
+      Seq("doc_id"))) == sets(upd.state.sigs), "sig delta != sig state")
+    assert(sets(DeltaStore.applyDelta(st0.pairs, upd.deltas.pairs,
+      Seq("h_a", "h_b"))) == sets(upd.state.pairs),
+      "pair delta != pair state")
+    assert(sets(DeltaStore.applyDelta(st0.clusters, upd.deltas.clusters,
+      Seq("doc_id"))) == sets(upd.state.clusters),
+      "cluster delta != cluster state")
+    // per-key uniqueness — the DeltaStore write contract
+    Seq("sigs" -> (upd.deltas.sigs, Seq("doc_id")),
+      "pairs" -> (upd.deltas.pairs, Seq("h_a", "h_b")),
+      "clusters" -> (upd.deltas.clusters, Seq("doc_id"))).foreach {
+      case (nm, (d, keys)) =>
+        val dup = d.groupBy(keys.map(col(_)): _*)
+          .count().filter(col("count") > 1).count()
+        assert(dup == 0, s"$nm delta carries $dup duplicated keys")
+    }
+    // feed-bounded: the sig delta is exactly the batch's winner keys
+    // (4 changed keys), the cluster delta only the affected clusters'
+    // old∪new membership — {1,2,3} (split + delete), {20,30} (merge),
+    // {40} (new) — never the untouched {10}
+    assert(upd.deltas.sigs.count() == 4)
+    val clIds = upd.deltas.clusters.select("doc_id")
+      .as[Long].collect().toSet
+    assert(clIds == Set(1L, 2L, 3L, 20L, 30L, 40L),
+      s"cluster delta keys: $clIds (10 must carry untouched)")
+  }
+
   test("keepBestFromClusters over a maintained map: a grown update takes " +
       "over its cluster; the deleted keeper's runner-up surfaces") {
     // boot: {1,2} same text (keeper by length tie → min id 1), {10}

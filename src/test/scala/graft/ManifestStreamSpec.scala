@@ -135,6 +135,47 @@ class ManifestStreamSpec extends SparkSpec {
         s"extra=${(got -- capstone).take(5)} missing=${(capstone -- got).take(5)}")
   }
 
+  test("incremental survivorship: an untouched cluster writes ZERO " +
+      "manifest delta rows — a small batch's written rows track the " +
+      "delta across every home (r19 verdict #1+#2, closed)") {
+    val root = java.nio.file.Files.createTempDirectory("mf_dl").toString
+    // bootstrap: two dup clusters {1,2} and {30,31}, singletons 10, 40
+    val b0: Seq[FRow] = Seq(
+      (1L, "I", 1L, "alpha beta gamma", "en"),
+      (2L, "I", 2L, "alpha beta gamma", "en"),
+      (3L, "I", 30L, "epsilon zeta eta", "de"),
+      (4L, "I", 31L, "epsilon zeta eta", "de"),
+      (5L, "I", 10L, "singleton number ten", "en"),
+      (6L, "I", 40L, "singleton number forty", "fr"))
+    ManifestStream.foldBatch(fDf(b0), 0L, root, classify,
+      length(col("text")).cast("long"), splits, maxHamming = 0)
+    // batch 1 touches ONLY cluster {1,2}: doc 2 is rewritten out of
+    // it (hash-equal clustering → a split; both docs become keepers)
+    ManifestStream.foldBatch(fDf(Seq(
+      (10L, "U", 2L, "alpha beta gamma and then some", "en"))),
+      1L, root, classify, length(col("text")).cast("long"), splits,
+      maxHamming = 0)
+    def delta(h: String, b: Long) = spark.read.parquet(s"$root/$h/b=$b")
+    // the manifest delta names ONLY the touched cluster's docs — the
+    // untouched {30,31}, 10, 40 carry with zero written rows
+    val mIds = delta("manifest", 1L).select("id").as[Long].collect().toSet
+    assert(mIds == Set(1L, 2L),
+      s"manifest delta must touch only the affected cluster: $mIds")
+    assert(delta("sig", 1L).count() == 1, "sig delta: the one changed key")
+    assert(delta("meta", 1L).count() == 1, "meta delta: the one changed key")
+    val clIds = delta("cl", 1L).select("id").as[Long].collect().toSet
+    assert(clIds == Set(1L, 2L),
+      s"cl delta must cover the affected cluster only: $clIds")
+    // and the SERVED manifest equals scratch over the merged corpus
+    val merged = Seq((1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma and then some", "en"),
+      (30L, "epsilon zeta eta", "de"), (31L, "epsilon zeta eta", "de"),
+      (10L, "singleton number ten", "en"),
+      (40L, "singleton number forty", "fr")).toDF("id", "text", "lang")
+    assert(mRows(ManifestStream.readManifest(spark, root)) ==
+      scratchManifest(merged), "served manifest != scratch")
+  }
+
   test("a regressed feed trips the frontier guard BEFORE any home advances") {
     val root = java.nio.file.Files.createTempDirectory("mf_rg").toString
     ManifestStream.foldBatch(fDf(fb0), 0L, root, classify,
