@@ -25,6 +25,29 @@ object PipelineQueries {
 
   private val D4 = DecimalType(18, 4)
 
+  /** Input-skew remedy for compute-heavy corpus queries (guide §2.5:
+    * "one huge unsplittable file … repartition immediately after the
+    * read"). The testdata tables are single-file/single-row-group
+    * parquet, so every scan plans as ONE task and the tokenizer/
+    * hash-heavy map work upstream of the first exchange runs
+    * single-threaded (measured: 0.5-0.8 s single-task stages under
+    * dedup_minhash, doc_dup_span_removal and the capstones at sf0.1
+    * on 32 cores). Scale-adaptive by construction: the round-robin
+    * spread fires only when the planned scan parallelism is below
+    * half the session's default parallelism — at cluster scale a real
+    * corpus arrives in many splits and this is a no-op. Call ONLY on
+    * scan-rooted frames (`.rdd` on a shuffle-bearing AQE frame would
+    * eagerly materialize its stages). Row-to-partition assignment is
+    * retry-deterministic (sortBeforeRepartition, on by default) and
+    * no registered result depends on partitioning — the repo's
+    * partitioning-invariance contract, re-verified by the oracle gate
+    * after this change. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target)
+    else df
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle builders for the vector/LSH queries. All vector
   // arithmetic is a sequential left-to-right double fold in BOTH engines
@@ -1577,7 +1600,7 @@ object PipelineQueries {
   // ---------------------------------------------------------------------
   private val text = Vector(
     Q("doc_token_stats",
-      (s, d) => TextAnalysis.withTokenStats(t(s, d, "documents"))
+      (s, d) => TextAnalysis.withTokenStats(spread(t(s, d, "documents")))
         .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "distinct_ratio"),
       Some(s"""SELECT doc_id,
              |len($ToksSql) AS n_tokens,
@@ -1775,8 +1798,9 @@ object PipelineQueries {
     // ones (93-token spans), so cut / keep / NULL paths all run
     // against real mass.
     Q("doc_dup_span_removal",
-      (s, d) => TextAnalysis.removeDuplicatedSpans(t(s, d, "documents"),
-        "doc_id", "text", n = 3, minSpanTokens = 5),
+      (s, d) => TextAnalysis.removeDuplicatedSpans(
+        spread(t(s, d, "documents")), "doc_id", "text",
+        n = 3, minSpanTokens = 5),
       Some(s"""WITH dyk AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE len($ToksSql) > 0),
              |dyw AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 3)) AS i, toks FROM dyk WHERE len(toks) >= 3),
              |dyg AS (SELECT doc_id, i, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS win FROM dyw),
@@ -2008,8 +2032,8 @@ object PipelineQueries {
              |ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
              |FROM documents) WHERE rn = 1""".stripMargin.replace("\n", " "))),
     Q("dedup_minhash",
-      (s, d) => Dedup.minhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.7).orderBy("a", "b"),
+      (s, d) => Dedup.minhashNearDuplicates(spread(t(s, d, "documents")),
+        "doc_id", "text", threshold = 0.7).orderBy("a", "b"),
       Some(minhashOracle), bench = true),
     // LSH recall vs exhaustive ground truth (inverted-index all-pairs
     // — never a cartesian; doc count assert_true'd against maxDocs):
@@ -2263,7 +2287,7 @@ object PipelineQueries {
     // chain in SQL so the hash pins the composition, not just the parts.
     Q("pipeline_training_manifest",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = spread(t(s, d, "documents"))
         val kept = docs.join(
           TextAnalysis.filterBattery(docs,
               minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
@@ -2294,7 +2318,7 @@ object PipelineQueries {
     // filter→dedup→split over the merged corpus row-for-row.
     Q("pipeline_incremental_manifest",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = spread(t(s, d, "documents"))
         val (boot, feed) = incrementalDocFeed(docs)
         def battery(df: DataFrame): DataFrame =
           TextAnalysis.filterBattery(df,
@@ -2331,7 +2355,7 @@ object PipelineQueries {
     // → wall curve the pair of rows anchors.
     Q("pipeline_incremental_manifest_2pct",
       (s, d) => {
-        val docs = t(s, d, "documents")
+        val docs = spread(t(s, d, "documents"))
         val (boot, feed) = incrementalDocFeedMod(docs, 150)
         def battery(df: DataFrame): DataFrame =
           TextAnalysis.filterBattery(df,
@@ -4560,7 +4584,7 @@ object PipelineQueries {
     Q("doc_bm25_incremental",
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(
-          t(s, d, "documents").select(col("doc_id"), col("text")))
+          spread(t(s, d, "documents").select(col("doc_id"), col("text"))))
         val post1 = operators.Cdc.applyChangesGrouped(
           TextAnalysis.tokenIndex(boot, "doc_id", "text"),
           feed, "doc_id", "seq", "op")(
@@ -4991,7 +5015,8 @@ object PipelineQueries {
     Q("mm_phash_pairs",
       (s, d) => operators.Dedup.hammingNearPairsMih(
         operators.Multimodal.perceptualHash(
-          withPayload(withMediaReplicas(t(s, d, "documents"))), "doc_id", "payload"),
+          withPayload(withMediaReplicas(spread(t(s, d, "documents")))),
+          "doc_id", "payload"),
         "id", "phash", maxHamming = 7, chunks = 4).orderBy("a", "b"),
       Some(phashPairsOracle(maxHamming = 7)),
       // benched: the candidate-generation strategy here has a history

@@ -846,14 +846,28 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (1) min over each vertex's neighborhood labels
-      val nbrMin = edges
+      // (1) label(u) := min(own label, min over neighbor labels) — the
+      // neighbor contributions and the self row fused into ONE union +
+      // ONE aggregation (r20, guide §2.3/§2.4: the former per-round
+      // nbrMin groupBy + left-join-back pair paid two extra exchanges,
+      // and since the pointer jump's self-join evaluates `stepped`
+      // twice — exchange reuse cannot kick in because the two sides
+      // project different columns — the saving is doubled). An eager
+      // checkpoint here instead would kill the double-compute outright
+      // but was measured SLOWER end-to-end (one more materialization
+      // barrier per round — +12 actions across the capstone's two CC
+      // runs outweighed the saved recompute). __old (the pre-round
+      // label) rides the SAME aggregation as the self row's label —
+      // exactly one __self row exists per vertex — so convergence
+      // stays a scan of materialized round output.
+      val stepped = edges
         .join(labels.withColumnRenamed("__u", "__v"), "__v")
-        .groupBy("__u").agg(min(col("__lbl")).as("__nbr"))
-      val stepped = labels.join(nbrMin, Seq("__u"), "left")
-        .select(col("__u"),
-          least(col("__lbl"), coalesce(col("__nbr"), col("__lbl"))).as("__lbl"),
-          col("__lbl").as("__old"))
+        .select(col("__u"), col("__lbl"), lit(false).as("__self"))
+        .unionByName(labels.select(col("__u"), col("__lbl"),
+          lit(true).as("__self")))
+        .groupBy("__u")
+        .agg(min(col("__lbl")).as("__lbl"),
+          min(when(col("__self"), col("__lbl"))).as("__old"))
       // (2) pointer jump: label(v) := label(label(v)) — path
       // compression, the difference between O(diameter) and
       // O(log diameter) rounds. Every label IS a vertex id (a min over
@@ -861,10 +875,7 @@ object Dedup {
       // jump only decreases the label. ONE jump per round: chaining a
       // second jump before the checkpoint nests self-joins of the same
       // un-materialized plan and planning/execution degenerates —
-      // measured minutes instead of seconds per round. __old (the
-      // pre-round label) rides through the checkpoint so convergence
-      // is a scan of the ALREADY-materialized round result, not a
-      // second label-join job per round.
+      // measured minutes instead of seconds per round.
       val parents = stepped
         .select(col("__u").as("__pu"), col("__lbl").as("__plbl"))
       val next = stepped.join(parents, col("__lbl") === col("__pu"))

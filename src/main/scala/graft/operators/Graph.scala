@@ -223,15 +223,25 @@ object Graph {
   def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
       seedFilter: Column => Column, iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // r20 (guide §5 caching): `edges` is consumed by BOTH `deg` and
+    // `edgesDeg`, and `deg` by both `edgesDeg` and the rank init — with
+    // only edgesDeg persisted, the (possibly expensive) upstream pair
+    // pipeline re-ran up to three times before the loop even started
+    // (measured: the co-purchase self-join executed twice, ~1.5 s of
+    // the benched graph_pagerank). Both are released as soon as round
+    // 1 has materialized edgesDeg's cache — only edgesDeg stays pinned
+    // for the loop's lifetime, so peak storage is unchanged at scale.
     val edges = symmetricEdges(pairs, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("__u").agg(count(lit(1)).as("__deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgesDeg = edges.join(deg, "__u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var ranks = deg.select(col("__u").as("id"),
         when(seedFilter(col("__u")), lit(1000000L)).otherwise(lit(0L))
           .as("rank_micro"))
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val prev = ranks
         ranks = edgesDeg
           .join(ranks, edgesDeg("__u") === ranks("id"))
@@ -244,9 +254,10 @@ object Graph {
               expr("(85 * __s) div 100")).as("rank_micro"))
           .localCheckpoint(true)
         Caching.freeLocalCheckpoint(prev)
+        if (i == 1) { edges.unpersist(); deg.unpersist() }
       }
       ranks
-    } finally edgesDeg.unpersist()
+    } finally { edgesDeg.unpersist(); deg.unpersist(); edges.unpersist() }
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
@@ -359,15 +370,20 @@ object Graph {
       bCol: String, wCol: String, seedFilter: Column => Column,
       iterations: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // r20: same multi-consumer persist hygiene as [[personalizedPageRank]]
+    // — edges feeds strength AND edgesStr, strength feeds edgesStr AND
+    // the rank init; both released once round 1 materializes the cache
     val edges = symmetricWeightedEdges(pairs, aCol, bCol, wCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val strength = edges.groupBy("__u").agg(sum(col("__w")).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgesStr = edges.join(strength, "__u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var ranks = strength.select(col("__u").as("id"),
         when(seedFilter(col("__u")), lit(1000000L)).otherwise(lit(0L))
           .as("rank_micro"))
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val prev = ranks
         ranks = edgesStr
           .join(ranks, edgesStr("__u") === ranks("id"))
@@ -380,9 +396,10 @@ object Graph {
               expr("(85 * __sum) div 100")).as("rank_micro"))
           .localCheckpoint(true)
         Caching.freeLocalCheckpoint(prev)
+        if (i == 1) { edges.unpersist(); strength.unpersist() }
       }
       ranks
-    } finally edgesStr.unpersist()
+    } finally { edgesStr.unpersist(); strength.unpersist(); edges.unpersist() }
   }
 
   /** Weighted synchronous label propagation: [[labelPropagation]]
@@ -1502,58 +1519,84 @@ object Graph {
           if (horizonRow.isNullAt(0)) 0 else horizonRow.getLong(0).toInt
       }
       // ---- sketch path (HyperBall — the 100 TB path) ----
-      var sk = edges.select(col("__u").as("id")).distinct()
+      val spark = pairs.sparkSession
+      // (the groupBy subsumes the former distinct() — inserting the
+      // same id twice leaves HLL registers, and so the serialized
+      // sketch, unchanged; one aggregation instead of two)
+      var sk = edges.select(col("__u").as("id"))
         .groupBy("id").agg(expr(s"hll_sketch_agg(id, $lgK)").as("__bs"))
         .localCheckpoint(true)
-      def roundTotal(h: Int, skDf: DataFrame): DataFrame =
-        skDf.filter(sourceFilter(col("id")))
-          .agg(sum(expr("hll_sketch_estimate(__bs)")).as("approx_pairs"))
-          .select(lit(h.toLong).as("hops"), col("approx_pairs"))
-          .localCheckpoint(true)
-      var approx = roundTotal(0, sk)
+      // per-round panel totals are 1-row aggregates — collected to the
+      // driver (bounded by construction) and re-emitted as literal
+      // rows, instead of the former per-round 1-row localCheckpoint
+      // (one fewer job per round, and the final union plans over
+      // ≤ maxHops+1 literal rows)
+      def totalOf(skDf: DataFrame): java.lang.Long = {
+        val r = skDf.filter(sourceFilter(col("id")))
+          .agg(sum(expr("hll_sketch_estimate(__bs)"))).head
+        if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      }
+      def totalRow(h: Int, v: java.lang.Long): DataFrame =
+        spark.range(1).select(lit(h.toLong).as("hops"),
+          (if (v == null) lit(null).cast("long") else lit(v.longValue))
+            .as("approx_pairs"))
+      val totals = scala.collection.mutable.ArrayBuffer(
+        0 -> totalOf(sk))
       var h = 1
       var stable = false
       while (h <= horizon && !stable) {
+        // r20 round fusion (guide §1.4/§2.3): the union tags the self
+        // row, so ONE aggregation yields both the merged sketch AND
+        // the pre-round sketch (__prev — exactly one __self row exists
+        // per vertex), and ONE 1-row scan of the checkpointed result
+        // reads this round's panel total AND the exact fixpoint probe.
+        // The former shape paid a separate roundTotal job plus an
+        // O(V)-sketch-bytes probe self-join (two more shuffles of ~4 KB
+        // HLL rows per vertex) every round.
         val merged = sk
-          .union(edges.join(sk, edges("__v") === sk("id"))
-            .select(edges("__u").as("id"), col("__bs")))
+          .select(col("id"), col("__bs"), lit(true).as("__self"))
+          .unionByName(edges.join(sk, edges("__v") === sk("id"))
+            .select(edges("__u").as("id"), col("__bs"),
+              lit(false).as("__self")))
           // clustered by id BEFORE the agg: the aggregate then runs
           // in place on unionParts partitions (HashPartitioning(id)
           // satisfies its clustering), so no task ever buffers more
           // than its own id slice of sketches
           .repartition(unionParts, col("id"))
-          .groupBy("id").agg(expr("hll_union_agg(__bs)").as("__bs"))
+          .groupBy("id").agg(expr("hll_union_agg(__bs)").as("__bs"),
+            max(when(col("__self"), col("__bs"))).as("__prev"))
           .localCheckpoint(true)
-        val total = roundTotal(h, merged) // materialized before the free
-        // EXACT fixpoint probe on the two materialized frames
+        // EXACT fixpoint probe, now a column of the same 1-row scan
         // (production mode only — the audit mode's BFS horizon already
-        // caps the loop, making the probe pure overhead there): the
-        // register-max union is monotone and idempotent, so ONE no-op
-        // round means every later round is a no-op too — remaining
-        // grid rows are this round's total verbatim, and the saturated
-        // graph stops paying O(E) sketch joins. The probe is an O(V)
-        // co-partitioned self-join, cheap beside the edge join. A
-        // changed serialization with unchanged registers cannot occur
-        // (the encoding is a function of the state); a spurious
-        // difference merely skips the stop — never wrong, only slower.
-        val changed =
-          if (dist.nonEmpty) 1L
-          else merged.alias("__n")
-            .join(sk.alias("__p"), col("__n.id") === col("__p.id"))
-            .filter(col("__n.__bs") =!= col("__p.__bs"))
-            .count()
+        // caps the loop): the register-max union is monotone and
+        // idempotent, so ONE no-op round means every later round is a
+        // no-op too — remaining grid rows are this round's total
+        // verbatim, and the saturated graph stops paying O(E) sketch
+        // joins. A changed serialization with unchanged registers
+        // cannot occur (the encoding is a function of the state); a
+        // spurious difference merely skips the stop — never wrong,
+        // only slower.
+        val statsRow = merged.agg(
+          sum(when(sourceFilter(col("id")),
+            expr("hll_sketch_estimate(__bs)"))).as("__t"),
+          count(when(col("__bs") =!= col("__prev"), lit(1))).as("__chg"))
+          .head
+        val total: java.lang.Long =
+          if (statsRow.isNullAt(0)) null
+          else java.lang.Long.valueOf(statsRow.getLong(0))
+        val changed = if (dist.nonEmpty) 1L else statsRow.getLong(1)
         Caching.freeLocalCheckpoint(sk)
         sk = merged
-        approx = approx.union(total)
+        totals += (h -> total)
         if (changed == 0L) {
           stable = true
-          for (hh <- h + 1 to horizon)
-            approx = approx.union(
-              total.select(lit(hh.toLong).as("hops"), col("approx_pairs")))
+          for (hh <- h + 1 to horizon) totals += (hh -> total)
         }
         h += 1
       }
       Caching.freeLocalCheckpoint(sk)
+      val approx = totals.map { case (hh, v) => totalRow(hh, v) }
+        .reduce(_.union(_))
       // hop-grid frames from here on: ≤ maxHops+1 rows by construction,
       // so the unpartitioned windows are bounded
       val wCum = Window.orderBy("hops")

@@ -594,11 +594,20 @@ object TextAnalysis {
     * in tokens. Documents shorter than `n` tokens have no windows and
     * emit nothing. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    duplicatedSpansFromToks(
+      df.select(col(idCol), tokens(col(textCol)).as("__toks")), idCol, n)
+
+  /** [[duplicatedSpans]] over a pre-tokenized `(idCol, __toks)` frame —
+    * the factoring that lets [[removeDuplicatedSpans]] tokenize the
+    * corpus ONCE (cached) for both its span derivation and its token-
+    * position side instead of re-running the tokenizer per consumer
+    * (r20, guide §2.3: one corpus scan, not two). */
+  private def duplicatedSpansFromToks(toksDf: DataFrame, idCol: String,
+      n: Int): DataFrame = {
     require(n >= 1, "window width must be at least 1 token")
     import org.apache.spark.sql.expressions.Window
-    val wins = df
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val wins = toksDf
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, size(__toks) - $n),
@@ -770,20 +779,26 @@ object TextAnalysis {
     * document was duplicated mass (the row survives so the caller
     * sees what was dropped — the segmentDedup contract). */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minSpanTokens: Int = 5): DataFrame = {
+      n: Int = 3, minSpanTokens: Int = 5,
+      persist: Boolean = true): DataFrame = {
     require(minSpanTokens >= n,
       s"minSpanTokens=$minSpanTokens must be >= the window width n=$n " +
         "(no span shorter than one window exists)")
-    val toks = df
+    // tokenized ONCE, cached: the span derivation, the token-position
+    // side, and the final right-join each consume it — re-deriving
+    // meant three tokenizer passes over the raw corpus (r20; the
+    // cached frame is ~the tokenized text, the minhashNearDuplicates
+    // shingle-set persist contract)
+    val toks = Caching.maybePersist(df
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) > 0)
+      .filter(size(col("__toks")) > 0), persist)
     val pos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("__p", "__tok")))
     // qualifying spans → covered positions [start, start+len)
     // adjacent maximal spans (separated by one unshared START) can
     // still overlap in covered TOKENS when n ≥ 3; no distinct needed —
     // an anti join is multiplicity-insensitive on its right side
-    val covered = duplicatedSpans(df, idCol, textCol, n)
+    val covered = duplicatedSpansFromToks(toks, idCol, n)
       .filter(col("span_tokens") >= minSpanTokens)
       .select(col(idCol), explode(sequence(col("span_start"),
         col("span_start") + col("span_tokens") - 1)).as("__p"))
