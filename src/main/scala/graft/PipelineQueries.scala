@@ -4584,7 +4584,7 @@ object PipelineQueries {
     Q("doc_bm25_incremental",
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(
-          spread(t(s, d, "documents").select(col("doc_id"), col("text"))))
+          t(s, d, "documents").select(col("doc_id"), col("text")))
         val post1 = operators.Cdc.applyChangesGrouped(
           TextAnalysis.tokenIndex(boot, "doc_id", "text"),
           feed, "doc_id", "seq", "op")(
@@ -5015,7 +5015,7 @@ object PipelineQueries {
     Q("mm_phash_pairs",
       (s, d) => operators.Dedup.hammingNearPairsMih(
         operators.Multimodal.perceptualHash(
-          withPayload(withMediaReplicas(spread(t(s, d, "documents")))),
+          withPayload(withMediaReplicas(t(s, d, "documents"))),
           "doc_id", "payload"),
         "id", "phash", maxHamming = 7, chunks = 4).orderBy("a", "b"),
       Some(phashPairsOracle(maxHamming = 7)),
