@@ -148,18 +148,31 @@ object Queries {
         .select(col("c_custkey"), col("o_orderkey")),
       Some("SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey")),
     // 3-way fact-to-dim join + group: the canonical star-schema pattern.
+    // r21 (guide §2.3 "aggregate before you shuffle"): the revenue sum
+    // is associative, so it folds to one exact DECIMAL partial per
+    // ORDER before the fact-fact join (lineitem rows never cross a
+    // second exchange), then to one row per CUSTKEY before the
+    // customer join — which is 1:1 on the customer primary key, so
+    // attaching c_name after the aggregation returns the identical
+    // rows the post-join groupBy produced (oracle-pinned). The joins
+    // and the final aggregate now move order- and customer-cardinality
+    // rows instead of lineitem-cardinality ones.
     Q("q_join_multi",
       (s, d) => {
-        val li = t(s, d, "lineitem")
-        val o = t(s, d, "orders")
-        val c = t(s, d, "customer")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_custkey"), col("c_name"))
+        val lo = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
           .agg(
             sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-              .cast(DoubleType).as("revenue"),
-            count(lit(1)).as("n_items"))
+              .as("__rev"),
+            count(lit(1)).as("__n"))
+        lo.join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("__rev")).as("__revc"), sum(col("__n")).as("n_items"))
+          .join(t(s, d, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            col("__revc").cast(DoubleType).as("revenue"), col("n_items"))
       },
       Some("""SELECT c_custkey, c_name,
              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -1418,12 +1431,6 @@ object Queries {
     // table, never the fact.
     Q("q_tpch_q2",
       (s, d) => {
-        val rs = t(s, d, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey"),
-            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)*100" +
-              " div CAST(l_quantity AS BIGINT)").as("__ucl"))
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(min(col("__ucl")).as("__uc"))
         val sup = t(s, d, "supplier")
           .join(broadcast(t(s, d, "nation")
               .join(broadcast(t(s, d, "region")
@@ -1435,6 +1442,24 @@ object Queries {
         val pa = t(s, d, "part")
           .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
           .select("p_partkey", "p_type")
+        // both dimension filters pushed BELOW the (partkey, suppkey)
+        // min-aggregation as broadcast semi-joins (r21, guide §2.3/
+        // §3.2): each filter is on one of the aggregation's own group
+        // keys, so groups are kept or dropped whole and every kept
+        // group's min is unchanged — the per-pair shuffle now carries
+        // only STANDARD/small-part rows from EUROPE suppliers, and the
+        // window min over p_partkey sees the identical row set it did
+        // when the filters ran above the aggregation
+        val rs = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)*100" +
+              " div CAST(l_quantity AS BIGINT)").as("__ucl"))
+          .join(broadcast(pa.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcast(sup.select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("__ucl")).as("__uc"))
         val w = Window.partitionBy(col("p_partkey"))
         rs.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
@@ -1477,6 +1502,15 @@ object Queries {
     // pre-projected); part/supplier/nation broadcast.
     Q("q_tpch_q9",
       (s, d) => {
+        val pa = t(s, d, "part")
+          .filter(col("p_name").startsWith("red")).select("p_partkey")
+        // the selective part filter pushed BELOW the (partkey, suppkey)
+        // min-aggregation (r21, guide §2.3/§3.2): the filter is on the
+        // aggregation's own group key, so every group is kept or
+        // dropped whole and the per-group min is unchanged — while the
+        // big shuffle (both the agg and the self-join probe side) now
+        // carries only the red parts' rows, and the fact-fact join
+        // against orders probes with the reduced side too
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             (dec(col("l_extendedprice")) * 100).cast(LongType).as("__pc"),
@@ -1484,16 +1518,15 @@ object Queries {
             col("l_quantity").cast(LongType).as("__q"),
             expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)*100" +
               " div CAST(l_quantity AS BIGINT)").as("__ucl"))
+          .join(broadcast(pa), col("l_partkey") === col("p_partkey"),
+            "left_semi")
         val rs = li.groupBy("l_partkey", "l_suppkey")
           .agg(min(col("__ucl")).as("__uc"))
-        val pa = t(s, d, "part")
-          .filter(col("p_name").startsWith("red")).select("p_partkey")
         val sn = t(s, d, "supplier")
           .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "n_name")
         li.join(rs, Seq("l_partkey", "l_suppkey"))
-          .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
           .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
             col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
