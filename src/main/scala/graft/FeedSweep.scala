@@ -94,11 +94,15 @@ object FeedSweep {
           spark.read.parquet(s"$stDir/sig"),
           spark.read.parquet(s"$stDir/pairs"),
           spark.read.parquet(s"$stDir/cl"))
+        // eager gate checkpoint — the registered capstones' (and the
+        // streaming twin's) shape, so the sweep times the same fold
         val gated = Cdc.gateFeed(
           feed.select("seq", "op", "doc_id", "text"),
           "doc_id", "seq", "op")(battery)
-        exec(manifest(Dedup.clustersMaintain(prev, gated,
+          .localCheckpoint(true)
+        try exec(manifest(Dedup.clustersMaintain(prev, gated,
           "doc_id", "text", "seq", "op").clusters))
+        finally graft.operators.Caching.freeLocalCheckpoint(gated)
       }
       graft.operators.Caching.freeLocalCheckpoint(feed)
       rmTree(new java.io.File(stDir))

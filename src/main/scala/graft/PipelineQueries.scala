@@ -2231,7 +2231,8 @@ object PipelineQueries {
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(t(s, d, "documents"))
         val st = Dedup.clustersMaintain(
-          Dedup.clustersBootstrap(boot, "doc_id", "text"),
+          Dedup.clustersBootstrap(boot, "doc_id", "text",
+            checkpoint = true),
           feed.select("seq", "op", "doc_id", "text"),
           "doc_id", "text", "seq", "op")
         st.clusters.orderBy("doc_id")
@@ -2248,7 +2249,8 @@ object PipelineQueries {
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(t(s, d, "documents"))
         val st = Dedup.clustersMaintain(
-          Dedup.clustersBootstrap(boot, "doc_id", "text"),
+          Dedup.clustersBootstrap(boot, "doc_id", "text",
+            checkpoint = true),
           feed.select("seq", "op", "doc_id", "text"),
           "doc_id", "text", "seq", "op")
         val merged = operators.Cdc.applyChanges(
@@ -2288,13 +2290,15 @@ object PipelineQueries {
     Q("pipeline_training_manifest",
       (s, d) => {
         val docs = spread(t(s, d, "documents"))
-        val kept = docs.join(
-          TextAnalysis.filterBattery(docs,
+        // classify once (r21): checkpoint the keep-id list so the
+        // battery pass is not re-run by the pair search and the CC
+        // vertex set (see the capstone's bootKeepIds note)
+        val keepIds = TextAnalysis.filterBattery(docs,
               minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
               maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
               minDistinctRatio = 0.3)
-            .filter(col("keep")).select("doc_id"),
-          Seq("doc_id"))
+            .filter(col("keep")).select("doc_id").localCheckpoint(true)
+        val kept = docs.join(keepIds, Seq("doc_id"))
         val pairs = Dedup.minhashNearDuplicates(kept, "doc_id", "text",
           threshold = 0.7)
         val survivors = Dedup.connectedComponents(kept, "doc_id", pairs)
@@ -2325,13 +2329,27 @@ object PipelineQueries {
             minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
             maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
             minDistinctRatio = 0.3)
-        val bootKept = boot.join(
-          battery(boot).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        // classify the bootstrap corpus ONCE (r21): the keep-id list is
+        // eagerly checkpointed (tiny — ids only), so the battery's
+        // tokenizer pass over the corpus is not re-run by each
+        // bootstrap-state consumer (it measured twice per run: the
+        // signature build and the CC vertex set)
+        val bootKeepIds = battery(boot).filter(col("keep"))
+          .select("doc_id").localCheckpoint(true)
+        val bootKept = boot.join(bootKeepIds, Seq("doc_id"))
+        // eager checkpoint of the gated feed (r21, guide §1.4/§3.3 —
+        // the streaming twin's shape): the maintenance fold runs ~150
+        // AQE stage-jobs, and a lazy gate makes every one re-analyze
+        // the spread → feed-union → battery-classify subtree (measured
+        // ~10 s of driver gaps at sf0.1); the checkpoint is
+        // feed-bounded and cuts that analysis to the one materialization
         val gated = operators.Cdc.gateFeed(
           feed.select("seq", "op", "doc_id", "text"),
           "doc_id", "seq", "op")(battery)
+          .localCheckpoint(true)
         val st = Dedup.clustersMaintain(
-          Dedup.clustersBootstrap(bootKept, "doc_id", "text"),
+          Dedup.clustersBootstrap(bootKept, "doc_id", "text",
+            checkpoint = true),
           gated, "doc_id", "text", "seq", "op")
         val keepers = st.clusters
           .filter(col("doc_id") === col("cluster_id")).select("doc_id")
@@ -2362,13 +2380,27 @@ object PipelineQueries {
             minTokens = 30, maxTokens = 100000, minAvgLen = 3.0,
             maxAvgLen = 10.0, minAlphaRatio = 0.8, minStopwordHits = 2,
             minDistinctRatio = 0.3)
-        val bootKept = boot.join(
-          battery(boot).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        // classify the bootstrap corpus ONCE (r21): the keep-id list is
+        // eagerly checkpointed (tiny — ids only), so the battery's
+        // tokenizer pass over the corpus is not re-run by each
+        // bootstrap-state consumer (it measured twice per run: the
+        // signature build and the CC vertex set)
+        val bootKeepIds = battery(boot).filter(col("keep"))
+          .select("doc_id").localCheckpoint(true)
+        val bootKept = boot.join(bootKeepIds, Seq("doc_id"))
+        // eager checkpoint of the gated feed (r21, guide §1.4/§3.3 —
+        // the streaming twin's shape): the maintenance fold runs ~150
+        // AQE stage-jobs, and a lazy gate makes every one re-analyze
+        // the spread → feed-union → battery-classify subtree (measured
+        // ~10 s of driver gaps at sf0.1); the checkpoint is
+        // feed-bounded and cuts that analysis to the one materialization
         val gated = operators.Cdc.gateFeed(
           feed.select("seq", "op", "doc_id", "text"),
           "doc_id", "seq", "op")(battery)
+          .localCheckpoint(true)
         val st = Dedup.clustersMaintain(
-          Dedup.clustersBootstrap(bootKept, "doc_id", "text"),
+          Dedup.clustersBootstrap(bootKept, "doc_id", "text",
+            checkpoint = true),
           gated, "doc_id", "text", "seq", "op")
         val keepers = st.clusters
           .filter(col("doc_id") === col("cluster_id")).select("doc_id")
@@ -2393,7 +2425,8 @@ object PipelineQueries {
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(t(s, d, "documents"))
         val st = Dedup.clustersMaintain(
-          Dedup.clustersBootstrap(boot, "doc_id", "text"),
+          Dedup.clustersBootstrap(boot, "doc_id", "text",
+            checkpoint = true),
           feed.select("seq", "op", "doc_id", "text"),
           "doc_id", "text", "seq", "op")
         st.pairs.orderBy("h_a", "h_b")
@@ -4585,13 +4618,20 @@ object PipelineQueries {
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(
           t(s, d, "documents").select(col("doc_id"), col("text")))
-        val post1 = operators.Cdc.applyChangesGrouped(
+        // the batch reduction computed ONCE and persisted (r21) — the
+        // seam latestChanges exposes for exactly this multi-frame
+        // maintainer shape (postings + lengths used to re-run the feed
+        // scan + winner groupBy each); same fold, same outputs
+        val latest = operators.Caching.maybePersist(
+          operators.Cdc.latestChanges(feed, "doc_id", "seq", "op"),
+          persist = true)
+        val post1 = operators.Cdc.applyGroupedFromLatest(
           TextAnalysis.tokenIndex(boot, "doc_id", "text"),
-          feed, "doc_id", "seq", "op")(
+          latest, "doc_id")(
           ch => TextAnalysis.tokenIndex(ch, "doc_id", "text"))
-        val len1 = operators.Cdc.applyChangesGrouped(
+        val len1 = operators.Cdc.applyGroupedFromLatest(
           TextAnalysis.docLengths(boot, "doc_id", "text"),
-          feed, "doc_id", "seq", "op")(
+          latest, "doc_id")(
           ch => TextAnalysis.docLengths(ch, "doc_id", "text"))
         TextAnalysis.bm25TopKFromIndex(post1, len1, "doc_id",
           Bm25Terms, k = 25)
@@ -5424,7 +5464,13 @@ object PipelineQueries {
       |UNION SELECT e.u, p.r FROM ere e JOIN erc p ON p.u = e.v)""".stripMargin.replace("\n", " ")
 
   private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    // persisted (r21, guide §2.3/§5): the self-join's two sides are the
+    // SAME distinct frame under different aliases, and alias-renamed
+    // subtrees defeat exchange reuse — unpersisted, the lineitem scan +
+    // distinct shuffle ran twice per materialization
+    val li = operators.Caching.maybePersist(
+      t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct(),
+      persist = true)
     li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_orders"))
@@ -5436,7 +5482,10 @@ object PipelineQueries {
     * integer edge weight (the unweighted frame's projection discards
     * it) — the weighted graph family's input. */
   private def copurchaseWeightedEdges(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    // persisted — see the unweighted twin's note
+    val li = operators.Caching.maybePersist(
+      t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct(),
+      persist = true)
     li.toDF("k", "pa").join(li.toDF("k", "pb"), Seq("k"))
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("w"))

@@ -226,15 +226,24 @@ object Cdc {
     * Output: (group, n, mn, mx). */
   def maintainMinMaxView(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, seqCol: String, opCol: String, groupCol: String,
-      valueCol: String): DataFrame = {
-    val prevAgg = snapshot.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n0"),
-      min(col(valueCol)).as("__mn0"), max(col(valueCol)).as("__mx0"))
+      valueCol: String, persist: Boolean = true): DataFrame = {
+    // persisted (r21, guide §2.3): the previous view has two readers
+    // (the extremal-hit derivation and the cheap-path outer join) and
+    // the winner reduction four (retract join, non-delete adds — used
+    // by addAgg AND the recompute members — and the members anti-join);
+    // unpersisted, each re-runs its full upstream scan + shuffle.
+    // prevAgg is O(groups), latest O(feed).
+    val prevAgg = Caching.maybePersist(
+      snapshot.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__n0"),
+        min(col(valueCol)).as("__mn0"), max(col(valueCol)).as("__mx0")),
+      persist)
     val ord = struct(col(seqCol), col(opCol))
-    val latest = changes.groupBy(col(keyCol)).agg(
-      max_by(col(opCol), ord).as("__op"),
-      max_by(col(groupCol), ord).as("__g"),
-      max_by(col(valueCol), ord).as("__v"))
+    val latest = Caching.maybePersist(
+      changes.groupBy(col(keyCol)).agg(
+        max_by(col(opCol), ord).as("__op"),
+        max_by(col(groupCol), ord).as("__g"),
+        max_by(col(valueCol), ord).as("__v")), persist)
     val snapKeyed = snapshot.select(col(keyCol),
       col(groupCol).as("__og"), col(valueCol).as("__ov"))
     // old images of every changed key present in the snapshot — each
@@ -307,18 +316,22 @@ object Cdc {
     * double — the TopKAggregate score contract). */
   def maintainTopKView(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, seqCol: String, opCol: String, groupCol: String,
-      valueCol: String, k: Int): DataFrame = {
+      valueCol: String, k: Int, persist: Boolean = true): DataFrame = {
     import graft.functions.TopKAggregate.topK
     require(k >= 1, s"k must be >= 1, got $k")
-    val prevTop = snapshot.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n0"),
-      topK(col(valueCol).cast("double"), col(keyCol), col(keyCol), k)
-        .as("__prev"))
+    // persisted (r21): same multi-reader shape as [[maintainMinMaxView]]
+    // — prevTop has two readers, the winner reduction four
+    val prevTop = Caching.maybePersist(
+      snapshot.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("__n0"),
+        topK(col(valueCol).cast("double"), col(keyCol), col(keyCol), k)
+          .as("__prev")), persist)
     val ord = struct(col(seqCol), col(opCol))
-    val latest = changes.groupBy(col(keyCol)).agg(
-      max_by(col(opCol), ord).as("__op"),
-      max_by(col(groupCol), ord).as("__g"),
-      max_by(col(valueCol), ord).as("__v"))
+    val latest = Caching.maybePersist(
+      changes.groupBy(col(keyCol)).agg(
+        max_by(col(opCol), ord).as("__op"),
+        max_by(col(groupCol), ord).as("__g"),
+        max_by(col(valueCol), ord).as("__v")), persist)
     val snapKeyed = snapshot.select(col(keyCol),
       col(groupCol).as("__og"), col(valueCol).cast("double").as("__ov"))
     val retract = latest.join(snapKeyed, Seq(keyCol))
@@ -419,12 +432,19 @@ object Cdc {
     require(aPayload.contains(joinCol),
       s"maintainJoinView: A must carry join column $joinCol")
     val ord = struct(col(seqCol), col(opCol))
-    val aLatest = aChanges.groupBy(col(aKey)).agg(
-      max_by(col(opCol), ord).as("__op"),
-      aPayload.map(c => max_by(col(c), ord).as(c)): _*)
-    val bLatest = bChanges.groupBy(col(joinCol)).agg(
-      max_by(col(opCol), ord).as("__op"),
-      bPayload.map(c => max_by(col(c), ord).as(c)): _*)
+    // persisted (r21, guide §2.3): each winner reduction has several
+    // physical readers (the affected-key derivation, its own anti-join
+    // against the snapshot, and the non-delete union into the delta) —
+    // unpersisted, every reader re-runs the change-feed scan + groupBy.
+    // Both frames are feed-bounded.
+    val aLatest = Caching.maybePersist(
+      aChanges.groupBy(col(aKey)).agg(
+        max_by(col(opCol), ord).as("__op"),
+        aPayload.map(c => max_by(col(c), ord).as(c)): _*), persist)
+    val bLatest = Caching.maybePersist(
+      bChanges.groupBy(col(joinCol)).agg(
+        max_by(col(opCol), ord).as("__op"),
+        bPayload.map(c => max_by(col(c), ord).as(c)): _*), persist)
     val affected = Caching.maybePersist(
       aSnap.join(aLatest.select(col(aKey)), Seq(aKey), "left_semi")
         .select(col(joinCol))
@@ -502,9 +522,19 @@ object Cdc {
     * And a gated retraction emits its `D` with NULL payload columns
     * (the winning seq is retained — a feed row needs it), honouring
     * the downstream maintainers' documented "payload NULL on deletes"
-    * contract instead of leaking the failing winner's image. */
+    * contract instead of leaking the failing winner's image.
+    *
+    * The winner reduction is persisted (r21, guide §2.3): it has THREE
+    * physical readers in one materialization — both sides of the
+    * winner⋈flags join (the classify input and the join's left) plus
+    * the raw-delete union branch — so an unpersisted reduction re-runs
+    * the feed scan + groupBy three times per action. Feed-bounded by
+    * construction; a long-running per-batch caller passes its
+    * [[Caching.PersistTracker]] for deterministic release. */
   def gateFeed(changes: DataFrame, idCol: String, seqCol: String,
-      opCol: String)(classify: DataFrame => DataFrame): DataFrame = {
+      opCol: String, persist: Boolean = true,
+      tracker: Caching.PersistTracker = new Caching.PersistTracker)
+      (classify: DataFrame => DataFrame): DataFrame = {
     // the [[latestChanges]] reduction, inlined to RETAIN the winning
     // seq (latestChanges drops it — a maintainer folding the winner
     // needs no seq, but a gated FEED must stay a feed)
@@ -522,7 +552,8 @@ object Cdc {
           "seq; an equal-seq pair would tie-break by op silently")))
         .isNull)
       .select(changes.columns.map(col(_)): _*)
-    val iu = latest.filter(col(opCol) =!= "D")
+    val latestP = Caching.maybePersist(latest, persist, tracker)
+    val iu = latestP.filter(col(opCol) =!= "D")
     // __classified marks "classify emitted a row for this id" so a
     // dropped winner (flag row absent) and a NULL keep VALUE (flag row
     // present, keep null) raise distinct messages — they are different
@@ -547,7 +578,7 @@ object Cdc {
       (df, c) => df.withColumn(c, when(col(opCol) === "D",
         lit(null).cast(df.schema(c).dataType)).otherwise(col(c)))
     }.drop("keep", "__classified")
-    latest.filter(col(opCol) === "D")
+    latestP.filter(col(opCol) === "D")
       .unionByName(gated.select(changes.columns.map(col(_)): _*))
   }
 

@@ -845,7 +845,12 @@ object Dedup {
     var prevCkpt = labels
     var converged = false
     var iter = 0
+    // label the round's jobs (guide §1.5) so profiling attributes the
+    // loop's cost; the caller's description is restored on exit
+    val sc = vertices.sparkSession.sparkContext
+    val callerDesc = sc.getLocalProperty("spark.job.description")
     while (!converged && iter < maxIter) {
+      sc.setJobDescription(s"cc round $iter")
       // (1) label(u) := min(own label, min over neighbor labels) — the
       // neighbor contributions and the self row fused into ONE union +
       // ONE aggregation (r20, guide §2.3/§2.4: the former per-round
@@ -881,12 +886,19 @@ object Dedup {
       val next = stepped.join(parents, col("__lbl") === col("__pu"))
         .select(col("__u"), col("__plbl").as("__lbl"), col("__old"))
         .localCheckpoint(true)
-      converged = next.filter(col("__lbl") =!= col("__old")).isEmpty
+      // null-safe comparison (ADVICE r20): under the exactly-one-self-
+      // row invariant __old is never NULL, but if that invariant ever
+      // broke, `=!=` would drop the NULL rows from the non-converged
+      // set and silently declare a premature fixpoint (split clusters);
+      // `<=>` keeps such rows non-converged so the breakage surfaces
+      // as a loud non-convergence throw instead
+      converged = next.filter(!(col("__lbl") <=> col("__old"))).isEmpty
       Caching.freeLocalCheckpoint(prevCkpt)
       prevCkpt = next
       labels = next.drop("__old")
       iter += 1
     }
+    sc.setJobDescription(callerDesc)
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not reach a fixpoint in $maxIter rounds; " +
@@ -999,17 +1011,43 @@ object Dedup {
   /** Build the [[ClusterIndexState]] from scratch over a corpus — the
     * bootstrap, and the scratch-rebuild reference every maintenance
     * pin compares against (the state is a pure function of the live
-    * corpus, so maintained ≡ bootstrap frame-for-frame). */
+    * corpus, so maintained ≡ bootstrap frame-for-frame).
+    *
+    * `checkpoint = true` eagerly `localCheckpoint`s the three state
+    * frames (r21, guide §1.4/§3.3 lineage truncation): the COMPOSED
+    * batch path (bootstrap ∘ [[clustersMaintain]]) runs ~150 AQE
+    * stage-jobs, and with a lazy bootstrap every one of them re-plans
+    * the full bootstrap subtree (signature build ∪ pigeonhole pair
+    * search ∪ the CC run's final join) — the streaming twin gets flat
+    * plans for free from its parquet homes, this flag is the batch
+    * path's equivalent. Values are unchanged (same frames, cut
+    * lineage); the blocks are freed by the session's ContextCleaner
+    * once the composed query's frames go out of scope, and each frame
+    * is O(corpus keys), not O(corpus payload). The checkpointed sigs
+    * frame replaces (not doubles) the persist — a checkpoint serves
+    * repeat reads from its own blocks. */
   def clustersBootstrap(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4,
-      persist: Boolean = true): ClusterIndexState = {
+      persist: Boolean = true, checkpoint: Boolean = false)
+      : ClusterIndexState = {
+    val sc = df.sparkSession.sparkContext
+    val callerDesc = sc.getLocalProperty("spark.job.description")
+    def flat(frame: DataFrame, label: String): DataFrame =
+      if (!checkpoint) frame
+      else {
+        sc.setJobDescription(s"bootstrap $label")
+        try frame.localCheckpoint(true)
+        finally sc.setJobDescription(callerDesc)
+      }
     // consumed by the pair search AND docEdges' canon + star
-    val sigs = Caching.maybePersist(
-      simhashSignatures(df, idCol, textCol), persist)
-    val hashPairs = hashNearPairs(sigs, "simhash", maxHamming, chunks)
-    val clusters = connectedComponents(df.select(col(idCol)), idCol,
+    val sigs =
+      if (checkpoint) flat(simhashSignatures(df, idCol, textCol), "sigs")
+      else Caching.maybePersist(simhashSignatures(df, idCol, textCol), persist)
+    val hashPairs = flat(hashNearPairs(sigs, "simhash", maxHamming, chunks),
+      "pairs")
+    val clusters = flat(connectedComponents(df.select(col(idCol)), idCol,
         docEdges(sigs, idCol, "simhash", hashPairs))
-      .select(col(idCol), col("cluster_id"))
+      .select(col(idCol), col("cluster_id")), "clusters")
     ClusterIndexState(sigs, hashPairs, clusters)
   }
 
@@ -1266,18 +1304,24 @@ object Dedup {
     val oldMembers = prevClusters
       .join(affected, Seq("cluster_id"), "left_semi")
       .select(col(idCol))
-    val members = tracker.addCheckpoint(oldMembers
+    val memberIds = oldMembers
       .join(changedKeys, Seq(idCol), "left_anti")
       .unionByName(ups.select(col(idCol)))
       .distinct()
-      .localCheckpoint(true))
     // every live member of a member's hash group is itself a member
     // (same-hash docs share a cluster, and that cluster is affected),
     // so the per-group min over memberSigs is the TRUE canon and
-    // docEdges over the restriction is the true induced edge set
+    // docEdges over the restriction is the true induced edge set.
+    // ONE checkpoint instead of the former members + memberSigs pair
+    // (r21): every member is live (old members anti changed keys, plus
+    // upserts) and every live doc carries a signature in nextSigs, so
+    // memberSigs.select(id) IS the member set — the separate member
+    // checkpoint added an eager barrier for a frame this projection
+    // reproduces exactly.
     val memberSigs = tracker.addCheckpoint(
-      nextSigs.join(members, Seq(idCol), "left_semi")
+      nextSigs.join(memberIds, Seq(idCol), "left_semi")
         .localCheckpoint(true))
+    val members = memberSigs.select(col(idCol))
     val memberHashes = memberSigs.select(col("simhash")).distinct()
     val inducedHashPairs = nextPairs
       .join(memberHashes.select(col("simhash").as("h_a")), Seq("h_a"),

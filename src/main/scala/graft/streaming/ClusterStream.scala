@@ -93,16 +93,6 @@ object ClusterStream {
       compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     DeltaStore.ensureLayoutMarker(spark, rootDir, LayoutTag)
-    val prev = Dedup.ClusterIndexState(
-      DeltaStore.stateSoFar(spark, s"$rootDir/sig", id, emptySigs(batch),
-        SigKeys),
-      DeltaStore.stateSoFar(spark, s"$rootDir/pairs", id, emptyPairs(batch),
-        PairKeys),
-      DeltaStore.stateSoFar(spark, s"$rootDir/cl", id, emptyClusters(batch),
-        ClKeys))
-    val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
-      batch.select(lit(Long.MinValue).as("last_seq")).filter(lit(false)))
-    val frontier = SnapshotStore.seqFrontier(fPrev, batch, "ClusterStream")
     // batch-scoped persist register: a CONTINUOUS sink folding every
     // micro-batch must release the maintenance's internal caches (and
     // its eager member/edge checkpoints) once its homes commit, or it
@@ -110,6 +100,21 @@ object ClusterStream {
     // assumes a per-query terminal action the long-running sink never
     // reaches)
     val tracker = new graft.operators.Caching.PersistTracker
+    // sig/pairs state reads persisted (r21): the fold reads each twice,
+    // and an unpersisted stateSoFar re-runs its latest-wins delta
+    // reconstruction shuffle once per consumer (see ManifestStream)
+    val prev = Dedup.ClusterIndexState(
+      graft.operators.Caching.maybePersist(
+        DeltaStore.stateSoFar(spark, s"$rootDir/sig", id, emptySigs(batch),
+          SigKeys), persist = true, tracker),
+      graft.operators.Caching.maybePersist(
+        DeltaStore.stateSoFar(spark, s"$rootDir/pairs", id,
+          emptyPairs(batch), PairKeys), persist = true, tracker),
+      DeltaStore.stateSoFar(spark, s"$rootDir/cl", id, emptyClusters(batch),
+        ClKeys))
+    val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
+      batch.select(lit(Long.MinValue).as("last_seq")).filter(lit(false)))
+    val frontier = SnapshotStore.seqFrontier(fPrev, batch, "ClusterStream")
     try {
       val upd = Dedup.clustersMaintainUpdate(prev, batch, "id", "text",
         "seq", "op", maxHamming, chunks, tracker = tracker)

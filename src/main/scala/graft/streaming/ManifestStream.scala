@@ -99,11 +99,22 @@ object ManifestStream {
       compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     DeltaStore.ensureLayoutMarker(spark, rootDir, LayoutTag)
+    // batch-scoped persist register — the ClusterStream.foldBatch
+    // rationale: a continuous sink must release the maintenance's
+    // internal caches (and eager checkpoints) every batch or
+    // accumulate corpus-sized copies
+    val tracker = new Caching.PersistTracker
+    // sig/pairs state reads persisted (r21): the maintenance fold reads
+    // each TWICE (sigs: next-state anti-join + affected-hash semi-join;
+    // pairs: carried-pair anti-joins + the pair delta), and an
+    // unpersisted stateSoFar re-runs its latest-wins delta
+    // reconstruction — a union + per-key shuffle over every committed
+    // delta partition — once per consumer, growing with batch count
     val prev = Dedup.ClusterIndexState(
-      DeltaStore.stateSoFar(spark, s"$rootDir/sig", id, emptySigs(batch),
-        SigKeys),
-      DeltaStore.stateSoFar(spark, s"$rootDir/pairs", id,
-        emptyPairs(batch), PairKeys),
+      Caching.maybePersist(DeltaStore.stateSoFar(spark, s"$rootDir/sig",
+        id, emptySigs(batch), SigKeys), persist = true, tracker),
+      Caching.maybePersist(DeltaStore.stateSoFar(spark, s"$rootDir/pairs",
+        id, emptyPairs(batch), PairKeys), persist = true, tracker),
       DeltaStore.stateSoFar(spark, s"$rootDir/cl", id,
         emptyClusters(batch), ClKeys))
     val fPrev = SnapshotStore.stateSoFar(spark, s"$rootDir/f", id,
@@ -113,16 +124,12 @@ object ManifestStream {
     // maintenance-internal key reductions) — eager checkpoint keeps
     // the batch-bounded curated feed from re-classifying per consumer;
     // freed in the finally below so a frontier-guard trip or a
-    // classify contract violation cannot strand the blocks
+    // classify contract violation cannot strand the blocks (gateFeed's
+    // internal winner-reduction persist rides the same tracker)
     val gated = Cdc.gateFeed(
       batch.select(col("seq"), col("op"), col("id"), col("text"),
-        col("lang")), "id", "seq", "op")(classify)
+        col("lang")), "id", "seq", "op", tracker = tracker)(classify)
       .localCheckpoint(true)
-    // batch-scoped persist register — the ClusterStream.foldBatch
-    // rationale: a continuous sink must release the maintenance's
-    // internal caches (and eager checkpoints) every batch or
-    // accumulate corpus-sized copies
-    val tracker = new Caching.PersistTracker
     try {
       val upd = Dedup.clustersMaintainUpdate(prev,
         gated.select(col("seq"), col("op"), col("id"), col("text")),
@@ -160,12 +167,21 @@ object ManifestStream {
       val recomputedMap = clDelta.filter(col(DeltaStore.DopCol) === "U")
         .select(col("id"), col("cluster_id"))
       val touchedIds = clDelta.select(col("id"))
-      val metaNow = DeltaStore.stateSoFar(spark, s"$rootDir/meta", id + 1,
-        emptyMeta(batch, score), MetaKeys,
-        restrictTo = Some(recomputedMap.select(col("id"))))
-      val keepers = Dedup.keepBestFromClusters(recomputedMap,
-          metaNow.select(col("id"), col("__score")), "id")
-        .filter(col("keep")).select(col("id"))
+      // metaNow has two readers (keeper scoring + the lang join) and
+      // keepers two (the manifest upserts + the delete anti-join) —
+      // both feed-bounded (restricted to the affected clusters'
+      // members), persisted so the restricted delta reconstruction and
+      // the keep-best algebra run once per batch (r21)
+      val metaNow = Caching.maybePersist(
+        DeltaStore.stateSoFar(spark, s"$rootDir/meta", id + 1,
+          emptyMeta(batch, score), MetaKeys,
+          restrictTo = Some(recomputedMap.select(col("id")))),
+        persist = true, tracker)
+      val keepers = Caching.maybePersist(
+        Dedup.keepBestFromClusters(recomputedMap,
+            metaNow.select(col("id"), col("__score")), "id")
+          .filter(col("keep")).select(col("id")),
+        persist = true, tracker)
       val keeperRows = Sampling.assignSplits(
           keepers.join(metaNow.select(col("id"), col("lang")), Seq("id")),
           "id", splits)
