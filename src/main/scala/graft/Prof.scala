@@ -29,6 +29,12 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep the session shape identical to Bench (r21, ADVICE r20):
+      // without this flag default profiling runs under a different
+      // planner config than the benched rows and job/stage attribution
+      // can diverge; the SPARK_GRAFT_EXTRA_CONF overlay can A/B it off
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
     // A/B knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays session confs
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
@@ -105,7 +111,7 @@ object Prof {
       println(f"%n=== $n: wall $wall%.3f s, ${jobs.size} jobs ===")
       println(f"${"job"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
         f"${"tasks"}%6s ${"shR_MB"}%8s ${"shW_MB"}%8s  desc")
-      jobs.values.toSeq.sortBy(-_.taskTimeMs).take(40).foreach { j =>
+      jobs.values.toSeq.sortBy(-_.taskTimeMs).take(120).foreach { j =>
         val w = if (j.end > 0) j.end - j.start else -1L
         println(f"${j.id}%5d $w%8d ${j.taskTimeMs}%8d ${j.tasks}%6d " +
           f"${j.shuffleReadMb}%8.1f ${j.shuffleWriteMb}%8.1f  " +
@@ -118,7 +124,7 @@ object Prof {
       println(s"-- top stages by task run time (${stages.size} stages) --")
       println(f"${"stage"}%6s ${"tasks"}%6s ${"run_ms"}%8s ${"cpu_ms"}%8s " +
         f"${"deser"}%6s ${"shR_MB"}%8s ${"shW_MB"}%8s  name/callsite")
-      stages.sortBy(-_.runMs).take(30).foreach { s =>
+      stages.sortBy(-_.runMs).take(60).foreach { s =>
         println(f"${s.id}%6d ${s.tasks}%6d ${s.runMs}%8d ${s.cpuMs}%8d " +
           f"${s.deserMs}%6d ${s.shReadMb}%8.1f ${s.shWriteMb}%8.1f  " +
           s.name.take(100))
