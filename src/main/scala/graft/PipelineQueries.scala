@@ -4618,20 +4618,13 @@ object PipelineQueries {
       (s, d) => {
         val (boot, feed) = incrementalDocFeed(
           t(s, d, "documents").select(col("doc_id"), col("text")))
-        // the batch reduction computed ONCE and persisted (r21) — the
-        // seam latestChanges exposes for exactly this multi-frame
-        // maintainer shape (postings + lengths used to re-run the feed
-        // scan + winner groupBy each); same fold, same outputs
-        val latest = operators.Caching.maybePersist(
-          operators.Cdc.latestChanges(feed, "doc_id", "seq", "op"),
-          persist = true)
-        val post1 = operators.Cdc.applyGroupedFromLatest(
+        val post1 = operators.Cdc.applyChangesGrouped(
           TextAnalysis.tokenIndex(boot, "doc_id", "text"),
-          latest, "doc_id")(
+          feed, "doc_id", "seq", "op")(
           ch => TextAnalysis.tokenIndex(ch, "doc_id", "text"))
-        val len1 = operators.Cdc.applyGroupedFromLatest(
+        val len1 = operators.Cdc.applyChangesGrouped(
           TextAnalysis.docLengths(boot, "doc_id", "text"),
-          latest, "doc_id")(
+          feed, "doc_id", "seq", "op")(
           ch => TextAnalysis.docLengths(ch, "doc_id", "text"))
         TextAnalysis.bm25TopKFromIndex(post1, len1, "doc_id",
           Bm25Terms, k = 25)
